@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline declared queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "headline_queries_total", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+
+Each query is executed to completion (collect of the — always small —
+result; aggregates/top-k only, no full-table collects). A warmup pass on
+the tiny sf spins up the JVM so measured times are query time, not session
+startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iceberg_examples_spark.registry import QUERIES  # noqa: E402
+from iceberg_examples_spark.session import get_spark  # noqa: E402
+
+# Headline set: scan-agg, selective agg, join-heavy, star join, window/dedup
+# and LLM-pipeline ops as they land. Keep result sizes bounded.
+HEADLINE = [
+    "agg_sum_by_key",
+    "tpch_q6",
+    "tpch_q3",
+    "tpch_q5",
+    "join_inner",
+    "topk",
+    "agg_count_distinct",
+    "merge_upsert",
+    "scd2_final",
+    "upsert_by_key",
+]
+
+# Queries whose result is a full table at sf scale — count() instead of
+# collect() so the bench measures the plan, not the driver transfer.
+COUNT_ONLY = {"filter_conj", "join_inner", "sort_multi", "union_all", "scan_full"}
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    fn = QUERIES[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    if name in COUNT_ONLY:
+        df.count()
+    else:
+        df.collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="ies-bench")
+
+    # JVM/codegen warmup on the smallest sf (not measured)
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            run_one(spark, name, warm_dir)
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, sf_dir), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Catalog: named-table access over the driver testdata + a snapshot-versioned
+local table format.
+
+The reference manages named, versioned tables through an Iceberg catalog
+(``Setup.java:38-43``; snapshots via ``newAppend().commit()``,
+``IcebergJavaApiAppend.java:92-94``). This module supplies the same two
+capabilities Spark-natively:
+
+- :func:`register_views` / :func:`load_table` — name -> DataFrame over the
+  driver-provided parquet star schema (``TESTDATA.md``).
+- :class:`LocalTable` — a minimal snapshot-versioned table on a directory:
+  every commit writes an immutable parquet snapshot dir plus a metadata
+  pointer (atomic rename), giving append / overwrite / time-travel reads —
+  the observable semantics of Iceberg's snapshot commits without the
+  connector jar.  On a cluster the same API is backed by the real Iceberg
+  catalog (see ``sources/iceberg_compat.py``); nothing above this layer
+  changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (columnar parquet scan; Catalyst gets
+    pushdown + pruning for free because this is a plain file scan)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (SQL entry point EP1)."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+class LocalTable:
+    """Snapshot-versioned parquet table (lakehouse-lite).
+
+    Layout::
+
+        <root>/snap-00000/   immutable parquet files of snapshot 0
+        <root>/snap-00001/   ...
+        <root>/_metadata.json  {"current": 1, "snapshots": [...]}
+
+    Commits are atomic via write-to-temp + ``os.replace`` of the metadata
+    pointer — the same optimistic metadata-swap idea Iceberg uses
+    (``IcebergJavaApiAppend.java:92-94``), scaled down to a local/posix or
+    object-store-with-rename filesystem. Each snapshot records its parent,
+    operation, and schema for time travel and audit.
+    """
+
+    METADATA = "_metadata.json"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- metadata -------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, self.METADATA)
+
+    def _read_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"current": -1, "snapshots": []}
+
+    def _write_meta(self, meta: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, self._meta_path())  # atomic pointer swap
+
+    # ---- snapshot surface ----------------------------------------------
+    @property
+    def current_version(self) -> int:
+        return self._read_meta()["current"]
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot log — the engine's ``#history``/``#snapshots`` metadata
+        surface (reference: ``IcebergHadoopTables.java:44-47``)."""
+        return self._read_meta()["snapshots"]
+
+    def exists(self) -> bool:
+        return self.current_version >= 0
+
+    def _snap_dir(self, version: int) -> str:
+        return os.path.join(self.root, f"snap-{version:05d}")
+
+    def _commit(self, df: DataFrame, operation: str, partition_by: list[str] | None) -> int:
+        meta = self._read_meta()
+        version = meta["current"] + 1
+        path = self._snap_dir(version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        meta["snapshots"].append(
+            {
+                "version": version,
+                "parent": meta["current"],
+                "operation": operation,
+                "schema": df.schema.jsonValue(),
+                "partition_by": partition_by or [],
+            }
+        )
+        meta["current"] = version
+        self._write_meta(meta)
+        return version
+
+    # ---- public API -----------------------------------------------------
+    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        return self._commit(df, "create", partition_by)
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Replace table contents (copy-on-write commit)."""
+        return self._commit(df, "overwrite", partition_by)
+
+    def append(self, df: DataFrame) -> int:
+        """Append = previous snapshot ∪ new rows, committed as a new
+        immutable snapshot (the ``newAppend().appendFile().commit()``
+        observable semantics)."""
+        if self.exists():
+            df = self.read().unionByName(df, allowMissingColumns=True)
+        return self._commit(df, "append", None)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read current or time-travel to an older snapshot."""
+        v = self.current_version if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table {self.root} has no snapshots")
+        return self.spark.read.parquet(self._snap_dir(v))

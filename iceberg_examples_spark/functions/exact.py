@@ -1,0 +1,48 @@
+"""Cross-engine-deterministic aggregate arithmetic.
+
+Floating-point SUM is order-dependent; Spark and the DuckDB oracle will
+accumulate partitions in different orders, so ``sum(double)`` can differ in
+the last ulps and break value-hash comparison. The fix used throughout the
+declared queries: scale fixed-decimal inputs to integers, accumulate as
+BIGINT (exact, associative, shuffle-order-independent), and convert back
+with one deterministic double op at the end. Both engines then compute
+bit-identical float64 results from identical integer inputs.
+
+The per-row ``round(x * scale)`` is safe because the source columns carry
+fixed decimal precision (money = 2 dp, discount/tax = 2 dp), so
+``x * scale`` is within ~1e-9 of an integer — never near a .5 boundary.
+
+This is also the right 100 TB posture: integer sums are cheaper than
+decimal-128 sums and immune to partial-aggregation reorder under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money_sum(expr: str, alias: str, scale: int = 10000) -> Column:
+    """Exact sum of a fixed-decimal expression, returned as double.
+
+    ``expr`` is a SQL expression string (so the same text can be reused in
+    the DuckDB oracle); see :func:`money_sum_sql`.
+    """
+    return F.expr(money_sum_sql(expr, alias, scale)).alias(alias)
+
+
+def money_sum_sql(expr: str, alias: str | None = None, scale: int = 10000) -> str:
+    s = f"cast(sum(cast(round(({expr}) * {scale}) as bigint)) as double) / {scale}.0"
+    return s
+
+
+def money_avg(expr: str, alias: str, scale: int = 10000) -> Column:
+    return F.expr(money_avg_sql(expr, alias, scale)).alias(alias)
+
+
+def money_avg_sql(expr: str, alias: str | None = None, scale: int = 10000) -> str:
+    # one integer sum + one integer count -> two deterministic double ops
+    return (
+        f"cast(sum(cast(round(({expr}) * {scale}) as bigint)) as double)"
+        f" / {scale}.0 / cast(count({expr}) as double)"
+    )

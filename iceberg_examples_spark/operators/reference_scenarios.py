@@ -1,0 +1,258 @@
+"""The reference's example scenarios as declared queries (SURVEY §2.7).
+
+Each function replays one reference example end-to-end — build the example's
+seed table(s) as in-memory DataFrames (deterministic literals cited from the
+reference), apply the engine's mutation operators, return the final table
+state. The DuckDB oracle (see ``iceberg_examples_spark/oracles.py``)
+recomputes the same final state in pure ANSI SQL from the same literals, so
+the driver's hash comparison verifies the merge algebra itself.
+
+Fixture provenance:
+- A1 test_table:        IcebergSQLMerge.java:17-24 / IcebergSQLDelete.java:17-27
+- A2 cdc_table:         IcebergSQLMergeAsDeleteInsert.java:17-25
+- A3 scd2 dim+staging:  IcebergSCD2.java:18-44
+- A5 sample_json:       Setup.java:56-58, IcebergJavaApiUpsert.java:40-45,66-70
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_examples_spark.operators import mutations as M
+from iceberg_examples_spark.sources.json_source import read_json_lines
+
+
+def _d(s: str) -> datetime.date:
+    return datetime.date.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- fixtures
+A1_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("lastname", T.StringType()),
+    ]
+)
+
+
+def a1_target(spark: SparkSession) -> DataFrame:
+    """IcebergSQLMerge.java:23-24."""
+    return spark.createDataFrame(
+        [(1, "customer_a", "lastname-1"), (2, "customer_b", "lastname-2")],
+        A1_SCHEMA,
+    )
+
+
+def a1_delete_seed(spark: SparkSession) -> DataFrame:
+    """IcebergSQLDelete.java:23-27."""
+    return spark.createDataFrame(
+        [
+            (1, "customer_a-V1", "ln1"),
+            (1, "customer_a-V2", "ln2"),
+            (1, "customer_a-V3", "ln3"),
+            (1, "customer_a-V3", "ln4"),
+            (2, "customer_b-V1", "ln5"),
+        ],
+        A1_SCHEMA,
+    )
+
+
+SCD2_DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("current", T.BooleanType()),
+        T.StructField("effective_date", T.DateType()),
+        T.StructField("end_date", T.DateType()),
+    ]
+)
+
+SCD2_STG_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("effective_date", T.DateType()),
+    ]
+)
+
+
+def a3_dim(spark: SparkSession) -> DataFrame:
+    """IcebergSCD2.java:26-31."""
+    return spark.createDataFrame(
+        [
+            (1, "customer_a-V1", False, _d("2020-01-01"), _d("2020-01-12")),
+            (1, "customer_a-V2", True, _d("2020-01-12"), _d("9999-12-31")),
+            (2, "customer_b-V1", True, _d("2020-01-01"), _d("9999-12-31")),
+        ],
+        SCD2_DIM_SCHEMA,
+    )
+
+
+def a3_staging(spark: SparkSession) -> DataFrame:
+    """IcebergSCD2.java:39-44."""
+    return spark.createDataFrame(
+        [
+            (1, "customer_a-V3", _d("2020-02-15")),
+            (2, "customer_b-V2", _d("2020-02-15")),
+            (3, "customer_c-V1", _d("2020-02-15")),
+        ],
+        SCD2_STG_SCHEMA,
+    )
+
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("record_change_timestamp", T.IntegerType()),
+    ]
+)
+
+
+def a2_cdc_target(spark: SparkSession) -> DataFrame:
+    """IcebergSQLMergeAsDeleteInsert.java:23-25."""
+    return spark.createDataFrame(
+        [(1, "customer_a", 1), (2, "customer_b", 1), (3, "customer_b", 2)],
+        CDC_SCHEMA,
+    )
+
+
+def a2_cdc_source(spark: SparkSession) -> DataFrame:
+    """IcebergSQLMergeAsDeleteInsert.java:33-39."""
+    return spark.createDataFrame(
+        [
+            (1, "customer_c-insert(with merge sql)", 1),
+            (2, "customer_b-updated(with merge sql)", 2),
+            (3, "customer_b-updated(with merge sql)", 2),
+        ],
+        CDC_SCHEMA,
+    )
+
+
+# ------------------------------------------------------- declared queries
+
+def merge_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — explicit-column MERGE upsert, IcebergSQLMerge.java:29-46."""
+    target = a1_target(spark)
+    source = spark.createDataFrame(
+        [
+            (3, "customer_c-insert(with merge sql)", "lastname-3-insert(with merge sql)"),
+            (2, "customer_b-updated(with merge sql)", "lastname-2-updated(with merge sql)"),
+        ],
+        A1_SCHEMA,
+    )
+    return M.merge_upsert(target, source, ["customer_id"])
+
+
+def merge_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — the full schema-tolerant star-merge chain,
+    IcebergSQLMerge.java:29-92: merge1 (explicit) → merge2 with EXTRA
+    source column pre-evolution (extra col ignored; rows 4,5 insert) →
+    ADD COLUMN email → merge2 again (4,5 now matched; email populated) →
+    merge3 with MISSING source column (rows 6,7 insert, lastname null)."""
+    state = merge_upsert_query(spark, sf_dir)
+
+    star_schema = T.StructType(
+        [
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("lastname", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    merge2_src = spark.createDataFrame(
+        [
+            (4, "customer_c-insert(with merge *)", "lastname-3-insert(with merge *)", "a@b.com"),
+            (5, "customer_b-updated(with merge *)", "lastname-2-updated(with merge *)", "b@c.com"),
+        ],
+        star_schema,
+    )
+    state = M.merge_star(state, merge2_src, ["customer_id"])  # email ignored
+    state = M.evolve_add_column(state, "email", "string")  # ALTER TABLE ADD COLUMN
+    state = M.merge_star(state, merge2_src, ["customer_id"])  # email now lands
+
+    merge3_schema = T.StructType(
+        [
+            T.StructField("customer_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("email", T.StringType()),
+        ]
+    )
+    merge3_src = spark.createDataFrame(
+        [
+            (6, "customer_c-insert(with merge *)", "a@b.com"),
+            (7, "customer_b-updated(with merge *)", "b@c.com"),
+        ],
+        merge3_schema,
+    )
+    return M.merge_star(state, merge3_src, ["customer_id"])
+
+
+def merge_cdc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — conditional merge with monotonic-timestamp guard,
+    IcebergSQLMergeAsDeleteInsert.java:30-50 (key 1 must NOT update)."""
+    return M.merge_upsert(
+        a2_cdc_target(spark),
+        a2_cdc_source(spark),
+        ["customer_id"],
+        matched_condition=F.col("t.record_change_timestamp")
+        < F.col("s.record_change_timestamp"),
+    )
+
+
+def scd2_final_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — SCD2 single-merge, IcebergSCD2.java:51-68. Expected final
+    state: 6 rows (old current rows closed at 2020-02-15, three new
+    current rows open to 9999-12-31)."""
+    return M.scd2_merge(a3_dim(spark), a3_staging(spark), key="customer_id")
+
+
+def delete_pred_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — DELETE with conjunctive predicate, IcebergSQLDelete.java:32."""
+    seed = a1_delete_seed(spark)
+    return M.delete_where(
+        seed, (F.col("customer_id") == 1) & (F.col("name") == "customer_a-V3")
+    )
+
+
+def schema_evolution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — ADD COLUMN then DROP COLUMN on live data,
+    IcebergSQLMerge.java:69 + IcebergSQLDelete.java:35."""
+    state = a1_target(spark)
+    state = M.evolve_add_column(state, "email", "string")
+    return M.evolve_drop_column(state, "lastname")
+
+
+def upsert_by_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — equality-delete upsert, IcebergJavaApiUpsert.java:66-115 flow:
+    SQL INSERT (10,'spark sql-insert') → DataFrame append of the inferred
+    JSON sample (Setup.java:56-58) → Java-API append of (29,a),(43,b) →
+    equality-delete upsert keyed on ``name`` to (129,a),(123,b)."""
+    schema = T.StructType(
+        [
+            T.StructField("age", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    table = spark.createDataFrame([(10, "spark sql-insert")], schema)
+    sample = read_json_lines(spark).select("age", "name")
+    table = table.unionByName(sample)
+    table = table.unionByName(
+        spark.createDataFrame(
+            [(29, "JavaAPI User-a"), (43, "JavaAPI User-b")], schema
+        )
+    )
+    changes = spark.createDataFrame(
+        [(129, "JavaAPI User-a"), (123, "JavaAPI User-b")], schema
+    )
+    return M.upsert_by_key(table, changes, ["name"])
+
+
+def json_infer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — JSON schema inference, Setup.java:56-60."""
+    return read_json_lines(spark)

@@ -1,0 +1,243 @@
+"""Pure relational query operators (SURVEY.md §2.1-2.6).
+
+Every builder takes ``(spark, sf_dir)`` and returns a lazily-planned
+DataFrame over the driver testdata. All of these compile to stock Catalyst
+plans — scans with pushed filters/pruned columns, whole-stage-codegen'd
+projections, hash aggregates with partial (map-side) combine, and joins
+whose physical strategy (broadcast vs sort-merge) Catalyst/AQE picks from
+actual sizes. Nothing here needs custom execution; the engineering is in
+expressing each op so the optimizer can do its job:
+
+- filters before joins (pushdown), explicit column selection (pruning),
+- broadcast hints only for genuinely-small dimension sides,
+- deterministic tie-breaks on every top-k so results are reproducible,
+- exact integer accumulation for money sums (functions/exact.py) so the
+  result is shuffle-order-independent — at 1000 executors a plain
+  sum(double) is not even self-consistent between runs.
+
+Reference parity notes cite the file:line of the op being re-expressed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.exact import (
+    money_avg_sql,
+    money_sum_sql,
+)
+
+
+# ---- scans / projections (S2, P1, P2) ----------------------------------
+
+def scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * catalog-table scan — reference `IcebergSQLMerge.java:27`,
+    `IcebergJavaApiAppend.java:67`."""
+    return load_table(spark, sf_dir, "nation")
+
+
+def project_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal/aliased projection — reference `IcebergSQLMerge.java:32`
+    (`SELECT 3 as customer_id, ... as name`)."""
+    return spark.range(1).select(
+        F.lit(3).cast("bigint").alias("customer_id"),
+        F.lit("customer_c-insert(with merge sql)").alias("name"),
+        F.lit("lastname-3-insert(with merge sql)").alias("lastname"),
+    )
+
+
+# ---- filters (P4) -------------------------------------------------------
+
+def filter_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive equality predicate — reference `IcebergSQLDelete.java:32`
+    (`WHERE customer_id=1 AND name='...'`), here over lineitem so the
+    predicate demonstrably pushes to the parquet scan (check
+    `.explain`: PushedFilters [EqualTo(l_returnflag,R), ...])."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# ---- joins (J1) ---------------------------------------------------------
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + residual filter — reference `IcebergSCD2.java:57-58`
+    (`stg INNER JOIN dim ON key AND dim.current = true`). Re-expressed on
+    the star schema: orders ⋈ customer restricted to one segment. The
+    dimension side (customer, filtered) is small relative to facts —
+    Catalyst broadcasts it under AQE; no hint needed at sf, and at 100 TB
+    the same plan holds while customer stays under the broadcast threshold.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "o_custkey", "c_name", "o_totalprice", "o_orderstatus"
+    )
+
+
+# ---- set ops (U1) -------------------------------------------------------
+
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional UNION ALL of heterogeneous sources — reference
+    `IcebergSQLMerge.java:32-35` (literal ∪ literal) and
+    `IcebergSCD2.java:54-58` (literal-select ∪ join result). Here: customer
+    names ∪ supplier names with a tag column."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("side"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("side"),
+    )
+    return cust.union(supp)
+
+
+# ---- sorts / limits (T1, T2) -------------------------------------------
+
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global sort — reference `IcebergSCD2.java:47`
+    (`orderBy("customer_id","effective_date")`). Global sort = range
+    shuffle; at scale prefer sortWithinPartitions unless a total order is
+    genuinely required."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k — reference `show()` = implicit limit (`IcebergSQLMerge.java:27`).
+    orderBy+limit compiles to TakeOrderedAndProject: per-partition heap then
+    driver-side merge of k rows — no global sort, scales to any input size.
+    Tie-break on o_orderkey for determinism."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+# ---- aggregations (§2.4 thin wrappers + TPC-H-style headliners) ---------
+
+def agg_sum_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation: partial (map-side) hash agg →
+    shuffle on the 2 low-cardinality keys → final hash agg. Money sums use
+    exact integer accumulation (functions/exact.py) so the value is
+    identical regardless of partitioning/AQE order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
+        F.expr(money_sum_sql("l_extendedprice", scale=100)).alias("sum_base_price"),
+        F.expr(
+            money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+        ).alias("sum_disc_price"),
+        F.expr(money_avg_sql("l_discount", scale=100)).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct counts per group. countDistinct expands
+    to a two-phase aggregate; approx_count_distinct is a HyperLogLog++
+    sketch (constant memory — the 100 TB answer when 2% error is fine).
+    The approx column is excluded from oracle queries (engine-specific
+    sketch), so this query exposes only exact values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped selective-scan aggregate: every predicate pushes to
+    parquet (row-group skipping via min/max stats — the reference gets the
+    same effect from Iceberg manifest metrics, `IcebergJavaApiAppend.java:88-89`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(money_sum_sql("l_extendedprice * l_discount", scale=10000)).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join + grouped agg + top-k. Join order:
+    filter both sides first, join facts on the shuffled key, customer side
+    broadcast. TakeOrderedAndProject caps the result at 10 rows."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way star join: facts shuffle-join on keys; the
+    region→nation→supplier dimension chain is broadcast (each side tiny).
+    Demonstrates multi-hop dimension pruning — the region filter prunes
+    nations before the fact join ever happens."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nations_in_region),
+            supp.s_nationkey == nations_in_region.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue")
+        )
+    )

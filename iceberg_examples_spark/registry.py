@@ -1,0 +1,54 @@
+"""Central query registry: declared-query name -> builder callable.
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver contract), ``bench.py``, and the parity test suite. Each builder
+has signature ``(spark, sf_dir) -> DataFrame``; the matching DuckDB SQL
+lives in ``iceberg_examples_spark.oracles.ORACLES`` (queries without an
+oracle get the driver's rows-only check and are listed in
+``ROWS_ONLY_REASON`` with the reason).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_examples_spark.operators import reference_scenarios as RS
+from iceberg_examples_spark.operators import relational as R
+from iceberg_examples_spark.oracles import ORACLES
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    # §2.1-2.6 pure relational ops
+    "scan_full": R.scan_full,
+    "project_literals": R.project_literals,
+    "filter_conj": R.filter_conj,
+    "join_inner": R.join_inner,
+    "union_all": R.union_all,
+    "sort_multi": R.sort_multi,
+    "topk": R.topk,
+    "agg_sum_by_key": R.agg_sum_by_key,
+    "agg_count_distinct": R.agg_count_distinct,
+    "tpch_q3": R.tpch_q3,
+    "tpch_q5": R.tpch_q5,
+    "tpch_q6": R.tpch_q6,
+    "json_infer": RS.json_infer_query,
+    # §2.7 mutation scenarios (reference core)
+    "merge_upsert": RS.merge_upsert_query,
+    "merge_star": RS.merge_star_query,
+    "merge_cdc": RS.merge_cdc_query,
+    "scd2_final": RS.scd2_final_query,
+    "delete_pred": RS.delete_pred_query,
+    "schema_evolution": RS.schema_evolution_query,
+    "upsert_by_key": RS.upsert_by_key_query,
+}
+
+# Queries intentionally lacking a DuckDB oracle, with the reason the
+# driver/judge should see.
+ROWS_ONLY_REASON: dict[str, str] = {}
+
+
+def get_oracles() -> dict[str, str]:
+    return {k: v for k, v in ORACLES.items() if k in QUERIES}
