@@ -36,6 +36,12 @@ HEADLINE = [
     "merge_upsert",
     "scd2_final",
     "upsert_by_key",
+    "dedup_latest",
+    "window_hourly",
+    "sessionize",
+    "text_simhash",
+    "dedup_minhash_lsh",
+    "knn_cosine",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -41,8 +41,19 @@ TABLES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (columnar parquet scan; Catalyst gets
-    pushdown + pruning for free because this is a plain file scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pushdown + pruning for free because this is a plain file scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
+    arrives as raw nanoseconds and is truncated to a µs timestamp here —
+    exactly what DuckDB does implicitly, so both engines see equal values.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

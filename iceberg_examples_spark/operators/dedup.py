@@ -1,0 +1,237 @@
+"""Deduplication operators (north-star extension, SURVEY §2.9): exact,
+MinHash+LSH near-dup, n-gram Jaccard.
+
+The synthetic ``documents`` corpus contains no duplicates, so the declared
+queries *plant* deterministic duplicates/near-duplicates (offset doc_ids,
+text perturbations expressible identically in the DuckDB oracle) — the
+oracle then independently verifies that each algorithm finds exactly the
+planted structure and nothing else.
+
+Scale design notes (the real targets are ~10^10 documents):
+
+- exact dedup: group by a 64-bit fingerprint of the text, not the text
+  itself — shuffle keys are 8 bytes, not kilobytes. Collisions are
+  resolved by grouping on (fingerprint, text) — same plan shape, long key
+  only within a fingerprint bucket.
+- MinHash-LSH: per-row signature computation is map-only (higher-order
+  functions, no UDF); the only shuffle is by band hash, whose cardinality
+  ~#docs×bands with tiny payloads; candidate verification joins back only
+  the colliding pairs. This is the canonical linear-scale near-dup
+  pipeline (vs O(n²) all-pairs).
+- pair outputs use (a < b) canonical ordering so results are set-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.texthash import (
+    MOD,
+    char_ngram_shingles,
+    char_poly_hash,
+    int_combine_expr,
+    int_minhash_expr,
+    md5_int_hash,
+    tokens_expr,
+    word_bigram_shingles,
+)
+
+N_MINHASH = 9
+N_BANDS = 3  # 3 bands × 3 rows
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def _with_planted_exact_dups(docs: DataFrame, n: int = 100) -> DataFrame:
+    """documents ∪ exact copies of doc_id < n (copies get doc_id+1000000)."""
+    copies = docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+def _with_planted_near_dups(docs: DataFrame, n: int = 40) -> DataFrame:
+    """documents ∪ near-copies of doc_id < n: the copy drops the first word
+    (high bigram-Jaccard to its original, low to everything else)."""
+    near = docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(near)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on the 64-bit poly-hash
+    fingerprint (+ text to disambiguate collisions), keep min(doc_id) as
+    the canonical representative. Returns the duplicate groups (the planted
+    100 copies)."""
+    corpus = _with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
+    fp = corpus.select(
+        "doc_id", "text", F.expr(char_poly_hash("text")).alias("fp")
+    )
+    return (
+        fp.groupBy("fp", "text")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("rep_doc_id", "n_copies", "fp")
+    )
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-side of exact dedup: one surviving doc_id per distinct
+    text over the planted corpus (count must equal the original corpus)."""
+    corpus = _with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
+    return (
+        corpus.select("doc_id", F.expr(char_poly_hash("text")).alias("fp"), "text")
+        .groupBy("fp", "text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def _minhash_sig(corpus: DataFrame) -> DataFrame:
+    """Arrow-batched signature computation (see operators/signatures.py) —
+    values identical to the pure-SQL formulation below, ~10× faster."""
+    from iceberg_examples_spark.operators.signatures import minhash_signatures
+
+    return minhash_signatures(corpus, N_MINHASH, N_BANDS, ROWS_PER_BAND)
+
+
+def _minhash_sig_sql(corpus: DataFrame) -> DataFrame:
+    """doc_id → (shingles, band0..bandN): each shingle is md5-hashed to an
+    int ONCE, then the k MinHash components are cheap affine maps over
+    those ints; band hashes are integer combines of signature slices.
+    Entirely per-row (map-only). Pure-Catalyst reference formulation of
+    :func:`_minhash_sig` — kept because it is the DuckDB-oracle-shaped
+    spec and the fallback if Arrow is unavailable."""
+    toks = tokens_expr("text")
+    shingles = word_bigram_shingles(toks)
+    sig = (
+        corpus.select("doc_id", F.expr(shingles).alias("shingles"))
+        .withColumn(
+            "xs",
+            F.expr(f"transform(shingles, s -> {md5_int_hash('s')} % {MOD})"),
+        )
+        .select(
+            "doc_id",
+            "shingles",
+            *[
+                F.expr(int_minhash_expr("xs", seed)).alias(f"mh{seed}")
+                for seed in range(N_MINHASH)
+            ],
+        )
+    )
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.expr(int_combine_expr(parts)).alias(f"band{b}"))
+    return sig.select("doc_id", "shingles", *band_cols)
+
+
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """signature → slim exploded (doc_id, band_idx, band_hash). No shingle
+    payloads here — the LSH self-join shuffles 3 small rows per doc; the
+    (kilobyte) shingle arrays are joined back only for candidate pairs."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash")
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection over the planted corpus:
+
+    1. per-row: tokens → distinct word-bigram shingles → 9 md5-minhashes →
+       3 band hashes (map-only),
+    2. shuffle on (band_idx, band_hash); self-join within buckets →
+       candidate pairs (a < b),
+    3. verify candidates with exact shingle Jaccard ≥ 0.5.
+
+    Output is exact w.r.t. the threshold *given* the LSH recall; both
+    engines compute identical bands, so spark and oracle see identical
+    candidates. Planted near-dups (bigram Jaccard ≈ 0.9+) pass; unrelated
+    word-soup pairs don't."""
+    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    # checkpoint the signatures so the self-join + verify joins read them
+    # once instead of recomputing shingles+hashes per branch (at cluster
+    # scale: a checkpoint/staging write to reliable storage, same shape)
+    sig = _minhash_sig(corpus).localCheckpoint(eager=True)
+    bands = _minhash_bands(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = sig.select("doc_id", "shingles")
+    cand = (
+        pairs.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sa.shingles").alias("sh_a"),
+            F.col("sb.shingles").alias("sh_b"),
+        )
+    )
+    jacc = F.expr(
+        "cast(size(array_intersect(sh_a, sh_b)) as double)"
+        " / cast(size(array_distinct(concat(sh_a, sh_b))) as double)"
+    )
+    return (
+        cand.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity for adjacent doc_id pairs — the
+    bounded pairwise-similarity primitive (the all-pairs version is what
+    LSH exists to avoid; this declared query exercises the measure itself
+    on a linear number of pairs)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(char_ngram_shingles("text", 3)).alias("grams")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "cast(size(array_intersect(a.grams, b.grams)) as double)"
+                " / cast(size(array_distinct(concat(a.grams, b.grams))) as double)"
+            ).alias("jaccard3"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Event-stream operators over the ``events`` table (batch expressions of
+the streaming-shaped surface, SURVEY §2.8-2.9): latest-per-key dedup,
+tumbling-window rollups, JSON property extraction, sessionization.
+
+Scale design: the window rollup and dedup shuffle once on their natural
+keys (window+type / user_id); value sums use the exact scaled-integer
+formulation so results are partitioning-independent. The same logic runs
+under Structured Streaming via ``streaming/rollup.py`` — identical
+groupBy(window(...)) expression, plus watermarking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.exact import money_sum_sql
+
+
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user: row_number over (user_id, ts DESC) — the
+    canonical window dedup. Deterministic tie-break on event_id. At scale
+    this is one hash-shuffle on user_id; AQE splits skewed users."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event_type: F.window aligned to the hour
+    (≡ date_trunc('hour')), count + exact value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``props`` string column
+    (get_json_object — JVM-side, no inference pass) aggregated per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. lag + conditional cumsum over
+    a per-user window — one shuffle on user_id. Returns one row per
+    session with bounds and size. (Streaming twin: ``session_window`` /
+    ``applyInPandasWithState`` in streaming/rollup.py.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000  # exact integer µs on both engines
+    with_flag = ev.withColumn(
+        "new_session",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+            > gap_us
+        ).cast("int"),
+    ).withColumn(
+        "new_session", F.coalesce(F.col("new_session"), F.lit(1))
+    )
+    with_id = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

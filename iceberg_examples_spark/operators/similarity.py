@@ -1,0 +1,151 @@
+"""Similarity search over the ``embeddings`` table (north-star extension,
+SURVEY §2.9): brute-force cosine top-k, IVF-style pruned top-k, and
+sign-LSH embedding near-dup.
+
+Numeric determinism: all dot products / norms are left-fold ``aggregate``
+over double-cast arrays — Spark's ``aggregate`` and DuckDB's
+``list_reduce`` both fold left-to-right, so identical inputs give
+bit-identical IEEE-754 results (verified; no rounding slop needed).
+
+Scale design (targets: 10^9-10^10 vectors):
+- brute force: queries are broadcast (small side), candidates stream
+  through one scan; the per-query top-k is a window over scored pairs.
+  O(Q×N) — correct but the baseline path.
+- IVF variant: the ``label`` column acts as the coarse-quantizer cell
+  (data arrives pre-clustered); searching only the query's cell cuts the
+  scored pairs by the cell count. Real deployments: k-means centroids +
+  nprobe cells — the join/partition shape is identical.
+- sign-LSH near-dup: 12 sign bits → bucket; only intra-bucket pairs are
+  scored. Linear-ish scale, same shape as MinHash-LSH for text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 3
+SIGN_BITS = 12
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+    " 0D, (acc, v) -> acc + v))"
+)
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn("norm", F.expr(_NORM.format(a="embedding")))
+
+
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query set (vec_id < 5, broadcast) ×
+    candidate set (vec_id >= 5), cos = dot/(|q|·|c|), top-3 per query by
+    (cos DESC, cand_id) — deterministic tie-break."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "q_id",
+        "c_id",
+        (
+            F.expr(_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )
+
+
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned cosine top-k: identical scoring, but candidates are
+    restricted to the query's coarse cell (label). At 10^10 vectors with
+    1024 cells this is a 1000× cut in scored pairs; the equi-join on the
+    cell id replaces the cross join — shuffle-partitioned by cell."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("cell"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        F.col("label").alias("cell"),
+    )
+    scored = F.broadcast(q).join(c, "cell").select(
+        "q_id",
+        "c_id",
+        (
+            F.expr(_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection via sign-LSH:
+
+    Corpus = embeddings ∪ planted near-copies (vec_id < 20 scaled by 1.01
+    → cosine ≈ 1, same sign bits). Bucket = the first 12 dimension signs
+    packed into an int; candidate pairs share a bucket; verify
+    cos ≥ 0.999. Only intra-bucket pairs are ever scored (4096 buckets)."""
+    base = load_table(spark, sf_dir, "embeddings")
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * cast(1.01 as float))").alias(
+            "embedding"
+        ),
+        "label",
+    )
+    corpus = _with_norm(base.unionByName(planted))
+    bucket = sum(
+        F.when(F.element_at("embedding", i + 1) >= 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+        for i in range(SIGN_BITS)
+    )
+    bucketed = corpus.withColumn("bucket", bucket.cast("int"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (
+                F.expr(_DOT.format(a="a.embedding", b="b.embedding"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.999)
+    )

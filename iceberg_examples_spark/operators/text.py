@@ -1,0 +1,166 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extension surface, SURVEY §2.9): token counting, language ID, quality
+scoring, document fingerprinting.
+
+Scale design: every op here is a *per-row projection* — no explode, no
+shuffle, no UDF. Token arrays are built and folded inside one whole-stage
+codegen'd projection via higher-order functions (``transform`` /
+``filter`` / ``aggregate``), so a 100 TB documents table streams through
+map-only tasks. The only shuffles in this module are the final tiny
+aggregations where a query's contract asks for grouped output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.texthash import (
+    REMIX_MOD,
+    char_poly_hash,
+    md5_int_hash,
+    remix,
+    tokens_expr,
+)
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic.
+# Deterministic and mirrored verbatim in the DuckDB oracle.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "en", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "les", "de", "et", "la", "des"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]  # argmax tie-break order
+
+
+def _sw_array(lang: str) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + ")"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (alnum runs) per document.
+    Both counts are higher-order-function folds — map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({tokens_expr('text')}) as bigint)").alias("n_tokens"),
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint)"
+        ).alias("n_re_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_seen"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language heuristic: score = # token occurrences in
+    each language's stopword list; prediction = argmax with a fixed
+    tie-break order. (The synthetic corpus is English-ish word soup, so
+    'en' dominates — the point is the deterministic scoring machinery.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(
+                f"cast(size(filter({toks}, t -> array_contains({_sw_array(lang)}, t))) as bigint)"
+            ).alias(f"score_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    # argmax with LANG_ORDER tie-break: first lang whose score equals the max
+    scored = scored.withColumn(
+        "__max", F.greatest(*[F.col(f"score_{lang}") for lang in LANG_ORDER])
+    )
+    pred_expr = F.lit(LANG_ORDER[-1])
+    for lang in reversed(LANG_ORDER[:-1]):
+        pred_expr = F.when(
+            F.col(f"score_{lang}") == F.col("__max"), F.lit(lang)
+        ).otherwise(pred_expr)
+    return scored.withColumn("pred_lang", pred_expr).drop("__max")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count band, average token length,
+    stopword ratio, alnum ratio → integer score 0-4. All ratios are
+    int/int divisions (deterministic doubles across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    sw = _sw_array("en")
+    return docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
+        F.expr(
+            f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
+            f" / cast(size({toks}) as double)"
+        ).alias("avg_token_len"),
+        F.expr(
+            f"cast(size(filter({toks}, t -> array_contains({sw}, t))) as double)"
+            f" / cast(size({toks}) as double)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "cast(size(regexp_extract_all(lower(text), '[a-z0-9]', 0)) as double)"
+            " / cast(length(text) as double)"
+        ).alias("alnum_ratio"),
+    ).withColumn(
+        "quality",
+        F.expr(
+            "cast(cast(n_tokens >= 10 as int) + cast(n_tokens <= 2000 as int)"
+            " + cast(avg_token_len >= 2.0 as int)"
+            " + cast(stopword_ratio >= 0.01 as int) as bigint)"
+        ),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    raw text (identity fingerprint — equal texts ⇒ equal fingerprints) plus
+    a remixed variant. Map-only; at 100 TB this is the cheap first pass of
+    exact dedup (group by fingerprint instead of by full text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = char_poly_hash("text")
+    return docs.select(
+        "doc_id",
+        F.expr(h).alias("fingerprint"),
+        F.expr(remix(h)).alias("fingerprint_mix"),
+    )
+
+
+def simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token → md5-int → remix → each bit
+    votes ±1; fingerprint bit i = sign of the vote sum. Near-duplicate
+    texts differ in few bits (popcount of XOR downstream). Computed in an
+    Arrow-batched mapInPandas stage (operators/signatures.py) — identical
+    values to :func:`simhash16_sql`, ~5× faster."""
+    from iceberg_examples_spark.operators.signatures import simhash_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, n_bits=16)
+
+
+def simhash16_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst SimHash (the oracle-shaped spec): one ``aggregate``
+    fold per bit over the token-hash array — no explode, no shuffle.
+    Correct at any scale but HOF lambdas are interpreted per element;
+    the mapInPandas twin above is the hot path."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok_hash = remix(f"{md5_int_hash('t')} % {REMIX_MOD}")
+    toks_h = f"transform({tokens_expr('text')}, t -> {tok_hash})"
+    bit_sums = [
+        F.expr(
+            f"aggregate({toks_h}, 0L, (acc, h) -> acc + "
+            f"(case when h % {2 ** (i + 1)} >= {2 ** i} then 1 else -1 end))"
+        ).alias(f"bit{i}")
+        for i in range(16)
+    ]
+    with_bits = docs.select("doc_id", *bit_sums)
+    fp = None
+    for i in range(16):
+        term = F.when(F.col(f"bit{i}") >= 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return with_bits.select(
+        "doc_id", fp.cast("bigint").alias("simhash")
+    )

@@ -13,8 +13,10 @@ engines do exact BIGINT accumulation and one identical trailing double op.
 from __future__ import annotations
 
 from iceberg_examples_spark.functions.exact import money_avg_sql, money_sum_sql
+from iceberg_examples_spark.oracles_ext import EXT_ORACLES
 
 ORACLES: dict[str, str] = {}
+ORACLES.update(EXT_ORACLES)
 
 # ---- pure relational ----------------------------------------------------
 

@@ -1,0 +1,356 @@
+"""DuckDB oracle SQL for the LLM-pipeline extension queries.
+
+Mirrors the Spark expressions in operators/{text,dedup,similarity,
+events_ops}.py primitive-for-primitive: same token split, same polynomial
+hash fold, same seeded-md5 MinHash, same left-fold double arithmetic.
+Shared fragments are built by helpers so Spark/DuckDB can't drift apart
+silently — any constant lives in functions/texthash.py and is interpolated
+here.
+"""
+
+from __future__ import annotations
+
+from iceberg_examples_spark.functions.exact import money_sum_sql
+from iceberg_examples_spark.functions.texthash import (
+    MOD,
+    REMIX_ADD,
+    REMIX_MOD,
+    REMIX_MUL,
+    affine_params,
+)
+from iceberg_examples_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+)
+from iceberg_examples_spark.operators.text import LANG_ORDER, STOPWORDS
+
+# ---- shared DuckDB fragments -------------------------------------------
+
+DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+)
+
+
+def duck_poly_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+def duck_remix(h: str) -> str:
+    return f"(({h}) * {REMIX_MUL} + {REMIX_ADD}) % {REMIX_MOD}"
+
+
+def duck_md5_int(expr: str) -> str:
+    """DuckDB twin of texthash.md5_int_hash (verified bit-identical)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def duck_sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+EXT_ORACLES: dict[str, str] = {}
+
+# ---- text ---------------------------------------------------------------
+
+_toks = DUCK_TOKS.format(col="text")
+
+EXT_ORACLES["text_token_count"] = f"""
+SELECT doc_id,
+       CAST(len({_toks}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_seen
+FROM documents
+"""
+
+_score_cols = ",\n       ".join(
+    f"CAST(len(list_filter({_toks}, t -> list_contains({duck_sw_list(lang)}, t))) AS BIGINT)"
+    f" AS score_{lang}"
+    for lang in LANG_ORDER
+)
+_max_expr = "greatest(" + ", ".join(f"score_{lang}" for lang in LANG_ORDER) + ")"
+_pred_case = (
+    "CASE "
+    + " ".join(
+        f"WHEN score_{lang} = {_max_expr} THEN '{lang}'" for lang in LANG_ORDER[:-1]
+    )
+    + f" ELSE '{LANG_ORDER[-1]}' END"
+)
+EXT_ORACLES["text_lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {_score_cols}
+  FROM documents
+)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
+       {_pred_case} AS pred_lang
+FROM scored
+"""
+
+_sw_en = duck_sw_list("en")
+EXT_ORACLES["text_quality_score"] = f"""
+WITH t AS (SELECT doc_id, text, {_toks} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+            (acc, x) -> acc + x) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+       CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE) AS alnum_ratio,
+       CAST(CAST(len(toks) >= 10 AS INT) + CAST(len(toks) <= 2000 AS INT)
+            + CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+                   (acc, x) -> acc + x) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) >= 2.0 AS INT)
+            + CAST(CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE) >= 0.01 AS INT) AS BIGINT) AS quality
+FROM t
+"""
+
+_poly_text = duck_poly_hash("text")
+EXT_ORACLES["text_fingerprint"] = f"""
+SELECT doc_id,
+       {_poly_text} AS fingerprint,
+       {duck_remix(_poly_text)} AS fingerprint_mix
+FROM documents
+"""
+
+_tok_h = f"list_transform({_toks}, t -> {duck_remix(duck_md5_int('t') + f' % {REMIX_MOD}')})"
+_bit_sums = ",\n       ".join(
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hh, "
+    f"h -> CAST(CASE WHEN h % {2 ** (i + 1)} >= {2 ** i} THEN 1 ELSE -1 END AS BIGINT))), "
+    f"(acc, x) -> acc + x) AS bit{i}"
+    for i in range(16)
+)
+_fp_sum = " + ".join(
+    f"(CASE WHEN bit{i} >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(16)
+)
+EXT_ORACLES["text_simhash"] = f"""
+WITH h AS (SELECT doc_id, {_tok_h} AS hh FROM documents),
+bits AS (
+  SELECT doc_id,
+       {_bit_sums}
+  FROM h
+)
+SELECT doc_id, CAST({_fp_sum} AS BIGINT) AS simhash FROM bits
+"""
+
+# ---- dedup --------------------------------------------------------------
+
+_exact_corpus = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+"""
+
+EXT_ORACLES["dedup_exact"] = f"""
+WITH corpus AS ({_exact_corpus}),
+fp AS (SELECT doc_id, text, {_poly_text} AS fp FROM corpus)
+SELECT CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+       count(*) AS n_copies, fp
+FROM fp GROUP BY fp, text HAVING count(*) > 1
+"""
+
+EXT_ORACLES["dedup_exact_keep"] = f"""
+WITH corpus AS ({_exact_corpus}),
+fp AS (SELECT doc_id, text, {_poly_text} AS fp FROM corpus)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM fp GROUP BY fp, text
+"""
+
+_near_corpus = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substring(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id < 40
+"""
+_duck_shingles = (
+    "list_distinct([toks[i] || ' ' || toks[least(i + 1, len(toks))] "
+    "for i in range(1, greatest(len(toks) - 1, 1) + 1)])"
+)
+def _duck_int_minhash(seed: int) -> str:
+    a, b = affine_params(seed)
+    return f"list_min(list_transform(xs, x -> (x * {a} + {b}) % {MOD})) AS mh{seed}"
+
+
+def _duck_int_combine(parts: list[str]) -> str:
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = f"(({acc}) * 31 + ({p})) % {MOD}"
+    return acc
+
+
+_mh_cols = ",\n       ".join(_duck_int_minhash(seed) for seed in range(N_MINHASH))
+_band_case = "CASE b.band_idx " + " ".join(
+    f"WHEN {b} THEN "
+    + _duck_int_combine([f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)])
+    for b in range(N_BANDS - 1)
+) + " ELSE " + _duck_int_combine(
+    [f"mh{(N_BANDS - 1) * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+) + " END"
+
+EXT_ORACLES["dedup_minhash_lsh"] = f"""
+WITH corpus AS ({_near_corpus}),
+tok AS (SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {_duck_shingles} AS shingles FROM tok),
+xsed AS (SELECT doc_id, shingles,
+         list_transform(shingles, s -> {duck_md5_int('s')} % {MOD}) AS xs FROM sh),
+sig AS (
+  SELECT doc_id, shingles,
+       {_mh_cols}
+  FROM xsed
+),
+band AS (
+  SELECT doc_id, b.band_idx, {_band_case} AS band_hash
+  FROM sig, (VALUES {', '.join(f'({b})' for b in range(N_BANDS))}) b(band_idx)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+           AS jaccard
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+EXT_ORACLES["ngram_jaccard"] = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([substring(text, i, 3)
+                        for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard3
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+# ---- similarity ---------------------------------------------------------
+
+_dnorm = DUCK_NORM.format(a="embedding")
+_knn_base = f"""
+WITH n AS (
+  SELECT vec_id, embedding, label, {_dnorm} AS norm FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, norm AS q_norm, label AS cell
+      FROM n WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb, norm AS c_norm, label AS cell
+      FROM n WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id,
+         {DUCK_DOT.format(a='q_emb', b='c_emb')} / (q_norm * c_norm) AS cos_sim
+  FROM q JOIN c ON {{join_cond}}
+),
+ranked AS (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+  FROM scored
+)
+SELECT q_id, c_id, CAST(rnk AS BIGINT) AS rank, cos_sim FROM ranked WHERE rnk <= 3
+"""
+
+EXT_ORACLES["knn_cosine"] = _knn_base.format(join_cond="true")
+EXT_ORACLES["knn_cosine_ivf"] = _knn_base.format(join_cond="q.cell = c.cell")
+
+_bucket = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)" for i in range(12)
+)
+EXT_ORACLES["embedding_neardup"] = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 20
+),
+n AS (
+  SELECT vec_id, embedding,
+         CAST({_bucket} AS INT) AS bucket,
+         {_dnorm} AS norm
+  FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) AS cos_sim
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {DUCK_DOT.format(a='a.embedding', b='b.embedding')} / (a.norm * b.norm) >= 0.999
+"""
+
+# ---- events -------------------------------------------------------------
+
+EXT_ORACLES["dedup_latest"] = """
+SELECT user_id, event_id, ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+EXT_ORACLES["window_hourly"] = f"""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       {money_sum_sql('value', scale=100)} AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+EXT_ORACLES["json_props"] = """
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       count(*) AS n
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+EXT_ORACLES["sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+"""

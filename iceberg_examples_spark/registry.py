@@ -14,8 +14,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_examples_spark.operators import dedup as D
+from iceberg_examples_spark.operators import events_ops as E
 from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
+from iceberg_examples_spark.operators import similarity as SIM
+from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.oracles import ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -43,6 +47,26 @@ QUERIES: dict[str, QueryFn] = {
     "delete_pred": RS.delete_pred_query,
     "schema_evolution": RS.schema_evolution_query,
     "upsert_by_key": RS.upsert_by_key_query,
+    # §2.9 LLM-pipeline extensions: text analysis
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    # §2.9 deduplication
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "dedup_minhash_lsh": D.minhash_lsh,
+    "ngram_jaccard": D.ngram_jaccard,
+    # §2.9 similarity search
+    "knn_cosine": SIM.knn_cosine,
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "embedding_neardup": SIM.embedding_neardup,
+    # §2.8-2.9 event/stream-shaped ops (batch form)
+    "dedup_latest": E.dedup_latest,
+    "window_hourly": E.window_hourly,
+    "json_props": E.json_props,
+    "sessionize": E.sessionize,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # testdata events.ts is parquet TIMESTAMP(NANOS): read as long ns,
+        # converted to a µs timestamp in catalog.load_table (matching
+        # DuckDB's silent ns→µs truncation)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if s3a:
