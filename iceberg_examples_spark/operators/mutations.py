@@ -76,13 +76,16 @@ def merge_upsert(
     if validate_unique_source:
         _check_unique(source, keys)
     cols = target.columns
-    t = target.alias("t")
-    s = source.alias("s")
-    on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    # explicit presence markers: key-nullability can't signal row presence
+    # (a NULL-key target row is still a row); SQL MERGE joins with plain
+    # equality, so NULL keys never match — they keep/insert respectively.
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     joined = t.join(s, on, "full_outer")
 
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_present = F.col("t.__t_present").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
     do_update = (
         t_present & s_present
         if matched_condition is None
@@ -127,12 +130,12 @@ def merge_star(
     if missing:
         raise ValueError(f"merge keys {missing} absent from source")
 
-    t = target.alias("t")
-    s = source.alias("s")
-    on = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
     joined = t.join(s, on, "full_outer")
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_present = F.col("t.__t_present").isNotNull()
+    s_present = F.col("s.__s_present").isNotNull()
     out_cols = []
     for c in cols:
         tc = F.col(f"t.{c}")
@@ -210,15 +213,15 @@ def scd2_merge(
 
     # The merge itself, keyed on (key, eff_col): matched dim rows get
     # closed; unmatched source rows insert as current.
-    src = source.alias("src")
-    tgt = dim.alias("tgt")
+    src = source.withColumn("__s_present", F.lit(True)).alias("src")
+    tgt = dim.withColumn("__t_present", F.lit(True)).alias("tgt")
     on = [
-        F.col(f"tgt.{key}").eqNullSafe(F.col(f"src.{key}")),
-        F.col(f"tgt.{eff_col}").eqNullSafe(F.col(f"src.{eff_col}")),
+        F.col(f"tgt.{key}") == F.col(f"src.{key}"),
+        F.col(f"tgt.{eff_col}") == F.col(f"src.{eff_col}"),
     ]
     joined = tgt.join(src, on, "full_outer")
-    t_present = F.col(f"tgt.{key}").isNotNull()
-    s_present = F.col(f"src.{key}").isNotNull()
+    t_present = F.col("tgt.__t_present").isNotNull()
+    s_present = F.col("src.__s_present").isNotNull()
 
     out = []
     for c in dim.columns:

@@ -1,0 +1,103 @@
+"""Partition transforms + partitioned writes (SURVEY §2.7 M8).
+
+The reference demonstrates Iceberg's hidden partitioning with transform
+functions — ``identity(name)``, ``bucket(5, age)``
+(`IcebergHadoopTables.java:27`), ``month(effective_date)`` /
+``truncate(name)`` (partition path
+``effective_date_month=2020-03/name_trunc=customer_c``,
+`IcebergPartitionedTable.java:56-65`).
+
+Spark-native re-expression: transforms become *derived partition columns*
+(computed in one projection) + ``write.partitionBy`` — directory-level
+layout; reads that filter on the derived column get partition pruning from
+the file index exactly like Iceberg's manifest-level transform pruning.
+
+At 100 TB the decisive details are here:
+- repartition by the partition column before writing, so each partition
+  directory gets a bounded number of files instead of
+  #tasks × #partitions small files;
+- pick transforms whose cardinality matches the data volume (a month
+  transform on 7 years = ~84 directories; bucket(N) to cap skew).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.exact import money_sum_sql
+
+
+# ---- transform functions (value → partition key) ------------------------
+
+def identity(col: str) -> Column:
+    """Iceberg identity transform."""
+    return F.col(col)
+
+
+def bucket(col: str, n: int) -> Column:
+    """Iceberg bucket(n) transform: stable hash mod n. Spark's murmur3
+    ``hash`` is deterministic across executors/runs — the partition
+    routing contract bucket() needs."""
+    return F.pmod(F.hash(F.col(col)), F.lit(n))
+
+
+def month(col: str) -> Column:
+    """Iceberg month transform → 'yyyy-MM' directory key."""
+    return F.date_format(F.col(col), "yyyy-MM")
+
+
+def truncate(col: str, width: int) -> Column:
+    """Iceberg truncate(width) transform for strings."""
+    return F.substring(F.col(col), 1, width)
+
+
+def with_partition_keys(df: DataFrame, specs: dict[str, Column]) -> DataFrame:
+    """Attach derived partition columns (name → transform expression)."""
+    for name, expr in specs.items():
+        df = df.withColumn(name, expr)
+    return df
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], files_per_partition: int = 1
+) -> None:
+    """Partitioned parquet write with bounded file counts: repartition on
+    the partition columns first so each directory receives
+    ``files_per_partition`` files, not one per upstream task."""
+    (
+        df.repartition(files_per_partition * 1, *[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+# ---- declared query -----------------------------------------------------
+
+def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 end-to-end: write lineitem partitioned by month(l_shipdate),
+    read back filtering one month — the filter prunes to a single
+    directory (verify with .explain: PartitionFilters, one partition
+    read) — and aggregate. The oracle computes the same aggregate from
+    the raw table, proving the partitioned round-trip is lossless."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ies_partitioned_lineitem_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    write_partitioned(
+        with_partition_keys(li, {"ship_month": month("l_shipdate")}),
+        out,
+        ["ship_month"],
+    )
+    back = spark.read.parquet(out).filter(F.col("ship_month") == "1996-03")
+    return back.groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)).alias(
+            "revenue"
+        ),
+    )

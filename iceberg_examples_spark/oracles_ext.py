@@ -354,3 +354,64 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        count(*) AS n_events
 FROM sess GROUP BY user_id, session_seq
 """
+
+# ---- partitioning / multimodal / streaming ------------------------------
+
+EXT_ORACLES["partition_prune"] = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       count(*) AS n_rows,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS revenue
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+EXT_ORACLES["multimodal_meta"] = """
+SELECT 'text-bytes' AS kind, source,
+       count(*) AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       count(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents
+GROUP BY source
+"""
+
+EXT_ORACLES["multimodal_features"] = """
+SELECT doc_id AS media_id, CAST(i AS BIGINT) AS feature_idx,
+       CAST(len(list_filter(string_split(text, ''), c -> ascii(c) % 8 = i))
+            AS BIGINT) AS value
+FROM documents, range(0, 8) r(i)
+WHERE doc_id < 50
+"""
+
+EXT_ORACLES["stream_window_hourly"] = EXT_ORACLES["window_hourly"]
+
+EXT_ORACLES["stream_dedup_latest"] = """
+SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+"""
+
+EXT_ORACLES["stream_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+agg AS (
+  SELECT user_id, session_seq,
+         min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT user_id, CAST(start_us AS BIGINT) AS start_us,
+       CAST(end_us AS BIGINT) AS end_us, n_events
+FROM agg a
+WHERE session_seq < (SELECT max(session_seq) FROM agg b WHERE b.user_id = a.user_id)
+"""

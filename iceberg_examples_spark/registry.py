@@ -16,10 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
+from iceberg_examples_spark.operators import partitioning as PT
 from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
 from iceberg_examples_spark.operators import similarity as SIM
 from iceberg_examples_spark.operators import text as TX
+from iceberg_examples_spark.sources import multimodal as MM
+from iceberg_examples_spark.streaming import rollup as ST
 from iceberg_examples_spark.oracles import ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -67,6 +70,15 @@ QUERIES: dict[str, QueryFn] = {
     "window_hourly": E.window_hourly,
     "json_props": E.json_props,
     "sessionize": E.sessionize,
+    # §2.7 M8 partition transforms
+    "partition_prune": PT.partition_prune,
+    # §2.9 multimodal columns
+    "multimodal_meta": MM.multimodal_meta,
+    "multimodal_features": MM.multimodal_features,
+    # §2.8 Structured Streaming (run to completion against memory sink)
+    "stream_window_hourly": ST.stream_window_hourly,
+    "stream_dedup_latest": ST.stream_dedup_latest,
+    "stream_sessionize": ST.stream_sessionize_stateful,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

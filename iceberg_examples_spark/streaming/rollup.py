@@ -1,0 +1,156 @@
+"""Structured Streaming operators (SURVEY §2.8 extension surface).
+
+The reference has no streaming; this module supplies the streaming-shaped
+surface a modern lakehouse pipeline needs, built on Structured Streaming:
+
+- :func:`stream_window_hourly` — watermarked tumbling-window rollup; the
+  exact streaming twin of ``events_ops.window_hourly`` (same groupBy
+  expression), driven here from a file source to completion so its result
+  is comparable against the batch oracle.
+- :func:`stream_dedup_latest` — ``dropDuplicates`` on event_id with a
+  watermark: the streaming exactly-once-per-key ingestion guard.
+- :func:`stream_sessionize_stateful` — ``applyInPandasWithState``
+  per-user session accumulation (custom stateful operator shape: state
+  schema, timeout handling, incremental emission).
+
+Production shape: ``readStream`` from Kafka/files with the same
+transformations, ``writeStream`` with ``foreachBatch`` into the
+snapshot-committing table layer (catalog.LocalTable / Iceberg) for
+exactly-once sinks. Tests drive everything with the memory sink +
+``processAllAvailable`` (synchronous, hermetic).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.exact import money_sum_sql
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet with the same ns→µs
+    timestamp normalization as the batch path (catalog.load_table)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming query to completion against the memory sink and
+    return the materialized table. Hermetic: unique sink name, query
+    stopped before returning."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window rollup with a 1-hour watermark, run to
+    completion. Complete output mode retains all window state, so the
+    final table equals the batch rollup — which is exactly what the
+    DuckDB oracle checks (same SQL as window_hourly)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion dedup: dropDuplicates on event_id under a
+    watermark (state expires 1 hour past the watermark — bounded memory
+    forever, the streaming answer to exact dedup)."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    out = _run_to_memory(deduped, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session accumulation. A session CLOSES (and is emitted) when a later
+    event arrives more than the gap after it; the user's final session
+    stays open in state — so with the whole file processed in one
+    microbatch, the output is exactly the batch sessionization minus each
+    user's last (still-open) session, which is what the DuckDB oracle
+    computes. (A production deployment adds an event-time timeout to flush
+    idle sessions; emission timing then depends on the trigger clock,
+    which is why the declared query uses the deterministic formulation.)"""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        # state: (session_start_us, session_end_us, n_events)
+        sessions = []
+        if state.exists:
+            cur_start, cur_end, cur_n = state.get
+        else:
+            cur_start = cur_end = None
+            cur_n = 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if len(rows):
+            rows = rows.sort_values(["ts", "event_id"])
+            for ts in rows["ts"]:
+                us = int(ts.value // 1000)  # pandas ns → µs
+                if cur_start is None:
+                    cur_start, cur_end, cur_n = us, us, 1
+                elif us - cur_end > gap_us:
+                    sessions.append((user_id, cur_start, cur_end, cur_n))
+                    cur_start, cur_end, cur_n = us, us, 1
+                else:
+                    cur_end, cur_n = us, cur_n + 1
+        if cur_start is not None:
+            state.update((cur_start, cur_end, cur_n))
+        if sessions:
+            yield pd.DataFrame(
+                sessions,
+                columns=["user_id", "start_us", "end_us", "n_events"],
+            )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_id")
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, start_us long, end_us long, n_events long",
+        stateStructType="start_us long, end_us long, n_events long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(result, "append")

@@ -1,0 +1,114 @@
+"""Engine-level unit tests: snapshot table format, mutation edge cases,
+multimodal plumbing, plan shapes (pushdown/broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import LocalTable
+from iceberg_examples_spark.operators import mutations as M
+from iceberg_examples_spark.operators.relational import filter_conj, tpch_q3
+from iceberg_examples_spark.sources import multimodal as MM
+
+
+# ---- LocalTable: snapshots, append, time travel -------------------------
+
+def test_localtable_snapshots_and_time_travel(spark, tmp_path):
+    t = LocalTable(spark, str(tmp_path / "tbl"))
+    assert not t.exists()
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    v0 = t.create(df1)
+    assert v0 == 0 and t.exists()
+    v1 = t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert v1 == 1
+    assert t.read().count() == 3
+    assert t.read(version=0).count() == 2  # time travel
+    log = t.snapshots()
+    assert [s["operation"] for s in log] == ["create", "append"]
+    assert log[1]["parent"] == 0
+
+
+def test_localtable_overwrite_commits_new_snapshot(spark, tmp_path):
+    t = LocalTable(spark, str(tmp_path / "tbl2"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.overwrite(spark.createDataFrame([(9,), (10,)], "id long"))
+    assert t.read().count() == 2
+    assert t.read(version=0).collect()[0].id == 1
+
+
+# ---- mutation edge cases ------------------------------------------------
+
+def test_merge_cardinality_check(spark):
+    target = spark.createDataFrame([(1, "x")], "id long, v string")
+    dup_source = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, v string"
+    )
+    with pytest.raises(M.MergeCardinalityError):
+        M.merge_upsert(target, dup_source, ["id"], validate_unique_source=True)
+
+
+def test_merge_upsert_null_key_rows_kept(spark):
+    # eqNullSafe join keys: a NULL-key target row must survive untouched
+    target = spark.createDataFrame([(None, "keep"), (1, "old")], "id long, v string")
+    source = spark.createDataFrame([(1, "new")], "id long, v string")
+    out = {r.v for r in M.merge_upsert(target, source, ["id"]).collect()}
+    assert out == {"keep", "new"}
+
+
+def test_merge_star_requires_key_in_source(spark):
+    target = spark.createDataFrame([(1, "x")], "id long, v string")
+    source = spark.createDataFrame([("y",)], "v string")
+    with pytest.raises(ValueError, match="merge keys"):
+        M.merge_star(target, source, ["id"])
+
+
+def test_evolve_add_then_drop_roundtrip(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    evolved = M.evolve_add_column(df, "extra", "string")
+    assert evolved.schema["extra"].dataType.typeName() == "string"
+    back = M.evolve_drop_column(evolved, "extra")
+    assert back.columns == ["id"]
+
+
+# ---- multimodal plumbing ------------------------------------------------
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_fake_features_deterministic_histogram():
+    feats = MM.fake_features(b"abcabc", n_features=8)
+    assert sum(feats) == 6
+    assert feats == MM.fake_features(b"abcabc", n_features=8)
+
+
+def test_frame_sample_shapes(spark, sf_dir):
+    media = MM.build_media_table(spark, sf_dir).limit(3)
+    frames = MM.frame_sample(media, every_n_bytes=64).collect()
+    assert all(len(r.frame_bytes) <= 64 for r in frames)
+    # every media item yields at least one frame
+    assert {r.media_id for r in frames} == {r.media_id for r in media.collect()}
+
+
+# ---- plan shapes: the optimizer must see what we think it sees ----------
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = filter_conj(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1][:200]
+
+
+def test_tpch_q3_broadcasts_customer(spark, sf_dir):
+    plan = tpch_q3(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = filter_conj(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # projection pruning: the scan must not read all 11 lineitem columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_tax" not in read_schema
