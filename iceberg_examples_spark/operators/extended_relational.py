@@ -1,0 +1,142 @@
+"""Extended relational operators beyond the reference's surface
+(SURVEY §2.5 set ops, §2.4 multi-level aggregates, §2.3 as-of join).
+
+These complete the "a user of the reference could run every query they run
+today — and the ones stock Spark gives them for free" story: INTERSECT /
+EXCEPT / DISTINCT, ROLLUP grouping sets, and the as-of join Spark lacks as
+a primitive, built as a composition of existing operators (union + window
+last-value carry-forward) — the scalable formulation: one shuffle on the
+join key, no per-group Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.exact import money_sum_sql
+
+
+def project_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 scalar-function surface: ``to_date(str, fmt)`` exactly as the
+    reference uses it (`IcebergSCD2.java:27`), plus derived date parts."""
+    return spark.range(1).select(
+        F.to_date(F.lit("2020-01-01"), "yyyy-MM-dd").alias("effective_date"),
+        F.to_date(F.lit("9999-12-31"), "yyyy-MM-dd").alias("end_date"),
+        F.year(F.to_date(F.lit("2020-03-15"), "yyyy-MM-dd")).cast("bigint").alias("y"),
+        F.month(F.to_date(F.lit("2020-03-15"), "yyyy-MM-dd")).cast("bigint").alias("m"),
+        F.datediff(
+            F.to_date(F.lit("2020-03-15"), "yyyy-MM-dd"),
+            F.to_date(F.lit("2020-01-01"), "yyyy-MM-dd"),
+        ).cast("bigint").alias("days_between"),
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / DISTINCT in one result: nations that have
+    customers vs suppliers. Catalyst plans these as aggregates/joins —
+    declared once so the surface is covered and hash-checked."""
+    cust_nations = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp_nations = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn(
+        "relation", F.lit("both")
+    )
+    cust_only = cust_nations.subtract(supp_nations).withColumn(
+        "relation", F.lit("customer_only")
+    )  # subtract == EXCEPT DISTINCT (bag exceptAll would leak overlaps)
+    return both.unionByName(cust_only)
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate: order totals by (status, priority) with subtotal
+    and grand-total rows — partial aggregation per grouping set, one
+    shuffle. NULL grouping keys are replaced by sentinels so the oracle
+    comparison is unambiguous."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark primitive): for every 'purchase' event,
+    the user's most recent 'signup'-or-earlier event state — here: the
+    latest prior 'click' event's value.
+
+    Composition: tag both sides, union, single window over (user_id, ts)
+    carrying the last click forward (``last(..., ignorenulls=True)``),
+    then keep the purchase rows. ONE shuffle on user_id, linear state —
+    the scalable as-of formulation (vs per-group merge_asof or a range
+    join explosion). Ties (same ts): the right side sorts before the left
+    via the tag so an exactly-simultaneous click is visible to the
+    purchase, matching ASOF JOIN <= semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value", F.lit(0).alias("is_right"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value", F.lit(1).alias("is_right"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    unioned = left.unionByName(right)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_right").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "is_right",
+        F.last("click_value", ignorenulls=True).over(w).alias("asof_click_value"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("asof_click_ts"),
+    )
+    return carried.filter(F.col("is_right") == 0).select(
+        "event_id", "user_id", "ts", "value", "asof_click_value", "asof_click_ts"
+    )
+
+
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketing: pair each order with the lineitems shipped
+    within 30 days after the order date. Naive formulation is an
+    inequality join (O(n·m) nested loop); the scalable pattern bucketizes
+    the range key to month so the join is *equi* on (orderkey) here —
+    demonstrated on the natural key join + range predicate, where the
+    equi-key carries the join and the range is a residual filter."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (
+            F.col("l_shipdate")
+            < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        )
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped_30d"),
+        F.min("l_shipdate").alias("first_ship"),
+    )

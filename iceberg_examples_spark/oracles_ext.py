@@ -415,3 +415,63 @@ SELECT user_id, CAST(start_us AS BIGINT) AS start_us,
 FROM agg a
 WHERE session_seq < (SELECT max(session_seq) FROM agg b WHERE b.user_id = a.user_id)
 """
+
+# ---- extended relational ops --------------------------------------------
+
+EXT_ORACLES["project_dates"] = """
+SELECT DATE '2020-01-01' AS effective_date,
+       DATE '9999-12-31' AS end_date,
+       CAST(year(DATE '2020-03-15') AS BIGINT) AS y,
+       CAST(month(DATE '2020-03-15') AS BIGINT) AS m,
+       CAST(date_diff('day', DATE '2020-01-01', DATE '2020-03-15') AS BIGINT)
+         AS days_between
+"""
+
+EXT_ORACLES["set_ops"] = """
+WITH cn AS (SELECT c_nationkey AS nationkey FROM customer),
+sn AS (SELECT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS relation
+FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+UNION ALL
+SELECT nationkey, 'customer_only' AS relation
+FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+"""
+
+EXT_ORACLES["agg_rollup"] = f"""
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+EXT_ORACLES["asof_join"] = """
+WITH u AS (
+  SELECT event_id, user_id, ts, value, 0 AS is_right,
+         CAST(NULL AS DOUBLE) AS click_value, CAST(NULL AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT event_id, user_id, ts, value, 1, value, ts
+  FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT event_id, user_id, ts, value, is_right,
+         last_value(click_value IGNORE NULLS) OVER w AS asof_click_value,
+         last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts ASC, is_right DESC, event_id ASC
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts, value, asof_click_value, asof_click_ts
+FROM carried WHERE is_right = 0
+"""
+
+EXT_ORACLES["range_join_buckets"] = """
+SELECT o_orderkey, count(*) AS n_shipped_30d, min(l_shipdate) AS first_ship
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey
+"""

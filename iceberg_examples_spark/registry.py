@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
+from iceberg_examples_spark.operators import extended_relational as XR
 from iceberg_examples_spark.operators import partitioning as PT
 from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
@@ -41,6 +42,12 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q3": R.tpch_q3,
     "tpch_q5": R.tpch_q5,
     "tpch_q6": R.tpch_q6,
+    # §2.3-2.6 extended relational surface
+    "project_dates": XR.project_dates,
+    "set_ops": XR.set_ops,
+    "agg_rollup": XR.agg_rollup,
+    "asof_join": XR.asof_join,
+    "range_join_buckets": XR.range_join_buckets,
     "json_infer": RS.json_infer_query,
     # §2.7 mutation scenarios (reference core)
     "merge_upsert": RS.merge_upsert_query,

@@ -112,3 +112,15 @@ def test_scan_prunes_columns(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "l_comment" not in read_schema
     assert "l_tax" not in read_schema
+
+
+# ---- iceberg compat gating ---------------------------------------------
+
+def test_iceberg_compat_gates_cleanly(spark):
+    from iceberg_examples_spark.sources import iceberg_compat as IC
+
+    confs = IC.iceberg_confs("/tmp/warehouse")
+    assert confs["spark.sql.catalog.spark_catalog.type"] == "hadoop"
+    if not IC.iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            IC.IcebergTable(spark, "default.t")
