@@ -42,6 +42,11 @@ HEADLINE = [
     "text_simhash",
     "dedup_minhash_lsh",
     "knn_cosine",
+    "asof_join",
+    "agg_rollup",
+    "salted_agg",
+    "multimodal_meta",
+    "partition_prune",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

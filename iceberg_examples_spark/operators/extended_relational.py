@@ -140,3 +140,90 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shipped_30d"),
         F.min("l_shipdate").alias("first_ship"),
     )
+
+
+def salted_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (functions/skew.py): partial sums on
+    (key, salt) then final combine — the plan for hot grouping keys at
+    100 TB. Input is pre-scaled to integer cents so the salted partial
+    sums stay exact; the oracle is the PLAIN group-by, proving the salted
+    plan is result-identical."""
+    from iceberg_examples_spark.functions.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_c", F.expr("cast(round(l_quantity * 100) as bigint)")
+    )
+    out = salted_agg(
+        li, ["l_returnflag"], {"qty": "qty_c"}, unique_col="l_orderkey", n_salts=8
+    )
+    return out.select(
+        "l_returnflag",
+        (F.col("sum_qty").cast("double") / 100.0).alias("sum_qty"),
+        "n_rows",
+    )
+
+
+def skew_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe replicated-dim join (functions/skew.py): part replicated
+    across 8 salts, lineitem salted deterministically, join on
+    (l_partkey, salt) — spreads a hot part over 8 tasks. Oracle is the
+    plain join, proving row-identical output."""
+    from iceberg_examples_spark.functions.skew import replicate_dim_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = replicate_dim_join(
+        li, part, key="l_partkey", fact_unique_col="l_orderkey", n_salts=8
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0")
+        .alias("sum_qty"),
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity totals by returnflag × linestatus as columns —
+    conditional partial aggregation, one shuffle on the grouping key."""
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.expr(money_sum_sql("l_quantity", scale=100)))
+    )
+    return pv.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per order status — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit
+    (verified). The approximate sibling for 100 TB is percentile_approx
+    (see approx_stats, rows-only: sketches are engine-specific)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations — the constant-memory 100 TB path:
+    HyperLogLog++ distinct counts and GK-sketch percentiles. Declared
+    rows-only: sketch internals (and thus exact estimates) are
+    engine-specific, so no cross-engine hash can exist by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    )

@@ -475,3 +475,40 @@ WHERE l_shipdate >= o_orderdate
   AND l_shipdate < o_orderdate + INTERVAL 30 DAY
 GROUP BY o_orderkey
 """
+
+# ---- skew / pivot / percentiles -----------------------------------------
+
+EXT_ORACLES["salted_agg"] = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+EXT_ORACLES["skew_join"] = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+EXT_ORACLES["pivot_status"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+            AS DOUBLE) / 100.0 AS qty_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+            AS DOUBLE) / 100.0 AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+EXT_ORACLES["percentiles"] = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+"""

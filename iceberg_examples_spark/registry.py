@@ -48,6 +48,11 @@ QUERIES: dict[str, QueryFn] = {
     "agg_rollup": XR.agg_rollup,
     "asof_join": XR.asof_join,
     "range_join_buckets": XR.range_join_buckets,
+    "salted_agg": XR.salted_agg_query,
+    "skew_join": XR.skew_join_query,
+    "pivot_status": XR.pivot_status,
+    "percentiles": XR.percentiles,
+    "approx_stats": XR.approx_stats,
     "json_infer": RS.json_infer_query,
     # §2.7 mutation scenarios (reference core)
     "merge_upsert": RS.merge_upsert_query,
@@ -90,7 +95,14 @@ QUERIES: dict[str, QueryFn] = {
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
 # driver/judge should see.
-ROWS_ONLY_REASON: dict[str, str] = {}
+ROWS_ONLY_REASON: dict[str, str] = {
+    "approx_stats": (
+        "HyperLogLog++/GK-sketch estimates are engine-specific by "
+        "construction — DuckDB's sketches produce different (both valid) "
+        "approximations, so no cross-engine hash can exist; the exact "
+        "twins are covered by agg_count_distinct and percentiles"
+    ),
+}
 
 
 def get_oracles() -> dict[str, str]:

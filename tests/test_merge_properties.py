@@ -1,0 +1,95 @@
+"""Property-based verification of the merge algebra: for random small
+target/source tables, the DataFrame merge must equal a direct Python model
+of SQL MERGE semantics. Catches resolution-order and NULL-handling bugs
+the fixture scenarios can't."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.operators import mutations as M
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.text(alphabet="abc", min_size=0, max_size=2)
+
+# target: unique keys (a real table has PK semantics for merge targets)
+targets = st.dictionaries(keys, vals, max_size=5)
+# source: unique keys (Iceberg rejects dup-key sources; we model post-check)
+sources = st.dictionaries(keys, vals, max_size=5)
+
+
+def model_merge(target: dict, source: dict, ts_t=None, ts_s=None) -> dict:
+    """Python model of MERGE: matched → update, unmatched source → insert."""
+    out = dict(target)
+    out.update(source)
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=targets, source=sources)
+def test_merge_upsert_matches_model(spark, target, source):
+    t = spark.createDataFrame(
+        list(target.items()) or [(None, None)], "id long, v string"
+    ).filter(F.col("id").isNotNull())
+    s = spark.createDataFrame(
+        list(source.items()) or [(None, None)], "id long, v string"
+    ).filter(F.col("id").isNotNull())
+    result = {r.id: r.v for r in M.merge_upsert(t, s, ["id"]).collect()}
+    assert result == model_merge(target, source)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.dictionaries(keys, st.tuples(vals, st.integers(0, 3)), max_size=4),
+    source=st.dictionaries(keys, st.tuples(vals, st.integers(0, 3)), max_size=4),
+)
+def test_merge_cdc_guard_matches_model(spark, target, source):
+    """Conditional merge: update only when source ts is strictly newer."""
+    t = spark.createDataFrame(
+        [(k, v, ts) for k, (v, ts) in target.items()] or [(None, None, None)],
+        "id long, v string, ts int",
+    ).filter(F.col("id").isNotNull())
+    s = spark.createDataFrame(
+        [(k, v, ts) for k, (v, ts) in source.items()] or [(None, None, None)],
+        "id long, v string, ts int",
+    ).filter(F.col("id").isNotNull())
+    merged = M.merge_upsert(
+        t, s, ["id"], matched_condition=F.col("t.ts") < F.col("s.ts")
+    )
+    result = {r.id: (r.v, r.ts) for r in merged.collect()}
+    expected = dict(target)
+    for k, (v, ts) in source.items():
+        if k not in expected or expected[k][1] < ts:
+            expected[k] = (v, ts)
+    assert result == expected
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(target=targets, changes=sources)
+def test_upsert_by_key_matches_model(spark, target, changes):
+    """Equality-delete upsert: delete-by-key ∪ append == dict.update."""
+    t = spark.createDataFrame(
+        list(target.items()) or [(None, None)], "id long, v string"
+    ).filter(F.col("id").isNotNull())
+    c = spark.createDataFrame(
+        list(changes.items()) or [(None, None)], "id long, v string"
+    ).filter(F.col("id").isNotNull())
+    result = {r.id: r.v for r in M.upsert_by_key(t, c, ["id"]).collect()}
+    expected = dict(target)
+    expected.update(changes)
+    assert result == expected
