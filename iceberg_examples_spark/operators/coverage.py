@@ -1,0 +1,110 @@
+"""Coverage operators: join-type surface (semi/anti/outer), scalar string
+functions, snapshot time travel, and the parquet-metadata table surface —
+the Spark-native analogue of Iceberg's ``#files``/``#snapshots`` metadata
+tables (`IcebergHadoopTables.java:44-47`).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import LocalTable, load_table
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join == EXISTS: orders with at least one max-quantity
+    lineitem. Catalyst short-circuits per key — no fact-side duplication."""
+    orders = load_table(spark, sf_dir, "orders")
+    big_items = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 49
+    )
+    return orders.join(
+        big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join == NOT EXISTS: customers with no orders — the same
+    primitive the equality-delete upsert rides on (mutations.upsert_by_key)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with null-aware aggregation: customer count per
+    nation, including nations with zero customers (count of non-null keys)."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left_outer")
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/conditional function surface: upper/lower/substring/
+    concat/replace/length/LIKE/CASE/greatest — all JVM-side, codegen'd."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_name").like("%1%")).select(
+        "c_custkey",
+        F.upper("c_name").alias("u"),
+        F.lower("c_name").alias("l"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws(":", "c_mktsegment", "c_name").alias("tag"),
+        F.expr("replace(c_name, '#', '-')").alias("rep"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.when(F.col("c_acctbal") > 0, F.lit("pos"))
+        .otherwise(F.lit("nonpos"))
+        .alias("bal_sign"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+    )
+
+
+def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning end-to-end (catalog.LocalTable): commit v0 =
+    'F' orders, append v1 = 'O' orders, then read BOTH snapshots — the
+    table-version surface of `IcebergJavaApiAppend.java:92-94` re-expressed.
+    Output: one row per snapshot with its row count; the oracle recomputes
+    both counts from the raw table."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    t = LocalTable(spark, f"/tmp/ies_time_travel_{tag}")
+    orders = load_table(spark, sf_dir, "orders")
+    t.overwrite(orders.filter(F.col("o_orderstatus") == "F"))
+    base_version = t.current_version
+    t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    v0 = t.read(version=base_version).count()
+    v1 = t.read().count()
+    return spark.createDataFrame(
+        [(0, v0), (1, v1)], "version long, n_rows long"
+    )
+
+
+def metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File/row-group metadata surface — the engine's ``#files`` metadata
+    table (Iceberg surface: `IcebergHadoopTables.java:44-47`): row-group
+    row counts and byte sizes straight from the parquet footers via
+    pyarrow, no data read. Driver-side by design (metadata reads are
+    manifest-sized, like Iceberg's).
+
+    Note: reads the sf0.01 testdata regardless of ``sf_dir`` because the
+    oracle must name a literal path for DuckDB's parquet_metadata()."""
+    import pyarrow.parquet as pq
+
+    fixed_dir = "/root/testdata/sf0.01"
+    rows = []
+    for table in ["lineitem", "orders"]:
+        md = pq.ParquetFile(os.path.join(fixed_dir, f"{table}.parquet")).metadata
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            rows.append((table, i, rg.num_rows, rg.total_byte_size))
+    return spark.createDataFrame(
+        rows,
+        "table_name string, row_group_id long, num_rows long, total_byte_size long",
+    )

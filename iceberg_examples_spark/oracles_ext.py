@@ -512,3 +512,60 @@ SELECT o_orderstatus,
        quantile_cont(o_totalprice, 0.99) AS p99
 FROM orders GROUP BY o_orderstatus
 """
+
+# ---- join types / scalars / time travel / metadata ----------------------
+
+EXT_ORACLES["join_semi"] = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+"""
+
+EXT_ORACLES["join_anti"] = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+EXT_ORACLES["join_outer"] = """
+SELECT n_nationkey, n_name, count(c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY n_nationkey, n_name
+"""
+
+EXT_ORACLES["scalar_funcs"] = """
+SELECT c_custkey,
+       upper(c_name) AS u,
+       lower(c_name) AS l,
+       substring(c_name, 1, 8) AS prefix,
+       concat_ws(':', c_mktsegment, c_name) AS tag,
+       replace(c_name, '#', '-') AS rep,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS bal_sign,
+       greatest(c_acctbal, 0.0) AS bal_floor
+FROM customer
+WHERE c_name LIKE '%1%'
+"""
+
+EXT_ORACLES["time_travel"] = """
+SELECT CAST(0 AS BIGINT) AS version,
+       (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS n_rows
+UNION ALL
+SELECT 1,
+       (SELECT count(*) FROM orders WHERE o_orderstatus IN ('F', 'O'))
+"""
+
+EXT_ORACLES["metadata_files"] = """
+SELECT table_name, row_group_id,
+       CAST(max(row_group_num_rows) AS BIGINT) AS num_rows,
+       CAST(max(row_group_bytes) AS BIGINT) AS total_byte_size
+FROM (
+  SELECT 'lineitem' AS table_name, row_group_id, row_group_num_rows, row_group_bytes
+  FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+  UNION ALL
+  SELECT 'orders', row_group_id, row_group_num_rows, row_group_bytes
+  FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+)
+GROUP BY table_name, row_group_id
+"""

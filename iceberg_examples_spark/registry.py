@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_examples_spark.operators import coverage as CV
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
 from iceberg_examples_spark.operators import extended_relational as XR
@@ -53,6 +54,13 @@ QUERIES: dict[str, QueryFn] = {
     "pivot_status": XR.pivot_status,
     "percentiles": XR.percentiles,
     "approx_stats": XR.approx_stats,
+    "join_semi": CV.join_semi,
+    "join_anti": CV.join_anti,
+    "join_outer": CV.join_outer,
+    "scalar_funcs": CV.scalar_funcs,
+    # snapshot/metadata surfaces (Iceberg #snapshots / #files analogue)
+    "time_travel": CV.time_travel,
+    "metadata_files": CV.metadata_files,
     "json_infer": RS.json_infer_query,
     # §2.7 mutation scenarios (reference core)
     "merge_upsert": RS.merge_upsert_query,
