@@ -63,17 +63,26 @@ def with_partition_keys(df: DataFrame, specs: dict[str, Column]) -> DataFrame:
 
 
 def write_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], files_per_partition: int = 1
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_within: list[str] | None = None,
 ) -> None:
-    """Partitioned parquet write with bounded file counts: repartition on
-    the partition columns first so each directory receives
-    ``files_per_partition`` files, not one per upstream task."""
-    (
-        df.repartition(files_per_partition * 1, *[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    """Partitioned parquet write with bounded file counts: hash-distribute
+    on the partition columns first (each directory's rows land in one
+    task → one file per directory, tasks parallel across directories —
+    NOT ``repartition(1)``, which would serialize the whole write through
+    a single task). ``sort_within`` adds write-side sort order inside each
+    file (the reference's ``replaceSortOrder`` surface,
+    `IcebergJavaApiUpsert.java:102`) so parquet row-group min/max stats
+    become selective for those columns."""
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_within:
+        # prefix with the partition columns: the file writer requires rows
+        # clustered by partition values and would otherwise inject its own
+        # (non-stable) sort, destroying the secondary order
+        out = out.sortWithinPartitions(*partition_cols, *sort_within)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
 # ---- declared query -----------------------------------------------------

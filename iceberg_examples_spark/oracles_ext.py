@@ -569,3 +569,5 @@ FROM (
 )
 GROUP BY table_name, row_group_id
 """
+
+EXT_ORACLES["stream_to_table"] = EXT_ORACLES["window_hourly"]

@@ -99,6 +99,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_window_hourly": ST.stream_window_hourly,
     "stream_dedup_latest": ST.stream_dedup_latest,
     "stream_sessionize": ST.stream_sessionize_stateful,
+    "stream_to_table": ST.stream_to_table,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

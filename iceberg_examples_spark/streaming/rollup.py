@@ -159,3 +159,43 @@ def stream_sessionize_stateful(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(result, "append")
+
+
+def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink: the windowed rollup committed into the
+    snapshot-versioned table layer via foreachBatch — the production sink
+    shape (stream → aggregate → atomic table commit per epoch). Complete
+    mode + overwrite commit per batch means the final snapshot equals the
+    batch rollup, which the window_hourly oracle verifies."""
+    import os
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    table = LocalTable(spark, f"/tmp/ies_stream_sink_{tag}")
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        table.overwrite(batch_df)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(commit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table.read()

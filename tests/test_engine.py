@@ -153,3 +153,36 @@ def test_shuffle_budget_merge(spark, sf_dir):
         merge_upsert_query,
     )
     assert _n_shuffles(merge_upsert_query(spark, sf_dir)) <= 2
+
+
+# ---- write-side sort order (T3) ----------------------------------------
+
+def test_write_sorted_within_partitions(spark, sf_dir, tmp_path):
+    from iceberg_examples_spark.operators.partitioning import (
+        month,
+        with_partition_keys,
+        write_partitioned,
+    )
+    from iceberg_examples_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    out = str(tmp_path / "sorted")
+    write_partitioned(
+        with_partition_keys(li, {"ship_month": month("l_shipdate")}),
+        out,
+        ["ship_month"],
+        sort_within=["l_orderkey"],
+    )
+    import glob
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{out}/ship_month=*/*.parquet"))
+    assert files
+    # each directory holds exactly one file (bounded-file-count contract)
+    dirs = {f.rsplit("/", 1)[0] for f in files}
+    assert len(files) == len(dirs)
+    # rows inside a file are sorted by the write-side sort order
+    col = pq.read_table(files[0], columns=["l_orderkey"])["l_orderkey"].to_pylist()
+    assert col == sorted(col)
