@@ -62,7 +62,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # NTZ, like every other testdata timestamp column: tz-naive values
+        # cross the arrow/oracle boundary identically to DuckDB's TIMESTAMP
+        # (a tz-aware column would compare unequal under strict tooling)
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
     return df
 
 

@@ -81,12 +81,12 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000  # exact integer µs on both engines
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — cast through it
+    # (session tz is pinned UTC by load_table, so this is exact)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
     with_flag = ev.withColumn(
         "new_session",
-        (
-            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
-            > gap_us
-        ).cast("int"),
+        (us - F.lag(us, 1).over(w) > gap_us).cast("int"),
     ).withColumn(
         "new_session", F.coalesce(F.col("new_session"), F.lit(1))
     )

@@ -89,7 +89,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value", F.lit(0).alias("is_right"),
         F.lit(None).cast("double").alias("click_value"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
     )
     right = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value", F.lit(1).alias("is_right"),

@@ -46,6 +46,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP (not NTZ): watermarks require event time on TIMESTAMP.
+        # Session tz is UTC, and every output column below is cast to NTZ
+        # before leaving the streaming query, matching the batch surface.
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
@@ -85,7 +88,7 @@ def stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("hour_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -183,7 +186,7 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("hour_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
             "event_type",
             "n_events",
             "sum_value",
