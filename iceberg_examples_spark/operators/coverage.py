@@ -108,3 +108,51 @@ def metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "table_name string, row_group_id long, num_rows long, total_byte_size long",
     )
+
+
+def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 — the reference's primary interface: a SQL string over catalog
+    views (`spark.sql(...)`, e.g. IcebergSQLMerge.java:46). Registers the
+    testdata views and runs the revenue-by-nation query as text; Catalyst
+    produces the identical plan to the DataFrame formulation."""
+    from iceberg_examples_spark.catalog import register_views
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT n_name,
+               count(*) AS n_orders,
+               {money_sum_sql('o_totalprice', scale=100)} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
+
+
+def grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF surface (applyInPandas): per-priority median order
+    price computed in an Arrow-batched pandas function — the escape hatch
+    for aggregates Catalyst lacks. numpy's interpolated median equals
+    DuckDB's quantile_cont(0.5) bit-for-bit on the same doubles (same
+    two-middle average), so this has a real oracle. One shuffle on the
+    grouping key; each group fits a pandas frame (the applyInPandas
+    contract — for giant groups use a two-phase sketch instead)."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def med(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "median_price": [float(pdf["o_totalprice"].median())],
+                "n_orders": [len(pdf)],
+            }
+        )
+
+    return orders.select("o_orderpriority", "o_totalprice").groupBy(
+        "o_orderpriority"
+    ).applyInPandas(
+        med, schema="o_orderpriority string, median_price double, n_orders long"
+    )

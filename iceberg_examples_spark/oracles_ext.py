@@ -571,3 +571,20 @@ GROUP BY table_name, row_group_id
 """
 
 EXT_ORACLES["stream_to_table"] = EXT_ORACLES["window_hourly"]
+
+EXT_ORACLES["sql_entry"] = f"""
+SELECT n_name,
+       count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+EXT_ORACLES["grouped_median_pandas"] = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""

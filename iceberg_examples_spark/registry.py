@@ -61,6 +61,9 @@ QUERIES: dict[str, QueryFn] = {
     # snapshot/metadata surfaces (Iceberg #snapshots / #files analogue)
     "time_travel": CV.time_travel,
     "metadata_files": CV.metadata_files,
+    # EP1 SQL-string entry + grouped-map pandas UDAF surface
+    "sql_entry": CV.sql_entry,
+    "grouped_median_pandas": CV.grouped_median_pandas,
     "json_infer": RS.json_infer_query,
     # §2.7 mutation scenarios (reference core)
     "merge_upsert": RS.merge_upsert_query,
