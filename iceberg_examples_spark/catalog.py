@@ -181,3 +181,19 @@ class LocalTable:
         if v < 0:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         return self.spark.read.parquet(self._snap_dir(v))
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental read: rows present in ``to_version`` but not in
+        ``from_version`` (Iceberg incremental-scan analogue; appended rows
+        for append-only history, net-new rows across overwrites). Bag
+        semantics via exceptAll so duplicate appended rows are kept."""
+        newer = self.read(to_version)
+        older = self.read(from_version)
+        return newer.exceptAll(older)
+
+    def compact(self, target_files: int = 1) -> int:
+        """Small-file compaction: rewrite the current snapshot into
+        ``target_files`` files as a new snapshot (Iceberg
+        rewrite_data_files analogue). Data is unchanged — only layout."""
+        df = self.read().coalesce(target_files)
+        return self._commit(df, "compact", None)

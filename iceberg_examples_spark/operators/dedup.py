@@ -1,6 +1,11 @@
 """Deduplication operators (north-star extension, SURVEY §2.9): exact,
 MinHash+LSH near-dup, n-gram Jaccard.
 
+Algorithms are the classic public constructions: MinHash resemblance
+estimation (Broder 1997, "On the resemblance and containment of
+documents") with banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive
+Datasets ch. 3); the affine universal-hash family is Carter-Wegman.
+
 The synthetic ``documents`` corpus contains no duplicates, so the declared
 queries *plant* deterministic duplicates/near-duplicates (offset doc_ids,
 text perturbations expressible identically in the DuckDB oracle) — the

@@ -2,6 +2,12 @@
 SURVEY §2.9): brute-force cosine top-k, IVF-style pruned top-k, and
 sign-LSH embedding near-dup.
 
+Public constructions: IVF coarse quantization follows Jégou et al. 2011
+("Product Quantization for Nearest Neighbor Search" — the inverted-file
+part, without PQ codes); sign-random-projection LSH is Charikar 2002
+("Similarity estimation techniques from rounding algorithms"), here with
+axis-aligned hyperplanes so the DuckDB oracle can replay bucketing exactly.
+
 Numeric determinism: all dot products / norms are left-fold ``aggregate``
 over double-cast arrays — Spark's ``aggregate`` and DuckDB's
 ``list_reduce`` both fold left-to-right, so identical inputs give

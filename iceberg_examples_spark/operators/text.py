@@ -2,6 +2,10 @@
 extension surface, SURVEY §2.9): token counting, language ID, quality
 scoring, document fingerprinting.
 
+SimHash follows Charikar 2002 (random-hyperplane rounding, the
+word-hash-bit voting variant popularized for web near-dup detection by
+Manku et al. 2007).
+
 Scale design: every op here is a *per-row projection* — no explode, no
 shuffle, no UDF. Token arrays are built and folded inside one whole-stage
 codegen'd projection via higher-order functions (``transform`` /

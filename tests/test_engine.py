@@ -186,3 +186,44 @@ def test_write_sorted_within_partitions(spark, sf_dir, tmp_path):
     # rows inside a file are sorted by the write-side sort order
     col = pq.read_table(files[0], columns=["l_orderkey"])["l_orderkey"].to_pylist()
     assert col == sorted(col)
+
+
+def test_localtable_changes_and_compact(spark, tmp_path):
+    t = LocalTable(spark, str(tmp_path / "tbl3"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "c"), (3, "c")], "id long, v string"))
+    # incremental read: exactly the appended rows, bag semantics
+    delta = t.changes(0, 1).collect()
+    assert sorted((r.id, r.v) for r in delta) == [(3, "c"), (3, "c")]
+    # compaction: new snapshot, same data, fewer files
+    v = t.compact(target_files=1)
+    assert t.snapshots()[-1]["operation"] == "compact"
+    assert t.read(v).count() == 4
+    import glob
+    files = glob.glob(f"{tmp_path}/tbl3/snap-{v:05d}/*.parquet")
+    assert len(files) == 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both fact tables on the join key removes the join
+    shuffle entirely — the 100 TB co-location strategy (DESIGN.md).
+    Plan must contain no Exchange for the join."""
+    from iceberg_examples_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_lineitem")
+    orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("b_orders")
+    joined = spark.table("b_lineitem").join(
+        spark.table("b_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() > 0
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
