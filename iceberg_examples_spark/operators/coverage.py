@@ -156,3 +156,44 @@ def grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).applyInPandas(
         med, schema="o_orderpriority string, median_price double, n_orders long"
     )
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format source/sink coverage: write a projection as CSV, read
+    it back with an explicit schema (never inferSchema at scale — it costs
+    a full extra pass), aggregate. The oracle recomputes from the raw
+    table, proving the CSV round-trip is lossless for these types."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ies_csv_roundtrip_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "l_orderkey long, l_linenumber int, l_quantity double, l_returnflag string"
+    ).option("header", True).csv(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0"
+        ).alias("sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage: columnar alternative format with the same
+    pushdown/pruning contract as parquet."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ies_orc_roundtrip_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("o_orderstatus") == "F")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0"
+        ).alias("total"),
+    )

@@ -588,3 +588,18 @@ SELECT o_orderpriority,
        count(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
+
+EXT_ORACLES["csv_roundtrip"] = """
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_qty,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+"""
+
+EXT_ORACLES["orc_roundtrip"] = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total
+FROM orders WHERE o_orderstatus = 'F'
+"""

@@ -64,6 +64,9 @@ QUERIES: dict[str, QueryFn] = {
     # EP1 SQL-string entry + grouped-map pandas UDAF surface
     "sql_entry": CV.sql_entry,
     "grouped_median_pandas": CV.grouped_median_pandas,
+    # alternate format sources/sinks
+    "csv_roundtrip": CV.csv_roundtrip,
+    "orc_roundtrip": CV.orc_roundtrip,
     "json_infer": RS.json_infer_query,
     # §2.7 mutation scenarios (reference core)
     "merge_upsert": RS.merge_upsert_query,
