@@ -197,3 +197,19 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0"
         ).alias("total"),
     )
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling — the LLM-pipeline requirement rand() can't
+    meet: membership must be a pure function of the row key so reruns,
+    backfills, and other engines agree. Sample = rows whose md5-derived
+    64-bit key hash lands in 1/10 of the space; works identically at any
+    scale and in DuckDB (same md5 → same membership)."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = md5_int_hash("cast(o_orderkey as string)")
+    sampled = orders.filter(F.expr(f"({h}) % 10 = 0"))
+    return sampled.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

@@ -168,3 +168,19 @@ def simhash16_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_bits.select(
         "doc_id", fp.cast("bigint").alias("simhash")
     )
+
+
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE/unnest surface: global token frequencies (top-20, tie-broken
+    by token). The one text op where explode is the right tool — the
+    aggregation needs cross-document state, so a shuffle on the token is
+    inherent; partial aggregation keeps it one round."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return (
+        docs.select(F.explode(F.expr(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

@@ -603,3 +603,17 @@ SELECT count(*) AS n_rows,
          AS total
 FROM orders WHERE o_orderstatus = 'F'
 """
+
+EXT_ORACLES["explode_tokens"] = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({DUCK_TOKS.format(col='text')}) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+EXT_ORACLES["deterministic_sample"] = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE ({duck_md5_int('CAST(o_orderkey AS VARCHAR)')}) % 10 = 0
+"""

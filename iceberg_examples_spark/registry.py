@@ -82,6 +82,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality_score": TX.quality_score,
     "text_fingerprint": TX.doc_fingerprint,
     "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    "deterministic_sample": CV.deterministic_sample,
     # §2.9 deduplication
     "dedup_exact": D.dedup_exact,
     "dedup_exact_keep": D.dedup_exact_keep,
