@@ -240,3 +240,68 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard3"),
         )
     )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph, each doc labeled with the min doc_id reachable
+    from it (the canonical cluster representative).
+
+    Iterative min-label propagation to a fixpoint: labels start as own id;
+    each round every node takes the min of its own and its neighbors'
+    labels (edges used symmetrically). The driver loop only checks a
+    convergence count per round — all data stays distributed; rounds are
+    O(graph diameter), each one join + one aggregate. This is the
+    standard MapReduce-style components algorithm (cf. Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond" — our variant is
+    plain label propagation, which is the right tool at near-dup graph
+    densities where components are tiny and diameters short).
+    """
+    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric edge list, checkpointed: reused every iteration
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").alias("component")
+    )

@@ -617,3 +617,22 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
 FROM orders
 WHERE ({duck_md5_int('CAST(o_orderkey AS VARCHAR)')}) % 10 = 0
 """
+
+# dedup_components: transitive closure of the (small) verified near-dup
+# pair graph, then min reachable id per node. The edge list is exactly the
+# dedup_minhash_lsh oracle's output.
+EXT_ORACLES["dedup_components"] = f"""
+WITH RECURSIVE lsh AS ({EXT_ORACLES['dedup_minhash_lsh']}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION
+  SELECT doc_b, doc_a FROM lsh
+),
+nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+"""

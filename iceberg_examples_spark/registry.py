@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_exact": D.dedup_exact,
     "dedup_exact_keep": D.dedup_exact_keep,
     "dedup_minhash_lsh": D.minhash_lsh,
+    "dedup_components": D.dedup_components,
     "ngram_jaccard": D.ngram_jaccard,
     # §2.9 similarity search
     "knn_cosine": SIM.knn_cosine,
