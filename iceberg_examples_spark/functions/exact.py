@@ -14,6 +14,10 @@ fixed decimal precision (money = 2 dp, discount/tax = 2 dp), so
 
 This is also the right 100 TB posture: integer sums are cheaper than
 decimal-128 sums and immune to partial-aggregation reorder under AQE.
+
+These builders are the single source of the idiom — Spark queries AND the
+DuckDB oracles must both call them (never hand-spell the fragment), so the
+two sides cannot drift.
 """
 
 from __future__ import annotations
@@ -22,27 +26,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def money_sum_sql(expr: str, scale: int = 10000) -> str:
+    """Exact sum of a fixed-decimal SQL expression, as double. The same
+    text is valid Spark SQL and DuckDB SQL."""
+    return f"cast(sum(cast(round(({expr}) * {scale}) as bigint)) as double) / {scale}.0"
+
+
 def money_sum(expr: str, alias: str, scale: int = 10000) -> Column:
-    """Exact sum of a fixed-decimal expression, returned as double.
-
-    ``expr`` is a SQL expression string (so the same text can be reused in
-    the DuckDB oracle); see :func:`money_sum_sql`.
-    """
-    return F.expr(money_sum_sql(expr, alias, scale)).alias(alias)
+    return F.expr(money_sum_sql(expr, scale=scale)).alias(alias)
 
 
-def money_sum_sql(expr: str, alias: str | None = None, scale: int = 10000) -> str:
-    s = f"cast(sum(cast(round(({expr}) * {scale}) as bigint)) as double) / {scale}.0"
-    return s
-
-
-def money_avg(expr: str, alias: str, scale: int = 10000) -> Column:
-    return F.expr(money_avg_sql(expr, alias, scale)).alias(alias)
-
-
-def money_avg_sql(expr: str, alias: str | None = None, scale: int = 10000) -> str:
+def money_avg_sql(expr: str, scale: int = 10000) -> str:
     # one integer sum + one integer count -> two deterministic double ops
     return (
         f"cast(sum(cast(round(({expr}) * {scale}) as bigint)) as double)"
         f" / {scale}.0 / cast(count({expr}) as double)"
     )
+
+
+def money_avg(expr: str, alias: str, scale: int = 10000) -> Column:
+    return F.expr(money_avg_sql(expr, scale=scale)).alias(alias)

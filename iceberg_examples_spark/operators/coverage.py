@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import LocalTable, load_table
+from iceberg_examples_spark.functions.exact import money_sum_sql
 
 
 def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,8 +74,13 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-version surface of `IcebergJavaApiAppend.java:92-94` re-expressed.
     Output: one row per snapshot with its row count; the oracle recomputes
     both counts from the raw table."""
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    t = LocalTable(spark, f"/tmp/ies_time_travel_{tag}")
+    root = f"/tmp/ies_time_travel_{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run: the
+    # snapshot log would otherwise grow (full data copies) across runs
+    t = LocalTable(spark, root)
     orders = load_table(spark, sf_dir, "orders")
     t.overwrite(orders.filter(F.col("o_orderstatus") == "F"))
     base_version = t.current_version
@@ -116,7 +122,6 @@ def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata views and runs the revenue-by-nation query as text; Catalyst
     produces the identical plan to the DataFrame formulation."""
     from iceberg_examples_spark.catalog import register_views
-    from iceberg_examples_spark.functions.exact import money_sum_sql
 
     register_views(spark, sf_dir)
     return spark.sql(f"""
@@ -174,9 +179,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).option("header", True).csv(out)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr(
-            "cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0"
-        ).alias("sum_qty"),
+        F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
@@ -193,9 +196,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(out).filter(F.col("o_orderstatus") == "F")
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.expr(
-            "cast(sum(cast(round(o_totalprice * 100) as bigint)) as double) / 100.0"
-        ).alias("total"),
+        F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total"),
     )
 
 

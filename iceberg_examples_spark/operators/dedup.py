@@ -274,6 +274,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(20):  # diameter bound; near-dup clusters are shallow
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -301,7 +302,15 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            "dedup_components: min-label propagation did not converge in 20 "
+            "rounds — a component's diameter exceeds the cap; raise the bound "
+            "(or switch to large-star/small-star for deep graphs) rather than "
+            "returning partially-propagated labels"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("component")
     )

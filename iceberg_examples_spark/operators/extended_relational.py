@@ -181,16 +181,13 @@ def skew_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.expr("cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0")
-        .alias("sum_qty"),
+        F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
     )
 
 
 def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: quantity totals by returnflag × linestatus as columns —
     conditional partial aggregation, one shuffle on the grouping key."""
-    from iceberg_examples_spark.functions.exact import money_sum_sql
-
     li = load_table(spark, sf_dir, "lineitem")
     pv = (
         li.groupBy("l_returnflag")

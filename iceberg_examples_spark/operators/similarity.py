@@ -50,69 +50,56 @@ def _with_norm(df: DataFrame) -> DataFrame:
     return df.withColumn("norm", F.expr(_NORM.format(a="embedding")))
 
 
+def _knn(spark: SparkSession, sf_dir: str, by_cell: bool) -> DataFrame:
+    """Shared top-k machinery for the exact and IVF variants — ONE scoring
+    expression and tie-break so the two can't drift. Queries broadcast;
+    ``by_cell`` swaps the cross join for an equi-join on the coarse cell."""
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("label").alias("cell"),
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        F.col("label").alias("cell"),
+    )
+    if by_cell:
+        paired = F.broadcast(q).join(c, "cell")
+    else:
+        paired = F.broadcast(q.drop("cell")).crossJoin(c.drop("cell"))
+    scored = paired.select(
+        "q_id",
+        "c_id",
+        (
+            F.expr(_DOT.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "c_id", "rank", "cos_sim")
+    )
+
+
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: query set (vec_id < 5, broadcast) ×
     candidate set (vec_id >= 5), cos = dot/(|q|·|c|), top-3 per query by
     (cos DESC, cand_id) — deterministic tie-break."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-    )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-    )
-    scored = F.broadcast(q).crossJoin(c).select(
-        "q_id",
-        "c_id",
-        (
-            F.expr(_DOT.format(a="q_emb", b="c_emb"))
-            / (F.col("q_norm") * F.col("c_norm"))
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "c_id", "rank", "cos_sim")
-    )
+    return _knn(spark, sf_dir, by_cell=False)
 
 
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned cosine top-k: identical scoring, but candidates are
-    restricted to the query's coarse cell (label). At 10^10 vectors with
-    1024 cells this is a 1000× cut in scored pairs; the equi-join on the
-    cell id replaces the cross join — shuffle-partitioned by cell."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        F.col("label").alias("cell"),
-    )
-    c = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("norm").alias("c_norm"),
-        F.col("label").alias("cell"),
-    )
-    scored = F.broadcast(q).join(c, "cell").select(
-        "q_id",
-        "c_id",
-        (
-            F.expr(_DOT.format(a="q_emb", b="c_emb"))
-            / (F.col("q_norm") * F.col("c_norm"))
-        ).alias("cos_sim"),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "c_id", "rank", "cos_sim")
-    )
+    """IVF-pruned cosine top-k: identical scoring (shared _knn machinery),
+    but candidates are restricted to the query's coarse cell (label). At
+    10^10 vectors with 1024 cells this is a 1000× cut in scored pairs;
+    the equi-join on the cell id replaces the cross join."""
+    return _knn(spark, sf_dir, by_cell=True)
 
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

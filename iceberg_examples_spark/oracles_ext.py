@@ -375,10 +375,14 @@ FROM documents
 GROUP BY source
 """
 
+# byte-accurate (not codepoint) histogram: iterate the UTF-8 payload via
+# hex pairs, matching fake_features' iteration over raw bytes
 EXT_ORACLES["multimodal_features"] = """
 SELECT doc_id AS media_id, CAST(i AS BIGINT) AS feature_idx,
-       CAST(len(list_filter(string_split(text, ''), c -> ascii(c) % 8 = i))
-            AS BIGINT) AS value
+       CAST(len(list_filter(
+              [CAST(('0x' || substr(hex(encode(text)), 2*j-1, 2)) AS INT)
+               for j in range(1, octet_length(encode(text)) + 1)],
+              b -> b % 8 = i)) AS BIGINT) AS value
 FROM documents, range(0, 8) r(i)
 WHERE doc_id < 50
 """
@@ -386,7 +390,8 @@ WHERE doc_id < 50
 EXT_ORACLES["stream_window_hourly"] = EXT_ORACLES["window_hourly"]
 
 EXT_ORACLES["stream_dedup_latest"] = """
-SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+SELECT event_type, count(DISTINCT event_id) AS n_events
+FROM events GROUP BY event_type
 """
 
 EXT_ORACLES["stream_sessionize"] = """
@@ -478,30 +483,26 @@ GROUP BY o_orderkey
 
 # ---- skew / pivot / percentiles -----------------------------------------
 
-EXT_ORACLES["salted_agg"] = """
+EXT_ORACLES["salted_agg"] = f"""
 SELECT l_returnflag,
-       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         AS sum_qty,
+       {money_sum_sql('l_quantity', scale=100)} AS sum_qty,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """
 
-EXT_ORACLES["skew_join"] = """
+EXT_ORACLES["skew_join"] = f"""
 SELECT p_brand, count(*) AS n_items,
-       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         AS sum_qty
+       {money_sum_sql('l_quantity', scale=100)} AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
 
-EXT_ORACLES["pivot_status"] = """
+EXT_ORACLES["pivot_status"] = f"""
 SELECT l_returnflag,
-       CAST(sum(CASE WHEN l_linestatus = 'O'
-                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
-            AS DOUBLE) / 100.0 AS qty_open,
-       CAST(sum(CASE WHEN l_linestatus = 'F'
-                     THEN CAST(round(l_quantity * 100) AS BIGINT) END)
-            AS DOUBLE) / 100.0 AS qty_filled
+       {money_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", scale=100)}
+         AS qty_open,
+       {money_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", scale=100)}
+         AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -589,18 +590,16 @@ SELECT o_orderpriority,
 FROM orders GROUP BY o_orderpriority
 """
 
-EXT_ORACLES["csv_roundtrip"] = """
+EXT_ORACLES["csv_roundtrip"] = f"""
 SELECT l_returnflag, count(*) AS n_rows,
-       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         AS sum_qty,
+       {money_sum_sql('l_quantity', scale=100)} AS sum_qty,
        count(DISTINCT l_orderkey) AS n_orders
 FROM lineitem GROUP BY l_returnflag
 """
 
-EXT_ORACLES["orc_roundtrip"] = """
+EXT_ORACLES["orc_roundtrip"] = f"""
 SELECT count(*) AS n_rows,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         AS total
+       {money_sum_sql('o_totalprice', scale=100)} AS total
 FROM orders WHERE o_orderstatus = 'F'
 """
 

@@ -90,11 +90,13 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the opaque payload (stand-in for video frame
     extraction): slice every n-th byte window as a new payload row.
     Demonstrates the 1→N explode shape of frame pipelines."""
-    return media.select(
+    # (len-1) div n is the last frame index; exact multiples of the frame
+    # size must not emit a trailing empty frame, and empty payloads get none
+    return media.filter(F.expr("octet_length(payload) > 0")).select(
         "media_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, int(octet_length(payload) / {every_n_bytes})),"
+                f"transform(sequence(0, int((octet_length(payload) - 1) / {every_n_bytes})),"
                 f" i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
             )
         ).alias("frame_idx", "frame_bytes"),

@@ -55,6 +55,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _hourly_rollup(ev: DataFrame) -> DataFrame:
+    """The watermarked tumbling-hour rollup shared by the memory-sink and
+    table-sink streaming queries (and semantically identical to the batch
+    events_ops.window_hourly — the same oracle verifies all three)."""
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
     """Execute a streaming query to completion against the memory sink and
     return the materialized table. Hermetic: unique sink name, query
@@ -79,21 +99,7 @@ def stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion. Complete output mode retains all window state, so the
     final table equals the batch rollup — which is exactly what the
     DuckDB oracle checks (same SQL as window_hourly)."""
-    ev = _events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    agg = _hourly_rollup(_events_stream(spark, sf_dir))
     return _run_to_memory(agg, "complete")
 
 
@@ -174,24 +180,14 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iceberg_examples_spark.catalog import LocalTable
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    table = LocalTable(spark, f"/tmp/ies_stream_sink_{tag}")
+    import shutil
 
-    ev = _events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/ies_stream_sink_{tag}"
+    shutil.rmtree(root, ignore_errors=True)  # don't accumulate snapshots
+    table = LocalTable(spark, root)
+
+    agg = _hourly_rollup(_events_stream(spark, sf_dir))
 
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
         table.overwrite(batch_df)
