@@ -241,3 +241,138 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: order counts by priority where EXISTS a slow lineitem
+    (shipped >60 days after order) — semi join + aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    slow = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == orders.o_orderkey,
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).select("l_orderkey")
+    return (
+        orders.join(slow, orders.o_orderkey == slow.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: shipping volume between two nation pairs by year —
+    double dimension hop (supplier nation × customer nation), year
+    extraction, grouped exact revenue."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nk)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nk)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue")
+        )
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: conditional counts — high/low priority order splits for
+    lineitems shipped in one year, by linestatus (CASE inside SUM)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("bigint")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(1 - high).alias("low_line_count"),
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: promo revenue ratio — two exact integer-accumulated sums
+    and one deterministic trailing division (ratio of exact doubles)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.expr(money_sum_sql(
+                "case when p_type like 'PROMO%' then l_extendedprice * (1 - l_discount) else 0.0 end",
+                scale=10000,
+            ))
+            / F.expr(money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000))
+        ).alias("promo_revenue_pct")
+    )
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: large-volume orders — grouped HAVING subquery feeding a
+    customer join; top-20 by total quantity with key tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(money_sum_sql("l_quantity", scale=100)).alias("total_qty"))
+        .filter(F.col("total_qty") > 150.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped: OR-of-ANDs predicate (brand × size-band × quantity-band)
+    — the disjunctive-pushdown shape; Catalyst splits the common join key
+    out and pushes the residual disjunction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 50)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return joined.filter(cond).agg(
+        F.expr(
+            money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

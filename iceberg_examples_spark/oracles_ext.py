@@ -635,3 +635,92 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
 """
+
+# cdc_pipeline closed form: ts=3 batch (+100, %7) beats the later ts=2
+# batch (+999, %3) only where both applied (%21); the second ts=2 batch
+# (+555) is rejected everywhere by the monotonic guard.
+EXT_ORACLES["cdc_pipeline"] = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 21 = 0 THEN c_acctbal + 100.0
+            WHEN c_custkey % 3 = 0 THEN c_acctbal + 999.0
+            WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+            ELSE c_acctbal END AS c_acctbal,
+       CAST(CASE WHEN c_custkey % 21 = 0 THEN 3
+                 WHEN c_custkey % 3 = 0 THEN 2
+                 WHEN c_custkey % 7 = 0 THEN 3
+                 ELSE 1 END AS INT) AS change_ts
+FROM customer
+"""
+
+# ---- TPC-H-shaped additions ---------------------------------------------
+
+EXT_ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+EXT_ORACLES["tpch_q7"] = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+  AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+  AND n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+EXT_ORACLES["tpch_q12"] = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+EXT_ORACLES["tpch_q14"] = f"""
+SELECT 100.0
+       * ({money_sum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", scale=10000)})
+       / ({money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)})
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+EXT_ORACLES["tpch_q18"] = f"""
+WITH big AS (
+  SELECT l_orderkey, {money_sum_sql('l_quantity', scale=100)} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {money_sum_sql('l_quantity', scale=100)} > 150.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+EXT_ORACLES["tpch_q19"] = f"""
+SELECT {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
+"""

@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from iceberg_examples_spark.operators import cdc_pipeline as CP
 from iceberg_examples_spark.operators import coverage as CV
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
@@ -41,8 +42,14 @@ QUERIES: dict[str, QueryFn] = {
     "agg_sum_by_key": R.agg_sum_by_key,
     "agg_count_distinct": R.agg_count_distinct,
     "tpch_q3": R.tpch_q3,
+    "tpch_q4": R.tpch_q4,
     "tpch_q5": R.tpch_q5,
     "tpch_q6": R.tpch_q6,
+    "tpch_q7": R.tpch_q7,
+    "tpch_q12": R.tpch_q12,
+    "tpch_q14": R.tpch_q14,
+    "tpch_q18": R.tpch_q18,
+    "tpch_q19": R.tpch_q19,
     # §2.3-2.6 extended relational surface
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
@@ -76,6 +83,7 @@ QUERIES: dict[str, QueryFn] = {
     "delete_pred": RS.delete_pred_query,
     "schema_evolution": RS.schema_evolution_query,
     "upsert_by_key": RS.upsert_by_key_query,
+    "cdc_pipeline": CP.cdc_pipeline,
     # §2.9 LLM-pipeline extensions: text analysis
     "text_token_count": TX.token_count,
     "text_lang_id": TX.lang_id,
