@@ -47,6 +47,10 @@ HEADLINE = [
     "salted_agg",
     "multimodal_meta",
     "partition_prune",
+    "tpch_q7",
+    "tpch_q18",
+    "dedup_components",
+    "cdc_pipeline",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of
