@@ -149,3 +149,62 @@ def test_scd2_matches_model(spark, dim_spec, stg_spec):
     for k, (name, e) in stg_spec.items():
         expected[(k, _d(e))] = (name, True, HIGH)
     assert result == expected
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.dictionaries(keys, vals, max_size=4),
+    source=st.dictionaries(keys, st.tuples(vals, vals), max_size=4),
+)
+def test_merge_star_ignores_extra_and_nullfills_missing(spark, target, source):
+    """Star-merge schema tolerance: source's extra column is ignored;
+    matched rows update only shared columns; inserts carry shared columns
+    (here all shared ones are present, extra dropped)."""
+    t = spark.createDataFrame(
+        list(target.items()) or [(None, None)], "id long, v string"
+    ).filter(F.col("id").isNotNull())
+    s = spark.createDataFrame(
+        [(k, v, extra) for k, (v, extra) in source.items()]
+        or [(None, None, None)],
+        "id long, v string, extra string",
+    ).filter(F.col("id").isNotNull())
+    result = {r.id: r.v for r in M.merge_star(t, s, ["id"]).collect()}
+    expected = dict(target)
+    expected.update({k: v for k, (v, _) in source.items()})
+    assert result == expected
+    assert "extra" not in M.merge_star(t, s, ["id"]).columns
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=0, max_size=20
+    ),
+)
+def test_replicate_dim_join_row_identical(spark, fact):
+    """Salted replicated-dim join must be row-for-row identical to the
+    plain join, including duplicate fact rows and unmatched dim keys."""
+    from iceberg_examples_spark.functions.skew import replicate_dim_join
+
+    f = spark.createDataFrame(
+        [(k, uid) for k, uid in fact] or [(None, None)], "k long, uid long"
+    ).filter(F.col("k").isNotNull())
+    d = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two")], "k long, name string"
+    )
+    salted = sorted(
+        (r.k, r.uid, r.name)
+        for r in replicate_dim_join(f, d, "k", "uid", n_salts=4).collect()
+    )
+    plain = sorted(
+        (r.k, r.uid, r.name) for r in f.join(d, "k", "inner").collect()
+    )
+    assert salted == plain
