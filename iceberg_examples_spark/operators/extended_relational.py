@@ -224,3 +224,53 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
     )
+
+
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface: per-customer running order total and previous
+    order gap (cumsum over rowsBetween + lag). Exact integer accumulation
+    inside the window so the running values hash identically cross-engine."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    running = (
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        / 100.0
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        running.alias("running_total"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all (status × priority) combinations including
+    both partial totals — 4 grouping sets in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+def collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic collection aggregate: sorted DISTINCT set per group
+    (collect_set is unordered — array_sort makes it comparable; plain
+    collect_list would be partition-order-dependent and can never be
+    oracle-checked)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+    )

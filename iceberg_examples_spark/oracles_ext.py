@@ -724,3 +724,30 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#2' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 30)
    OR (p_brand = 'Brand#3' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
 """
+
+EXT_ORACLES["running_totals"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+         AS running_total,
+       lag(o_orderkey) OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+FROM orders
+WHERE o_custkey < 200
+"""
+
+EXT_ORACLES["agg_cube"] = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+EXT_ORACLES["collect_sets"] = """
+SELECT c_nationkey,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer GROUP BY c_nationkey
+"""

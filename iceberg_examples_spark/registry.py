@@ -56,6 +56,9 @@ QUERIES: dict[str, QueryFn] = {
     "agg_rollup": XR.agg_rollup,
     "asof_join": XR.asof_join,
     "range_join_buckets": XR.range_join_buckets,
+    "running_totals": XR.running_totals,
+    "agg_cube": XR.agg_cube,
+    "collect_sets": XR.collect_sets,
     "salted_agg": XR.salted_agg_query,
     "skew_join": XR.skew_join_query,
     "pivot_status": XR.pivot_status,
