@@ -72,14 +72,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every testdata table as a temp view (SQL entry point EP1)."""
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register testdata tables as temp views (SQL entry point EP1).
+    Pass ``tables`` to register only what a query needs — registering all
+    ten costs ten footer reads and clobbers same-named caller views."""
     out: dict[str, DataFrame] = {}
-    for name in TABLES:
+    for name in tables if tables is not None else TABLES:
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def scratch_dir(sf_dir: str, name: str, fresh: bool = False) -> str:
+    """Per-process scratch path for query-internal writes:
+    ``/tmp/ies_<name>_<sf-tag>_<pid>``. The pid suffix isolates concurrent
+    processes (bench + pytest racing on one path would rmtree snapshots
+    out from under each other's lazy jobs); ``fresh`` clears leftovers
+    from a previous run of THIS pid."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/ies_{name}_{tag}_{os.getpid()}"
+    if fresh:
+        shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 class LocalTable:

@@ -24,22 +24,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def deterministic_salt(unique_col: str, n_salts: int) -> Column:
-    """Stable salt in [0, n_salts): murmur3 of a unique column."""
-    return F.pmod(F.hash(F.col(unique_col)), F.lit(n_salts))
+def deterministic_salt(unique_cols: str | list[str], n_salts: int) -> Column:
+    """Stable salt in [0, n_salts): murmur3 of column(s) that are unique
+    (or near-unique) PER ROW. Salting on a column shared by a hot key's
+    rows would send them all to one salt — defeating the point — so pass
+    the finest-grained identity available (e.g. ["l_orderkey",
+    "l_linenumber"], not just l_orderkey)."""
+    cols = [unique_cols] if isinstance(unique_cols, str) else unique_cols
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts))
 
 
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     sum_cols: dict[str, str],
-    unique_col: str,
+    unique_cols: str | list[str],
     n_salts: int = 8,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: partial sums+counts on
     (keys, salt), then final combine on keys. ``sum_cols`` maps output
     alias → input column. Emits sum_<alias> and n_rows."""
-    salted = df.withColumn("__salt", deterministic_salt(unique_col, n_salts))
+    salted = df.withColumn("__salt", deterministic_salt(unique_cols, n_salts))
     partial = salted.groupBy(*keys, "__salt").agg(
         *[F.sum(src).alias(f"__p_{alias}") for alias, src in sum_cols.items()],
         F.count(F.lit(1)).alias("__p_n"),
@@ -54,7 +59,7 @@ def replicate_dim_join(
     fact: DataFrame,
     dim: DataFrame,
     key: str,
-    fact_unique_col: str,
+    fact_unique_cols: str | list[str],
     n_salts: int = 8,
     how: str = "inner",
 ) -> DataFrame:
@@ -66,6 +71,6 @@ def replicate_dim_join(
     )
     dim_rep = dim.crossJoin(F.broadcast(salts))
     fact_salted = fact.withColumn(
-        "__salt", deterministic_salt(fact_unique_col, n_salts)
+        "__salt", deterministic_salt(fact_unique_cols, n_salts)
     )
     return fact_salted.join(dim_rep, [key, "__salt"], how).drop("__salt")

@@ -15,13 +15,10 @@ only change is the sink (Iceberg MoR via sources/iceberg_compat.py).
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_examples_spark.catalog import LocalTable, load_table
+from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
 from iceberg_examples_spark.operators.mutations import merge_upsert
 
 
@@ -50,18 +47,15 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejected by the guard), each merged and committed as a snapshot:
 
     - batch ts=3: +100.00 for custkey % 7 == 0
-    - batch ts=2: +999.00 for custkey % 3 == 0  → STALE where ts=3 already
-      applied? No: guard compares per-row; all rows still at ts=1 accept
-      it — staleness is exercised by the next batch instead
+    - batch ts=2: +999.00 for custkey % 3 == 0 — the guard is PER-ROW:
+      rows still at ts=1 accept it, but %21 rows (already at ts=3 from
+      the first batch) reject it as stale — out-of-order CDC handled
     - batch ts=2 (again, +555.00 for custkey % 3 == 0): rejected for every
-      row already at ts=2 (not strictly newer) — the CDC dedup guarantee.
+      row already at ts>=2 (not strictly newer) — the CDC dedup guarantee.
 
     Returns the final dimension (custkey, name, balance, change_ts)."""
     base = _initial_dim(spark, sf_dir)
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/ies_cdc_pipeline_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    table = LocalTable(spark, root)
+    table = LocalTable(spark, scratch_dir(sf_dir, "cdc_pipeline", fresh=True))
     table.create(base)
 
     guard = F.col("t.change_ts") < F.col("s.change_ts")
@@ -76,10 +70,10 @@ def cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         table.overwrite(merged)
 
-    assert [s["operation"] for s in table.snapshots()] == [
-        "create",
-        "overwrite",
-        "overwrite",
-        "overwrite",
-    ]
+    lineage = [s["operation"] for s in table.snapshots()]
+    if lineage != ["create", "overwrite", "overwrite", "overwrite"]:
+        raise RuntimeError(
+            f"cdc_pipeline: unexpected snapshot lineage {lineage} — stale "
+            "table state survived the scratch reset"
+        )
     return table.read()

@@ -11,7 +11,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_examples_spark.catalog import LocalTable, load_table
+from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
 from iceberg_examples_spark.functions.exact import money_sum_sql
 
 
@@ -74,13 +74,7 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     table-version surface of `IcebergJavaApiAppend.java:92-94` re-expressed.
     Output: one row per snapshot with its row count; the oracle recomputes
     both counts from the raw table."""
-    import shutil
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/ies_time_travel_{tag}"
-    shutil.rmtree(root, ignore_errors=True)  # fresh table per run: the
-    # snapshot log would otherwise grow (full data copies) across runs
-    t = LocalTable(spark, root)
+    t = LocalTable(spark, scratch_dir(sf_dir, "time_travel", fresh=True))
     orders = load_table(spark, sf_dir, "orders")
     t.overwrite(orders.filter(F.col("o_orderstatus") == "F"))
     base_version = t.current_version
@@ -123,7 +117,7 @@ def sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces the identical plan to the DataFrame formulation."""
     from iceberg_examples_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=["orders", "customer", "nation"])
     return spark.sql(f"""
         SELECT n_name,
                count(*) AS n_orders,
@@ -168,8 +162,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     it back with an explicit schema (never inferSchema at scale — it costs
     a full extra pass), aggregate. The oracle recomputes from the raw
     table, proving the CSV round-trip is lossless for these types."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/ies_csv_roundtrip_{tag}"
+    out = scratch_dir(sf_dir, "csv_roundtrip")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
@@ -187,8 +180,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink coverage: columnar alternative format with the same
     pushdown/pruning contract as parquet."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/ies_orc_roundtrip_{tag}"
+    out = scratch_dir(sf_dir, "orc_roundtrip")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )

@@ -117,12 +117,13 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join via bucketing: pair each order with the lineitems shipped
-    within 30 days after the order date. Naive formulation is an
-    inequality join (O(n·m) nested loop); the scalable pattern bucketizes
-    the range key to month so the join is *equi* on (orderkey) here —
-    demonstrated on the natural key join + range predicate, where the
-    equi-key carries the join and the range is a residual filter."""
+    """Range predicate riding an equi-join: lineitems shipped within 30
+    days of their order's date — the equi-key (orderkey) carries the join
+    and the date range is a residual filter, so no nested loop appears.
+    (A true range join with NO shared key would instead bucketize the
+    range key — join on the time bucket, filter the residual — which is
+    the month-bucket pattern write_partitioned + partition_prune
+    demonstrate on the storage side.)"""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
@@ -154,7 +155,11 @@ def salted_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty_c", F.expr("cast(round(l_quantity * 100) as bigint)")
     )
     out = salted_agg(
-        li, ["l_returnflag"], {"qty": "qty_c"}, unique_col="l_orderkey", n_salts=8
+        li,
+        ["l_returnflag"],
+        {"qty": "qty_c"},
+        unique_cols=["l_orderkey", "l_linenumber"],  # per-ROW unique
+        n_salts=8,
     )
     return out.select(
         "l_returnflag",
@@ -177,7 +182,11 @@ def skew_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
     joined = replicate_dim_join(
-        li, part, key="l_partkey", fact_unique_col="l_orderkey", n_salts=8
+        li,
+        part,
+        key="l_partkey",
+        fact_unique_cols=["l_orderkey", "l_quantity"],  # per-row identity
+        n_salts=8,
     )
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_items"),

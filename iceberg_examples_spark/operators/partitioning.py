@@ -93,8 +93,9 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (verify with .explain: PartitionFilters, one partition
     read) — and aggregate. The oracle computes the same aggregate from
     the raw table, proving the partitioned round-trip is lossless."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/ies_partitioned_lineitem_{tag}"
+    from iceberg_examples_spark.catalog import scratch_dir
+
+    out = scratch_dir(sf_dir, "partitioned_lineitem")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
     )

@@ -176,16 +176,11 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (stream → aggregate → atomic table commit per epoch). Complete
     mode + overwrite commit per batch means the final snapshot equals the
     batch rollup, which the window_hourly oracle verifies."""
-    import os
-
     from iceberg_examples_spark.catalog import LocalTable
 
-    import shutil
+    from iceberg_examples_spark.catalog import scratch_dir
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = f"/tmp/ies_stream_sink_{tag}"
-    shutil.rmtree(root, ignore_errors=True)  # don't accumulate snapshots
-    table = LocalTable(spark, root)
+    table = LocalTable(spark, scratch_dir(sf_dir, "stream_sink", fresh=True))
 
     agg = _hourly_rollup(_events_stream(spark, sf_dir))
 

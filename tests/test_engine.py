@@ -227,3 +227,19 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_parquet_footer_stats_match_actual_counts(spark, sf_dir):
+    """The pyarrow footer-reading path (metadata_files) at the ACTIVE sf:
+    row-group num_rows must sum to the table's true row count. (The
+    declared query pins sf0.01 because its oracle needs a literal path;
+    this covers the code path at other scale factors.)"""
+    import pyarrow.parquet as pq
+
+    for table in ["lineitem", "orders"]:
+        md = pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata
+        footer_rows = sum(
+            md.row_group(i).num_rows for i in range(md.num_row_groups)
+        )
+        actual = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+        assert footer_rows == actual

@@ -202,7 +202,7 @@ def test_replicate_dim_join_row_identical(spark, fact):
     )
     salted = sorted(
         (r.k, r.uid, r.name)
-        for r in replicate_dim_join(f, d, "k", "uid", n_salts=4).collect()
+        for r in replicate_dim_join(f, d, "k", ["uid"], n_salts=4).collect()
     )
     plain = sorted(
         (r.k, r.uid, r.name) for r in f.join(d, "k", "inner").collect()
