@@ -22,4 +22,20 @@ Design stance (see SURVEY.md):
 __version__ = "0.1.0"
 
 from iceberg_examples_spark.session import get_spark  # noqa: F401
-from iceberg_examples_spark.catalog import TABLES, load_table, register_views  # noqa: F401
+from iceberg_examples_spark.catalog import (  # noqa: F401
+    TABLES,
+    LocalTable,
+    load_table,
+    register_views,
+)
+from iceberg_examples_spark.operators.mutations import (  # noqa: F401
+    MergeCardinalityError,
+    delete_where,
+    evolve_add_column,
+    evolve_drop_column,
+    merge_star,
+    merge_upsert,
+    scd2_merge,
+    upsert_by_key,
+)
+from iceberg_examples_spark.registry import QUERIES, get_oracles  # noqa: F401

@@ -376,3 +376,56 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: returned-item revenue by customer — 4-way join with a
+    selective returnflag filter, grouped exact revenue, top-20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: top supplier(s) by quarterly revenue — a grouped
+    subquery whose MAX feeds an equality filter back onto itself (the
+    classic revenue-view pattern). The revenue subquery is computed once
+    and reused via self-join against its own max."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.expr(
+            money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            revenue.total_revenue == max_rev.mr,
+        )
+        .join(supp, revenue.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

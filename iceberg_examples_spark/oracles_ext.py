@@ -751,3 +751,32 @@ SELECT c_nationkey,
        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
 FROM customer GROUP BY c_nationkey
 """
+
+EXT_ORACLES["tpch_q10"] = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+EXT_ORACLES["tpch_q15"] = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""

@@ -46,8 +46,10 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q5": R.tpch_q5,
     "tpch_q6": R.tpch_q6,
     "tpch_q7": R.tpch_q7,
+    "tpch_q10": R.tpch_q10,
     "tpch_q12": R.tpch_q12,
     "tpch_q14": R.tpch_q14,
+    "tpch_q15": R.tpch_q15,
     "tpch_q18": R.tpch_q18,
     "tpch_q19": R.tpch_q19,
     # §2.3-2.6 extended relational surface
