@@ -104,3 +104,30 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``
+    grouping expression (Spark-native sessionization; the reference has no
+    streaming surface — SURVEY §2.8 extension). Semantics: a session's
+    window is ``[first_ts, last_ts + gap)``; an event exactly ``gap`` after
+    the previous one starts a NEW session (half-open interval — this is the
+    one boundary case where it differs from ``sessionize``'s ``> gap``
+    rule, and the oracle encodes ``>= gap`` accordingly).
+
+    Scale: one hash shuffle on user_id; session merging happens inside the
+    aggregation operator (no self-join, no window function), and the same
+    expression runs unchanged under Structured Streaming
+    (streaming/rollup.stream_session_window — verified equal)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

@@ -780,3 +780,48 @@ SELECT s_suppkey, s_name, total_revenue
 FROM revenue JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
+
+# ---- session_window + stream-stream join --------------------------------
+
+# session_window semantics: window = [first_ts, last_ts + gap), so an event
+# exactly `gap` after the previous one opens a NEW session — the flag is
+# `>= gap`, unlike sessionize's `> gap`. Shared by the batch operator and
+# its streaming twin (complete mode retains all sessions).
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_seq
+"""
+
+EXT_ORACLES["session_window_agg"] = _SESSION_WINDOW_SQL
+EXT_ORACLES["stream_session_window"] = _SESSION_WINDOW_SQL
+
+EXT_ORACLES["stream_stream_join"] = """
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
+"""

@@ -112,6 +112,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_hourly": E.window_hourly,
     "json_props": E.json_props,
     "sessionize": E.sessionize,
+    "session_window_agg": E.session_window_agg,
     # §2.7 M8 partition transforms
     "partition_prune": PT.partition_prune,
     # §2.9 multimodal columns
@@ -122,6 +123,8 @@ QUERIES: dict[str, QueryFn] = {
     "stream_dedup_latest": ST.stream_dedup_latest,
     "stream_sessionize": ST.stream_sessionize_stateful,
     "stream_to_table": ST.stream_to_table,
+    "stream_session_window": ST.stream_session_window,
+    "stream_stream_join": ST.stream_stream_join,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

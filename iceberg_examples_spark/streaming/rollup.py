@@ -193,3 +193,90 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return table.read()
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with the built-in ``session_window``
+    expression — the exact streaming twin of
+    ``events_ops.session_window_agg`` (same groupBy expression; complete
+    output mode retains all session state so the final table equals the
+    batch result, which the shared DuckDB oracle verifies).
+
+    Production shape: append mode + watermark, so only closed sessions
+    emit and state stays bounded; complete mode here makes the hermetic
+    run comparable to the batch oracle. Session merging is handled by the
+    stateful session-window operator — one shuffle on user_id, state is
+    one (start, end, count) tuple per open session."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition:
+    click→purchase attribution (same user, purchase within 10 minutes of
+    the click). Both sides are watermarked so the state store can evict
+    clicks older than the watermark minus the join range — the canonical
+    bounded-state stream-stream join.
+
+    Scale: state is O(events inside the watermark horizon), partitioned by
+    user_id; the time-range predicate bounds how long a click is
+    join-eligible. Run hermetically to completion in append mode; the
+    result is the full inner join (all data in one microbatch), which the
+    DuckDB oracle computes as a plain batch join."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("click_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+        ).alias("delay_us"),
+    )
+    return _run_to_memory(joined, "append")
