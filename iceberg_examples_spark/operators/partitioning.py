@@ -111,3 +111,60 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey): both
+    keys bounded to 10 bits, interleaved into a 20-bit z-value, rows
+    summarized per 1024-wide z-cell. This is the sort key the layout
+    helper ``write_zordered`` uses; the declared query checks the
+    interleave itself against the identical DuckDB expression
+    (functions/zorder.py renders both from one template).
+
+    Scale: computing z is a pure map (whole-stage codegen, no shuffle);
+    the one exchange is the cell rollup. Writing 100 TB z-sorted is a
+    single repartitionByRange(z) + sortWithinPartitions(z) pass — after
+    which predicates on EITHER key prune files via min/max stats."""
+    from iceberg_examples_spark.functions.zorder import zorder_sql_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_sql_spark(
+        "cast(l_partkey % 1024 as int)", "cast(l_suppkey % 1024 as int)"
+    )
+    return (
+        li.withColumn("z", F.expr(z).cast("bigint"))
+        .withColumn("z_cell", F.expr("z div 1024"))
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+    )
+
+
+def write_zordered(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    n_files: int = 8,
+) -> None:
+    """Write lineitem z-sorted on (l_partkey, l_suppkey):
+    repartitionByRange on z (contiguous z-ranges per file) +
+    sortWithinPartitions(z). Each output file then covers a compact
+    rectangle-ish region of the (partkey, suppkey) plane, so min/max file
+    stats prune on both columns — measured by
+    tests/test_engine.py::test_zorder_layout_locality."""
+    from iceberg_examples_spark.functions.zorder import zorder_sql_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zorder_sql_spark(
+        "cast(l_partkey % 1024 as int)", "cast(l_suppkey % 1024 as int)"
+    )
+    (
+        li.withColumn("z", F.expr(z).cast("bigint"))
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -825,3 +825,21 @@ JOIN events p
  AND p.ts >= c.ts
  AND epoch_us(p.ts) - epoch_us(c.ts) <= 600000000
 """
+
+# ---- z-order clustering --------------------------------------------------
+
+from iceberg_examples_spark.functions.zorder import zorder_sql_duckdb
+
+EXT_ORACLES["zorder_cells"] = f"""
+WITH zed AS (
+  SELECT CAST({zorder_sql_duckdb('CAST(l_partkey % 1024 AS INTEGER)',
+                                 'CAST(l_suppkey % 1024 AS INTEGER)')}
+              AS BIGINT) AS z
+  FROM lineitem
+)
+SELECT CAST(z // 1024 AS BIGINT) AS z_cell,
+       count(*) AS n_rows,
+       min(z) AS z_min,
+       max(z) AS z_max
+FROM zed GROUP BY 1
+"""

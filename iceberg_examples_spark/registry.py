@@ -115,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "session_window_agg": E.session_window_agg,
     # §2.7 M8 partition transforms
     "partition_prune": PT.partition_prune,
+    "zorder_cells": PT.zorder_cells,
     # §2.9 multimodal columns
     "multimodal_meta": MM.multimodal_meta,
     "multimodal_features": MM.multimodal_features,

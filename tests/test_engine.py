@@ -243,3 +243,45 @@ def test_parquet_footer_stats_match_actual_counts(spark, sf_dir):
         )
         actual = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
         assert footer_rows == actual
+
+
+def test_zorder_layout_locality(spark, sf_dir, tmp_path):
+    """Z-ordered layout must make file-level min/max stats selective on
+    BOTH clustering keys: a point predicate on l_partkey may only touch a
+    strict subset of files (random/unsorted layout touches all of them).
+    Measured directly from the parquet footers the scan planner would use."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from iceberg_examples_spark.operators.partitioning import write_zordered
+
+    out = str(tmp_path / "zorder")
+    write_zordered(spark, sf_dir, out, n_files=8)
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) > 1
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = min(
+            md.row_group(g).column(idx["l_partkey"]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx["l_partkey"]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+
+    glo = min(lo for lo, _ in ranges)
+    ghi = max(hi for _, hi in ranges)
+    probes = range(glo, ghi + 1, max(1, (ghi - glo) // 50))
+    hits = [
+        sum(1 for lo, hi in ranges if lo <= v <= hi) for v in probes
+    ]
+    avg_fraction = sum(hits) / len(hits) / len(files)
+    # z-sorted on (partkey, suppkey): a partkey point probe must prune
+    # most files; an unclustered layout would give fraction == 1.0
+    assert avg_fraction <= 0.6, f"poor partkey locality: {avg_fraction:.2f}"
