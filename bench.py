@@ -49,6 +49,9 @@ HEADLINE = [
     "partition_prune",
     "tpch_q7",
     "tpch_q18",
+    "tpch_q1",
+    "tpch_q9",
+    "tpch_q21",
     "dedup_components",
     "cdc_pipeline",
 ]

@@ -843,3 +843,198 @@ SELECT CAST(z // 1024 AS BIGINT) AS z_cell,
        max(z) AS z_max
 FROM zed GROUP BY 1
 """
+
+# ---- TPC-H completion set (operators/tpch_full.py) -----------------------
+
+from iceberg_examples_spark.functions.exact import money_avg_sql
+
+# derived partsupp stand-in shared by q2/q16/q20 (TESTDATA has no partsupp)
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost,
+         sum(CAST(l_quantity AS BIGINT)) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+"""
+
+EXT_ORACLES["tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {money_sum_sql('l_quantity', scale=100)} AS sum_qty,
+       {money_sum_sql('l_extendedprice', scale=100)} AS sum_base_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS sum_disc_price,
+       {money_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', scale=1000000)} AS sum_charge,
+       {money_avg_sql('l_quantity', scale=100)} AS avg_qty,
+       {money_avg_sql('l_extendedprice', scale=100)} AS avg_price,
+       {money_avg_sql('l_discount', scale=100)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+EXT_ORACLES["tpch_q2"] = f"""
+WITH ps AS ({_PS_SQL}),
+eu AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost,
+         min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM eu WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 20
+"""
+
+_Q8_NUM = money_sum_sql(
+    "CASE WHEN supp_nation = 'NATION_1' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+    scale=10000,
+)
+_Q8_DEN = money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+EXT_ORACLES["tpch_q8"] = f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice, l_discount, n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year, ({_Q8_NUM}) / ({_Q8_DEN}) AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+EXT_ORACLES["tpch_q9"] = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {money_sum_sql('l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity', scale=10000)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+EXT_ORACLES["tpch_q11"] = f"""
+WITH n3 AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+),
+pv AS (
+  SELECT l_partkey, {money_sum_sql('l_extendedprice', scale=100)} AS part_value
+  FROM n3 GROUP BY 1
+),
+tot AS (
+  SELECT {money_sum_sql('l_extendedprice', scale=100)} AS total_value FROM n3
+)
+SELECT l_partkey, part_value FROM pv, tot
+WHERE part_value > 0.001 * total_value
+"""
+
+EXT_ORACLES["tpch_q13"] = """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count
+"""
+
+EXT_ORACLES["tpch_q16"] = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+EXT_ORACLES["tpch_q17"] = f"""
+WITH j AS (
+  SELECT l_quantity, l_extendedprice,
+         CAST(sum(CAST(l_quantity AS BIGINT))
+                OVER (PARTITION BY l_partkey) AS DOUBLE)
+           / count(*) OVER (PARTITION BY l_partkey) AS part_avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+)
+SELECT ({money_sum_sql('l_extendedprice', scale=100)}) / 7.0 AS avg_yearly
+FROM j WHERE l_quantity < 0.2 * part_avg_qty
+"""
+
+EXT_ORACLES["tpch_q20"] = f"""
+WITH ps AS ({_PS_SQL}),
+q96 AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty_1996
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+qual AS (
+  SELECT DISTINCT ps_suppkey
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN q96 ON ps_partkey = q96.l_partkey AND ps_suppkey = q96.l_suppkey
+  WHERE p_type = 'SMALL' AND ps_availqty > 0.5 * qty_1996
+)
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (SELECT ps_suppkey FROM qual)
+"""
+
+EXT_ORACLES["tpch_q21"] = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F' AND n_name = 'NATION_4'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+EXT_ORACLES["tpch_q22"] = f"""
+WITH seg AS (
+  SELECT c_custkey, c_acctbal, CAST(c_custkey % 10 AS INTEGER) AS cntryseg
+  FROM customer
+  WHERE CAST(c_custkey % 10 AS INTEGER) IN (1, 2, 3, 4, 5, 6, 7)
+),
+ab AS (
+  SELECT {money_avg_sql('c_acctbal', scale=100)} AS avg_bal
+  FROM seg WHERE c_acctbal > 0.0
+)
+SELECT cntryseg, count(*) AS numcust,
+       {money_sum_sql('c_acctbal', scale=100)} AS totacctbal
+FROM seg, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntryseg
+"""

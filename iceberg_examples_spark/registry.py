@@ -24,6 +24,7 @@ from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
 from iceberg_examples_spark.operators import similarity as SIM
 from iceberg_examples_spark.operators import text as TX
+from iceberg_examples_spark.operators import tpch_full as TF
 from iceberg_examples_spark.sources import multimodal as MM
 from iceberg_examples_spark.streaming import rollup as ST
 from iceberg_examples_spark.oracles import ORACLES
@@ -52,6 +53,18 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q15": R.tpch_q15,
     "tpch_q18": R.tpch_q18,
     "tpch_q19": R.tpch_q19,
+    # TPC-H completion set (operators/tpch_full.py)
+    "tpch_q1": TF.tpch_q1,
+    "tpch_q2": TF.tpch_q2,
+    "tpch_q8": TF.tpch_q8,
+    "tpch_q9": TF.tpch_q9,
+    "tpch_q11": TF.tpch_q11,
+    "tpch_q13": TF.tpch_q13,
+    "tpch_q16": TF.tpch_q16,
+    "tpch_q17": TF.tpch_q17,
+    "tpch_q20": TF.tpch_q20,
+    "tpch_q21": TF.tpch_q21,
+    "tpch_q22": TF.tpch_q22,
     # §2.3-2.6 extended relational surface
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
