@@ -168,3 +168,34 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-fact join that Spark's runtime bloom-filter rewrite
+    accelerates at scale: the filtered orders side (o_totalprice > 400000)
+    is small; lineitem is huge. At 100 TB neither side broadcasts, so
+    Catalyst injects `might_contain(bloom_filter_agg(o_orderkey), ...)`
+    into the lineitem scan — rows that can't join are dropped BEFORE the
+    shuffle, which is the whole win (the shuffle of the big side is the
+    bottleneck, and most of it would be discarded by the join anyway).
+
+    The session leaves the stock thresholds alone: at test scale Catalyst
+    correctly prefers a broadcast join (no bloom needed);
+    tests/test_engine.py::test_bloom_filter_injected proves the rewrite
+    engages under cluster-scale conditions (broadcast off, scan threshold
+    zeroed). Semantics are identical either way — one declared query, two
+    physical strategies picked by size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue"),
+        )
+    )

@@ -1038,3 +1038,22 @@ WHERE c_acctbal > avg_bal
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY cntryseg
 """
+
+EXT_ORACLES["bloom_prune_join"] = f"""
+SELECT o_orderpriority,
+       count(*) AS n_lines,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority
+"""
+
+# ---- relational k-means (operators/clustering.py) ------------------------
+
+from iceberg_examples_spark.operators.clustering import (
+    oracle_kmeans_sql,
+    oracle_knn_kmeans_sql,
+)
+
+EXT_ORACLES["kmeans_clusters"] = oracle_kmeans_sql()
+EXT_ORACLES["knn_kmeans_ivf"] = oracle_knn_kmeans_sql()

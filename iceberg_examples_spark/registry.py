@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from iceberg_examples_spark.operators import cdc_pipeline as CP
+from iceberg_examples_spark.operators import clustering as CL
 from iceberg_examples_spark.operators import coverage as CV
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
@@ -119,6 +120,8 @@ QUERIES: dict[str, QueryFn] = {
     # §2.9 similarity search
     "knn_cosine": SIM.knn_cosine,
     "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
     "embedding_neardup": SIM.embedding_neardup,
     # §2.8-2.9 event/stream-shaped ops (batch form)
     "dedup_latest": E.dedup_latest,
@@ -129,6 +132,7 @@ QUERIES: dict[str, QueryFn] = {
     # §2.7 M8 partition transforms
     "partition_prune": PT.partition_prune,
     "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
     # §2.9 multimodal columns
     "multimodal_meta": MM.multimodal_meta,
     "multimodal_features": MM.multimodal_features,

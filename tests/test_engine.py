@@ -285,3 +285,48 @@ def test_zorder_layout_locality(spark, sf_dir, tmp_path):
     # z-sorted on (partkey, suppkey): a partkey point probe must prune
     # most files; an unclustered layout would give fraction == 1.0
     assert avg_fraction <= 0.6, f"poor partkey locality: {avg_fraction:.2f}"
+
+
+def test_bloom_filter_injected(spark, sf_dir):
+    """Under cluster-scale conditions (no broadcast, application-side scan
+    threshold zeroed) Catalyst must rewrite bloom_prune_join to inject a
+    runtime bloom filter into the lineitem scan — the shuffle-avoidance
+    strategy the query's docstring claims for 100 TB."""
+    from iceberg_examples_spark.operators.partitioning import bloom_prune_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = bloom_prune_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        # and the filter sits on the lineitem side, upstream of the join
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_kmeans_inertia_decreases(spark, sf_dir):
+    """Lloyd's algorithm invariant: total inertia is non-increasing from
+    round to round (each assignment step and each centroid update can
+    only lower the objective). Evaluated on the exact integer distances,
+    so the comparison is noise-free."""
+    from iceberg_examples_spark.operators import clustering as CL
+
+    e = CL._long_form(spark, sf_dir)
+    cent = e.filter("vec_id < %d" % CL.K).selectExpr(
+        "cast(vec_id as int) as cid", "d", "v as c"
+    )
+    inertias = []
+    for _ in range(CL.NITER):
+        assign = CL._assign(e, cent)
+        inertias.append(assign.groupBy().sum("dist").collect()[0][0])
+        cent = CL._update(e, assign)
+    assert inertias == sorted(inertias, reverse=True)
+    assert inertias[-1] < inertias[0]  # it actually moved
