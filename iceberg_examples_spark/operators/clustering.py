@@ -276,3 +276,216 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
   FROM scored) t
 WHERE rnk <= {TOP_K}
 """
+
+
+# ---- product quantization (PQ) ------------------------------------------
+#
+# Same exact-integer relational machinery, applied per subspace: dim-64
+# vectors split into N_SUB=8 contiguous 8-dim subvectors, each quantized
+# by its own tiny k-means (PQ_K=4 codes, PQ_NITER=2 rounds). A vector's
+# PQ code is its per-subspace centroid ids — 8 small ints instead of 64
+# floats (the standard memory-bound ANN compression; at 100 TB the codes
+# table is ~1/30 the size of the raw embeddings and the ADC search below
+# never touches the raw vectors of the candidates).
+
+N_SUB = 8
+SUB_DIMS = 8
+PQ_K = 4
+PQ_NITER = 2
+
+
+def _pq_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _long_form(spark, sf_dir).withColumn(
+        "sub", F.expr(f"cast(d div {SUB_DIMS} as int)")
+    )
+
+
+def _pq_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    diff = F.col("v") - F.col("c")
+    d2 = (
+        e.join(F.broadcast(cent), on=["sub", "d"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.asc("dist"), F.asc("cid")
+    )
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid", "dist")
+    )
+
+
+def _pq_update(e: DataFrame, assign: DataFrame) -> DataFrame:
+    return (
+        e.join(assign.select("vec_id", "sub", "cid"), on=["vec_id", "sub"])
+        .groupBy("sub", "cid", "d")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("c")
+        )
+    )
+
+
+def _pq_fit(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Returns (final codebook, final assignment)."""
+    cent = e.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").cast("int").alias("cid"), "d", F.col("v").alias("c")
+    )
+    assign = None
+    for i in range(PQ_NITER):
+        assign = _pq_assign(e, cent)
+        cent = _pq_update(e, assign)
+    return cent, assign
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ code: (vec_id, sub, code) plus the exact integer
+    quantization error of that subvector under the final codebook."""
+    e = _pq_long_form(spark, sf_dir)
+    cent, _ = _pq_fit(e)
+    final = _pq_assign(e, cent)
+    return final.select(
+        "vec_id",
+        "sub",
+        F.col("cid").alias("code"),
+        F.col("dist").alias("qerr"),
+    )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) search over PQ codes: each query
+    (vec_id < N_QUERIES) builds its lookup table of exact distances to
+    every (subspace, code) centroid — N_SUB x PQ_K rows — then a
+    candidate's approximate distance is the code-indexed SUM of LUT
+    entries, never touching the candidate's raw vector. Top-TOP_K by
+    (adc ASC, neighbor_id ASC).
+
+    At scale this is the memory-bound ANN pattern: the LUT is built once
+    per query against the broadcast codebook; the scan side reads only
+    the 8-small-int codes table."""
+    e = _pq_long_form(spark, sf_dir)
+    cent, _ = _pq_fit(e)
+    codes = _pq_assign(e, cent).select(
+        F.col("vec_id").alias("neighbor_id"), "sub", F.col("cid").alias("code")
+    )
+    lut = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), on=["sub", "d"])
+        .groupBy(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("cid").alias("code"),
+        )
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("lut_dist")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lut_dist").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "adc", "rnk")
+    )
+
+
+def _pq_chain_ctes() -> list[str]:
+    """PQ fit chain as DuckDB CTEs (shared by both PQ oracles)."""
+    ctes = [
+        f"""pe AS (
+  SELECT vec_id, r.range AS d, CAST(r.range // {SUB_DIMS} AS INTEGER) AS sub,
+         CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * {SCALE})
+              AS BIGINT) AS v
+  FROM embeddings, range({DIMS}) r
+)""",
+        f"""pc0 AS (
+  SELECT sub, CAST(vec_id AS INTEGER) AS cid, d, v AS c
+  FROM pe WHERE vec_id < {PQ_K}
+)""",
+    ]
+    for i in range(1, PQ_NITER + 1):
+        prev = f"pc{i - 1}"
+        ctes.append(f"""pd{i} AS (
+  SELECT pe.vec_id, pe.sub, c.cid,
+         CAST(sum((pe.v - c.c) * (pe.v - c.c)) AS BIGINT) AS dist
+  FROM pe JOIN {prev} c ON pe.sub = c.sub AND pe.d = c.d
+  GROUP BY pe.vec_id, pe.sub, c.cid
+)""")
+        ctes.append(f"""pa{i} AS (
+  SELECT vec_id, sub, cid, dist FROM (
+    SELECT vec_id, sub, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM pd{i}) t
+  WHERE rn = 1
+)""")
+        ctes.append(f"""pc{i} AS (
+  SELECT a.sub, a.cid, pe.d,
+         CAST(floor(CAST(sum(pe.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM pe JOIN pa{i} a ON pe.vec_id = a.vec_id AND pe.sub = a.sub
+  GROUP BY a.sub, a.cid, pe.d
+)""")
+    # final assignment under the final codebook
+    ctes.append(f"""pdf AS (
+  SELECT pe.vec_id, pe.sub, c.cid,
+         CAST(sum((pe.v - c.c) * (pe.v - c.c)) AS BIGINT) AS dist
+  FROM pe JOIN pc{PQ_NITER} c ON pe.sub = c.sub AND pe.d = c.d
+  GROUP BY pe.vec_id, pe.sub, c.cid
+)""")
+    ctes.append("""paf AS (
+  SELECT vec_id, sub, cid, dist FROM (
+    SELECT vec_id, sub, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist ASC, cid ASC) AS rn
+    FROM pdf) t
+  WHERE rn = 1
+)""")
+    return ctes
+
+
+def oracle_pq_codes_sql() -> str:
+    body = ",\n".join(_pq_chain_ctes())
+    return f"""WITH {body}
+SELECT vec_id, sub, cid AS code, dist AS qerr FROM paf
+"""
+
+
+def oracle_pq_adc_sql() -> str:
+    extra = [
+        f"""lut AS (
+  SELECT pe.vec_id AS query_id, pe.sub, c.cid AS code,
+         CAST(sum((pe.v - c.c) * (pe.v - c.c)) AS BIGINT) AS lut_dist
+  FROM pe JOIN pc{PQ_NITER} c ON pe.sub = c.sub AND pe.d = c.d
+  WHERE pe.vec_id < {N_QUERIES}
+  GROUP BY pe.vec_id, pe.sub, c.cid
+)""",
+        """adc AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id,
+         CAST(sum(l.lut_dist) AS BIGINT) AS adc
+  FROM paf x
+  JOIN lut l ON l.sub = x.sub AND l.code = x.cid
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+)""",
+    ]
+    body = ",\n".join(_pq_chain_ctes() + extra)
+    return f"""WITH {body}
+SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT adc.*,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rnk
+  FROM adc) t
+WHERE rnk <= {TOP_K}
+"""

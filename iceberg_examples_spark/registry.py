@@ -122,6 +122,8 @@ QUERIES: dict[str, QueryFn] = {
     "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "kmeans_clusters": CL.kmeans_clusters,
     "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
     "embedding_neardup": SIM.embedding_neardup,
     # §2.8-2.9 event/stream-shaped ops (batch form)
     "dedup_latest": E.dedup_latest,
