@@ -1065,3 +1065,16 @@ from iceberg_examples_spark.operators.clustering import (
 
 EXT_ORACLES["pq_codes"] = oracle_pq_codes_sql()
 EXT_ORACLES["pq_adc_topk"] = oracle_pq_adc_sql()
+
+EXT_ORACLES["stream_static_join"] = f"""
+SELECT c_nationkey, event_type, count(*) AS n_events,
+       {money_sum_sql('value', scale=100)} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+EXT_ORACLES["incremental_view"] = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_value
+FROM orders GROUP BY 1
+"""

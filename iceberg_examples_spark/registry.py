@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     # snapshot/metadata surfaces (Iceberg #snapshots / #files analogue)
     "time_travel": CV.time_travel,
     "metadata_files": CV.metadata_files,
+    "incremental_view": CV.incremental_view,
     # EP1 SQL-string entry + grouped-map pandas UDAF surface
     "sql_entry": CV.sql_entry,
     "grouped_median_pandas": CV.grouped_median_pandas,
@@ -145,6 +146,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_to_table": ST.stream_to_table,
     "stream_session_window": ST.stream_session_window,
     "stream_stream_join": ST.stream_stream_join,
+    "stream_static_join": ST.stream_static_join,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

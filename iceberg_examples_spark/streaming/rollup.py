@@ -280,3 +280,25 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delay_us"),
     )
     return _run_to_memory(joined, "append")
+
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    customer dimension (broadcast — re-read per microbatch, so dimension
+    updates are picked up between batches; the canonical streaming
+    enrichment shape), then a grouped rollup per (nation, event_type) in
+    complete mode. Run to completion, so the result equals the batch
+    join+aggregate the DuckDB oracle computes.
+
+    At scale: the static side stays a broadcast (no stream repartition);
+    state is bounded by |nations| x |event types|."""
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete")
