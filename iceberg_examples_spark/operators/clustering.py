@@ -329,23 +329,22 @@ def _pq_update(e: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _pq_fit(e: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Returns (final codebook, final assignment)."""
+def _pq_fit(e: DataFrame) -> DataFrame:
+    """Returns the final codebook; callers re-assign under it (the
+    in-loop assignments are one codebook behind by construction)."""
     cent = e.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").cast("int").alias("cid"), "d", F.col("v").alias("c")
     )
-    assign = None
-    for i in range(PQ_NITER):
-        assign = _pq_assign(e, cent)
-        cent = _pq_update(e, assign)
-    return cent, assign
+    for _ in range(PQ_NITER):
+        cent = _pq_update(e, _pq_assign(e, cent))
+    return cent
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ code: (vec_id, sub, code) plus the exact integer
     quantization error of that subvector under the final codebook."""
     e = _pq_long_form(spark, sf_dir)
-    cent, _ = _pq_fit(e)
+    cent = _pq_fit(e)
     final = _pq_assign(e, cent)
     return final.select(
         "vec_id",
@@ -367,7 +366,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query against the broadcast codebook; the scan side reads only
     the 8-small-int codes table."""
     e = _pq_long_form(spark, sf_dir)
-    cent, _ = _pq_fit(e)
+    cent = _pq_fit(e)
     codes = _pq_assign(e, cent).select(
         F.col("vec_id").alias("neighbor_id"), "sub", F.col("cid").alias("code")
     )

@@ -222,8 +222,12 @@ def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the full recompute — which is precisely what the
     oracle checks (it aggregates the complete orders table directly).
 
-    At 100 TB: each maintenance step costs O(|delta| + |view|), not
-    O(|table|); the view merge is a join on the (tiny) group key."""
+    Cost honesty: the MAINTENANCE ARITHMETIC (delta aggregate + view
+    merge) is O(|delta| + |view|); the changelog extraction here rides
+    LocalTable.changes, whose exceptAll-of-snapshots demo implementation
+    is O(|table|). A production deployment swaps that layer for a real
+    O(|delta|) changelog (Iceberg incremental scan / Delta CDF) — the
+    maintenance algebra above it is exactly this code."""
     t = LocalTable(spark, scratch_dir(sf_dir, "ivm", fresh=True))
     orders = load_table(spark, sf_dir, "orders")
 

@@ -113,24 +113,53 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_scaled_keys_spark(li: DataFrame) -> tuple[str, str]:
+    """Range-scale (l_partkey, l_suppkey) into the 10-bit z domain:
+    ``key * 1024 div (max_key + 1)`` — monotonic, so z-locality in the
+    scaled plane IS locality in the raw keys. A modulo here would alias
+    distant keys into the same cell and defeat min/max pruning the moment
+    the key domain exceeds 1024. The two max() literals are planning-time
+    stats (one tiny agg — the same class of metadata AQE collects;
+    Iceberg/Delta z-ordering likewise reads column bounds before
+    clustering)."""
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).collect()[0]
+    return (
+        f"cast((l_partkey * 1024) div {int(mx.mp) + 1} as int)",
+        f"cast((l_suppkey * 1024) div {int(mx.ms) + 1} as int)",
+    )
+
+
+def zorder_sql_duckdb_scaled() -> str:
+    """The identical scaled interleave for the DuckDB oracle; the key
+    bounds come from inline scalar subqueries over the same table."""
+    from iceberg_examples_spark.functions.zorder import zorder_sql_duckdb
+
+    return zorder_sql_duckdb(
+        "CAST(l_partkey * 1024 // ((SELECT max(l_partkey) FROM lineitem) + 1) AS INTEGER)",
+        "CAST(l_suppkey * 1024 // ((SELECT max(l_suppkey) FROM lineitem) + 1) AS INTEGER)",
+    )
+
+
 def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (l_partkey, l_suppkey): both
-    keys bounded to 10 bits, interleaved into a 20-bit z-value, rows
-    summarized per 1024-wide z-cell. This is the sort key the layout
-    helper ``write_zordered`` uses; the declared query checks the
-    interleave itself against the identical DuckDB expression
-    (functions/zorder.py renders both from one template).
+    keys range-scaled to 10 bits (`_zorder_scaled_keys_spark`),
+    interleaved into a 20-bit z-value, rows summarized per 1024-wide
+    z-cell. This is the sort key the layout helper ``write_zordered``
+    uses; the declared query checks the interleave itself against the
+    identical DuckDB expression (functions/zorder.py renders both from
+    one template).
 
-    Scale: computing z is a pure map (whole-stage codegen, no shuffle);
-    the one exchange is the cell rollup. Writing 100 TB z-sorted is a
-    single repartitionByRange(z) + sortWithinPartitions(z) pass — after
-    which predicates on EITHER key prune files via min/max stats."""
+    Scale: computing z is a pure map (whole-stage codegen, no shuffle)
+    after one tiny bounds agg; the one exchange is the cell rollup.
+    Writing 100 TB z-sorted is a single repartitionByRange(z) +
+    sortWithinPartitions(z) pass — after which predicates on EITHER key
+    prune files via min/max stats."""
     from iceberg_examples_spark.functions.zorder import zorder_sql_spark
 
     li = load_table(spark, sf_dir, "lineitem")
-    z = zorder_sql_spark(
-        "cast(l_partkey % 1024 as int)", "cast(l_suppkey % 1024 as int)"
-    )
+    z = zorder_sql_spark(*_zorder_scaled_keys_spark(li))
     return (
         li.withColumn("z", F.expr(z).cast("bigint"))
         .withColumn("z_cell", F.expr("z div 1024"))
@@ -158,9 +187,7 @@ def write_zordered(
     from iceberg_examples_spark.functions.zorder import zorder_sql_spark
 
     li = load_table(spark, sf_dir, "lineitem")
-    z = zorder_sql_spark(
-        "cast(l_partkey % 1024 as int)", "cast(l_suppkey % 1024 as int)"
-    )
+    z = zorder_sql_spark(*_zorder_scaled_keys_spark(li))
     (
         li.withColumn("z", F.expr(z).cast("bigint"))
         .repartitionByRange(n_files, "z")

@@ -828,13 +828,13 @@ JOIN events p
 
 # ---- z-order clustering --------------------------------------------------
 
-from iceberg_examples_spark.functions.zorder import zorder_sql_duckdb
+from iceberg_examples_spark.operators.partitioning import (
+    zorder_sql_duckdb_scaled,
+)
 
 EXT_ORACLES["zorder_cells"] = f"""
 WITH zed AS (
-  SELECT CAST({zorder_sql_duckdb('CAST(l_partkey % 1024 AS INTEGER)',
-                                 'CAST(l_suppkey % 1024 AS INTEGER)')}
-              AS BIGINT) AS z
+  SELECT CAST({zorder_sql_duckdb_scaled()} AS BIGINT) AS z
   FROM lineitem
 )
 SELECT CAST(z // 1024 AS BIGINT) AS z_cell,
@@ -1053,16 +1053,12 @@ GROUP BY o_orderpriority
 from iceberg_examples_spark.operators.clustering import (
     oracle_kmeans_sql,
     oracle_knn_kmeans_sql,
-)
-
-EXT_ORACLES["kmeans_clusters"] = oracle_kmeans_sql()
-EXT_ORACLES["knn_kmeans_ivf"] = oracle_knn_kmeans_sql()
-
-from iceberg_examples_spark.operators.clustering import (
     oracle_pq_adc_sql,
     oracle_pq_codes_sql,
 )
 
+EXT_ORACLES["kmeans_clusters"] = oracle_kmeans_sql()
+EXT_ORACLES["knn_kmeans_ivf"] = oracle_knn_kmeans_sql()
 EXT_ORACLES["pq_codes"] = oracle_pq_codes_sql()
 EXT_ORACLES["pq_adc_topk"] = oracle_pq_adc_sql()
 
