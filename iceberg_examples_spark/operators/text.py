@@ -184,3 +184,42 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): split each document into 32-word
+    chunks via a user-defined TABLE function in a LATERAL join — the
+    row-expanding shape (one input row -> N output rows with custom
+    logic) that scalar UDFs can't express. The reference has no UDFs of
+    any kind (SURVEY §2.8); this completes the UDF/UDAF/UDTF coverage
+    triple alongside grouped_median_pandas (UDAF) and the mapInPandas
+    stages (UDF).
+
+    Posture: UDTFs are Python-side — the slow path. This op is genuinely
+    custom row expansion (the chunking loop); anything expressible with
+    explode/split built-ins should use those (see explode_tokens). The
+    chunking here is also exactly what an LLM-ingest pipeline does before
+    tokenization, so the demo is the real operator, not a toy.
+
+    At scale: UDTF evaluation is per-partition streaming (no state, no
+    shuffle); the plan is scan -> Generate -> project."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from iceberg_examples_spark.catalog import register_views
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = [w for w in re.split(r"\s+", text or "") if w]
+            for i in range(0, len(words), 32):
+                chunk = words[i : i + 32]
+                yield i // 32, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    register_views(spark, sf_dir, tables=["documents"])
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM documents d, LATERAL chunk_doc(d.text) c
+    """)

@@ -1074,3 +1074,22 @@ SELECT o_orderpriority, count(*) AS n_orders,
        {money_sum_sql('o_totalprice', scale=100)} AS total_value
 FROM orders GROUP BY 1
 """
+
+EXT_ORACLES["udtf_chunks"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+),
+c AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT))) AS ci
+  FROM w
+)
+SELECT doc_id,
+       CAST(ci AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(words, ci * 32 + 1, ci * 32 + 32),
+                       ' ') AS chunk_text,
+       CAST(least(32, len(words) - ci * 32) AS INTEGER) AS n_words
+FROM c
+"""

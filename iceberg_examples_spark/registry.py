@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     # EP1 SQL-string entry + grouped-map pandas UDAF surface
     "sql_entry": CV.sql_entry,
     "grouped_median_pandas": CV.grouped_median_pandas,
+    "udtf_chunks": TX.chunk_documents_udtf,
     # alternate format sources/sinks
     "csv_roundtrip": CV.csv_roundtrip,
     "orc_roundtrip": CV.orc_roundtrip,

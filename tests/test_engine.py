@@ -330,3 +330,20 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
         cent = CL._update(e, assign)
     assert inertias == sorted(inertias, reverse=True)
     assert inertias[-1] < inertias[0]  # it actually moved
+
+
+def test_shuffle_budget_new_tpch(spark, sf_dir):
+    """Exchange-count regression for the TPC-H completion set: dims must
+    broadcast and aggregations must reuse join partitioning where
+    possible; budgets are the counts the intended plans produce, so any
+    regression (a lost broadcast, a redundant repartition) fails here."""
+    from iceberg_examples_spark.operators import tpch_full as TF
+
+    def n_shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange hashpartitioning")
+
+    assert n_shuffles(TF.tpch_q1(spark, sf_dir)) <= 1  # lone groupBy
+    assert n_shuffles(TF.tpch_q17(spark, sf_dir)) <= 2  # window + agg
+    assert n_shuffles(TF.tpch_q13(spark, sf_dir)) <= 3
+    assert n_shuffles(TF.tpch_q21(spark, sf_dir)) <= 6
