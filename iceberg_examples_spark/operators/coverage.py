@@ -269,3 +269,33 @@ def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         (F.col("total_scaled").cast("double") / 100.0).alias("total_value"),
     )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/validation split over documents —
+    the LLM-pipeline staple deterministic_sample generalizes to: split
+    membership is a pure function of the doc key (md5-derived hash mod
+    100: <90 train, else val), so reruns, backfills, and other engines
+    produce the identical split, and the per-language stratification can
+    be audited (the output: per (lang, split) doc count + hash-sum
+    fingerprint of member ids).
+
+    At scale: a pure map + one tiny aggregation; no shuffle of the
+    corpus itself (membership never needs a global pass)."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_hash("cast(doc_id as string)")
+    return (
+        docs.withColumn(
+            "split",
+            F.when(F.expr(f"({h}) % 100") < 90, F.lit("train")).otherwise(
+                F.lit("val")
+            ),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("cast(doc_id as bigint)")).alias("id_sum"),
+        )
+    )

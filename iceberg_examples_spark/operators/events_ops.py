@@ -131,3 +131,32 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 1-hour windows sliding every 15 minutes, so
+    each event lands in 4 overlapping windows — the smoothed-rate shape
+    tumbling windows can't express (window_hourly is the tumbling twin;
+    the same expression runs under a watermark in streaming). The oracle
+    reproduces Spark's epoch-aligned window assignment arithmetically
+    (4 candidate starts per event, keep those within 1 hour).
+
+    Scale: F.window expands each row to its window memberships before the
+    partial aggregation — a x4 map-side blowup that the combiner
+    collapses; the exchange still carries only |windows|x|types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1093,3 +1093,29 @@ SELECT doc_id,
        CAST(least(32, len(words) - ci * 32) AS INTEGER) AS n_words
 FROM c
 """
+
+EXT_ORACLES["window_sliding"] = f"""
+WITH x AS (
+  SELECT event_type, value, epoch_us(ts) AS us, unnest(range(0, 4)) AS k
+  FROM events
+),
+wnd AS (
+  SELECT event_type, value,
+         (us // 900000000) * 900000000 - k * 900000000 AS ws
+  FROM x
+  WHERE (us // 900000000) * 900000000 - k * 900000000 > us - 3600000000
+)
+SELECT make_timestamp(ws) AS window_start, event_type,
+       count(*) AS n_events,
+       {money_sum_sql('value', scale=100)} AS sum_value
+FROM wnd GROUP BY 1, 2
+"""
+
+EXT_ORACLES["train_test_split"] = f"""
+SELECT lang,
+       CASE WHEN ({duck_md5_int("CAST(doc_id AS VARCHAR)")}) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1, 2
+"""

@@ -113,6 +113,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_simhash": TX.simhash16,
     "explode_tokens": TX.explode_tokens,
     "deterministic_sample": CV.deterministic_sample,
+    "train_test_split": CV.train_test_split,
     # §2.9 deduplication
     "dedup_exact": D.dedup_exact,
     "dedup_exact_keep": D.dedup_exact_keep,
@@ -133,6 +134,7 @@ QUERIES: dict[str, QueryFn] = {
     "json_props": E.json_props,
     "sessionize": E.sessionize,
     "session_window_agg": E.session_window_agg,
+    "window_sliding": E.window_sliding,
     # §2.7 M8 partition transforms
     "partition_prune": PT.partition_prune,
     "zorder_cells": PT.zorder_cells,
