@@ -347,3 +347,59 @@ def test_shuffle_budget_new_tpch(spark, sf_dir):
     assert n_shuffles(TF.tpch_q17(spark, sf_dir)) <= 2  # window + agg
     assert n_shuffles(TF.tpch_q13(spark, sf_dir)) <= 3
     assert n_shuffles(TF.tpch_q21(spark, sf_dir)) <= 6
+
+
+def test_kmeans_assignment_is_argmin(spark, sf_dir):
+    """Every vector's final cluster must be its true nearest final-round
+    centroid (lowest cid on ties) — recomputed independently in Python
+    from the collected long-form values."""
+    from collections import defaultdict
+
+    from iceberg_examples_spark.operators import clustering as CL
+
+    e = CL._long_form(spark, sf_dir)
+    cent = e.filter(f"vec_id < {CL.K}").selectExpr(
+        "cast(vec_id as int) as cid", "d", "v as c"
+    )
+    for i in range(CL.NITER - 1):
+        cent = CL._update(e, CL._assign(e, cent))
+    assign = {r.vec_id: r.cid for r in CL._assign(e, cent).collect()}
+
+    vecs = defaultdict(dict)
+    for r in e.collect():
+        vecs[r.vec_id][r.d] = r.v
+    cents = defaultdict(dict)
+    for r in cent.collect():
+        cents[r.cid][r.d] = r.c
+    for vid, dims in vecs.items():
+        best = min(
+            (
+                sum((dims[d] - c[d]) ** 2 for d in dims),
+                cid,
+            )
+            for cid, c in cents.items()
+        )[1]
+        assert assign[vid] == best, vid
+
+
+def test_udtf_chunks_reassemble(spark, sf_dir):
+    """Concatenating a document's chunks in chunk_idx order must rebuild
+    exactly its whitespace-normalized token stream, with every chunk but
+    the last holding exactly 32 words."""
+    from iceberg_examples_spark.operators.text import chunk_documents_udtf
+
+    rows = chunk_documents_udtf(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t and t.split()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        for c in chunks[:-1]:
+            assert c.n_words == 32
+        rebuilt = " ".join(c.chunk_text for c in chunks).split()
+        assert rebuilt == docs[doc_id].split()

@@ -208,3 +208,54 @@ def test_replicate_dim_join_row_identical(spark, fact):
         (r.k, r.uid, r.name) for r in f.join(d, "k", "inner").collect()
     )
     assert salted == plain
+
+
+# ---- z-order interleave properties --------------------------------------
+
+@given(
+    x=st.integers(min_value=0, max_value=1023),
+    y=st.integers(min_value=0, max_value=1023),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_interleave_invertible(x, y):
+    """The rendered z-expression must be the true Morton interleave:
+    decoding even/odd bits of z recovers (x, y) exactly — checked in pure
+    Python against the same expression DuckDB evaluates."""
+    import duckdb
+
+    from iceberg_examples_spark.functions.zorder import zorder_sql_duckdb
+
+    con = duckdb.connect()
+    z = con.sql(
+        f"SELECT {zorder_sql_duckdb(str(x), str(y))} AS z"
+    ).fetchone()[0]
+    dx = sum(((z >> (2 * i)) & 1) << i for i in range(10))
+    dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(10))
+    assert (dx, dy) == (x, y)
+
+
+@given(
+    a=st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+    b=st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+)
+@settings(max_examples=100, deadline=None)
+def test_zorder_locality_bound(a, b):
+    """Morton property used by the layout: if two points share their
+    top-k bits in BOTH coordinates, their z-values share the top-2k bits
+    (so they land in the same z-range → same file neighborhood)."""
+    import duckdb
+
+    from iceberg_examples_spark.functions.zorder import zorder_sql_duckdb
+
+    con = duckdb.connect()
+
+    def z(p):
+        return con.sql(
+            f"SELECT {zorder_sql_duckdb(str(p[0]), str(p[1]))} AS z"
+        ).fetchone()[0]
+
+    for k in range(1, 10):
+        if (a[0] >> (10 - k)) == (b[0] >> (10 - k)) and (
+            a[1] >> (10 - k)
+        ) == (b[1] >> (10 - k)):
+            assert (z(a) >> (20 - 2 * k)) == (z(b) >> (20 - 2 * k))
