@@ -54,6 +54,7 @@ HEADLINE = [
     "tpch_q21",
     "dedup_components",
     "cdc_pipeline",
+    "llm_prep_pipeline",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

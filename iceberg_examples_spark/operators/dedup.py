@@ -178,6 +178,14 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates. Planted near-dups (bigram Jaccard ≈ 0.9+) pass; unrelated
     word-soup pairs don't."""
     corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    return lsh_verified_pairs(corpus)
+
+
+def lsh_verified_pairs(corpus: DataFrame) -> DataFrame:
+    """The LSH band/verify machinery over any (doc_id, text, ...) corpus:
+    returns verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold).
+    Shared by minhash_lsh (planted-corpus declared query), the component
+    clustering, and the llm_prep_pipeline capstone."""
     # checkpoint the signatures so the self-join + verify joins read them
     # once instead of recomputing shingles+hashes per branch (at cluster
     # scale: a checkpoint/staging write to reliable storage, same shape)

@@ -1,0 +1,78 @@
+"""End-to-end LLM training-data preparation capstone (the composition the
+north-star extension operators exist for — `BASELINE.json:6`): one declared
+query chaining quality filtering → exact dedup → near-dup removal →
+deterministic train/val split → per-(lang, split) corpus stats, each stage
+the already-verified operator it reuses:
+
+    quality   operators/text.quality_score   (HOF token folds, no UDF)
+    exact     char_poly_hash fingerprint -> min-doc_id representative
+    near-dup  operators/dedup.lsh_verified_pairs (banded MinHash + verify)
+    split     md5-derived hash mod 100 (deterministic_sample's idiom)
+
+Stage order matters at 100 TB: the cheap map-only quality filter runs
+first (shrinks everything downstream), exact dedup's one shuffle runs
+before the LSH join (near-dup buckets never see byte-identical copies),
+and the split is a pure map at the end. Every intermediate stays
+distributed; the only driver traffic is the final tiny aggregate.
+
+Near-dup removal policy: any doc appearing as the LARGER id of a verified
+pair is dropped (greedy keep-lowest — deterministic and engine-mirrored;
+the transitive-closure variant is dedup_components' job).
+
+The DuckDB oracle (oracles_ext) recomposes the SAME stage fragments the
+individual oracles use, so the pipeline is hash-checked end-to-end, not
+just stage-by-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.texthash import char_poly_hash, md5_int_hash
+from iceberg_examples_spark.operators.dedup import lsh_verified_pairs
+from iceberg_examples_spark.operators.text import quality_score
+
+QUALITY_MIN = 4
+TRAIN_PCT = 90
+
+
+def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate → exact dedup → LSH near-dup removal → deterministic
+    train/val split → per-(lang, split) corpus stats, end-to-end (see
+    module docstring for stage order rationale)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (map-only): keep docs scoring >= QUALITY_MIN of 4
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    kept = docs.join(q, on="doc_id").filter(
+        F.col("quality") >= QUALITY_MIN
+    )
+
+    # 2. exact dedup: fingerprint group -> keep the min doc_id per text
+    fp = kept.withColumn("fp", F.expr(char_poly_hash("text")))
+    reps = fp.groupBy("fp", "text").agg(F.min("doc_id").alias("doc_id"))
+    kept = kept.join(reps.select("doc_id"), on="doc_id", how="left_semi")
+
+    # 3. near-dup removal: drop the larger id of every verified LSH pair
+    pairs = lsh_verified_pairs(kept.select("doc_id", "text"))
+    near_dups = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = kept.join(near_dups, on="doc_id", how="left_anti")
+
+    # 4. deterministic split + 5. corpus stats
+    h = md5_int_hash("cast(doc_id as string)")
+    return (
+        kept.withColumn(
+            "split",
+            F.when(
+                F.expr(f"({h}) % 100") < TRAIN_PCT, F.lit("train")
+            ).otherwise(F.lit("val")),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.expr("cast(doc_id as bigint)")).alias("id_sum"),
+        )
+    )

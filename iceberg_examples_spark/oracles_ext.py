@@ -1119,3 +1119,72 @@ SELECT lang,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents GROUP BY 1, 2
 """
+
+# ---- LLM data-prep capstone (operators/llm_pipeline.py) ------------------
+# Recomposes the SAME stage fragments the individual oracles use
+# (tokenization, quality folds, poly fingerprint, MinHash bands, Jaccard
+# verify, md5 split hash) so the end-to-end pipeline is hash-checked as
+# one query.
+
+_avg_len = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(toks, t -> CAST(length(t) AS BIGINT))), "
+    "(acc, x) -> acc + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)"
+)
+_sw_ratio = (
+    f"CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)"
+    " / CAST(len(toks) AS DOUBLE)"
+)
+_quality = (
+    "CAST(CAST(len(toks) >= 10 AS INT) + CAST(len(toks) <= 2000 AS INT)"
+    f" + CAST({_avg_len} >= 2.0 AS INT)"
+    f" + CAST({_sw_ratio} >= 0.01 AS INT) AS BIGINT)"
+)
+
+EXT_ORACLES["llm_prep_pipeline"] = f"""
+WITH t AS (SELECT doc_id, lang, text, {_toks} AS toks FROM documents),
+q AS (SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+             {_quality} AS quality
+      FROM t),
+kept1 AS (SELECT doc_id, lang, text, n_tokens FROM q WHERE quality >= 4),
+fp AS (SELECT doc_id, lang, text, n_tokens, {_poly_text} AS fp FROM kept1),
+reps AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp, text),
+kept2 AS (SELECT f.doc_id, f.lang, f.text, f.n_tokens
+          FROM fp f JOIN reps r USING (doc_id)),
+ptok AS (SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM kept2),
+psh AS (SELECT doc_id, {_duck_shingles} AS shingles FROM ptok),
+pxs AS (SELECT doc_id, shingles,
+        list_transform(shingles, s -> {duck_md5_int('s')} % {MOD}) AS xs
+        FROM psh),
+psig AS (SELECT doc_id, shingles, {_mh_cols} FROM pxs),
+pband AS (
+  SELECT doc_id, b.band_idx, {_band_case} AS band_hash
+  FROM psig, (VALUES {', '.join(f'({b})' for b in range(N_BANDS))}) b(band_idx)
+),
+ppairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pband a JOIN pband b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+pver AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                  AS DOUBLE) AS jaccard
+  FROM ppairs p
+  JOIN psh sa ON sa.doc_id = p.doc_a
+  JOIN psh sb ON sb.doc_id = p.doc_b
+),
+pdrop AS (SELECT DISTINCT doc_b AS doc_id FROM pver
+          WHERE jaccard >= {JACCARD_THRESHOLD}),
+kept3 AS (SELECT * FROM kept2
+          WHERE doc_id NOT IN (SELECT doc_id FROM pdrop))
+SELECT lang,
+       CASE WHEN ({duck_md5_int("CAST(doc_id AS VARCHAR)")}) % 100 < 90
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept3 GROUP BY 1, 2
+"""

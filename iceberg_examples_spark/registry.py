@@ -20,6 +20,7 @@ from iceberg_examples_spark.operators import coverage as CV
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
 from iceberg_examples_spark.operators import extended_relational as XR
+from iceberg_examples_spark.operators import llm_pipeline as LP
 from iceberg_examples_spark.operators import partitioning as PT
 from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
@@ -114,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "explode_tokens": TX.explode_tokens,
     "deterministic_sample": CV.deterministic_sample,
     "train_test_split": CV.train_test_split,
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
     # §2.9 deduplication
     "dedup_exact": D.dedup_exact,
     "dedup_exact_keep": D.dedup_exact_keep,
