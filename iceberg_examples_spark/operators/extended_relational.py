@@ -283,3 +283,40 @@ def collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
         F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
     )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of pivot_status: four lineitem measure
+    columns rotated into (metric, val) long form, one output row per
+    (row, metric). Spark's native `unpivot` is a zero-shuffle Expand node
+    (each input row emits 4 rows in the same task); the oracle spells the
+    same relation as a 4-way UNION ALL, which is what Expand computes.
+    Bounded to the first orders so the declared result stays
+    driver-collectable at any sf."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1000
+    )
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    multiplicity-preserving twins of set_ops' DISTINCT variants: customer
+    keys by order status, keeping duplicate counts (a customer with 3 'F'
+    and 1 'O' order contributes min(3,1)=1 to the intersection and
+    3-1=2 to the difference). Catalyst plans both as a single aggregate
+    computing per-key counts on each side — one shuffle, no join."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return (
+        f.intersectAll(o)
+        .withColumn("tag", F.lit("both"))
+        .unionByName(f.exceptAll(o).withColumn("tag", F.lit("only_f")))
+        .select("tag", "o_custkey")
+    )

@@ -1188,3 +1188,29 @@ SELECT lang,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM kept3 GROUP BY 1, 2
 """
+
+EXT_ORACLES["unpivot_metrics"] = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 1000
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey < 1000
+"""
+
+EXT_ORACLES["set_ops_all"] = """
+SELECT 'both' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT 'only_f' AS tag, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+"""

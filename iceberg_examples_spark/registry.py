@@ -70,6 +70,8 @@ QUERIES: dict[str, QueryFn] = {
     # §2.3-2.6 extended relational surface
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
+    "set_ops_all": XR.set_ops_all,
+    "unpivot_metrics": XR.unpivot_metrics,
     "agg_rollup": XR.agg_rollup,
     "asof_join": XR.asof_join,
     "range_join_buckets": XR.range_join_buckets,
