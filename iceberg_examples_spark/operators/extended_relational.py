@@ -320,3 +320,24 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(f.exceptAll(o).withColumn("tag", F.lit("only_f")))
         .select("tag", "o_custkey")
     )
+
+
+def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/navigation window family in one pass: lead, lag, ntile,
+    percent_rank, dense_rank over each customer's order history — all
+    computed from ONE window sort (single shuffle on o_custkey, one sort
+    per partition; Catalyst fuses same-spec window functions into one
+    Window node). Bounded to keys < 200 to stay driver-collectable."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+    )

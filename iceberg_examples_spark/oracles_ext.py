@@ -1214,3 +1214,15 @@ SELECT 'only_f' AS tag, o_custkey FROM (
   EXCEPT ALL
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
 """
+
+EXT_ORACLES["window_rank_funcs"] = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       CAST(dense_rank() OVER w AS INTEGER) AS drank
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""

@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join": XR.asof_join,
     "range_join_buckets": XR.range_join_buckets,
     "running_totals": XR.running_totals,
+    "window_rank_funcs": XR.window_rank_funcs,
     "agg_cube": XR.agg_cube,
     "collect_sets": XR.collect_sets,
     "salted_agg": XR.salted_agg_query,
