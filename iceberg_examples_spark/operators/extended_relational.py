@@ -341,3 +341,41 @@ def window_rank_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType in-plan coverage: per-customer map of order-status →
+    order-count built with map_from_entries(collect_list(struct(...))),
+    then consumed with element_at / size / map_keys — the complex-type
+    family the array ops (embeddings/tokens) don't touch. The map stays
+    inside the plan; the declared output is scalar lookups, so the
+    cross-engine hash needs no map serialization convention.
+
+    Scale: one shuffle (groupBy custkey); the inner status aggregation is
+    a partial-combine count, the map build is a per-group map-side fold."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 500
+    )
+    per_status = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    with_map = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderstatus", F.col("n")))
+            )
+        ).alias("status_counts")
+    )
+    return with_map.select(
+        "o_custkey",
+        F.coalesce(
+            F.element_at("status_counts", "F"), F.lit(0).cast("bigint")
+        ).alias("n_f"),
+        F.coalesce(
+            F.element_at("status_counts", "O"), F.lit(0).cast("bigint")
+        ).alias("n_o"),
+        F.coalesce(
+            F.element_at("status_counts", "P"), F.lit(0).cast("bigint")
+        ).alias("n_p"),
+        F.size("status_counts").cast("bigint").alias("n_statuses"),
+    )

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.exact import money_sum_sql
 from iceberg_examples_spark.operators import mutations as M
 from iceberg_examples_spark.sources.json_source import read_json_lines
 
@@ -256,3 +258,33 @@ def upsert_by_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_infer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 — JSON schema inference, Setup.java:56-60."""
     return read_json_lines(spark)
+
+
+def merge_upsert_scale_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M1/M7 mutation algebra at DATA scale (the reference's literal
+    seeds prove semantics; this proves the same `upsert_by_key` holds on
+    the sf-sized fact table): change batch = every 10th order (md5-hash
+    selected, deterministic) with its totalprice bumped, plus a disjoint
+    band of brand-new orders (o_orderkey + 10_000_000). Final state =
+    anti-join + union — one broadcast anti join of the target when the
+    batch is small, exactly the 100 TB merge-on-read posture.
+
+    Output: per-status row count + exact totalprice sum of the final
+    state (the full post-merge table is sf-sized — the declared result
+    aggregates it so the driver compare stays bounded)."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = md5_int_hash("cast(o_orderkey as string)")
+    updates = orders.filter(F.expr(f"({h}) % 10 = 0")).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    inserts = orders.filter(F.expr(f"({h}) % 10 = 1")).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    changes = updates.unionByName(inserts)
+    final = M.upsert_by_key(orders, changes, keys=["o_orderkey"])
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total"),
+    )

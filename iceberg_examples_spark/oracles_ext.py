@@ -1226,3 +1226,32 @@ FROM orders
 WHERE o_custkey < 200
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
+
+EXT_ORACLES["map_type_ops"] = """
+SELECT o_custkey,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+       count(DISTINCT o_orderstatus) AS n_statuses
+FROM orders WHERE o_custkey < 500
+GROUP BY o_custkey
+"""
+
+EXT_ORACLES["merge_upsert_scale"] = f"""
+WITH h AS (
+  SELECT *, ({duck_md5_int("CAST(o_orderkey AS VARCHAR)")}) % 10 AS hb
+  FROM orders
+),
+final AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN hb = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM h
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice
+  FROM h WHERE hb = 1
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS total
+FROM final GROUP BY o_orderstatus
+"""

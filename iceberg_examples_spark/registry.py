@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_rank_funcs": XR.window_rank_funcs,
     "agg_cube": XR.agg_cube,
     "collect_sets": XR.collect_sets,
+    "map_type_ops": XR.map_type_ops,
     "salted_agg": XR.salted_agg_query,
     "skew_join": XR.skew_join_query,
     "pivot_status": XR.pivot_status,
@@ -108,6 +109,7 @@ QUERIES: dict[str, QueryFn] = {
     "delete_pred": RS.delete_pred_query,
     "schema_evolution": RS.schema_evolution_query,
     "upsert_by_key": RS.upsert_by_key_query,
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
     "cdc_pipeline": CP.cdc_pipeline,
     # §2.9 LLM-pipeline extensions: text analysis
     "text_token_count": TX.token_count,
