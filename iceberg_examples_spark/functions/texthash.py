@@ -102,3 +102,18 @@ def char_ngram_shingles(col: str, n: int = 3) -> str:
         f"array_distinct(transform(sequence(1, greatest(length({col}) - {n - 1}, 1)), "
         f"i -> substring({col}, i, {n})))"
     )
+
+
+TRAIN_PCT = 90
+
+
+def train_val_split_sql(key_expr: str, train_pct: int = TRAIN_PCT) -> str:
+    """Deterministic train/val membership as a Spark SQL expression: a
+    pure function of the row key (md5-derived hash mod 100), so reruns,
+    backfills, and the DuckDB oracle (duck_train_val_split) agree
+    exactly. One definition shared by the standalone train_test_split
+    operator and the llm_prep_pipeline split stage."""
+    h = md5_int_hash(f"cast({key_expr} as string)")
+    return (
+        f"case when ({h}) % 100 < {train_pct} then 'train' else 'val' end"
+    )

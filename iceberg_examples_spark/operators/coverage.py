@@ -282,17 +282,11 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale: a pure map + one tiny aggregation; no shuffle of the
     corpus itself (membership never needs a global pass)."""
-    from iceberg_examples_spark.functions.texthash import md5_int_hash
+    from iceberg_examples_spark.functions.texthash import train_val_split_sql
 
     docs = load_table(spark, sf_dir, "documents")
-    h = md5_int_hash("cast(doc_id as string)")
     return (
-        docs.withColumn(
-            "split",
-            F.when(F.expr(f"({h}) % 100") < 90, F.lit("train")).otherwise(
-                F.lit("val")
-            ),
-        )
+        docs.withColumn("split", F.expr(train_val_split_sql("doc_id")))
         .groupBy("lang", "split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

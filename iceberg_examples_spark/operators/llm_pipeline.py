@@ -30,12 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
-from iceberg_examples_spark.functions.texthash import char_poly_hash, md5_int_hash
+from iceberg_examples_spark.functions.texthash import (
+    char_poly_hash,
+    train_val_split_sql,
+)
 from iceberg_examples_spark.operators.dedup import lsh_verified_pairs
-from iceberg_examples_spark.operators.text import quality_score
+from iceberg_examples_spark.operators.text import with_quality_metrics
 
 QUALITY_MIN = 4
-TRAIN_PCT = 90
 
 
 def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,10 +46,18 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring for stage order rationale)."""
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. quality gate (map-only): keep docs scoring >= QUALITY_MIN of 4
-    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
-    kept = docs.join(q, on="doc_id").filter(
-        F.col("quality") >= QUALITY_MIN
+    # 1. quality gate — genuinely map-only: the metric columns are pure
+    # per-row expressions appended to the ONE corpus scan (no re-scan,
+    # no self-join)
+    # checkpointed: stages 2-3 reference the gated corpus from multiple
+    # plan branches (representative join, LSH signatures, anti-joins) —
+    # without materialization each branch would re-run the quality folds
+    # (at cluster scale: a staging write of the gated corpus, same shape)
+    kept = (
+        with_quality_metrics(docs)
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .select("doc_id", "lang", "text", "n_tokens")
+        .localCheckpoint(eager=True)
     )
 
     # 2. exact dedup: fingerprint group -> keep the min doc_id per text
@@ -61,13 +71,9 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = kept.join(near_dups, on="doc_id", how="left_anti")
 
     # 4. deterministic split + 5. corpus stats
-    h = md5_int_hash("cast(doc_id as string)")
     return (
         kept.withColumn(
-            "split",
-            F.when(
-                F.expr(f"({h}) % 100") < TRAIN_PCT, F.lit("train")
-            ).otherwise(F.lit("val")),
+            "split", F.expr(train_val_split_sql("doc_id"))
         )
         .groupBy("lang", "split")
         .agg(

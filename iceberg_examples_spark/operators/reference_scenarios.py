@@ -279,8 +279,12 @@ def merge_upsert_scale_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = orders.filter(F.expr(f"({h}) % 10 = 0")).withColumn(
         "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
     )
+    # new keys = -(k+1): the negative keyspace is disjoint from the
+    # non-negative real keys at EVERY scale factor (a fixed +N offset
+    # would silently collide once the key domain outgrows N, turning
+    # inserts into deletes-and-replaces)
     inserts = orders.filter(F.expr(f"({h}) % 10 = 1")).withColumn(
-        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        "o_orderkey", -(F.col("o_orderkey") + F.lit(1))
     )
     changes = updates.unionByName(inserts)
     final = M.upsert_by_key(orders, changes, keys=["o_orderkey"])

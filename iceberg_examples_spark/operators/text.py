@@ -87,28 +87,29 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("pred_lang", pred_expr).drop("__max")
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: token count band, average token length,
-    stopword ratio, alnum ratio → integer score 0-4. All ratios are
-    int/int divisions (deterministic doubles across engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+def with_quality_metrics(docs: DataFrame) -> DataFrame:
+    """Append the quality-metric columns to any (text, ...) DataFrame —
+    pure per-row expressions, map-only, no extra scan. Shared by the
+    quality_score declared query and the llm_prep_pipeline quality gate
+    (one definition, so the gate and the standalone score cannot drift)."""
     toks = tokens_expr("text")
     sw = _sw_array("en")
-    return docs.select(
-        "doc_id",
-        F.expr(f"cast(size({toks}) as bigint)").alias("n_tokens"),
-        F.expr(
-            f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
-            f" / cast(size({toks}) as double)"
-        ).alias("avg_token_len"),
-        F.expr(
-            f"cast(size(filter({toks}, t -> array_contains({sw}, t))) as double)"
-            f" / cast(size({toks}) as double)"
-        ).alias("stopword_ratio"),
-        F.expr(
-            "cast(size(regexp_extract_all(lower(text), '[a-z0-9]', 0)) as double)"
-            " / cast(length(text) as double)"
-        ).alias("alnum_ratio"),
+    return docs.withColumns(
+        {
+            "n_tokens": F.expr(f"cast(size({toks}) as bigint)"),
+            "avg_token_len": F.expr(
+                f"cast(aggregate({toks}, 0L, (acc, t) -> acc + length(t)) as double)"
+                f" / cast(size({toks}) as double)"
+            ),
+            "stopword_ratio": F.expr(
+                f"cast(size(filter({toks}, t -> array_contains({sw}, t))) as double)"
+                f" / cast(size({toks}) as double)"
+            ),
+            "alnum_ratio": F.expr(
+                "cast(size(regexp_extract_all(lower(text), '[a-z0-9]', 0)) as double)"
+                " / cast(length(text) as double)"
+            ),
+        }
     ).withColumn(
         "quality",
         F.expr(
@@ -116,6 +117,21 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + cast(avg_token_len >= 2.0 as int)"
             " + cast(stopword_ratio >= 0.01 as int) as bigint)"
         ),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count band, average token length,
+    stopword ratio, alnum ratio → integer score 0-4. All ratios are
+    int/int divisions (deterministic doubles across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_quality_metrics(docs).select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "alnum_ratio",
+        "quality",
     )
 
 
@@ -212,7 +228,11 @@ def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_text string, n_words int")
     class ChunkDoc:
         def eval(self, text: str):
-            words = [w for w in re.split(r"\s+", text or "") if w]
+            # explicit ASCII class: Python's \s is Unicode-aware, RE2's is
+            # ASCII-only — the shared class pins identical semantics
+            words = [
+                w for w in re.split(r"[ \t\n\r\f\v]+", text or "") if w
+            ]
             for i in range(0, len(words), 32):
                 chunk = words[i : i + 32]
                 yield i // 32, " ".join(chunk), len(chunk)

@@ -50,6 +50,16 @@ def duck_md5_int(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def duck_train_val_split(key_expr: str) -> str:
+    """DuckDB twin of texthash.train_val_split_sql."""
+    from iceberg_examples_spark.functions.texthash import TRAIN_PCT
+
+    h = duck_md5_int(f"CAST({key_expr} AS VARCHAR)")
+    return (
+        f"CASE WHEN ({h}) % 100 < {TRAIN_PCT} THEN 'train' ELSE 'val' END"
+    )
+
+
 def duck_sw_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -104,25 +114,29 @@ FROM scored
 """
 
 _sw_en = duck_sw_list("en")
+_avg_len = (
+    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(toks, t -> CAST(length(t) AS BIGINT))), "
+    "(acc, x) -> acc + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)"
+)
+_sw_ratio = (
+    f"CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)"
+    " / CAST(len(toks) AS DOUBLE)"
+)
+_quality = (
+    "CAST(CAST(len(toks) >= 10 AS INT) + CAST(len(toks) <= 2000 AS INT)"
+    f" + CAST({_avg_len} >= 2.0 AS INT)"
+    f" + CAST({_sw_ratio} >= 0.01 AS INT) AS BIGINT)"
+)
 EXT_ORACLES["text_quality_score"] = f"""
 WITH t AS (SELECT doc_id, text, {_toks} AS toks FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
-       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(toks, t -> CAST(length(t) AS BIGINT))),
-            (acc, x) -> acc + x) AS DOUBLE)
-         / CAST(len(toks) AS DOUBLE) AS avg_token_len,
-       CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)
-         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       {_avg_len} AS avg_token_len,
+       {_sw_ratio} AS stopword_ratio,
        CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS DOUBLE)
          / CAST(length(text) AS DOUBLE) AS alnum_ratio,
-       CAST(CAST(len(toks) >= 10 AS INT) + CAST(len(toks) <= 2000 AS INT)
-            + CAST(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-                     list_transform(toks, t -> CAST(length(t) AS BIGINT))),
-                   (acc, x) -> acc + x) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE) >= 2.0 AS INT)
-            + CAST(CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)
-                   / CAST(len(toks) AS DOUBLE) >= 0.01 AS INT) AS BIGINT) AS quality
+       {_quality} AS quality
 FROM t
 """
 
@@ -1078,7 +1092,7 @@ FROM orders GROUP BY 1
 EXT_ORACLES["udtf_chunks"] = """
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\v]+'), x -> x <> '') AS words
   FROM documents
 ),
 c AS (
@@ -1113,8 +1127,7 @@ FROM wnd GROUP BY 1, 2
 
 EXT_ORACLES["train_test_split"] = f"""
 SELECT lang,
-       CASE WHEN ({duck_md5_int("CAST(doc_id AS VARCHAR)")}) % 100 < 90
-            THEN 'train' ELSE 'val' END AS split,
+       {duck_train_val_split('doc_id')} AS split,
        count(*) AS n_docs,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents GROUP BY 1, 2
@@ -1126,20 +1139,6 @@ FROM documents GROUP BY 1, 2
 # verify, md5 split hash) so the end-to-end pipeline is hash-checked as
 # one query.
 
-_avg_len = (
-    "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(toks, t -> CAST(length(t) AS BIGINT))), "
-    "(acc, x) -> acc + x) AS DOUBLE) / CAST(len(toks) AS DOUBLE)"
-)
-_sw_ratio = (
-    f"CAST(len(list_filter(toks, t -> list_contains({_sw_en}, t))) AS DOUBLE)"
-    " / CAST(len(toks) AS DOUBLE)"
-)
-_quality = (
-    "CAST(CAST(len(toks) >= 10 AS INT) + CAST(len(toks) <= 2000 AS INT)"
-    f" + CAST({_avg_len} >= 2.0 AS INT)"
-    f" + CAST({_sw_ratio} >= 0.01 AS INT) AS BIGINT)"
-)
 
 EXT_ORACLES["llm_prep_pipeline"] = f"""
 WITH t AS (SELECT doc_id, lang, text, {_toks} AS toks FROM documents),
@@ -1181,8 +1180,7 @@ pdrop AS (SELECT DISTINCT doc_b AS doc_id FROM pver
 kept3 AS (SELECT * FROM kept2
           WHERE doc_id NOT IN (SELECT doc_id FROM pdrop))
 SELECT lang,
-       CASE WHEN ({duck_md5_int("CAST(doc_id AS VARCHAR)")}) % 100 < 90
-            THEN 'train' ELSE 'val' END AS split,
+       {duck_train_val_split('doc_id')} AS split,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -1248,7 +1246,7 @@ final AS (
               ELSE o_totalprice END AS o_totalprice
   FROM h
   UNION ALL
-  SELECT o_orderkey + 10000000 AS o_orderkey, o_orderstatus, o_totalprice
+  SELECT -(o_orderkey + 1) AS o_orderkey, o_orderstatus, o_totalprice
   FROM h WHERE hb = 1
 )
 SELECT o_orderstatus, count(*) AS n_orders,
