@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_components",
     "cdc_pipeline",
     "llm_prep_pipeline",
+    "kmeans_large",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -90,10 +90,12 @@ def _update(e: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _final_assignment(e: DataFrame) -> DataFrame:
-    """NITER Lloyd rounds; returns the last (vec_id, cid, dist)."""
+def _final_assignment(
+    e: DataFrame, k: int = K, niter: int = NITER
+) -> DataFrame:
+    """niter Lloyd rounds; returns the last (vec_id, cid, dist)."""
     cent = (
-        e.filter(F.col("vec_id") < K)
+        e.filter(F.col("vec_id") < k)
         .select(
             F.col("vec_id").cast("int").alias("cid"),
             "d",
@@ -101,22 +103,45 @@ def _final_assignment(e: DataFrame) -> DataFrame:
         )
     )
     assign = None
-    for i in range(NITER):
+    for i in range(niter):
         assign = _assign(e, cent)
-        if i < NITER - 1:
+        if i < niter - 1:
             cent = _update(e, assign)
     return assign
+
+
+def _kmeans_rollup(
+    spark: SparkSession, sf_dir: str, k: int, niter: int
+) -> DataFrame:
+    # materialize the exploded relation once: every round's assign AND
+    # update branch reads e, so an unmaterialized lineage re-runs the
+    # explode+scale 2*niter times (at cluster scale: cache/checkpoint
+    # the long form before iterating — the docstring's contract)
+    e = _long_form(spark, sf_dir).localCheckpoint(eager=True)
+    assign = _final_assignment(e, k=k, niter=niter)
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dist").alias("inertia"),
+    )
 
 
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NITER Lloyd rounds over the embeddings table; returns per-cluster
     size and exact integer inertia under the final assignment."""
-    e = _long_form(spark, sf_dir)
-    assign = _final_assignment(e)
-    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum("dist").alias("inertia"),
-    )
+    return _kmeans_rollup(spark, sf_dir, k=K, niter=NITER)
+
+
+K_LARGE = 64
+NITER_LARGE = 5
+
+
+def kmeans_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realistic-parameter fit (k=64, 5 rounds — DESIGN.md round-2
+    agenda): same relational formulation, deeper plan (5 broadcast-join +
+    window rounds fused into one lazy Catalyst plan). The oracle chain is
+    k-independent and unrolls per round, so this stays fully hash-checked
+    — proving the formulation, not just the toy parameters, is exact."""
+    return _kmeans_rollup(spark, sf_dir, k=K_LARGE, niter=NITER_LARGE)
 
 
 N_QUERIES = 3
@@ -188,7 +213,7 @@ def knn_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chain_ctes() -> list[str]:
+def _chain_ctes(k: int = K, niter: int = NITER) -> list[str]:
     """The Lloyd-iteration chain as DuckDB CTEs (rendered, not
     hand-written, so Spark and oracle share one definition)."""
     ctes = [
@@ -200,10 +225,10 @@ def _chain_ctes() -> list[str]:
 )""",
         f"""c0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cid, d, v AS c
-  FROM e WHERE vec_id < {K}
+  FROM e WHERE vec_id < {k}
 )""",
     ]
-    for i in range(1, NITER + 1):
+    for i in range(1, niter + 1):
         prev = f"c{i - 1}"
         ctes.append(f"""d{i} AS (
   SELECT e.vec_id, c.cid,
@@ -219,7 +244,7 @@ def _chain_ctes() -> list[str]:
     FROM d{i}) t
   WHERE rn = 1
 )""")
-        if i < NITER:
+        if i < niter:
             ctes.append(f"""c{i} AS (
   SELECT a.cid, e.d,
          CAST(floor(CAST(sum(e.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
@@ -229,12 +254,12 @@ def _chain_ctes() -> list[str]:
     return ctes
 
 
-def oracle_kmeans_sql() -> str:
-    body = ",\n".join(_chain_ctes())
+def oracle_kmeans_sql(k: int = K, niter: int = NITER) -> str:
+    body = ",\n".join(_chain_ctes(k=k, niter=niter))
     return f"""WITH {body}
 SELECT cid AS cluster_id, count(*) AS n_points,
        CAST(sum(dist) AS BIGINT) AS inertia
-FROM a{NITER} GROUP BY cid
+FROM a{niter} GROUP BY cid
 """
 
 

@@ -1072,6 +1072,10 @@ from iceberg_examples_spark.operators.clustering import (
 )
 
 EXT_ORACLES["kmeans_clusters"] = oracle_kmeans_sql()
+
+from iceberg_examples_spark.operators.clustering import K_LARGE, NITER_LARGE
+
+EXT_ORACLES["kmeans_large"] = oracle_kmeans_sql(k=K_LARGE, niter=NITER_LARGE)
 EXT_ORACLES["knn_kmeans_ivf"] = oracle_knn_kmeans_sql()
 EXT_ORACLES["pq_codes"] = oracle_pq_codes_sql()
 EXT_ORACLES["pq_adc_topk"] = oracle_pq_adc_sql()

@@ -131,6 +131,7 @@ QUERIES: dict[str, QueryFn] = {
     "knn_cosine": SIM.knn_cosine,
     "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
     "knn_kmeans_ivf": CL.knn_kmeans_ivf,
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
