@@ -403,3 +403,55 @@ def test_udtf_chunks_reassemble(spark, sf_dir):
             assert c.n_words == 32
         rebuilt = " ".join(c.chunk_text for c in chunks).split()
         assert rebuilt == docs[doc_id].split()
+
+
+def test_sql_ddl_roundtrip(spark, tmp_path):
+    """EP1 DDL surface exercised directly (reference S4-S6,
+    IcebergSQLMerge.java:17-24): CREATE TABLE ... USING PARQUET, literal
+    INSERT INTO ... VALUES, INSERT INTO ... SELECT, ALTER TABLE ADD
+    COLUMNS (null-backfilled for existing rows), DROP TABLE."""
+    loc = str(tmp_path / "ddl_tbl")
+    spark.sql(
+        "CREATE TABLE ddl_demo (customer_id BIGINT, name STRING) "
+        f"USING PARQUET LOCATION '{loc}'"
+    )
+    try:
+        spark.sql("INSERT INTO ddl_demo VALUES (1, 'customer_a')")
+        spark.sql(
+            "INSERT INTO ddl_demo SELECT 2 AS customer_id, 'customer_b' AS name"
+        )
+        assert spark.table("ddl_demo").count() == 2
+        spark.sql("ALTER TABLE ddl_demo ADD COLUMNS (lastname STRING)")
+        spark.sql("REFRESH TABLE ddl_demo")
+        rows = {
+            r.customer_id: r.lastname
+            for r in spark.table("ddl_demo").collect()
+        }
+        assert rows == {1: None, 2: None}  # old files readable, null-backfilled
+        spark.sql("INSERT INTO ddl_demo VALUES (3, 'customer_c', 'ln-3')")
+        assert spark.table("ddl_demo").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_demo")
+
+
+def test_operators_schema_stable_on_empty_input(spark, sf_dir):
+    """Operators must return schema-stable (possibly empty) results when a
+    stage filters everything out — no exceptions, no schema drift. Runs a
+    representative mix against an empty slice via an impossible filter."""
+    from iceberg_examples_spark.operators.dedup import lsh_verified_pairs
+    from iceberg_examples_spark.operators.mutations import upsert_by_key
+    from iceberg_examples_spark.operators.text import with_quality_metrics
+    from iceberg_examples_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
+    q = with_quality_metrics(docs)
+    assert q.count() == 0 and "quality" in q.columns
+
+    pairs = lsh_verified_pairs(docs.select("doc_id", "text"))
+    assert pairs.count() == 0
+    assert pairs.columns == ["doc_a", "doc_b", "jaccard"]
+
+    orders = load_table(spark, sf_dir, "orders")
+    empty_changes = orders.filter(F.lit(False))
+    merged = upsert_by_key(orders, empty_changes, keys=["o_orderkey"])
+    assert merged.count() == orders.count()
