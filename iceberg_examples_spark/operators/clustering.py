@@ -137,11 +137,15 @@ NITER_LARGE = 5
 
 def kmeans_large(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The realistic-parameter fit (k=64, 5 rounds — DESIGN.md round-2
-    agenda): same relational formulation, deeper plan (5 broadcast-join +
-    window rounds fused into one lazy Catalyst plan). The oracle chain is
-    k-independent and unrolls per round, so this stays fully hash-checked
-    — proving the formulation, not just the toy parameters, is exact."""
-    return _kmeans_rollup(spark, sf_dir, k=K_LARGE, niter=NITER_LARGE)
+    agenda) on the vectorized hot path: Arrow-batched numpy assign over a
+    broadcast codebook (no k-fold join blowup), driver-mediated 4 KB
+    centroid updates — the MLlib iteration pattern. All arithmetic stays
+    int64-exact, so it hash-matches the SAME unrolled relational oracle
+    as kmeans_clusters — the fast path's equivalence to the declarative
+    spec is verified every round, not asserted."""
+    return _kmeans_rollup_vectorized(
+        spark, sf_dir, k=K_LARGE, niter=NITER_LARGE
+    )
 
 
 N_QUERIES = 3
@@ -513,3 +517,107 @@ SELECT query_id, neighbor_id, adc, CAST(rnk AS INTEGER) AS rnk FROM (
   FROM adc) t
 WHERE rnk <= {TOP_K}
 """
+
+
+# ---- vectorized hot path (kmeans_large) ---------------------------------
+#
+# The long-form join formulation above is the exactness-preserving
+# baseline, but its assign step duplicates every (vec, dim) row k times
+# through the join on d — at k=64 that is a 64x row blowup per round.
+# The pragmatic Spark pattern (what MLlib does) broadcasts the codebook —
+# k x d int64s, ~4 KB here — and computes all k distances per vector in
+# one vectorized numpy kernel inside an Arrow-batched mapInPandas stage:
+# zero shuffle for the assign, the only exchange per round is the tiny
+# centroid update. Every operation stays int64-exact, so the fast path
+# hash-matches the SAME DuckDB oracle as the relational chain — the
+# equivalence is verified, not asserted.
+
+
+def _collect_codebook(cent: DataFrame) -> tuple[list[int], list[list[int]]]:
+    """Driver-side materialization of the k x d codebook (model state,
+    kilobytes — the one legitimate driver hop in the iterative loop)."""
+    rows = cent.collect()
+    by_cid: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, {})[r.d] = r.c
+    cids = sorted(by_cid)
+    mat = [
+        [by_cid[cid][d] for d in range(DIMS)]
+        for cid in cids
+    ]
+    return cids, mat
+
+
+def _assign_vectorized(
+    e_arr: DataFrame, cids: list[int], mat: list[list[int]]
+) -> DataFrame:
+    """(vec_id, varr) -> (vec_id, cid, dist): argmin over all centroids,
+    ties to the lowest cid (cids sorted ascending + numpy first-min)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(mat, dtype=np.int64)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    def fn(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["varr"].to_numpy()).astype(np.int64)
+            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cid_arr[best].astype(np.int32),
+                    "dist": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return e_arr.mapInPandas(fn, "vec_id long, cid int, dist long")
+
+
+def _kmeans_rollup_vectorized(
+    spark: SparkSession, sf_dir: str, k: int, niter: int
+) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e_arr = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"cast(round(cast(x as double) * {SCALE}) as bigint))"
+        ).alias("varr"),
+    ).localCheckpoint(eager=True)
+    e_long = _long_form(spark, sf_dir).localCheckpoint(eager=True)
+
+    cent = e_long.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), "d", F.col("v").alias("c")
+    )
+    cids, mat = _collect_codebook(cent)
+    assign = None
+    for i in range(niter):
+        assign = _assign_vectorized(e_arr, cids, mat)
+        if i < niter - 1:
+            # centroid update: one tiny (cid, d) aggregation; floor of an
+            # exact double division — identical to the SQL chain's update
+            upd = (
+                e_long.join(assign.select("vec_id", "cid"), on="vec_id")
+                .groupBy("cid", "d")
+                .agg(
+                    F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+                )
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in upd:
+                by_cid.setdefault(r.cid, {})[r.d] = math.floor(
+                    float(r.s) / r.n
+                )
+            cids = sorted(by_cid)
+            mat = [[by_cid[c][d] for d in range(DIMS)] for c in cids]
+    return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("dist").alias("inertia"),
+    )
