@@ -2,10 +2,18 @@
 quantizer the similarity-search scale path needs — DESIGN.md round-2
 agenda item).
 
-The textbook Spark k-means collects centroids to the driver each round and
-broadcasts them back. This implementation never materializes anything on
-the driver: vectors are exploded to long form (vec_id, dim, value) and
-each Lloyd iteration is a join + two aggregations —
+Two equivalent paths, cross-checked against ONE oracle:
+
+1. **Relational baseline** (`kmeans_clusters`, and the chain the DuckDB
+   oracle unrolls): never materializes anything on the driver — vectors
+   are exploded to long form (vec_id, dim, value) and each Lloyd
+   iteration is a join + two aggregations.
+2. **Vectorized hot path** (`kmeans_large`): Arrow-batched numpy assign
+   over a driver-broadcast codebook (kilobytes of model state — the
+   MLlib iteration pattern), avoiding the k-fold join blowup; same
+   int64 arithmetic, hash-matched to the same oracle.
+
+The baseline iteration —
 
     assign:  e >< centroids on dim  -> sum of squared diffs per (vec, cid)
              -> row_number window picks the nearest cid (ties -> lowest)
