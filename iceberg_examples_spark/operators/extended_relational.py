@@ -379,3 +379,54 @@ def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_p"),
         F.size("status_counts").cast("bigint").alias("n_statuses"),
     )
+
+
+def range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): for each order,
+    the customer's exact order total over the PRECEDING 90 DAYS — rows
+    enter the frame by date distance, so same-day orders all contribute
+    regardless of row position (what rowsBetween can't express).
+    Ordered on integer epoch days so Spark's numeric rangeBetween and
+    the DuckDB RANGE ... PRECEDING frame see identical distances; sums
+    are scaled-integer exact."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-90, -1)
+    )
+    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (
+            F.coalesce(F.sum(cents).over(w), F.lit(0)).cast("double") / 100.0
+        ).alias("trailing_90d_total"),
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("trailing_90d_orders"),
+    )
+
+
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an EXPLICIT schema — the scale-right JSON path
+    (one parse into a typed struct; json_props' get_json_object is the
+    per-field cousin, schema inference the anti-pattern at 100 TB since
+    it costs a full extra pass). Struct field access + per-type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k BIGINT")
+    )
+    return (
+        parsed.select("event_type", F.col("p.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.count("k").alias("n_with_k"),
+        )
+    )

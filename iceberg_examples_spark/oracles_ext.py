@@ -1257,3 +1257,24 @@ SELECT o_orderstatus, count(*) AS n_orders,
        {money_sum_sql('o_totalprice', scale=100)} AS total
 FROM final GROUP BY o_orderstatus
 """
+
+EXT_ORACLES["range_frame_agg"] = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+              OVER w, 0) AS DOUBLE) / 100.0 AS trailing_90d_total,
+       CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS trailing_90d_orders
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                     o_orderdate) AS BIGINT)
+             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+"""
+
+EXT_ORACLES["json_struct_parse"] = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
+FROM events GROUP BY event_type
+"""

@@ -76,6 +76,8 @@ QUERIES: dict[str, QueryFn] = {
     "asof_join": XR.asof_join,
     "range_join_buckets": XR.range_join_buckets,
     "running_totals": XR.running_totals,
+    "range_frame_agg": XR.range_frame_agg,
+    "json_struct_parse": XR.json_struct_parse,
     "window_rank_funcs": XR.window_rank_funcs,
     "agg_cube": XR.agg_cube,
     "collect_sets": XR.collect_sets,
