@@ -46,3 +46,11 @@ def money_avg_sql(expr: str, scale: int = 10000) -> str:
 
 def money_avg(expr: str, alias: str, scale: int = 10000) -> Column:
     return F.expr(money_avg_sql(expr, scale=scale)).alias(alias)
+
+
+def money_cents_sql(expr: str, scale: int = 100) -> str:
+    """Row-level scaled-integer form of a fixed-decimal expression (the
+    per-row half of the sum builders — for window frames and other
+    contexts where the aggregate wraps the frame, not the expression).
+    Valid in both Spark SQL and DuckDB."""
+    return f"cast(round(({expr}) * {scale}) as bigint)"

@@ -19,7 +19,9 @@ The baseline iteration —
              -> row_number window picks the nearest cid (ties -> lowest)
     update:  e >< assignment on vec_id -> per-(cid, dim) mean
 
-so the whole NITER-round fit is ONE lazy Catalyst plan. The centroid
+so the whole NITER-round fit is one declarative plan (the rollup
+entry materializes the exploded relation once via localCheckpoint —
+a deliberate staging write, not a driver hop). The centroid
 relation is k x dims rows (512 here) — every join against it is a
 broadcast at any scale; the big sides shuffle once per round on vec_id.
 
@@ -566,13 +568,18 @@ def _assign_vectorized(
 
     C = np.asarray(mat, dtype=np.int64)
     cid_arr = np.asarray(cids, dtype=np.int64)
+    c_sq = (C * C).sum(axis=1)  # k-vector, int64-exact
 
     def fn(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.stack(pdf["varr"].to_numpy()).astype(np.int64)
-            d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 via int64 matmul:
+            # O(rows x k) memory — the naive (V-C)**2 broadcast tensor is
+            # O(rows x k x dims) and would OOM at realistic batch sizes
+            v_sq = (V * V).sum(axis=1)
+            d2 = v_sq[:, None] - 2 * (V @ C.T) + c_sq[None, :]
             best = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -588,9 +595,10 @@ def _assign_vectorized(
 def _kmeans_rollup_vectorized(
     spark: SparkSession, sf_dir: str, k: int, niter: int
 ) -> DataFrame:
-    import math
-
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE checkpointed copy; the long form derives from it (cheap
+    # recompute from cached blocks — no second scan, and the
+    # scale-and-round idiom exists in exactly one place: _long_form's)
     e_arr = emb.select(
         "vec_id",
         F.expr(
@@ -598,7 +606,9 @@ def _kmeans_rollup_vectorized(
             f"cast(round(cast(x as double) * {SCALE}) as bigint))"
         ).alias("varr"),
     ).localCheckpoint(eager=True)
-    e_long = _long_form(spark, sf_dir).localCheckpoint(eager=True)
+    e_long = e_arr.select(
+        "vec_id", F.posexplode("varr").alias("d", "v")
+    )
 
     cent = e_long.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cid"), "d", F.col("v").alias("c")
@@ -608,23 +618,9 @@ def _kmeans_rollup_vectorized(
     for i in range(niter):
         assign = _assign_vectorized(e_arr, cids, mat)
         if i < niter - 1:
-            # centroid update: one tiny (cid, d) aggregation; floor of an
-            # exact double division — identical to the SQL chain's update
-            upd = (
-                e_long.join(assign.select("vec_id", "cid"), on="vec_id")
-                .groupBy("cid", "d")
-                .agg(
-                    F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
-                )
-                .collect()
-            )
-            by_cid: dict[int, dict[int, int]] = {}
-            for r in upd:
-                by_cid.setdefault(r.cid, {})[r.d] = math.floor(
-                    float(r.s) / r.n
-                )
-            cids = sorted(by_cid)
-            mat = [[by_cid[c][d] for d in range(DIMS)] for c in cids]
+            # centroid update: the SAME _update the relational path uses
+            # (one floor definition), collected as the next codebook
+            cids, mat = _collect_codebook(_update(e_long, assign))
     return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("dist").alias("inertia"),

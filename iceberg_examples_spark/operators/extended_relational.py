@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
-from iceberg_examples_spark.functions.exact import money_sum_sql
+from iceberg_examples_spark.functions.exact import money_cents_sql, money_sum_sql
 
 
 def project_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,7 +243,7 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey") < 200
     )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    cents = F.expr(money_cents_sql("o_totalprice", scale=100))
     running = (
         F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
         .cast("double")
@@ -398,7 +398,7 @@ def range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(day)
         .rangeBetween(-90, -1)
     )
-    cents = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    cents = F.expr(money_cents_sql("o_totalprice", scale=100))
     return orders.select(
         "o_custkey",
         "o_orderkey",
@@ -417,12 +417,12 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one parse into a typed struct; json_props' get_json_object is the
     per-field cousin, schema inference the anti-pattern at 100 TB since
     it costs a full extra pass). Struct field access + per-type rollup."""
+    from iceberg_examples_spark.sources.json_source import read_json_column
+
     ev = load_table(spark, sf_dir, "events")
-    parsed = ev.withColumn(
-        "p", F.from_json("props", "k BIGINT")
-    )
+    parsed = read_json_column(ev, "props", "k BIGINT")
     return (
-        parsed.select("event_type", F.col("p.k").alias("k"))
+        parsed.select("event_type", F.col("props_parsed.k").alias("k"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),

@@ -10,7 +10,7 @@ here.
 
 from __future__ import annotations
 
-from iceberg_examples_spark.functions.exact import money_sum_sql
+from iceberg_examples_spark.functions.exact import money_cents_sql, money_sum_sql
 from iceberg_examples_spark.functions.texthash import (
     MOD,
     REMIX_ADD,
@@ -739,9 +739,9 @@ WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 1 AND 20)
    OR (p_brand = 'Brand#3' AND p_size <= 50 AND l_quantity BETWEEN 20 AND 40)
 """
 
-EXT_ORACLES["running_totals"] = """
+EXT_ORACLES["running_totals"] = f"""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(sum({money_cents_sql('o_totalprice', scale=100)})
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
          AS running_total,
@@ -1065,6 +1065,8 @@ GROUP BY o_orderpriority
 # ---- relational k-means (operators/clustering.py) ------------------------
 
 from iceberg_examples_spark.operators.clustering import (
+    K_LARGE,
+    NITER_LARGE,
     oracle_kmeans_sql,
     oracle_knn_kmeans_sql,
     oracle_pq_adc_sql,
@@ -1072,9 +1074,6 @@ from iceberg_examples_spark.operators.clustering import (
 )
 
 EXT_ORACLES["kmeans_clusters"] = oracle_kmeans_sql()
-
-from iceberg_examples_spark.operators.clustering import K_LARGE, NITER_LARGE
-
 EXT_ORACLES["kmeans_large"] = oracle_kmeans_sql(k=K_LARGE, niter=NITER_LARGE)
 EXT_ORACLES["knn_kmeans_ivf"] = oracle_knn_kmeans_sql()
 EXT_ORACLES["pq_codes"] = oracle_pq_codes_sql()
@@ -1258,9 +1257,9 @@ SELECT o_orderstatus, count(*) AS n_orders,
 FROM final GROUP BY o_orderstatus
 """
 
-EXT_ORACLES["range_frame_agg"] = """
+EXT_ORACLES["range_frame_agg"] = f"""
 SELECT o_custkey, o_orderkey, o_orderdate,
-       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(coalesce(sum({money_cents_sql('o_totalprice', scale=100)})
               OVER w, 0) AS DOUBLE) / 100.0 AS trailing_90d_total,
        CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS trailing_90d_orders
 FROM orders
