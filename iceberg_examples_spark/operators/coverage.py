@@ -293,3 +293,54 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("cast(doc_id as bigint)")).alias("id_sum"),
         )
     )
+
+
+def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate the complete
+    month spine between the first and last order date, then left-join
+    per-month order counts — the gap-filling time-series pattern a plain
+    GROUP BY can't produce (months with zero orders appear with 0). The
+    recursion is bounds-driven (anchor/termination from the data, no
+    hardcoded calendar); DuckDB runs the same recursive SQL.
+
+    Scale: the spine is O(months) rows on the driver-side of the plan —
+    trivially small; the one real cost is the per-month aggregate."""
+    from iceberg_examples_spark.catalog import register_views
+
+    register_views(spark, sf_dir, tables=["orders"])
+    return spark.sql("""
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                 date_trunc('month', max(o_orderdate)) AS hi
+          FROM orders
+        ),
+        months(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi
+        ),
+        per_month AS (
+          SELECT date_trunc('month', o_orderdate) AS m2, count(*) AS n
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(months.m AS DATE) AS month_start,
+               CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN per_month ON months.m = per_month.m2
+    """)
+
+
+def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT type (Spark 4): parse_json into the binary semi-structured
+    type, typed extraction with variant_get — the modern engine answer to
+    schemaless columns (shredded storage, no per-query string parsing;
+    from_json/get_json_object are the schema-full/string cousins)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -1277,3 +1277,31 @@ SELECT event_type,
        count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k
 FROM events GROUP BY event_type
 """
+
+EXT_ORACLES["recursive_month_series"] = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+),
+months(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months, bounds WHERE m < hi
+),
+per_month AS (
+  SELECT date_trunc('month', o_orderdate) AS m2, count(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT CAST(months.m AS DATE) AS month_start,
+       CAST(coalesce(per_month.n, 0) AS BIGINT) AS n_orders
+FROM months LEFT JOIN per_month ON months.m = per_month.m2
+"""
+
+EXT_ORACLES["variant_json_ops"] = """
+SELECT event_type,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_distinct_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+"""

@@ -95,6 +95,8 @@ QUERIES: dict[str, QueryFn] = {
     "time_travel": CV.time_travel,
     "metadata_files": CV.metadata_files,
     "incremental_view": CV.incremental_view,
+    "recursive_month_series": CV.recursive_month_series,
+    "variant_json_ops": CV.variant_json_ops,
     # EP1 SQL-string entry + grouped-map pandas UDAF surface
     "sql_entry": CV.sql_entry,
     "grouped_median_pandas": CV.grouped_median_pandas,
