@@ -430,3 +430,27 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").alias("n_with_k"),
         )
     )
+
+
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's 2 most recent orders —
+    the per-entity top-N shape. Catalyst decorrelates the LATERAL into a
+    window/join plan (same physical answer as the row_number formulation,
+    declared at the SQL level users actually write); DuckDB runs the
+    identical text. Bounded to custkey < 100 for driver-collectable
+    output."""
+    from iceberg_examples_spark.catalog import register_views
+
+    register_views(spark, sf_dir, tables=["customer", "orders"])
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_orderdate, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+    """)

@@ -1305,3 +1305,16 @@ SELECT event_type,
        CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """
+
+EXT_ORACLES["lateral_topn"] = """
+SELECT c.c_custkey, t.o_orderkey, t.o_orderdate, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_orderdate, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_orderdate DESC, o_orderkey DESC
+  LIMIT 2
+) t
+WHERE c.c_custkey < 100
+"""

@@ -79,6 +79,7 @@ QUERIES: dict[str, QueryFn] = {
     "range_frame_agg": XR.range_frame_agg,
     "json_struct_parse": XR.json_struct_parse,
     "window_rank_funcs": XR.window_rank_funcs,
+    "lateral_topn": XR.lateral_topn,
     "agg_cube": XR.agg_cube,
     "collect_sets": XR.collect_sets,
     "map_type_ops": XR.map_type_ops,
