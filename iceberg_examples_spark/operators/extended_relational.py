@@ -454,3 +454,25 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         WHERE c.c_custkey < 100
     """)
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    order stats by (status, priority), by status alone, and the grand
+    total — but NOT by priority alone, which is exactly what neither
+    ROLLUP nor CUBE can express. grouping_id() disambiguates the NULLs
+    that mark superaggregate rows from genuine data NULLs."""
+    from iceberg_examples_spark.catalog import register_views
+
+    register_views(spark, sf_dir, tables=["orders"])
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n_orders,
+               {money_sum_sql('o_totalprice', scale=100)} AS total
+        FROM orders
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+        )
+    """)

@@ -1318,3 +1318,15 @@ LATERAL (
 ) t
 WHERE c.c_custkey < 100
 """
+
+EXT_ORACLES["grouping_sets_agg"] = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS total
+FROM orders
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority), (o_orderstatus), ()
+)
+"""

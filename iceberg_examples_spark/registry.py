@@ -81,6 +81,7 @@ QUERIES: dict[str, QueryFn] = {
     "window_rank_funcs": XR.window_rank_funcs,
     "lateral_topn": XR.lateral_topn,
     "agg_cube": XR.agg_cube,
+    "grouping_sets_agg": XR.grouping_sets_agg,
     "collect_sets": XR.collect_sets,
     "map_type_ops": XR.map_type_ops,
     "salted_agg": XR.salted_agg_query,
