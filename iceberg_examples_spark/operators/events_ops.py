@@ -160,3 +160,34 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward imputation: each event carries the
+    user's most recent purchase value (NULL until their first purchase) —
+    `last(..., ignorenulls=True)` over an unbounded-preceding frame, the
+    IGNORE NULLS window surface and the standard sparse→dense gap-fill
+    for feature/time-series pipelines. The sparse column is constructed
+    (value only on purchase events), so the NULL-skipping behavior is
+    actually exercised on every row between purchases.
+
+    Scale: one shuffle on user_id; the running carry is a frame-bounded
+    window (no self-join, no re-scan)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    sparse = ev.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sparse.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.last("purchase_value", ignorenulls=True)
+        .over(w)
+        .alias("locf_value"),
+    )

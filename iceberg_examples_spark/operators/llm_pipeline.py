@@ -26,7 +26,7 @@ just stage-by-stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
@@ -80,5 +80,72 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum(F.expr("cast(doc_id as bigint)")).alias("id_sum"),
+        )
+    )
+
+
+BIN_TOKENS = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing — the step that turns a dedup'd
+    corpus into fixed-budget training sequences: documents are laid out
+    in deterministic (doc_id) order, and each doc's bin is its starting
+    offset in the concatenated token stream div the bin budget (exactly
+    how GPT-style pipelines pack: stream, then cut every BIN_TOKENS).
+    Window cumsum of exact BIGINT token counts -> pure arithmetic, so
+    bin assignment is bit-identical cross-engine.
+
+    Output: per-bin doc count, token total, and id-sum fingerprint.
+    At scale the single total-order window is the cost — production
+    shards first (pack per partition) and this op IS that per-shard
+    kernel."""
+    docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer `div`, NOT `/`+cast: float division then cast truncates in
+    # Spark but ROUNDS in DuckDB — div/(// in DuckDB) is exact on BIGINT
+    binned = docs.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            .cast("bigint")
+            .alias("offset")
+        ),
+    ).withColumn("bin_id", F.expr(f"offset div {BIN_TOKENS}"))
+    return binned.drop("offset").groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+MIXTURE = {"src0": 100, "src1": 50, "src2": 25}  # pct*100 kept per source
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: each source gets a keep-rate
+    (src0 all, src1 half, src2 quarter, everything else dropped) and
+    membership is the hash-pure train_val_split idiom generalized to
+    per-source thresholds — reweighting corpus composition without an
+    RNG, reproducibly across engines and reruns. Map-only + one tiny
+    aggregate."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_hash("cast(doc_id as string)")
+    rate = F.lit(0)
+    for src, pct in sorted(MIXTURE.items()):
+        rate = F.when(F.col("source") == src, F.lit(pct)).otherwise(rate)
+    return (
+        docs.withColumn("keep_rate", rate)
+        .filter(F.expr(f"({h}) % 100") < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
         )
     )

@@ -1330,3 +1330,45 @@ GROUP BY GROUPING SETS (
   (o_orderstatus, o_orderpriority), (o_orderstatus), ()
 )
 """
+
+EXT_ORACLES["locf_fill"] = """
+SELECT user_id, event_id, event_type,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS locf_value
+FROM events WHERE user_id < 50
+"""
+
+# ---- sequence packing + mixture sampling (operators/llm_pipeline.py) -----
+
+EXT_ORACLES["sequence_packing"] = f"""
+WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+  FROM q
+)
+SELECT o // 512 AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM off GROUP BY 1
+"""
+
+EXT_ORACLES["corpus_mixture"] = f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                     WHEN 'src2' THEN 25 ELSE 0 END AS keep_rate
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM rated
+WHERE ({duck_md5_int("CAST(doc_id AS VARCHAR)")}) % 100 < keep_rate
+GROUP BY source
+"""

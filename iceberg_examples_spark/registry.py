@@ -127,6 +127,8 @@ QUERIES: dict[str, QueryFn] = {
     "deterministic_sample": CV.deterministic_sample,
     "train_test_split": CV.train_test_split,
     "llm_prep_pipeline": LP.llm_prep_pipeline,
+    "sequence_packing": LP.sequence_packing,
+    "corpus_mixture": LP.corpus_mixture,
     # §2.9 deduplication
     "dedup_exact": D.dedup_exact,
     "dedup_exact_keep": D.dedup_exact_keep,
@@ -149,6 +151,7 @@ QUERIES: dict[str, QueryFn] = {
     "sessionize": E.sessionize,
     "session_window_agg": E.session_window_agg,
     "window_sliding": E.window_sliding,
+    "locf_fill": E.locf_fill,
     # §2.7 M8 partition transforms
     "partition_prune": PT.partition_prune,
     "zorder_cells": PT.zorder_cells,
