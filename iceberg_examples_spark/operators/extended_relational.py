@@ -476,3 +476,28 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
           (o_orderstatus, o_orderpriority), (o_orderstatus), ()
         )
     """)
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — the distribution-profiling
+    primitive (data-quality dashboards, feature binning): order totals
+    into 20 equal buckets over [0, 600000), plus the under/overflow
+    buckets width_bucket reserves (0 and n+1). Bucket assignment is pure
+    arithmetic on identical doubles, so counts hash cross-engine; one
+    partial-combine aggregation total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket",
+            F.expr(
+                "cast(width_bucket(o_totalprice, 0.0, 600000.0, 20) as bigint)"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                "bucket_total"
+            ),
+        )
+    )

@@ -1372,3 +1372,13 @@ FROM rated
 WHERE ({duck_md5_int("CAST(doc_id AS VARCHAR)")}) % 100 < keep_rate
 GROUP BY source
 """
+
+EXT_ORACLES["value_histogram"] = f"""
+SELECT CASE WHEN o_totalprice < 0.0 THEN CAST(0 AS BIGINT)
+            WHEN o_totalprice >= 600000.0 THEN CAST(21 AS BIGINT)
+            ELSE CAST(floor(o_totalprice / 30000.0) AS BIGINT) + 1
+       END AS bucket,
+       count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS bucket_total
+FROM orders GROUP BY 1
+"""

@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "skew_join": XR.skew_join_query,
     "pivot_status": XR.pivot_status,
     "percentiles": XR.percentiles,
+    "value_histogram": XR.value_histogram,
     "approx_stats": XR.approx_stats,
     "join_semi": CV.join_semi,
     "join_anti": CV.join_anti,
