@@ -274,13 +274,15 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic collection aggregate: sorted DISTINCT set per group
-    (collect_set is unordered — array_sort makes it comparable; plain
-    collect_list would be partition-order-dependent and can never be
-    oracle-checked)."""
+    """Deterministic collection aggregate: sorted DISTINCT set per group,
+    serialized to a comma-joined scalar (collect_set is unordered —
+    array_sort makes it comparable; the join makes the column hashable by
+    pandas-based comparators, which choke on list-valued cells)."""
     cust = load_table(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
         F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
     )
 

@@ -85,38 +85,47 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BIN_TOKENS = 512
+# Docs per packing shard.  Each shard is a contiguous doc_id range packed
+# independently — a bounded, parallel window instead of a total-order sort.
+# 128 keeps several shards live even at the 500-doc test corpus; a cluster
+# deployment raises it so a shard is a few executor-memory-sized GB.
+SHARD_DOCS = 128
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk sequence packing — the step that turns a dedup'd
     corpus into fixed-budget training sequences: documents are laid out
-    in deterministic (doc_id) order, and each doc's bin is its starting
+    in deterministic (doc_id) order and each doc's bin is its starting
     offset in the concatenated token stream div the bin budget (exactly
     how GPT-style pipelines pack: stream, then cut every BIN_TOKENS).
-    Window cumsum of exact BIGINT token counts -> pure arithmetic, so
-    bin assignment is bit-identical cross-engine.
 
-    Output: per-bin doc count, token total, and id-sum fingerprint.
-    At scale the single total-order window is the cost — production
-    shards first (pack per partition) and this op IS that per-shard
-    kernel."""
+    Packing is SHARDED: docs are grouped into contiguous doc_id ranges of
+    SHARD_DOCS and each shard packs independently (`Window.partitionBy`),
+    so the cumsum window is a parallel per-shard operation — no task ever
+    sees more than one shard, and the plan survives a 100× corpus where a
+    total-order window would funnel everything through one task.  The
+    per-shard kernel is pure BIGINT arithmetic (integer `div`, NOT
+    `/`+cast: float division then cast truncates in Spark but ROUNDS in
+    DuckDB), so bin assignment is bit-identical cross-engine.
+
+    Output: per-(shard, bin) doc count, token total, id-sum fingerprint.
+    """
     docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
     w = (
-        Window.orderBy("doc_id")
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # integer `div`, NOT `/`+cast: float division then cast truncates in
-    # Spark but ROUNDS in DuckDB — div/(// in DuckDB) is exact on BIGINT
-    binned = docs.select(
-        "doc_id",
-        "n_tokens",
-        (
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-            .cast("bigint")
-            .alias("offset")
-        ),
-    ).withColumn("bin_id", F.expr(f"offset div {BIN_TOKENS}"))
-    return binned.drop("offset").groupBy("bin_id").agg(
+    binned = (
+        docs.select("doc_id", "n_tokens")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        .withColumn(
+            "offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("bin_id", F.expr(f"offset div {BIN_TOKENS}"))
+    )
+    return binned.groupBy("shard_id", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.sum("doc_id").alias("id_sum"),

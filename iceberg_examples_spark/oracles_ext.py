@@ -389,16 +389,24 @@ FROM documents
 GROUP BY source
 """
 
-# byte-accurate (not codepoint) histogram: iterate the UTF-8 payload via
-# hex pairs, matching fake_features' iteration over raw bytes
+# Analytic twin of the real BMP encode→decode round trip: the Spark side
+# encodes deterministic 13×7 24-bit BMPs and parses the bytes back
+# (multimodal.py: encode_bmp/decode_image); the oracle recomputes the
+# decoded statistics directly from the generative pixel formula
+# b=(d+7x+13y)%256, g=(3d+5x+y)%256, r=(5d+x+11y)%256.  wsum_b weights
+# blue by pixel position, so a row-order/stride/channel bug mismatches.
 EXT_ORACLES["multimodal_features"] = """
-SELECT doc_id AS media_id, CAST(i AS BIGINT) AS feature_idx,
-       CAST(len(list_filter(
-              [CAST(('0x' || substr(hex(encode(text)), 2*j-1, 2)) AS INT)
-               for j in range(1, octet_length(encode(text)) + 1)],
-              b -> b % 8 = i)) AS BIGINT) AS value
-FROM documents, range(0, 8) r(i)
+SELECT doc_id AS media_id,
+       CAST(13 AS BIGINT) AS width,
+       CAST(7 AS BIGINT) AS height,
+       CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_b,
+       CAST(sum((3*doc_id + 5*x + y) % 256) AS BIGINT) AS sum_g,
+       CAST(sum((5*doc_id + x + 11*y) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((1 + x + 13*y) * ((doc_id + 7*x + 13*y) % 256)) AS BIGINT)
+         AS wsum_b
+FROM documents, range(0, 13) x(x), range(0, 7) y(y)
 WHERE doc_id < 50
+GROUP BY doc_id
 """
 
 EXT_ORACLES["stream_window_hourly"] = EXT_ORACLES["window_hourly"]
@@ -761,7 +769,7 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 EXT_ORACLES["collect_sets"] = """
 SELECT c_nationkey,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
        CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
 FROM customer GROUP BY c_nationkey
 """
@@ -1344,19 +1352,21 @@ FROM events WHERE user_id < 50
 
 EXT_ORACLES["sequence_packing"] = f"""
 WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
-q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+q AS (SELECT doc_id, doc_id // 128 AS shard_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
 off AS (
-  SELECT doc_id, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+  SELECT doc_id, shard_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard_id
+                ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS o
   FROM q
 )
-SELECT o // 512 AS bin_id,
+SELECT shard_id, o // 512 AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
-FROM off GROUP BY 1
+FROM off GROUP BY 1, 2
 """
 
 EXT_ORACLES["corpus_mixture"] = f"""

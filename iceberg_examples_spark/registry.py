@@ -33,8 +33,107 @@ from iceberg_examples_spark.oracles import ORACLES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# ---------------------------------------------------------------------------
+# ORDERING CONTRACT (driver correctness window = first 50 entries).
+#
+# The external correctness gate verifies registry entries in declaration
+# order, capped at 50 per round.  Rotation plan:
+#   round 1 window: relational/TPC-H block          -> 49/50 green
+#   round 2 window (THIS order): §2.7 mutations, partition transforms,
+#     LLM text/dedup/ANN/pipeline ops, multimodal, streaming, plus the
+#     repaired collect_sets and the §2.5 event-window ops -> positions 1-50
+#   round 3 window: promote the remaining never-checked tail (positions
+#     51-71 below: json_props/window_sliding/locf_fill, percentiles,
+#     value_histogram, approx_stats, semi/anti/outer joins, scalar_funcs,
+#     snapshot/metadata surfaces, sql_entry, pandas UDAF/UDTF, csv/orc/json
+#     sources) into the first 50, rotating the round-2 greens to the tail.
+# Every query keeps a local DuckDB parity test regardless of position
+# (tests/test_parity.py runs all of them at sf0.001 every round).
+# ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # §2.1-2.6 pure relational ops
+    # --- round-2 window: §2.7 mutation scenarios (reference core) ---
+    "merge_upsert": RS.merge_upsert_query,
+    "merge_star": RS.merge_star_query,
+    "merge_cdc": RS.merge_cdc_query,
+    "scd2_final": RS.scd2_final_query,
+    "delete_pred": RS.delete_pred_query,
+    "schema_evolution": RS.schema_evolution_query,
+    "upsert_by_key": RS.upsert_by_key_query,
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
+    "cdc_pipeline": CP.cdc_pipeline,
+    # --- §2.7 M8 partition transforms ---
+    "partition_prune": PT.partition_prune,
+    "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
+    # --- §2.9 text analysis ---
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    # --- §2.9 sampling / packing / pipeline capstones ---
+    "deterministic_sample": CV.deterministic_sample,
+    "train_test_split": CV.train_test_split,
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
+    "sequence_packing": LP.sequence_packing,
+    "corpus_mixture": LP.corpus_mixture,
+    # --- §2.9 deduplication ---
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "dedup_minhash_lsh": D.minhash_lsh,
+    "dedup_components": D.dedup_components,
+    "ngram_jaccard": D.ngram_jaccard,
+    # --- §2.9 similarity search / clustering ---
+    "knn_cosine": SIM.knn_cosine,
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
+    "embedding_neardup": SIM.embedding_neardup,
+    # --- §2.9 multimodal columns ---
+    "multimodal_meta": MM.multimodal_meta,
+    "multimodal_features": MM.multimodal_features,
+    # --- §2.8 Structured Streaming (run to completion, memory sink) ---
+    "stream_window_hourly": ST.stream_window_hourly,
+    "stream_dedup_latest": ST.stream_dedup_latest,
+    "stream_sessionize": ST.stream_sessionize_stateful,
+    "stream_to_table": ST.stream_to_table,
+    "stream_session_window": ST.stream_session_window,
+    "stream_stream_join": ST.stream_stream_join,
+    "stream_static_join": ST.stream_static_join,
+    # --- repaired in r2 (r1 driver-harness crash) + §2.5 event windows ---
+    "collect_sets": XR.collect_sets,
+    "dedup_latest": E.dedup_latest,
+    "sessionize": E.sessionize,
+    "session_window_agg": E.session_window_agg,
+    "window_hourly": E.window_hourly,
+    # ----- end of round-2 window (50 entries above) -----
+    # --- round-3 rotation candidates: never driver-checked tail ---
+    "json_props": E.json_props,
+    "window_sliding": E.window_sliding,
+    "locf_fill": E.locf_fill,
+    "percentiles": XR.percentiles,
+    "value_histogram": XR.value_histogram,
+    "approx_stats": XR.approx_stats,
+    "join_semi": CV.join_semi,
+    "join_anti": CV.join_anti,
+    "join_outer": CV.join_outer,
+    "scalar_funcs": CV.scalar_funcs,
+    "time_travel": CV.time_travel,
+    "metadata_files": CV.metadata_files,
+    "incremental_view": CV.incremental_view,
+    "recursive_month_series": CV.recursive_month_series,
+    "variant_json_ops": CV.variant_json_ops,
+    "sql_entry": CV.sql_entry,
+    "grouped_median_pandas": CV.grouped_median_pandas,
+    "udtf_chunks": TX.chunk_documents_udtf,
+    "csv_roundtrip": CV.csv_roundtrip,
+    "orc_roundtrip": CV.orc_roundtrip,
+    "json_infer": RS.json_infer_query,
+    # --- driver-green in round 1 (CORRECTNESS_r01): relational / TPC-H ---
     "scan_full": R.scan_full,
     "project_literals": R.project_literals,
     "filter_conj": R.filter_conj,
@@ -82,92 +181,10 @@ QUERIES: dict[str, QueryFn] = {
     "lateral_topn": XR.lateral_topn,
     "agg_cube": XR.agg_cube,
     "grouping_sets_agg": XR.grouping_sets_agg,
-    "collect_sets": XR.collect_sets,
     "map_type_ops": XR.map_type_ops,
     "salted_agg": XR.salted_agg_query,
     "skew_join": XR.skew_join_query,
     "pivot_status": XR.pivot_status,
-    "percentiles": XR.percentiles,
-    "value_histogram": XR.value_histogram,
-    "approx_stats": XR.approx_stats,
-    "join_semi": CV.join_semi,
-    "join_anti": CV.join_anti,
-    "join_outer": CV.join_outer,
-    "scalar_funcs": CV.scalar_funcs,
-    # snapshot/metadata surfaces (Iceberg #snapshots / #files analogue)
-    "time_travel": CV.time_travel,
-    "metadata_files": CV.metadata_files,
-    "incremental_view": CV.incremental_view,
-    "recursive_month_series": CV.recursive_month_series,
-    "variant_json_ops": CV.variant_json_ops,
-    # EP1 SQL-string entry + grouped-map pandas UDAF surface
-    "sql_entry": CV.sql_entry,
-    "grouped_median_pandas": CV.grouped_median_pandas,
-    "udtf_chunks": TX.chunk_documents_udtf,
-    # alternate format sources/sinks
-    "csv_roundtrip": CV.csv_roundtrip,
-    "orc_roundtrip": CV.orc_roundtrip,
-    "json_infer": RS.json_infer_query,
-    # §2.7 mutation scenarios (reference core)
-    "merge_upsert": RS.merge_upsert_query,
-    "merge_star": RS.merge_star_query,
-    "merge_cdc": RS.merge_cdc_query,
-    "scd2_final": RS.scd2_final_query,
-    "delete_pred": RS.delete_pred_query,
-    "schema_evolution": RS.schema_evolution_query,
-    "upsert_by_key": RS.upsert_by_key_query,
-    "merge_upsert_scale": RS.merge_upsert_scale_query,
-    "cdc_pipeline": CP.cdc_pipeline,
-    # §2.9 LLM-pipeline extensions: text analysis
-    "text_token_count": TX.token_count,
-    "text_lang_id": TX.lang_id,
-    "text_quality_score": TX.quality_score,
-    "text_fingerprint": TX.doc_fingerprint,
-    "text_simhash": TX.simhash16,
-    "explode_tokens": TX.explode_tokens,
-    "deterministic_sample": CV.deterministic_sample,
-    "train_test_split": CV.train_test_split,
-    "llm_prep_pipeline": LP.llm_prep_pipeline,
-    "sequence_packing": LP.sequence_packing,
-    "corpus_mixture": LP.corpus_mixture,
-    # §2.9 deduplication
-    "dedup_exact": D.dedup_exact,
-    "dedup_exact_keep": D.dedup_exact_keep,
-    "dedup_minhash_lsh": D.minhash_lsh,
-    "dedup_components": D.dedup_components,
-    "ngram_jaccard": D.ngram_jaccard,
-    # §2.9 similarity search
-    "knn_cosine": SIM.knn_cosine,
-    "knn_cosine_ivf": SIM.knn_cosine_ivf,
-    "kmeans_clusters": CL.kmeans_clusters,
-    "kmeans_large": CL.kmeans_large,
-    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
-    "pq_codes": CL.pq_codes,
-    "pq_adc_topk": CL.pq_adc_topk,
-    "embedding_neardup": SIM.embedding_neardup,
-    # §2.8-2.9 event/stream-shaped ops (batch form)
-    "dedup_latest": E.dedup_latest,
-    "window_hourly": E.window_hourly,
-    "json_props": E.json_props,
-    "sessionize": E.sessionize,
-    "session_window_agg": E.session_window_agg,
-    "window_sliding": E.window_sliding,
-    "locf_fill": E.locf_fill,
-    # §2.7 M8 partition transforms
-    "partition_prune": PT.partition_prune,
-    "zorder_cells": PT.zorder_cells,
-    "bloom_prune_join": PT.bloom_prune_join,
-    # §2.9 multimodal columns
-    "multimodal_meta": MM.multimodal_meta,
-    "multimodal_features": MM.multimodal_features,
-    # §2.8 Structured Streaming (run to completion against memory sink)
-    "stream_window_hourly": ST.stream_window_hourly,
-    "stream_dedup_latest": ST.stream_dedup_latest,
-    "stream_sessionize": ST.stream_sessionize_stateful,
-    "stream_to_table": ST.stream_to_table,
-    "stream_session_window": ST.stream_session_window,
-    "stream_stream_join": ST.stream_stream_join,
-    "stream_static_join": ST.stream_static_join,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

@@ -6,16 +6,18 @@ metadata struct — the lakehouse-native layout for images/audio/video at
 queryable without touching payloads; column pruning means metadata-only
 queries never read the bytes).
 
-The decode step (JPEG/PNG/audio codecs) requires libraries not present in
-this container, so decoding is STUBBED behind ``NotImplementedError``
-with a deterministic fake feature extractor in its place — the Spark-side
-plumbing (schema, Arrow batch shape, mapInPandas signature, partitioning)
-is real and tested; swapping the fake for Pillow/librosa is a one-function
-change inside the batch loop.
+The decode stage is REAL for uncompressed 24-bit BMP (pure-Python header +
+pixel-row parser below — no codec library needed): payloads are encoded as
+genuine BMP files and ``decode_image`` walks the actual byte layout
+(magic, pixel-data offset, signed height, bottom-up row order, 4-byte row
+padding).  Compressed codecs (JPEG/PNG/audio) would slot into the same
+``mapInPandas`` batch loop via Pillow/librosa — a one-function change —
+and remain out of scope in this container.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,12 +49,135 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder — requires an image library not present in this
-    container. The pipeline wiring calls :func:`fake_features` instead."""
-    raise NotImplementedError(
-        "image decoding requires e.g. Pillow; not available in this "
-        "environment — use fake_features() for the plumbing path"
+# ---- real BMP codec (pure Python, no external library) ------------------
+#
+# 24-bit uncompressed Windows BMP: BITMAPFILEHEADER (14 bytes) +
+# BITMAPINFOHEADER (40 bytes) + BGR pixel rows, each row padded to a
+# 4-byte boundary, rows stored bottom-up unless height is negative.
+
+IMG_W, IMG_H = 13, 7  # odd width on purpose: exercises nonzero row padding
+
+
+def _pixel(doc_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic generative pixel (b, g, r) for synthetic images —
+    closed-form so the DuckDB oracle can recompute decoded statistics
+    analytically without running any Python."""
+    b = (doc_id + 7 * x + 13 * y) % 256
+    g = (3 * doc_id + 5 * x + y) % 256
+    r = (5 * doc_id + x + 11 * y) % 256
+    return b, g, r
+
+
+def encode_bmp(doc_id: int, width: int = IMG_W, height: int = IMG_H) -> bytes:
+    """Encode the deterministic synthetic image for ``doc_id`` as a real
+    24-bit BMP file (bottom-up rows, padded): a byte-faithful stand-in for
+    ingested image payloads that any image viewer could open."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    pixel_bytes = (row_bytes + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + pixel_bytes, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            rows.extend(_pixel(doc_id, x, y))
+        rows.extend(b"\x00" * pad)
+    return header + bytes(rows)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real BMP decoder: parses the actual byte layout (magic, pixel-data
+    offset, signed height / bottom-up row order, 24bpp, 4-byte row
+    padding) and returns dimensions plus per-channel statistics, including
+    a position-weighted checksum (``wsum_b`` = Σ (1 + x + width·y)·blue)
+    that is wrong if row order, padding, or channel order is mishandled —
+    the oracle recomputes it analytically."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    if dib_size < 40 or planes != 1 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant (dib={dib_size}, bpp={bpp})")
+    height = abs(height_raw)
+    bottom_up = height_raw > 0
+    row_stride = (width * 3 + 3) & ~3
+    sum_b = sum_g = sum_r = wsum_b = 0
+    for row in range(height):
+        y = (height - 1 - row) if bottom_up else row
+        base = data_offset + row * row_stride
+        for x in range(width):
+            b = payload[base + 3 * x]
+            g = payload[base + 3 * x + 1]
+            r = payload[base + 3 * x + 2]
+            sum_b += b
+            sum_g += g
+            sum_r += r
+            wsum_b += (1 + x + width * y) * b
+    return {
+        "width": width,
+        "height": height,
+        "sum_b": sum_b,
+        "sum_g": sum_g,
+        "sum_r": sum_r,
+        "wsum_b": wsum_b,
+    }
+
+
+def build_image_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL BMP files (one deterministic
+    image per document id), encoded executor-side in Arrow batches — the
+    payload bytes never visit the driver."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_bmp(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "kind": "bmp",
+                    "source": pdf["source"],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = docs.mapInPandas(
+        encode,
+        schema=(
+            "media_id long, payload binary, kind string, "
+            "source string, n_bytes long"
+        ),
+    )
+    return flat.select(
+        "media_id",
+        "payload",
+        F.struct("kind", "source", "n_bytes").alias("meta"),
+    )
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Decode → feature-extract stage over real BMP payloads: Arrow-batched
+    ``mapInPandas`` calling :func:`decode_image` per payload; no shuffle,
+    bytes stay on the executor."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [decode_image(p) for p in pdf["payload"]]
+            out = pd.DataFrame(stats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.select("media_id", "payload").mapInPandas(
+        compute,
+        schema=(
+            "media_id long, width long, height long, "
+            "sum_b long, sum_g long, sum_r long, wsum_b long"
+        ),
     )
 
 
@@ -128,16 +253,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extraction plumbing query: byte-histogram features for the
-    first 50 media items (bounded output), exploded to (media_id,
-    feature_idx, value) for SQL-comparable form."""
-    media = build_media_table(spark, sf_dir).filter(F.col("media_id") < 50)
-    feats = extract_features(media)
-    return feats.select(
-        "media_id",
-        F.posexplode("features").alias("feature_idx", "value"),
-    ).select(
-        "media_id",
-        F.col("feature_idx").cast("bigint").alias("feature_idx"),
-        F.col("value").cast("bigint").alias("value"),
+    """End-to-end real decode: encode each doc's deterministic image as an
+    actual BMP payload, then parse those bytes back with the pure-Python
+    BMP decoder (header, bottom-up rows, padding) and emit per-image
+    dimension + channel statistics.  The oracle recomputes the same
+    statistics analytically from the generative pixel formula, so any
+    encode- or decode-side byte-layout bug (row order, stride padding,
+    BGR channel order) hash-mismatches — the decode step is genuinely
+    exercised, not stubbed."""
+    media = build_image_media_table(spark, sf_dir).filter(
+        F.col("media_id") < 50
     )
+    return image_stats(media)

@@ -74,9 +74,50 @@ def test_evolve_add_then_drop_roundtrip(spark):
 
 # ---- multimodal plumbing ------------------------------------------------
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+def test_decode_rejects_non_bmp():
+    with pytest.raises(ValueError, match="BM"):
+        MM.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_bmp_roundtrip_matches_generative_formula():
+    """encode_bmp must produce a byte layout decode_image can parse back
+    to exactly the generative pixel statistics — including the
+    position-weighted checksum that pins row order and stride padding."""
+    d = 7
+    stats = MM.decode_image(MM.encode_bmp(d))
+    exp_b = exp_g = exp_r = exp_w = 0
+    for y in range(MM.IMG_H):
+        for x in range(MM.IMG_W):
+            b, g, r = MM._pixel(d, x, y)
+            exp_b += b
+            exp_g += g
+            exp_r += r
+            exp_w += (1 + x + MM.IMG_W * y) * b
+    assert stats == {
+        "width": MM.IMG_W,
+        "height": MM.IMG_H,
+        "sum_b": exp_b,
+        "sum_g": exp_g,
+        "sum_r": exp_r,
+        "wsum_b": exp_w,
+    }
+
+
+def test_bmp_decoder_handles_top_down_rows():
+    """Negative height = top-down row storage; the decoder must map rows
+    accordingly (wsum_b differs between orientations unless handled)."""
+    img = bytearray(MM.encode_bmp(3))
+    bottom_up = MM.decode_image(bytes(img))
+    # flip to top-down: negate height, reverse the stored row order
+    import struct as _s
+
+    (off,) = _s.unpack_from("<I", img, 10)
+    w, h = _s.unpack_from("<ii", img, 18)
+    _s.pack_into("<i", img, 22, -h)
+    stride = (w * 3 + 3) & ~3
+    rows = [img[off + i * stride: off + (i + 1) * stride] for i in range(h)]
+    img[off:] = b"".join(reversed(rows))
+    assert MM.decode_image(bytes(img)) == bottom_up
 
 
 def test_fake_features_deterministic_histogram():
@@ -455,3 +496,36 @@ def test_operators_schema_stable_on_empty_input(spark, sf_dir):
     empty_changes = orders.filter(F.lit(False))
     merged = upsert_by_key(orders, empty_changes, keys=["o_orderkey"])
     assert merged.count() == orders.count()
+
+
+# ---- sequence packing: no total-order window (scale-killer guard) -------
+
+def test_sequence_packing_window_is_sharded(spark, sf_dir):
+    """Every window in the packing plan must partition by shard_id — an
+    unpartitioned (total-order) window funnels the whole corpus through a
+    single task at scale, which r1's review flagged as the one remaining
+    scale-killer. windowspecdefinition(...) with no partition columns
+    starts directly with the ORDER BY column."""
+    from iceberg_examples_spark.operators.llm_pipeline import sequence_packing
+
+    df = sequence_packing(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "packing plan lost its window — rewrite broke the op"
+    for spec in specs:
+        assert "shard_id" in spec.split("ASC")[0], (
+            f"unpartitioned window spec in sequence_packing: {spec}"
+        )
+
+
+def test_sequence_packing_multiple_shards(spark, sf_dir):
+    """The 500-doc test corpus must actually exercise >1 shard (shard
+    size 128 -> 4 shards), otherwise the partitioned window degenerates
+    to the global form and the test proves nothing."""
+    from iceberg_examples_spark.operators.llm_pipeline import sequence_packing
+
+    shards = sequence_packing(spark, sf_dir).select("shard_id").distinct().count()
+    assert shards >= 3
