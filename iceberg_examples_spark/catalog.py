@@ -9,12 +9,15 @@ capabilities Spark-natively:
 - :func:`register_views` / :func:`load_table` — name -> DataFrame over the
   driver-provided parquet star schema (``TESTDATA.md``).
 - :class:`LocalTable` — a minimal snapshot-versioned table on a directory:
-  every commit writes an immutable parquet snapshot dir plus a metadata
-  pointer (atomic rename), giving append / overwrite / time-travel reads —
-  the observable semantics of Iceberg's snapshot commits without the
-  connector jar.  On a cluster the same API is backed by the real Iceberg
-  catalog (see ``sources/iceberg_compat.py``); nothing above this layer
-  changes.
+  every commit writes an immutable parquet snapshot dir plus an immutable
+  versioned metadata file published by an atomic compare-and-swap
+  (``os.link`` of a complete temp file — fails iff the version already
+  exists), giving append / overwrite / time-travel reads and real
+  optimistic concurrency: of two racing committers exactly one wins and
+  the loser raises :class:`CommitConflictError`.  These are the observable
+  semantics of Iceberg's snapshot commits without the connector jar.  On a
+  cluster the same API is backed by the real Iceberg catalog (see
+  ``sources/iceberg_compat.py``); nothing above this layer changes.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -101,23 +105,38 @@ def scratch_dir(sf_dir: str, name: str, fresh: bool = False) -> str:
     return path
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same version first (optimistic-
+    concurrency conflict — Iceberg's ``CommitFailedException``). The table
+    is untouched by the losing commit; the caller may re-read and retry
+    the whole operation against the new current snapshot."""
+
+
 class LocalTable:
     """Snapshot-versioned parquet table (lakehouse-lite).
 
     Layout::
 
-        <root>/snap-00000/   immutable parquet files of snapshot 0
-        <root>/snap-00001/   ...
-        <root>/_metadata.json  {"current": 1, "snapshots": [...]}
+        <root>/snap-00000-<token>/    immutable parquet files of snapshot 0
+        <root>/snap-00001-<token>/    ...  (token = unique per commit attempt)
+        <root>/_metadata.v00000.json  complete metadata as of version 0
+        <root>/_metadata.v00001.json  ...  (current = highest version file)
 
-    Commits are atomic via write-to-temp + ``os.replace`` of the metadata
-    pointer — the same optimistic metadata-swap idea Iceberg uses
-    (``IcebergJavaApiAppend.java:92-94``), scaled down to a local/posix or
-    object-store-with-rename filesystem. Each snapshot records its parent,
-    operation, and schema for time travel and audit.
+    Each metadata file is immutable and complete (full snapshot log), and
+    is published by hard-linking a fully-written temp file to its
+    versioned name — ``os.link`` fails with ``FileExistsError`` iff that
+    version was already published, which makes the publish a true
+    compare-and-swap on ``current``: of two racing committers that both
+    read version N and try to publish N+1, exactly one link succeeds; the
+    loser raises :class:`CommitConflictError` with no effect on the table.
+    This is Iceberg's optimistic metadata-swap commit protocol
+    (``IcebergJavaApiAppend.java:92-94``) scaled down to a posix
+    filesystem. Each snapshot records its parent, operation, and schema
+    for time travel and audit.
     """
 
-    METADATA = "_metadata.json"
+    META_PREFIX = "_metadata.v"
+    META_SUFFIX = ".json"
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -125,21 +144,48 @@ class LocalTable:
         os.makedirs(root, exist_ok=True)
 
     # ---- metadata -------------------------------------------------------
-    def _meta_path(self) -> str:
-        return os.path.join(self.root, self.METADATA)
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(
+            self.root, f"{self.META_PREFIX}{version:05d}{self.META_SUFFIX}"
+        )
+
+    def _meta_versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if n.startswith(self.META_PREFIX) and n.endswith(self.META_SUFFIX):
+                core = n[len(self.META_PREFIX) : -len(self.META_SUFFIX)]
+                if core.isdigit():
+                    out.append(int(core))
+        return sorted(out)
 
     def _read_meta(self) -> dict:
-        try:
-            with open(self._meta_path()) as f:
-                return json.load(f)
-        except FileNotFoundError:
+        versions = self._meta_versions()
+        if not versions:
             return {"current": -1, "snapshots": []}
+        with open(self._meta_path(versions[-1])) as f:
+            return json.load(f)
 
-    def _write_meta(self, meta: dict) -> None:
+    def _publish_meta(self, meta: dict, version: int) -> None:
+        """Atomically publish complete metadata as the given version.
+        The hard link is the compare-and-swap: it succeeds iff no other
+        committer has published this version."""
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f, indent=2)
-        os.replace(tmp, self._meta_path())  # atomic pointer swap
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(meta, f, indent=2)
+            try:
+                os.link(tmp, self._meta_path(version))
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"version {version} was committed concurrently; "
+                    "re-read and retry the operation"
+                ) from None
+        finally:
+            os.unlink(tmp)
 
     # ---- snapshot surface ----------------------------------------------
     @property
@@ -154,13 +200,26 @@ class LocalTable:
     def exists(self) -> bool:
         return self.current_version >= 0
 
-    def _snap_dir(self, version: int) -> str:
-        return os.path.join(self.root, f"snap-{version:05d}")
+    def _snap_path(self, version: int, meta: dict | None = None) -> str:
+        """Data dir of a committed snapshot, from its metadata entry."""
+        meta = self._read_meta() if meta is None else meta
+        for snap in meta["snapshots"]:
+            if snap["version"] == version:
+                return os.path.join(self.root, snap["path"])
+        raise FileNotFoundError(
+            f"table {self.root} has no snapshot version {version}"
+        )
 
     def _commit(self, df: DataFrame, operation: str, partition_by: list[str] | None) -> int:
         meta = self._read_meta()
         version = meta["current"] + 1
-        path = self._snap_dir(version)
+        # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
+        # committers never write into each other's files; the metadata CAS
+        # below decides whose dir becomes the snapshot (Iceberg's unique
+        # data-file-name + metadata-swap protocol).
+        token = uuid.uuid4().hex[:8]
+        relpath = f"snap-{version:05d}-{token}"
+        path = os.path.join(self.root, relpath)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -170,12 +229,22 @@ class LocalTable:
                 "version": version,
                 "parent": meta["current"],
                 "operation": operation,
+                "path": relpath,
                 "schema": df.schema.jsonValue(),
                 "partition_by": partition_by or [],
             }
         )
         meta["current"] = version
-        self._write_meta(meta)
+        try:
+            self._publish_meta(meta, version)
+        except CommitConflictError:
+            # Lost the race: another writer published this version first.
+            # Our staged data dir is unreachable garbage — remove it so the
+            # winner's table has no orphan data, then surface the conflict.
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            raise
         return version
 
     # ---- public API -----------------------------------------------------
@@ -196,10 +265,11 @@ class LocalTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read current or time-travel to an older snapshot."""
-        v = self.current_version if version is None else version
+        meta = self._read_meta()
+        v = meta["current"] if version is None else version
         if v < 0:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
-        return self.spark.read.parquet(self._snap_dir(v))
+        return self.spark.read.parquet(self._snap_path(v, meta))
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read: rows present in ``to_version`` but not in

@@ -86,6 +86,16 @@ def time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Single source of truth for the metadata surface's data directory: the
+# oracle must name a literal path for DuckDB's parquet_metadata(), so the
+# Spark side pins the SAME directory regardless of ``sf_dir`` and the
+# oracle renders its literals from this constant (oracles_ext imports it).
+# Overridable for deployments where testdata lives elsewhere.
+METADATA_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_METADATA_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
 def metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File/row-group metadata surface — the engine's ``#files`` metadata
     table (Iceberg surface: `IcebergHadoopTables.java:44-47`): row-group
@@ -93,11 +103,11 @@ def metadata_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyarrow, no data read. Driver-side by design (metadata reads are
     manifest-sized, like Iceberg's).
 
-    Note: reads the sf0.01 testdata regardless of ``sf_dir`` because the
-    oracle must name a literal path for DuckDB's parquet_metadata()."""
+    Reads ``METADATA_SF_DIR`` (not ``sf_dir``) so the Spark query and the
+    oracle's parquet_metadata() literal always name the same files."""
     import pyarrow.parquet as pq
 
-    fixed_dir = "/root/testdata/sf0.01"
+    fixed_dir = METADATA_SF_DIR
     rows = []
     for table in ["lineitem", "orders"]:
         md = pq.ParquetFile(os.path.join(fixed_dir, f"{table}.parquet")).metadata

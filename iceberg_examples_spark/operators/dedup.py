@@ -250,26 +250,33 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the verified
-    MinHash-LSH pair graph, each doc labeled with the min doc_id reachable
-    from it (the canonical cluster representative).
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list ``(doc_a, doc_b)``:
+    every node labeled with the min node id reachable from it.
 
-    Iterative min-label propagation to a fixpoint: labels start as own id;
-    each round every node takes the min of its own and its neighbors'
-    labels (edges used symmetrically). The driver loop only checks a
-    convergence count per round — all data stays distributed; rounds are
-    O(graph diameter), each one join + one aggregate. This is the
-    standard MapReduce-style components algorithm (cf. Kiveris et al.
-    2014, "Connected Components in MapReduce and Beyond" — our variant is
-    plain label propagation, which is the right tool at near-dup graph
-    densities where components are tiny and diameters short).
+    Min-label propagation with POINTER DOUBLING (Shiloach–Vishkin-style
+    shortcutting): each round every node (1) hooks — takes the min of its
+    own and its neighbors' labels, then (2) shortcuts — replaces its label
+    with its label's label. Shortcutting halves the remaining propagation
+    distance, so rounds are O(log diameter), not O(diameter): the default
+    20-round cap terminates for any graph a near-dup pipeline can produce
+    (diameter up to ~2^20). Everything stays distributed; the driver only
+    checks a one-row convergence count per round (cf. Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — label propagation
+    plus shortcutting, the right tool at near-dup graph densities where
+    components are small).
+
+    Correctness invariants: ``label(v) <= v`` always (labels start as own
+    id and only decrease), so ``label(label(v)) <= label(v)`` and the
+    shortcut is monotone; a label is always the id of a node in the same
+    component, so at fixpoint labels are constant per component and equal
+    to the component min.
     """
-    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     # symmetric edge list, checkpointed: reused every iteration
-    edges = (
-        pairs.union(
-            pairs.select(
+    sym = (
+        edges.select("doc_a", "doc_b")
+        .union(
+            edges.select(
                 F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
         )
@@ -277,48 +284,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
+        sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    converged = False
-    for _ in range(20):  # diameter bound; near-dup clusters are shallow
+    # Convergence probe: labels are per-node non-increasing, so the label
+    # SUM strictly decreases every non-converged round — an unchanged sum
+    # is exactly the fixpoint. A scalar agg over the just-checkpointed
+    # frame is far cheaper than the old/new join-and-count.
+    prev_sum = None
+    for _ in range(max_rounds):
+        # (1) hook: min over own + neighbor labels
         neighbor_min = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
+            sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        hooked = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # (2) shortcut: label(v) <- label(label(v)) — the pointer-doubling
+        # step that makes convergence logarithmic in diameter
+        parent = hooked.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
         new_labels = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
+            hooked.join(parent, hooked.label == parent.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "dedup_components: min-label propagation did not converge in 20 "
-            "rounds — a component's diameter exceeds the cap; raise the bound "
-            "(or switch to large-star/small-star for deep graphs) rather than "
-            "returning partially-propagated labels"
-        )
-    return labels.select(
-        "doc_id", F.col("label").alias("component")
+        if cur_sum == prev_sum:
+            return labels.select("doc_id", F.col("label").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components: did not converge in {max_rounds} rounds — "
+        "with pointer doubling this means diameter > 2^rounds; raise "
+        "max_rounds rather than returning partially-propagated labels"
     )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash-LSH pair graph, each doc labeled with the min doc_id reachable
+    from it (the canonical cluster representative). See
+    :func:`connected_components` for the distributed algorithm."""
+    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)

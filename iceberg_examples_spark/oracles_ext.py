@@ -579,16 +579,18 @@ SELECT 1,
        (SELECT count(*) FROM orders WHERE o_orderstatus IN ('F', 'O'))
 """
 
-EXT_ORACLES["metadata_files"] = """
+from iceberg_examples_spark.operators.coverage import METADATA_SF_DIR
+
+EXT_ORACLES["metadata_files"] = f"""
 SELECT table_name, row_group_id,
        CAST(max(row_group_num_rows) AS BIGINT) AS num_rows,
        CAST(max(row_group_bytes) AS BIGINT) AS total_byte_size
 FROM (
   SELECT 'lineitem' AS table_name, row_group_id, row_group_num_rows, row_group_bytes
-  FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+  FROM parquet_metadata('{METADATA_SF_DIR}/lineitem.parquet')
   UNION ALL
   SELECT 'orders', row_group_id, row_group_num_rows, row_group_bytes
-  FROM parquet_metadata('/root/testdata/sf0.01/orders.parquet')
+  FROM parquet_metadata('{METADATA_SF_DIR}/orders.parquet')
 )
 GROUP BY table_name, row_group_id
 """

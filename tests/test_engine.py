@@ -38,6 +38,54 @@ def test_localtable_overwrite_commits_new_snapshot(spark, tmp_path):
     assert t.read(version=0).collect()[0].id == 1
 
 
+def test_localtable_concurrent_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: two committers that both read version N and
+    race to publish N+1 — exactly one wins; the loser raises
+    CommitConflictError, leaves no orphan data, and the winner's snapshot
+    is intact (no lost update)."""
+    import os
+
+    from iceberg_examples_spark.catalog import CommitConflictError
+
+    t = LocalTable(spark, str(tmp_path / "tbl_cas"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+
+    # Writer A (another handle on the same root) wins version 1 first.
+    a = LocalTable(spark, str(tmp_path / "tbl_cas"))
+    a.append(spark.createDataFrame([(2,)], "id long"))
+
+    # Writer B raced: it read meta at version 0 (before A committed), so
+    # its CAS on version 1 must fail. Reproduce B's stale read by driving
+    # _commit's publish against a pre-A metadata snapshot.
+    stale = {
+        "current": 0,
+        "snapshots": [s for s in t.snapshots() if s["version"] == 0],
+    }
+    stale["snapshots"].append({"version": 1, "parent": 0, "operation": "append",
+                               "path": "snap-00001-deadbeef", "schema": {},
+                               "partition_by": []})
+    stale["current"] = 1
+    with pytest.raises(CommitConflictError):
+        t._publish_meta(stale, 1)
+
+    # Winner's commit survives; no temp files leak.
+    assert t.read().count() == 2
+    assert t.current_version == 1
+    leftovers = [f for f in os.listdir(t.root) if f.endswith(".json.tmp")]
+    assert leftovers == []
+
+
+def test_localtable_racing_commits_unique_data_dirs(spark, tmp_path):
+    """Each commit attempt stages data in its own token-suffixed dir, so a
+    losing committer can never have clobbered the winner's files."""
+    t = LocalTable(spark, str(tmp_path / "tbl_tok"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    paths = [s["path"] for s in t.snapshots()]
+    assert len(set(paths)) == 2
+    assert all(len(p.split("-")) == 3 for p in paths)  # snap-NNNNN-token
+
+
 # ---- mutation edge cases ------------------------------------------------
 
 def test_merge_cardinality_check(spark):
@@ -229,6 +277,52 @@ def test_write_sorted_within_partitions(spark, sf_dir, tmp_path):
     assert col == sorted(col)
 
 
+def test_connected_components_deep_path_graph(spark):
+    """A path graph of diameter 299 converges inside the 20-round cap:
+    pointer doubling makes rounds O(log diameter), where plain min-label
+    propagation (the pre-fix algorithm) would need 299 rounds and raise."""
+    from iceberg_examples_spark.operators.dedup import connected_components
+
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = connected_components(edges).collect()
+    assert len(out) == n
+    assert all(r.component == 0 for r in out)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random multi-component graph vs an independent union-find model."""
+    import random
+
+    from iceberg_examples_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    raw = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [e for e in raw if e[0] != e[1]]
+
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    present = sorted({x for e in edges for x in e})
+    comp_min: dict[int, int] = {}
+    for x in present:  # ascending, so first-seen per root is the min id
+        comp_min.setdefault(find(x), x)
+    expected = {x: comp_min[find(x)] for x in present}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components(df).collect()}
+    assert got == expected
+
+
 def test_localtable_changes_and_compact(spark, tmp_path):
     t = LocalTable(spark, str(tmp_path / "tbl3"))
     t.create(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
@@ -241,7 +335,8 @@ def test_localtable_changes_and_compact(spark, tmp_path):
     assert t.snapshots()[-1]["operation"] == "compact"
     assert t.read(v).count() == 4
     import glob
-    files = glob.glob(f"{tmp_path}/tbl3/snap-{v:05d}/*.parquet")
+    snap_path = [s["path"] for s in t.snapshots() if s["version"] == v][0]
+    files = glob.glob(f"{tmp_path}/tbl3/{snap_path}/*.parquet")
     assert len(files) == 1
 
 
