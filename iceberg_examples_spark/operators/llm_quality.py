@@ -1,0 +1,236 @@
+"""Corpus-quality and retrieval operators over the ``documents`` table
+(north-star LLM-pipeline surface, SURVEY §2.9 continuation): TF-IDF top
+terms, BM25 keyword search, Gopher-style repetition filtering, and
+train/val contamination checking (decontamination).
+
+These extend the text-analysis family (``operators/text.py``) with the
+four remaining staples of a production training-data pipeline:
+
+- term salience (``tfidf_topterms``): the inverted-index build — explode
+  to (doc, term), two-level aggregation, per-doc top-k window;
+- keyword retrieval (``bm25_search``): map-only per-doc term frequencies
+  (HOF folds, NO explode) × one broadcast corpus-stats row;
+- repetition filtering (``repetition_topgram``): the Gopher/MassiveText
+  most-frequent-2-gram fraction (Rae et al. 2021, §A1.1.2) — docs whose
+  top bigram dominates are boilerplate/spam candidates;
+- decontamination (``contamination_check``): n-gram overlap between the
+  train and validation splits of the deterministic splitter — the
+  benchmark-leakage audit every eval pipeline needs.
+
+Float determinism: every scoring formula here is built exclusively from
+``+ - * /`` on identically-typed operands with parenthesized, identical
+expression trees on both engines. IEEE 754 requires those operators to be
+correctly rounded, so Spark and DuckDB produce bit-identical doubles and
+the driver's repr()-exact value hash matches. This is why ``bm25_search``
+uses the rational Robertson idf ``(N - df + 0.5) / (df + 0.5)`` WITHOUT
+the conventional log: ``ln`` is a transcendental whose last ulp is
+implementation-defined, so a logged variant could not be oracle-checked
+exactly (ranking is order-preserved either way since log is monotone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.texthash import (
+    md5_int_hash,
+    tokens_expr,
+    train_val_split_sql,
+)
+
+# BM25 constants (conventional values), pre-folded so both engines see
+# the same literals: k1=1.2, b=0.75, (k1+1)=2.2, (1-b)=0.25.
+BM25_QUERY_TERMS = ["table", "merge", "spark", "join"]
+BM25_TOPK = 20
+
+# Gopher repetition gate: docs whose most frequent word-bigram exceeds
+# this fraction of all bigrams are flagged (MassiveText uses 0.2 on
+# real web text; the synthetic word-soup corpus needs a tighter bar to
+# exercise both branches of the flag).
+REPETITION_MAX_FRAC = 0.03
+
+# Contamination shingle width (tokens). 3 is deliberately small for the
+# ~30-word synthetic vocabulary so chance overlap plus planted near-dups
+# both surface; production decontamination uses 8-13 (e.g. GPT-3 used 13).
+CONTAM_NGRAM = 3
+
+
+def bm25_term_score_sql(t: str) -> str:
+    """Per-term BM25 partial score over columns ``tf_<t>``, ``dl``,
+    ``df_<t>``, ``nd``, ``avgdl`` (all DOUBLE). Plain SQL arithmetic —
+    the SAME string is evaluated by Spark and DuckDB so the double
+    result is bit-identical (see module docstring)."""
+    return (
+        f"(((nd - df_{t}) + 0.5) / (df_{t} + 0.5)) * "
+        f"((tf_{t} * 2.2) / (tf_{t} + 1.2 * (0.25 + 0.75 * (dl / avgdl))))"
+    )
+
+
+def bm25_total_sql() -> str:
+    """Fixed left-to-right sum of the per-term scores (pinned
+    association order — double addition is not associative)."""
+    return " + ".join(bm25_term_score_sql(t) for t in BM25_QUERY_TERMS)
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    Plan shape (the inverted-index build, linear at any scale): explode
+    tokens → (doc, term) counts → vocabulary doc-frequencies → score →
+    per-doc top-k window. The corpus size joins in as a one-row aggregate
+    (auto-broadcast), never a driver-side collect. Score is the rational
+    ``tf * N / df`` (idf without log — monotone-equivalent ranking,
+    bit-exact across engines; see module docstring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(ndocs)  # 1 row — broadcast nested loop, no shuffle
+        .withColumn("score", F.expr("cast(tf as double) * n_docs / df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (rational-idf variant) for a fixed query,
+    top-20 docs.
+
+    Scale design: per-term tf and doc length are HOF folds inside ONE
+    map-only projection over the corpus — no explode, no shuffle of the
+    documents themselves. Corpus statistics (N, avgdl, per-term df) are a
+    single aggregated row cross-joined back (broadcast). The only
+    corpus-wide movement is the final top-k, which AQE executes as a
+    partial per-partition top-k + single-reducer merge. At 100 TB this is
+    one pass over the data plus kilobytes of coordination.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    per_doc = docs.select(
+        "doc_id",
+        F.expr(f"cast(size({toks}) as double)").alias("dl"),
+        *[
+            F.expr(
+                f"cast(size(filter({toks}, x -> x = '{t}')) as double)"
+            ).alias(f"tf_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.expr("cast(count(*) as double)").alias("nd"),
+        F.expr("sum(dl) / cast(count(*) as double)").alias("avgdl"),
+        *[
+            F.expr(
+                f"cast(sum(case when tf_{t} > 0 then 1 else 0 end) as double)"
+            ).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    # Per-term partial scores (absent terms contribute exactly 0.0: the
+    # numerator is 0, the denominator strictly positive) summed in pinned
+    # left-to-right order — the identical expression string runs on the
+    # oracle side, so the double result is bit-identical.
+    scored = per_doc.crossJoin(stats).select(
+        "doc_id", F.expr(f"({bm25_total_sql()})").alias("bm25")
+    )
+    return (
+        scored.filter(F.col("bm25") > 0.0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metric: fraction of all word-bigrams taken
+    by the single most frequent bigram, with the quality flag.
+
+    Plan: bigram explode → (doc, gram) counts → per-doc max/sum. Two
+    narrow aggregations over the exploded stream; the heavy token work is
+    in the first map stage. Exact rational fraction → bit-stable flag.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    bigrams = (
+        docs.filter(F.expr(f"size({toks}) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({toks}) - 1), "
+                    f"i -> concat(element_at({toks}, i), ' ', "
+                    f"element_at({toks}, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    counts = bigrams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_count"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "top_count",
+        F.expr("cast(top_count as double) / n_bigrams").alias("top_frac"),
+        F.expr(
+            f"cast(top_count as double) / n_bigrams > {REPETITION_MAX_FRAC}"
+        ).alias("flagged"),
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: train-split docs sharing at least one
+    {CONTAM_NGRAM}-token shingle with ANY validation-split doc, with the
+    count of distinct shared shingle hashes per contaminated doc.
+
+    The split is the engine's deterministic hash split
+    (``train_val_split_sql`` — identical membership to the
+    ``train_test_split`` operator), so this is a true self-audit of the
+    pipeline's own leakage. Shingles are 60-bit md5 hashes, NOT strings:
+    the join shuffles 8-byte keys no matter how long the documents are.
+    The val side is dropped to distinct hashes and broadcast — the
+    benchmark/holdout side of a decontamination pass is orders of
+    magnitude smaller than the train corpus (here 10%, in production a
+    fixed eval suite), which turns the audit into one map-side hash join
+    over the train shingle stream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    n = CONTAM_NGRAM
+    shingle_str = f"concat_ws(' ', slice({toks}, i, {n}))"
+    shingled = docs.filter(F.expr(f"size({toks}) >= {n}")).select(
+        "doc_id",
+        F.expr(train_val_split_sql("doc_id")).alias("split"),
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+                f"i -> {md5_int_hash(shingle_str)}))"
+            )
+        ).alias("sh"),
+    )
+    train = shingled.filter(F.col("split") == "train")
+    val_hashes = (
+        shingled.filter(F.col("split") == "val").select("sh").distinct()
+    )
+    return (
+        train.join(F.broadcast(val_hashes), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )

@@ -1394,3 +1394,116 @@ SELECT CASE WHEN o_totalprice < 0.0 THEN CAST(0 AS BIGINT)
        {money_sum_sql('o_totalprice', scale=100)} AS bucket_total
 FROM orders GROUP BY 1
 """
+
+# ---- corpus quality / retrieval (operators/llm_quality.py) --------------
+# The scoring formulas are the SAME strings evaluated by Spark (see the
+# module docstring of operators/llm_quality.py for the bit-exactness
+# argument: only +-*/ on doubles, pinned association order, no
+# transcendentals).
+
+from iceberg_examples_spark.operators.llm_quality import (  # noqa: E402
+    BM25_QUERY_TERMS,
+    BM25_TOPK,
+    CONTAM_NGRAM,
+    REPETITION_MAX_FRAC,
+    bm25_total_sql,
+)
+
+_DOC_TOKS = DUCK_TOKS.format(col="text")
+
+EXT_ORACLES["tfidf_topterms"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf AS DOUBLE) * n_docs / df AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term ASC
+         ) AS INTEGER) AS rk
+  FROM scored
+)
+SELECT doc_id, term, score, rk FROM ranked WHERE rk <= 3
+"""
+
+_bm25_tf_cols = ",\n         ".join(
+    f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+    for t in BM25_QUERY_TERMS
+)
+_bm25_df_cols = ",\n         ".join(
+    f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{t}"
+    for t in BM25_QUERY_TERMS
+)
+
+EXT_ORACLES["bm25_search"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         {_bm25_tf_cols}
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {_bm25_df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id, ({bm25_total_sql()}) AS bm25
+  FROM per_doc CROSS JOIN stats
+)
+SELECT doc_id, bm25 FROM scored
+WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+EXT_ORACLES["repetition_topgram"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+counts AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         CAST(max(cnt) AS BIGINT) AS top_count
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, top_count,
+       CAST(top_count AS DOUBLE) / n_bigrams AS top_frac,
+       CAST(top_count AS DOUBLE) / n_bigrams > {REPETITION_MAX_FRAC} AS flagged
+FROM per_doc
+"""
+
+_contam_sh = duck_md5_int(
+    f"array_to_string(list_slice(toks, i, i + {CONTAM_NGRAM - 1}), ' ')"
+)
+
+EXT_ORACLES["contamination_check"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, {duck_train_val_split('doc_id')} AS split,
+         unnest(list_distinct([{_contam_sh}
+                 for i in range(1, len(toks) - {CONTAM_NGRAM - 2})])) AS sh
+  FROM t WHERE len(toks) >= {CONTAM_NGRAM}
+),
+vh AS (SELECT DISTINCT sh FROM s WHERE split = 'val')
+SELECT s.doc_id, count(DISTINCT s.sh) AS n_shared
+FROM s JOIN vh USING (sh)
+WHERE s.split = 'train'
+GROUP BY s.doc_id
+"""

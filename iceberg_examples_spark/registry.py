@@ -21,6 +21,7 @@ from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
 from iceberg_examples_spark.operators import extended_relational as XR
 from iceberg_examples_spark.operators import llm_pipeline as LP
+from iceberg_examples_spark.operators import llm_quality as LQ
 from iceberg_examples_spark.operators import partitioning as PT
 from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
@@ -130,6 +131,10 @@ QUERIES: dict[str, QueryFn] = {
     "sql_entry": CV.sql_entry,
     "grouped_median_pandas": CV.grouped_median_pandas,
     "udtf_chunks": TX.chunk_documents_udtf,
+    "tfidf_topterms": LQ.tfidf_topterms,
+    "bm25_search": LQ.bm25_search,
+    "repetition_topgram": LQ.repetition_topgram,
+    "contamination_check": LQ.contamination_check,
     "csv_roundtrip": CV.csv_roundtrip,
     "orc_roundtrip": CV.orc_roundtrip,
     "json_infer": RS.json_infer_query,
