@@ -38,81 +38,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ORDERING CONTRACT (driver correctness window = first 50 entries).
 #
 # The external correctness gate verifies registry entries in declaration
-# order, capped at 50 per round.  Rotation plan:
+# order, capped at 50 per round.  Rotation history:
 #   round 1 window: relational/TPC-H block          -> 49/50 green
-#   round 2 window (THIS order): §2.7 mutations, partition transforms,
-#     LLM text/dedup/ANN/pipeline ops, multimodal, streaming, plus the
-#     repaired collect_sets and the §2.5 event-window ops -> positions 1-50
-#   round 3 window: promote the remaining never-checked tail (positions
-#     51-71 below: json_props/window_sliding/locf_fill, percentiles,
-#     value_histogram, approx_stats, semi/anti/outer joins, scalar_funcs,
-#     snapshot/metadata surfaces, sql_entry, pandas UDAF/UDTF, csv/orc/json
-#     sources) into the first 50, rotating the round-2 greens to the tail.
+#   round 2 window: §2.7 mutations, partition transforms, LLM text/dedup/
+#     ANN/pipeline ops, multimodal, streaming, repaired collect_sets,
+#     §2.5 event windows                            -> 46/50 green
+#     (4 streaming queries crashed on TIMESTAMP_NTZ watermark — fixed in
+#     streaming/rollup.py by normalizing ts to LTZ before withWatermark)
+#   round 3 window (THIS order):
+#     1-25  the never-driver-checked tail (json_props .. json_infer),
+#     26-29 the four repaired streaming queries,
+#     30-50 re-attestation of the reference core (§2.7 mutations,
+#           partition transforms) and the flagship LLM/streaming ops so
+#           the latest CORRECTNESS file keeps them green.
+#   After round 3 every declared query has at least one driver row and
+#   the window can rotate freely over blocks needing re-attestation.
 # Every query keeps a local DuckDB parity test regardless of position
-# (tests/test_parity.py runs all of them at sf0.001 every round).
+# (tests/test_parity.py runs all of them at sf0.001 every round), and
+# scripts/driver_sim.py replays the full gate under a VANILLA SparkSession
+# (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # --- round-2 window: §2.7 mutation scenarios (reference core) ---
-    "merge_upsert": RS.merge_upsert_query,
-    "merge_star": RS.merge_star_query,
-    "merge_cdc": RS.merge_cdc_query,
-    "scd2_final": RS.scd2_final_query,
-    "delete_pred": RS.delete_pred_query,
-    "schema_evolution": RS.schema_evolution_query,
-    "upsert_by_key": RS.upsert_by_key_query,
-    "merge_upsert_scale": RS.merge_upsert_scale_query,
-    "cdc_pipeline": CP.cdc_pipeline,
-    # --- §2.7 M8 partition transforms ---
-    "partition_prune": PT.partition_prune,
-    "zorder_cells": PT.zorder_cells,
-    "bloom_prune_join": PT.bloom_prune_join,
-    # --- §2.9 text analysis ---
-    "text_token_count": TX.token_count,
-    "text_lang_id": TX.lang_id,
-    "text_quality_score": TX.quality_score,
-    "text_fingerprint": TX.doc_fingerprint,
-    "text_simhash": TX.simhash16,
-    "explode_tokens": TX.explode_tokens,
-    # --- §2.9 sampling / packing / pipeline capstones ---
-    "deterministic_sample": CV.deterministic_sample,
-    "train_test_split": CV.train_test_split,
-    "llm_prep_pipeline": LP.llm_prep_pipeline,
-    "sequence_packing": LP.sequence_packing,
-    "corpus_mixture": LP.corpus_mixture,
-    # --- §2.9 deduplication ---
-    "dedup_exact": D.dedup_exact,
-    "dedup_exact_keep": D.dedup_exact_keep,
-    "dedup_minhash_lsh": D.minhash_lsh,
-    "dedup_components": D.dedup_components,
-    "ngram_jaccard": D.ngram_jaccard,
-    # --- §2.9 similarity search / clustering ---
-    "knn_cosine": SIM.knn_cosine,
-    "knn_cosine_ivf": SIM.knn_cosine_ivf,
-    "kmeans_clusters": CL.kmeans_clusters,
-    "kmeans_large": CL.kmeans_large,
-    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
-    "pq_codes": CL.pq_codes,
-    "pq_adc_topk": CL.pq_adc_topk,
-    "embedding_neardup": SIM.embedding_neardup,
-    # --- §2.9 multimodal columns ---
-    "multimodal_meta": MM.multimodal_meta,
-    "multimodal_features": MM.multimodal_features,
-    # --- §2.8 Structured Streaming (run to completion, memory sink) ---
-    "stream_window_hourly": ST.stream_window_hourly,
-    "stream_dedup_latest": ST.stream_dedup_latest,
-    "stream_sessionize": ST.stream_sessionize_stateful,
-    "stream_to_table": ST.stream_to_table,
-    "stream_session_window": ST.stream_session_window,
-    "stream_stream_join": ST.stream_stream_join,
-    "stream_static_join": ST.stream_static_join,
-    # --- repaired in r2 (r1 driver-harness crash) + §2.5 event windows ---
-    "collect_sets": XR.collect_sets,
-    "dedup_latest": E.dedup_latest,
-    "sessionize": E.sessionize,
-    "session_window_agg": E.session_window_agg,
-    "window_hourly": E.window_hourly,
-    # ----- end of round-2 window (50 entries above) -----
-    # --- round-3 rotation candidates: never driver-checked tail ---
+    # ----- round-3 window, part 1: never driver-checked (25) -----
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
     "locf_fill": E.locf_fill,
@@ -138,6 +85,61 @@ QUERIES: dict[str, QueryFn] = {
     "csv_roundtrip": CV.csv_roundtrip,
     "orc_roundtrip": CV.orc_roundtrip,
     "json_infer": RS.json_infer_query,
+    # ----- round-3 window, part 2: streaming repaired after r2 NTZ crash -----
+    "stream_window_hourly": ST.stream_window_hourly,
+    "stream_dedup_latest": ST.stream_dedup_latest,
+    "stream_to_table": ST.stream_to_table,
+    "stream_stream_join": ST.stream_stream_join,
+    # ----- round-3 window, part 3: reference core re-attestation (§2.7) -----
+    "merge_upsert": RS.merge_upsert_query,
+    "merge_star": RS.merge_star_query,
+    "merge_cdc": RS.merge_cdc_query,
+    "scd2_final": RS.scd2_final_query,
+    "delete_pred": RS.delete_pred_query,
+    "schema_evolution": RS.schema_evolution_query,
+    "upsert_by_key": RS.upsert_by_key_query,
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
+    "cdc_pipeline": CP.cdc_pipeline,
+    "partition_prune": PT.partition_prune,
+    "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
+    # ----- round-3 window, part 4: flagship LLM + remaining streaming -----
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
+    "sequence_packing": LP.sequence_packing,
+    "dedup_minhash_lsh": D.minhash_lsh,
+    "dedup_components": D.dedup_components,
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "multimodal_features": MM.multimodal_features,
+    "stream_sessionize": ST.stream_sessionize_stateful,
+    "stream_session_window": ST.stream_session_window,
+    "stream_static_join": ST.stream_static_join,
+    # ----- end of round-3 window (50 entries above) -----
+    # --- driver-green in round 2: text / sampling / dedup / ANN ---
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    "deterministic_sample": CV.deterministic_sample,
+    "train_test_split": CV.train_test_split,
+    "corpus_mixture": LP.corpus_mixture,
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "ngram_jaccard": D.ngram_jaccard,
+    "knn_cosine": SIM.knn_cosine,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
+    "embedding_neardup": SIM.embedding_neardup,
+    "multimodal_meta": MM.multimodal_meta,
+    "collect_sets": XR.collect_sets,
+    "dedup_latest": E.dedup_latest,
+    "sessionize": E.sessionize,
+    "session_window_agg": E.session_window_agg,
+    "window_hourly": E.window_hourly,
     # --- driver-green in round 1 (CORRECTNESS_r01): relational / TPC-H ---
     "scan_full": R.scan_full,
     "project_literals": R.project_literals,

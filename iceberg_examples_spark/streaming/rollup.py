@@ -45,13 +45,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # TIMESTAMP (not NTZ): watermarks require event time on TIMESTAMP.
-        # Session tz is UTC, and every output column below is cast to NTZ
-        # before leaving the streaming query, matching the batch surface.
+    # Watermarks require the event-time column to be TIMESTAMP (LTZ) —
+    # TIMESTAMP_NTZ is rejected with EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE.
+    # The testdata arrives as either parquet TIMESTAMP(MICROS, ntz) (read
+    # as TIMESTAMP_NTZ) or, under legacy nanosAsLong, raw int64 nanos.
+    # Normalize both to LTZ; with the session tz pinned to UTC above the
+    # ntz→ltz cast is an exact relabeling, and every output column below
+    # is cast back to NTZ before leaving the streaming query, matching
+    # the batch surface the DuckDB oracle sees.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

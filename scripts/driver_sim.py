@@ -22,7 +22,7 @@ spec = importlib.util.spec_from_file_location(
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 
-from iceberg_examples_spark.session import get_spark  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 from tests.oracle_harness import canonical_rows, duck_connection  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -36,7 +36,18 @@ def vhash(cols, rows) -> str:
 
 
 def main() -> int:
-    spark = get_spark(app_name="driver-sim")
+    # VANILLA session, deliberately NOT iceberg_examples_spark.session.
+    # get_spark: the external driver builds its own SparkSession with
+    # default confs (no nanosAsLong, no UTC pin, default timestampType),
+    # and round 2 proved queries can pass under our session yet fail under
+    # the driver's (TIMESTAMP_NTZ watermark rejection). Simulating with
+    # defaults catches that class of bug locally.
+    spark = (
+        SparkSession.builder.appName("driver-sim")
+        .master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     n = mod.entry(spark).count()
     print(f"entry(spark): {n} rows (smoke {'OK' if n > 0 else 'FAIL'})")
 
