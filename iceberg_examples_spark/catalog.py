@@ -210,8 +210,18 @@ class LocalTable:
             f"table {self.root} has no snapshot version {version}"
         )
 
+    def _next_meta_version(self) -> int:
+        """Next metadata-file version. Equal to snapshot version + 1 until
+        an expire_snapshots publishes a metadata-only version; after that
+        the two sequences diverge (metadata strictly increases, snapshot
+        versions only on data commits) — same split as Iceberg's
+        metadata.json sequence vs snapshot ids."""
+        versions = self._meta_versions()
+        return (versions[-1] if versions else -1) + 1
+
     def _commit(self, df: DataFrame, operation: str, partition_by: list[str] | None) -> int:
         meta = self._read_meta()
+        meta_version = self._next_meta_version()
         version = meta["current"] + 1
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
         # committers never write into each other's files; the metadata CAS
@@ -236,7 +246,7 @@ class LocalTable:
         )
         meta["current"] = version
         try:
-            self._publish_meta(meta, version)
+            self._publish_meta(meta, meta_version)
         except CommitConflictError:
             # Lost the race: another writer published this version first.
             # Our staged data dir is unreachable garbage — remove it so the
@@ -286,3 +296,41 @@ class LocalTable:
         rewrite_data_files analogue). Data is unchanged — only layout."""
         df = self.read().coalesce(target_files)
         return self._commit(df, "compact", None)
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Table maintenance: drop all but the last ``keep_last`` snapshots
+        (always retaining the current one) and delete their data dirs —
+        Iceberg's ``expireSnapshots()`` / ``expire_snapshots`` procedure.
+
+        The retention change is itself a CAS-published metadata-only
+        version (no new snapshot, ``current`` unchanged), so a racing data
+        commit and an expiry serialize exactly like two data commits: one
+        wins the link, the loser retries against fresh metadata. Data dirs
+        are removed only AFTER the metadata publish succeeds — a reader
+        holding the old metadata file may race the rmtree, which is the
+        same read-after-expire hazard real Iceberg has (hence retention
+        windows in production).
+
+        Returns the number of snapshots expired.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        meta = self._read_meta()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        retained = snaps[-keep_last:]
+        if not any(s["version"] == meta["current"] for s in retained):
+            raise ValueError("retention window must include the current snapshot")
+        expired = snaps[: len(snaps) - keep_last]
+        new_meta = dict(meta)
+        new_meta["snapshots"] = retained
+        new_meta["expired"] = meta.get("expired", []) + [
+            {"version": s["version"], "operation": s["operation"]} for s in expired
+        ]
+        self._publish_meta(new_meta, self._next_meta_version())
+        for s in expired:
+            shutil.rmtree(os.path.join(self.root, s["path"]), ignore_errors=True)
+        return len(expired)

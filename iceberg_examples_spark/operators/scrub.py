@@ -1,0 +1,157 @@
+"""Corpus scrubbing / curation operators over the ``documents`` table
+(SURVEY §2.9 continuation): PII redaction, paragraph-level exact dedup,
+and language-balanced stratified sampling.
+
+Three more staples of a production training-data pipeline, each expressed
+as a declarative DataFrame plan with a DuckDB oracle twin:
+
+- :func:`pii_scrub` — regex redaction of emails / phone numbers. The
+  synthetic corpus contains no PII, so the query first *plants*
+  deterministic PII derived from ``doc_id`` (both engines plant the same
+  strings), then scrubs it back out — which makes the redaction
+  observable and the oracle meaningful: the scrub must find exactly the
+  planted occurrences, and the cleaned text must hash identically.
+- :func:`paragraph_dedup` — exact dedup at sub-document granularity:
+  split each document into fixed-width token windows ("paragraphs"),
+  keep the globally-first occurrence of each distinct paragraph
+  (ordered by doc_id, then position), and report per-document survival.
+  This is the within-corpus boilerplate-removal pass (headers, footers,
+  licence blocks) that document-level dedup cannot catch.
+- :func:`stratified_sample_lang` — language-balanced downsampling: every
+  language keeps ~``min_lang_count`` documents via a hash-pure integer
+  rule, the standard mixture-rebalancing step before training.
+
+Scale notes (100 TB design):
+
+- ``pii_scrub`` is map-only: one projection, no shuffle, whole-stage
+  codegen end-to-end. Regexes are anchored character classes (linear
+  scan, no catastrophic backtracking).
+- ``paragraph_dedup`` shuffles only (hash, doc_id, pos) triples — 24
+  bytes per paragraph regardless of text size — and the keep-first rule
+  is a window over the 60-bit hash (equivalently a groupBy-argmin, which
+  AQE executes with partial aggregation). Text never moves.
+- ``stratified_sample_lang`` aggregates per-language counts (|langs|
+  rows), broadcasts them back, and filters map-side: one tiny shuffle +
+  one map pass. Membership is a pure function of (doc_id, lang count),
+  so the sample is reproducible on reruns and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.functions.texthash import md5_int_hash, tokens_expr
+
+# Paragraph width (tokens) for sub-document dedup. Real pipelines split on
+# '\n\n'; the synthetic corpus is one line, so fixed token windows stand in
+# for paragraph boundaries (the plan is identical either way: only the
+# splitter expression changes).
+PARA_TOKENS = 20
+
+# Small modulus keeping per-doc hash sums well inside BIGINT.
+PARA_SUM_MOD = 1_000_003
+
+# Regexes shared with the DuckDB oracle (same RE2/Java-compatible subset:
+# character classes + quantifiers only, no backrefs/lookaround).
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plant deterministic PII into each document, then redact it.
+
+    Output: planted-occurrence counts found by the scrubber plus the md5
+    of the cleaned text — the oracle plants the identical strings and
+    must observe identical counts and identical cleaned bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' contact user', cast(doc_id % 50 as string), "
+            "'@example.com or 555-', "
+            "lpad(cast(doc_id % 10000 as string), 4, '0'))"
+        ).alias("dirty"),
+    )
+    return planted.select(
+        "doc_id",
+        F.expr(f"cast(regexp_count(dirty, '{EMAIL_RE}') as bigint)").alias(
+            "n_emails"
+        ),
+        F.expr(f"cast(regexp_count(dirty, '{PHONE_RE}') as bigint)").alias(
+            "n_phones"
+        ),
+        F.expr(
+            f"md5(regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', "
+            f"'<EMAIL>'), '{PHONE_RE}', '<PHONE>'))"
+        ).alias("clean_md5"),
+        F.expr("cast(length(dirty) as bigint)").alias("dirty_len"),
+    )
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup over fixed-width token windows.
+
+    Keep rule: a paragraph survives iff (doc_id, para_idx) is the
+    lexicographically-first occurrence of its 60-bit hash corpus-wide.
+    Output per document: paragraphs, survivors, and a bounded hash-sum
+    fingerprint of the surviving set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    paras = docs.filter(F.expr(f"size({toks}) >= 1")).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, cast(ceil(size({toks}) / "
+                f"cast({PARA_TOKENS} as double)) as int)), "
+                f"i -> concat_ws(' ', slice({toks}, (i - 1) * {PARA_TOKENS} + 1, "
+                f"{PARA_TOKENS})))"
+            )
+        ).alias("para_idx", "para"),
+    ).select(
+        "doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    kept = (
+        paras.withColumn("rk", F.row_number().over(w))
+        .withColumn("is_first", F.col("rk") == 1)
+        .drop("rk")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.expr("case when is_first then 1 else 0 end")).alias("n_kept"),
+        F.sum(
+            F.expr(f"case when is_first then h % {PARA_SUM_MOD} else 0 end")
+        ).alias("kept_fp"),
+    )
+
+
+def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced sample: each language keeps ~min-language-count
+    docs via the hash-pure rule ``h(doc_id) % n_lang < n_min``.
+
+    Membership is integer-exact and identical across engines; the
+    per-language keep probability n_min/n_lang equalizes expected counts
+    without any global sort or per-row random state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lang_counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    n_min = lang_counts.agg(F.min("n_lang").alias("n_min"))
+    h = md5_int_hash("concat('strat#', cast(doc_id as string))")
+    return (
+        docs.join(F.broadcast(lang_counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .withColumn("keep", F.expr(f"({h}) % n_lang < n_min"))
+        .filter(F.col("keep"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_lang").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )

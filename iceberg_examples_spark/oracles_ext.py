@@ -1507,3 +1507,93 @@ FROM s JOIN vh USING (sh)
 WHERE s.split = 'train'
 GROUP BY s.doc_id
 """
+
+# ---- scrubbing / curation (operators/scrub.py) --------------------------
+
+from iceberg_examples_spark.operators.scrub import (  # noqa: E402
+    EMAIL_RE,
+    PARA_SUM_MOD,
+    PARA_TOKENS,
+    PHONE_RE,
+)
+
+EXT_ORACLES["pii_scrub"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 50 AS VARCHAR) ||
+         '@example.com or 555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(dirty, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(dirty, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS clean_md5,
+       CAST(length(dirty) AS BIGINT) AS dirty_len
+FROM planted
+"""
+
+_para_h = duck_md5_int("para")
+
+EXT_ORACLES["paragraph_dedup"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents
+           WHERE len({_DOC_TOKS}) >= 1),
+p AS (
+  SELECT doc_id,
+         unnest(range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                              AS INT) + 1)) AS para_idx,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                         AS INT) + 1),
+           i -> array_to_string(
+                  toks[((i - 1) * {PARA_TOKENS} + 1):(i * {PARA_TOKENS})],
+                  ' '))) AS para
+  FROM t
+),
+h AS (
+  SELECT doc_id, para_idx, {_para_h} AS h,
+         row_number() OVER (
+           PARTITION BY {_para_h} ORDER BY doc_id, para_idx
+         ) AS rk
+  FROM p
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rk = 1 THEN h % {PARA_SUM_MOD} ELSE 0 END)
+            AS BIGINT) AS kept_fp
+FROM h
+GROUP BY doc_id
+"""
+
+_strat_h = duck_md5_int("'strat#' || CAST(doc_id AS VARCHAR)")
+
+EXT_ORACLES["stratified_sample_lang"] = f"""
+WITH lc AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+nm AS (SELECT min(n_lang) AS n_min FROM lc),
+kept AS (
+  SELECT d.doc_id, d.lang, lc.n_lang
+  FROM documents d JOIN lc USING (lang) CROSS JOIN nm
+  WHERE ({_strat_h}) % n_lang < n_min
+)
+SELECT lang,
+       CAST(max(n_lang) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM kept GROUP BY lang
+"""
+
+# Metadata counters are deterministic by construction (create + 2 appends
+# + compact = snapshot version 3; keep_last=2 retains 2 of 4, expiring 2);
+# hardcoding them here makes the oracle assert the commit/retention
+# semantics, not just the data invariant.
+EXT_ORACLES["table_maintenance"] = """
+SELECT n_regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       CAST(3 AS BIGINT) AS current_version,
+       CAST(2 AS BIGINT) AS n_snapshots,
+       CAST(2 AS BIGINT) AS n_expired
+FROM nation GROUP BY n_regionkey
+"""

@@ -22,9 +22,11 @@ from iceberg_examples_spark.operators import events_ops as E
 from iceberg_examples_spark.operators import extended_relational as XR
 from iceberg_examples_spark.operators import llm_pipeline as LP
 from iceberg_examples_spark.operators import llm_quality as LQ
+from iceberg_examples_spark.operators import maintenance as MT
 from iceberg_examples_spark.operators import partitioning as PT
 from iceberg_examples_spark.operators import reference_scenarios as RS
 from iceberg_examples_spark.operators import relational as R
+from iceberg_examples_spark.operators import scrub as SC
 from iceberg_examples_spark.operators import similarity as SIM
 from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.operators import tpch_full as TF
@@ -103,18 +105,23 @@ QUERIES: dict[str, QueryFn] = {
     "partition_prune": PT.partition_prune,
     "zorder_cells": PT.zorder_cells,
     "bloom_prune_join": PT.bloom_prune_join,
-    # ----- round-3 window, part 4: flagship LLM + remaining streaming -----
+    # ----- round-3 window, part 4: NEW round-3 operators -----
+    "pii_scrub": SC.pii_scrub,
+    "paragraph_dedup": SC.paragraph_dedup,
+    "stratified_sample_lang": SC.stratified_sample_lang,
+    "table_maintenance": MT.table_maintenance,
+    # ----- round-3 window, part 5: flagship LLM re-attestation -----
     "llm_prep_pipeline": LP.llm_prep_pipeline,
     "sequence_packing": LP.sequence_packing,
     "dedup_minhash_lsh": D.minhash_lsh,
     "dedup_components": D.dedup_components,
-    "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "multimodal_features": MM.multimodal_features,
+    # ----- end of round-3 window (50 entries above) -----
+    # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "stream_sessionize": ST.stream_sessionize_stateful,
     "stream_session_window": ST.stream_session_window,
     "stream_static_join": ST.stream_static_join,
-    # ----- end of round-3 window (50 entries above) -----
-    # --- driver-green in round 2: text / sampling / dedup / ANN ---
     "text_token_count": TX.token_count,
     "text_lang_id": TX.lang_id,
     "text_quality_score": TX.quality_score,

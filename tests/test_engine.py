@@ -340,6 +340,50 @@ def test_localtable_changes_and_compact(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_localtable_expire_snapshots(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    t = LocalTable(spark, str(tmp_path / "tbl_exp"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.compact(target_files=1)
+    assert len(t.snapshots()) == 4
+
+    n = t.expire_snapshots(keep_last=2)
+    assert n == 2
+    # current unchanged, retention window honored
+    assert t.current_version == 3
+    assert [s["version"] for s in t.snapshots()] == [2, 3]
+    assert t.read().count() == 3
+    # time travel inside the window still works; to an expired snapshot fails
+    assert t.read(2).count() == 3
+    with _pytest.raises(FileNotFoundError):
+        t.read(0)
+    # expired data dirs physically removed
+    dirs = [d for d in os.listdir(t.root) if d.startswith("snap-")]
+    assert len(dirs) == 2
+    # expiry is idempotent when nothing is expirable
+    assert t.expire_snapshots(keep_last=2) == 0
+
+    # commits after expiry: snapshot versions continue from current, and
+    # the metadata CAS sequence (decoupled from snapshot versions) still
+    # serializes racing writers
+    v = t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert v == 4
+    assert t.read().count() == 4
+    assert [s["version"] for s in t.snapshots()] == [2, 3, 4]
+    # the expiry published a metadata-only version: meta files > snapshots
+    metas = [d for d in os.listdir(t.root) if d.startswith("_metadata.v")]
+    assert len(metas) == 6  # 5 commits + 1 expiry
+
+    # keep_last must retain the current snapshot
+    with _pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both fact tables on the join key removes the join
     shuffle entirely — the 100 TB co-location strategy (DESIGN.md).
