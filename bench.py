@@ -56,6 +56,11 @@ HEADLINE = [
     "cdc_pipeline",
     "llm_prep_pipeline",
     "kmeans_large",
+    # round-3 additions (curation + maintenance surface)
+    "pii_scrub",
+    "paragraph_dedup",
+    "stratified_sample_lang",
+    "table_maintenance",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -529,6 +529,37 @@ def test_shuffle_budget_new_tpch(spark, sf_dir):
     assert n_shuffles(TF.tpch_q21(spark, sf_dir)) <= 6
 
 
+def test_shuffle_budget_scrub_ops(spark, sf_dir):
+    """Plan-shape regression for the curation operators (scrub.py):
+    pii_scrub must stay map-only (zero exchanges — pure projection);
+    paragraph_dedup shuffles hashes for the keep-first window and doc_id
+    for the report (text itself never moves: the projection before the
+    first exchange reduces each paragraph to its 60-bit hash);
+    stratified_sample_lang broadcasts the per-language counts, so its
+    only hash exchanges are the two tiny aggregations."""
+    from iceberg_examples_spark.operators import scrub as SC
+
+    assert _n_shuffles(SC.pii_scrub(spark, sf_dir)) == 0
+
+    para = SC.paragraph_dedup(spark, sf_dir)
+    assert _n_shuffles(para) <= 2
+    plan = para._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    # Every exchange must partition on the 60-bit hash or doc_id — never
+    # on the paragraph text (the projection to h happens map-side, so
+    # only 24-byte (h, doc_id, pos) triples cross the wire).
+    for part in _re.findall(r"Exchange hashpartitioning\(([^,]+),", plan):
+        assert part.startswith(("h#", "doc_id#")), (
+            f"paragraph dedup shuffles on {part!r}, expected hash/doc_id"
+        )
+
+    strat = SC.stratified_sample_lang(spark, sf_dir)
+    splan = strat._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in splan  # lang counts + min broadcast back
+    assert _n_shuffles(strat) <= 3
+
+
 def test_kmeans_assignment_is_argmin(spark, sf_dir):
     """Every vector's final cluster must be its true nearest final-round
     centroid (lowest cid on ties) — recomputed independently in Python
