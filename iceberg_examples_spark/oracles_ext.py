@@ -1597,3 +1597,29 @@ SELECT n_regionkey,
        CAST(2 AS BIGINT) AS n_expired
 FROM nation GROUP BY n_regionkey
 """
+
+# ---- multimodal audio (sources/multimodal.py WAV path) ------------------
+# Recomputes the decoded statistics analytically from the generative
+# sample formula s(id, i) = (id*31 + i*37) % 4096 - 2048 over
+# n = 200 + id % 50 samples at 8 kHz — the Spark side round-trips the
+# same values through real WAV bytes, so any byte-layout bug mismatches.
+
+EXT_ORACLES["multimodal_audio"] = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 50),
+s AS (
+  SELECT media_id,
+         200 + media_id % 50 AS n,
+         list_transform(range(0, 200 + media_id % 50),
+                        i -> (media_id * 31 + i * 37) % 4096 - 2048) AS samples
+  FROM ids
+)
+SELECT media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+       CAST(list_sum(samples) AS BIGINT) AS sum_s,
+       CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS energy,
+       CAST(list_min(samples) AS BIGINT) AS min_s,
+       CAST(list_max(samples) AS BIGINT) AS max_s
+FROM s
+"""

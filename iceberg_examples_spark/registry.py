@@ -115,9 +115,10 @@ QUERIES: dict[str, QueryFn] = {
     "sequence_packing": LP.sequence_packing,
     "dedup_minhash_lsh": D.minhash_lsh,
     "dedup_components": D.dedup_components,
-    "multimodal_features": MM.multimodal_features,
+    "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "multimodal_features": MM.multimodal_features,
     "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "stream_sessionize": ST.stream_sessionize_stateful,
     "stream_session_window": ST.stream_session_window,

@@ -151,6 +151,49 @@ def test_bmp_roundtrip_matches_generative_formula():
     }
 
 
+def test_wav_roundtrip_matches_generative_formula():
+    """encode_wav must produce a RIFF layout decode_audio parses back to
+    exactly the generative sample statistics (sign handling, endianness,
+    chunk offsets all pinned by the exact integer sums)."""
+    d = 11
+    stats = MM.decode_audio(MM.encode_wav(d))
+    samples = [MM._sample(d, i) for i in range(MM._n_samples(d))]
+    assert stats == {
+        "n_samples": len(samples),
+        "sample_rate": MM.WAV_RATE,
+        "duration_us": len(samples) * 1_000_000 // MM.WAV_RATE,
+        "sum_s": sum(samples),
+        "energy": sum(s * s for s in samples),
+        "min_s": min(samples),
+        "max_s": max(samples),
+    }
+
+
+def test_wav_decoder_walks_chunk_list():
+    """An extra chunk before fmt/data (e.g. LIST metadata) must not break
+    the decoder — it walks chunks by id+size, not fixed offsets. Odd-sized
+    chunks are word-aligned per RIFF."""
+    import struct as _s
+
+    wav = MM.encode_wav(5)
+    extra = b"LIST" + _s.pack("<I", 5) + b"INFOx" + b"\x00"  # padded to even
+    patched = bytearray(wav[:12] + extra + wav[12:])
+    _s.pack_into("<I", patched, 4, len(patched) - 8)
+    assert MM.decode_audio(bytes(patched)) == MM.decode_audio(wav)
+
+
+def test_wav_decoder_rejects_bad_payloads():
+    with pytest.raises(ValueError, match="RIFF"):
+        MM.decode_audio(b"OggS" + b"\x00" * 64)
+    # stereo (channels=2) is an unsupported variant
+    import struct as _s
+
+    wav = bytearray(MM.encode_wav(1))
+    _s.pack_into("<H", wav, 22, 2)
+    with pytest.raises(ValueError, match="unsupported"):
+        MM.decode_audio(bytes(wav))
+
+
 def test_bmp_decoder_handles_top_down_rows():
     """Negative height = top-down row storage; the decoder must map rows
     accordingly (wsum_b differs between orientations unless handled)."""
