@@ -1623,3 +1623,17 @@ SELECT media_id,
        CAST(list_max(samples) AS BIGINT) AS max_s
 FROM s
 """
+
+# ---- streaming CDC merge sink (streaming/rollup.py) ---------------------
+# Batch-count-invariant result: per-user argmax by (ts, event_id).
+
+EXT_ORACLES["stream_cdc_merge"] = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rk
+  FROM events
+) WHERE rk = 1
+"""

@@ -110,14 +110,15 @@ QUERIES: dict[str, QueryFn] = {
     "paragraph_dedup": SC.paragraph_dedup,
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
-    # ----- round-3 window, part 5: flagship LLM re-attestation -----
+    # ----- round-3 window, part 5: new ops + flagship LLM re-attestation -----
     "llm_prep_pipeline": LP.llm_prep_pipeline,
-    "sequence_packing": LP.sequence_packing,
+    "stream_cdc_merge": ST.stream_cdc_merge,
     "dedup_minhash_lsh": D.minhash_lsh,
     "dedup_components": D.dedup_components,
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "sequence_packing": LP.sequence_packing,
     "multimodal_features": MM.multimodal_features,
     "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "stream_sessionize": ST.stream_sessionize_stateful,

@@ -203,6 +203,67 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert sink: each microbatch is reduced to its latest
+    row per user and MERGEd into the snapshot-versioned profile table via
+    ``foreachBatch`` — the production exactly-once CDC ingestion shape
+    (stream → per-batch key reduction → keyed merge commit per epoch),
+    the streaming twin of the batch ``cdc_pipeline``.
+
+    The merge guard (``s.last_ts, s.last_event_id``) ≥ (``t.…``) makes the
+    upsert idempotent and batch-count-invariant: whether the file source
+    delivers one microbatch or many, the final table is the per-user
+    argmax by (ts, event_id), which is exactly what the DuckDB oracle
+    computes. State stays in the table (bounded by |users|), not in the
+    streaming state store.
+
+    Scale: the per-batch reduction is one shuffle of the batch (not the
+    table); the merge joins table × reduced-batch on user_id — with a
+    small CDC batch Catalyst broadcasts the batch side, never moving the
+    table; each epoch commits one snapshot (audit log + time travel for
+    free)."""
+    from pyspark.sql import Window
+
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+    from iceberg_examples_spark.operators.mutations import merge_upsert
+
+    table = LocalTable(spark, scratch_dir(sf_dir, "cdc_merge_sink", fresh=True))
+    ev = _events_stream(spark, sf_dir)
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                "event_type",
+                "value",
+            )
+        )
+        if not table.exists():
+            table.create(latest)
+            return
+        newer = (F.col("s.last_ts") > F.col("t.last_ts")) | (
+            (F.col("s.last_ts") == F.col("t.last_ts"))
+            & (F.col("s.last_event_id") >= F.col("t.last_event_id"))
+        )
+        table.overwrite(
+            merge_upsert(table.read(), latest, ["user_id"], newer)
+        )
+
+    q = ev.writeStream.outputMode("append").foreachBatch(commit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return table.read()
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization with the built-in ``session_window``
     expression — the exact streaming twin of

@@ -383,6 +383,47 @@ def test_localtable_changes_and_compact(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_stream_cdc_merge_batch_count_invariant(spark, sf_dir):
+    """The foreachBatch merge guard must make the sink idempotent and
+    batch-split-invariant: replaying the events in two arbitrary chunks
+    (here: by event_id parity, so late/early rows interleave) must land
+    on the same table as the single-batch run."""
+    from pyspark.sql import Window
+
+    from iceberg_examples_spark.catalog import LocalTable, load_table
+    from iceberg_examples_spark.operators.mutations import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def reduce_latest(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                "event_type",
+                "value",
+            )
+        )
+
+    newer = (F.col("s.last_ts") > F.col("t.last_ts")) | (
+        (F.col("s.last_ts") == F.col("t.last_ts"))
+        & (F.col("s.last_event_id") >= F.col("t.last_event_id"))
+    )
+    state = reduce_latest(ev.filter("event_id % 2 = 0"))
+    state = merge_upsert(
+        state, reduce_latest(ev.filter("event_id % 2 = 1")), ["user_id"], newer
+    )
+    single = reduce_latest(ev)
+    assert state.exceptAll(single).count() == 0
+    assert single.exceptAll(state).count() == 0
+
+
 def test_localtable_expire_snapshots(spark, tmp_path):
     import os
 
