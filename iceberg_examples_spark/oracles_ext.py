@@ -1637,3 +1637,17 @@ FROM (
   FROM events
 ) WHERE rk = 1
 """
+
+# ---- PERMISSIVE corrupt-record ingestion (sources/json_source.py) -------
+# The fixture corrupts every 5th serialized nation line (by n_nationkey),
+# so the expected counts derive from the same % 5 rule.
+
+EXT_ORACLES["json_corrupt_records"] = """
+SELECT CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT)
+         AS good_key_sum
+FROM nation
+"""

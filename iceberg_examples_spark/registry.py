@@ -30,6 +30,7 @@ from iceberg_examples_spark.operators import scrub as SC
 from iceberg_examples_spark.operators import similarity as SIM
 from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.operators import tpch_full as TF
+from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
 from iceberg_examples_spark.streaming import rollup as ST
 from iceberg_examples_spark.oracles import ORACLES
@@ -48,11 +49,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     (4 streaming queries crashed on TIMESTAMP_NTZ watermark — fixed in
 #     streaming/rollup.py by normalizing ts to LTZ before withWatermark)
 #   round 3 window (THIS order):
-#     1-25  the never-driver-checked tail (json_props .. json_infer),
-#     26-29 the four repaired streaming queries,
-#     30-50 re-attestation of the reference core (§2.7 mutations,
-#           partition transforms) and the flagship LLM/streaming ops so
-#           the latest CORRECTNESS file keeps them green.
+#     1-26  the never-driver-checked tail (json_props .. json_infer) plus
+#           the new PERMISSIVE corrupt-record ingestion query,
+#     27-30 the four repaired streaming queries,
+#     31-42 re-attestation of the reference core (§2.7 mutations,
+#           partition transforms),
+#     43-50 the new round-3 operators (curation, maintenance, audio,
+#           streaming CDC merge) and flagship LLM re-attestation.
 #   After round 3 every declared query has at least one driver row and
 #   the window can rotate freely over blocks needing re-attestation.
 # Every query keeps a local DuckDB parity test regardless of position
@@ -87,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "csv_roundtrip": CV.csv_roundtrip,
     "orc_roundtrip": CV.orc_roundtrip,
     "json_infer": RS.json_infer_query,
+    "json_corrupt_records": JS.json_corrupt_records,
     # ----- round-3 window, part 2: streaming repaired after r2 NTZ crash -----
     "stream_window_hourly": ST.stream_window_hourly,
     "stream_dedup_latest": ST.stream_dedup_latest,
@@ -114,10 +118,10 @@ QUERIES: dict[str, QueryFn] = {
     "llm_prep_pipeline": LP.llm_prep_pipeline,
     "stream_cdc_merge": ST.stream_cdc_merge,
     "dedup_minhash_lsh": D.minhash_lsh,
-    "dedup_components": D.dedup_components,
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "dedup_components": D.dedup_components,
     "sequence_packing": LP.sequence_packing,
     "multimodal_features": MM.multimodal_features,
     "knn_cosine_ivf": SIM.knn_cosine_ivf,

@@ -36,3 +36,54 @@ def read_json_column(df: DataFrame, col: str, schema: str) -> DataFrame:
     """Parse a JSON string column with an explicit schema (no inference
     pass; JVM-side, codegen'd)."""
     return df.withColumn(f"{col}_parsed", F.from_json(F.col(col), schema))
+
+
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingestion with corrupt-record capture — the
+    production posture for untrusted JSON feeds: malformed lines land in
+    ``_corrupt_record`` instead of failing the job (or silently
+    vanishing, as DROPMALFORMED would).
+
+    Fixture: the nation table serialized to JSON lines, with every 5th
+    line deterministically truncated mid-object. The query reports good
+    vs corrupt counts and the key-sum of successfully-parsed rows; the
+    oracle recomputes all three from the same `% 5` rule — so a parser
+    that drops, double-counts, or mis-captures corrupt lines mismatches.
+
+    Scale: from_json over a string column is map-only whole-stage
+    codegen; the corrupt branch costs nothing on well-formed data.
+    """
+    from iceberg_examples_spark.catalog import load_table
+
+    nat = load_table(spark, sf_dir, "nation")
+    lines = nat.select(
+        F.to_json(
+            F.struct("n_nationkey", "n_name", "n_regionkey")
+        ).alias("j"),
+        "n_nationkey",
+    )
+    # plant corruption: truncate every 5th line mid-object
+    dirty = lines.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.expr("substring(j, 1, cast(length(j) / 2 as int))"),
+        )
+        .otherwise(F.col("j"))
+        .alias("j")
+    )
+    parsed = dirty.select(
+        F.from_json(
+            "j",
+            "n_nationkey bigint, n_name string, n_regionkey bigint, _bad string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_bad"},
+        ).alias("p")
+    ).select("p.*")
+    return parsed.agg(
+        F.sum(F.expr("case when _bad is null then 1 else 0 end")).alias(
+            "n_good"
+        ),
+        F.sum(F.expr("case when _bad is not null then 1 else 0 end")).alias(
+            "n_corrupt"
+        ),
+        F.sum("n_nationkey").alias("good_key_sum"),
+    )
