@@ -162,12 +162,22 @@ class LocalTable:
                     out.append(int(core))
         return sorted(out)
 
-    def _read_meta(self) -> dict:
+    def _read_meta_versioned(self) -> tuple[dict, int]:
+        """Read the latest metadata AND the metadata-file version it came
+        from. Every commit must publish at (that version + 1): deriving
+        the publish version from the SAME listing that produced the
+        snapshot state is what makes the os.link publish a true
+        compare-and-swap — re-listing at publish time would let a commit
+        that landed in between be silently overwritten (lost update)
+        instead of raising CommitConflictError."""
         versions = self._meta_versions()
         if not versions:
-            return {"current": -1, "snapshots": []}
+            return {"current": -1, "snapshots": []}, -1
         with open(self._meta_path(versions[-1])) as f:
-            return json.load(f)
+            return json.load(f), versions[-1]
+
+    def _read_meta(self) -> dict:
+        return self._read_meta_versioned()[0]
 
     def _publish_meta(self, meta: dict, version: int) -> None:
         """Atomically publish complete metadata as the given version.
@@ -210,18 +220,14 @@ class LocalTable:
             f"table {self.root} has no snapshot version {version}"
         )
 
-    def _next_meta_version(self) -> int:
-        """Next metadata-file version. Equal to snapshot version + 1 until
-        an expire_snapshots publishes a metadata-only version; after that
-        the two sequences diverge (metadata strictly increases, snapshot
-        versions only on data commits) — same split as Iceberg's
-        metadata.json sequence vs snapshot ids."""
-        versions = self._meta_versions()
-        return (versions[-1] if versions else -1) + 1
-
     def _commit(self, df: DataFrame, operation: str, partition_by: list[str] | None) -> int:
-        meta = self._read_meta()
-        meta_version = self._next_meta_version()
+        # Metadata-file versions advance on every publish (data commits
+        # AND expiry); snapshot versions only on data commits — same
+        # split as Iceberg's metadata.json sequence vs snapshot ids. The
+        # publish version comes from the same read as the state (see
+        # _read_meta_versioned) so the CAS cannot lose a racing commit.
+        meta, read_version = self._read_meta_versioned()
+        meta_version = read_version + 1
         version = meta["current"] + 1
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
         # committers never write into each other's files; the metadata CAS
@@ -317,7 +323,7 @@ class LocalTable:
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        meta = self._read_meta()
+        meta, read_version = self._read_meta_versioned()
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return 0
@@ -330,7 +336,7 @@ class LocalTable:
         new_meta["expired"] = meta.get("expired", []) + [
             {"version": s["version"], "operation": s["operation"]} for s in expired
         ]
-        self._publish_meta(new_meta, self._next_meta_version())
+        self._publish_meta(new_meta, read_version + 1)
         for s in expired:
             shutil.rmtree(os.path.join(self.root, s["path"]), ignore_errors=True)
         return len(expired)

@@ -59,6 +59,15 @@ EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
 PHONE_RE = "555-[0-9]{4}"
 
 
+def _spark_re(pattern: str) -> str:
+    """Escape a regex for embedding in a Spark SQL string literal: Spark's
+    literal parser consumes one level of backslash escaping (so '\\.'
+    would reach the regex engine as a bare '.', silently matching any
+    character while the DuckDB twin matches a literal dot). Doubling the
+    backslashes makes both engines execute the same pattern."""
+    return pattern.replace("\\", "\\\\")
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plant deterministic PII into each document, then redact it.
 
@@ -75,17 +84,18 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lpad(cast(doc_id % 10000 as string), 4, '0'))"
         ).alias("dirty"),
     )
+    email_re, phone_re = _spark_re(EMAIL_RE), _spark_re(PHONE_RE)
     return planted.select(
         "doc_id",
-        F.expr(f"cast(regexp_count(dirty, '{EMAIL_RE}') as bigint)").alias(
+        F.expr(f"cast(regexp_count(dirty, '{email_re}') as bigint)").alias(
             "n_emails"
         ),
-        F.expr(f"cast(regexp_count(dirty, '{PHONE_RE}') as bigint)").alias(
+        F.expr(f"cast(regexp_count(dirty, '{phone_re}') as bigint)").alias(
             "n_phones"
         ),
         F.expr(
-            f"md5(regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', "
-            f"'<EMAIL>'), '{PHONE_RE}', '<PHONE>'))"
+            f"md5(regexp_replace(regexp_replace(dirty, '{email_re}', "
+            f"'<EMAIL>'), '{phone_re}', '<PHONE>'))"
         ).alias("clean_md5"),
         F.expr("cast(length(dirty) as bigint)").alias("dirty_len"),
     )

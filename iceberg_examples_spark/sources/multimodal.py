@@ -133,11 +133,20 @@ def decode_image(payload: bytes) -> dict:
     }
 
 
-def build_image_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_image_media_table(
+    spark: SparkSession, sf_dir: str, max_media_id: int | None = None
+) -> DataFrame:
     """Media table whose payloads are REAL BMP files (one deterministic
     image per document id), encoded executor-side in Arrow batches — the
-    payload bytes never visit the driver."""
+    payload bytes never visit the driver.
+
+    ``max_media_id`` bounds the table BEFORE the encode stage: a filter
+    above ``mapInPandas`` cannot push through it, so filtering the input
+    frame is the difference between encoding 50 payloads and encoding the
+    whole corpus to keep 50."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    if max_media_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_media_id)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -281,15 +290,24 @@ def decode_audio(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # a silent slice here would decode half a truncated clip and
+            # return plausible-but-wrong statistics — reject instead
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} claims {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({size} bytes)")
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            if audio_fmt != 1 or channels != 1 or bits != 16 or rate <= 0:
                 raise ValueError(
                     f"unsupported WAV variant (fmt={audio_fmt}, "
-                    f"ch={channels}, bits={bits})"
+                    f"ch={channels}, rate={rate}, bits={bits})"
                 )
         elif cid == b"data":
             data = body
@@ -316,10 +334,16 @@ def decode_audio(payload: bytes) -> dict:
     }
 
 
-def build_audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_audio_media_table(
+    spark: SparkSession, sf_dir: str, max_media_id: int | None = None
+) -> DataFrame:
     """Media table whose payloads are REAL WAV files (one deterministic
-    clip per document id), encoded executor-side in Arrow batches."""
+    clip per document id), encoded executor-side in Arrow batches.
+    ``max_media_id`` filters BEFORE the encode stage (see
+    :func:`build_image_media_table`)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    if max_media_id is not None:
+        docs = docs.filter(F.col("doc_id") < max_media_id)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -403,9 +427,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode- or decode-side byte-layout bug (row order, stride padding,
     BGR channel order) hash-mismatches — the decode step is genuinely
     exercised, not stubbed."""
-    media = build_image_media_table(spark, sf_dir).filter(
-        F.col("media_id") < 50
-    )
+    media = build_image_media_table(spark, sf_dir, max_media_id=50)
     return image_stats(media)
 
 
@@ -417,7 +439,5 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same statistics analytically from the generative sample formula,
     so any encode- or decode-side byte-layout bug (endianness, chunk
     offsets, sign handling) hash-mismatches."""
-    media = build_audio_media_table(spark, sf_dir).filter(
-        F.col("media_id") < 50
-    )
+    media = build_audio_media_table(spark, sf_dir, max_media_id=50)
     return audio_stats(media)

@@ -185,13 +185,26 @@ def test_wav_decoder_walks_chunk_list():
 def test_wav_decoder_rejects_bad_payloads():
     with pytest.raises(ValueError, match="RIFF"):
         MM.decode_audio(b"OggS" + b"\x00" * 64)
-    # stereo (channels=2) is an unsupported variant
     import struct as _s
 
+    # stereo (channels=2) is an unsupported variant
     wav = bytearray(MM.encode_wav(1))
     _s.pack_into("<H", wav, 22, 2)
     with pytest.raises(ValueError, match="unsupported"):
         MM.decode_audio(bytes(wav))
+    # zero sample rate would divide by zero downstream — rejected up front
+    wav = bytearray(MM.encode_wav(1))
+    _s.pack_into("<I", wav, 24, 0)
+    with pytest.raises(ValueError, match="unsupported"):
+        MM.decode_audio(bytes(wav))
+    # a clip cut mid-data must raise, not silently return half the stats
+    full = MM.encode_wav(1)
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_audio(full[: len(full) - 10])
+    # a clip cut inside the fmt chunk must raise ValueError (not
+    # struct.error) per the decoder's rejection contract
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_audio(full[:24])
 
 
 def test_bmp_decoder_handles_top_down_rows():
@@ -383,6 +396,23 @@ def test_localtable_changes_and_compact(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_pii_regex_dot_is_literal(spark):
+    """Spark's SQL literal parser eats one level of backslashes, so an
+    unescaped pattern would turn '\\.' into any-char '.' and diverge from
+    the DuckDB oracle. Pin that the dot stays literal through _spark_re:
+    'a@b cd' (space where the dot belongs) must NOT match."""
+    from iceberg_examples_spark.operators.scrub import EMAIL_RE, _spark_re
+
+    df = spark.createDataFrame([("a@b cd",), ("a@b.cd",)], "s string")
+    got = df.select(
+        F.expr(
+            f"cast(regexp_count(s, '{_spark_re(EMAIL_RE)}') as int)"
+        ).alias("n"),
+        "s",
+    ).collect()
+    assert {r.s: r.n for r in got} == {"a@b cd": 0, "a@b.cd": 1}
+
+
 def test_stream_cdc_merge_batch_count_invariant(spark, sf_dir):
     """The foreachBatch merge guard must make the sink idempotent and
     batch-split-invariant: replaying the events in two arbitrary chunks
@@ -422,6 +452,38 @@ def test_stream_cdc_merge_batch_count_invariant(spark, sf_dir):
     single = reduce_latest(ev)
     assert state.exceptAll(single).count() == 0
     assert single.exceptAll(state).count() == 0
+
+
+def test_localtable_cas_no_lost_update(spark, tmp_path):
+    """The publish version must come from the SAME metadata read that
+    produced the commit's state: a writer holding a stale read must
+    CONFLICT when another commit landed in between — publishing at
+    max-listing+1 instead would silently erase the interleaved commit
+    (the lost-update bug this pins)."""
+    from iceberg_examples_spark.catalog import CommitConflictError
+
+    t = LocalTable(spark, str(tmp_path / "tbl_race"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    # writer A reads state (meta v0) ...
+    meta_a, ver_a = t._read_meta_versioned()
+    # ... writer B completes a full append in the window (publishes v1)
+    b = LocalTable(spark, str(tmp_path / "tbl_race"))
+    b.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    # A's publish from the stale read must now conflict, not win
+    meta_a["snapshots"] = list(meta_a["snapshots"])
+    with pytest.raises(CommitConflictError):
+        t._publish_meta(meta_a, ver_a + 1)
+    # B's commit survived
+    assert t.read().count() == 2
+
+    # same guarantee for expiry racing a data commit: stale-read expiry
+    # must not roll back the interleaved append
+    meta_e, ver_e = t._read_meta_versioned()
+    b.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    with pytest.raises(CommitConflictError):
+        t._publish_meta(meta_e, ver_e + 1)
+    assert t.read().count() == 3
 
 
 def test_localtable_expire_snapshots(spark, tmp_path):
