@@ -220,6 +220,15 @@ class LocalTable:
             f"table {self.root} has no snapshot version {version}"
         )
 
+    @staticmethod
+    def _next_snapshot_version(meta: dict) -> int:
+        """Next snapshot version: one past the highest EXISTING snapshot,
+        not current+1 — a staged (write-audit-publish) snapshot occupies
+        a version number above current, and a racing data commit must not
+        collide with it."""
+        versions = [s["version"] for s in meta["snapshots"]]
+        return max(versions, default=meta["current"]) + 1
+
     def _commit(self, df: DataFrame, operation: str, partition_by: list[str] | None) -> int:
         # Metadata-file versions advance on every publish (data commits
         # AND expiry); snapshot versions only on data commits — same
@@ -228,7 +237,7 @@ class LocalTable:
         # _read_meta_versioned) so the CAS cannot lose a racing commit.
         meta, read_version = self._read_meta_versioned()
         meta_version = read_version + 1
-        version = meta["current"] + 1
+        version = self._next_snapshot_version(meta)
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
         # committers never write into each other's files; the metadata CAS
         # below decides whose dir becomes the snapshot (Iceberg's unique
@@ -302,6 +311,98 @@ class LocalTable:
         rewrite_data_files analogue). Data is unchanged — only layout."""
         df = self.read().coalesce(target_files)
         return self._commit(df, "compact", None)
+
+    # ---- write-audit-publish (WAP) --------------------------------------
+    def stage(self, df: DataFrame, operation: str = "wap-append") -> int:
+        """Write-Audit-Publish step 1: commit DATA and a snapshot entry
+        WITHOUT advancing ``current`` — readers keep seeing the old table
+        while the staged snapshot is audited (Iceberg's
+        ``spark.wap.branch`` / cherry-pick workflow). Returns the staged
+        snapshot version, readable via ``read(version)`` for audit."""
+        meta, read_version = self._read_meta_versioned()
+        version = self._next_snapshot_version(meta)
+        token = uuid.uuid4().hex[:8]
+        relpath = f"snap-{version:05d}-{token}"
+        path = os.path.join(self.root, relpath)
+        df.write.mode("overwrite").parquet(path)
+        meta["snapshots"].append(
+            {
+                "version": version,
+                "parent": meta["current"],
+                "operation": operation,
+                "path": relpath,
+                "schema": df.schema.jsonValue(),
+                "partition_by": [],
+                "staged": True,
+            }
+        )
+        try:
+            self._publish_meta(meta, read_version + 1)
+        except CommitConflictError:
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+        return version
+
+    def publish(self, version: int) -> None:
+        """WAP step 3: fast-forward ``current`` to an audited staged
+        snapshot. Refuses (CommitConflictError) if another commit
+        advanced the table past the staged snapshot's parent — the
+        staged data was derived from a state that no longer is the head,
+        so the caller must re-stage against the new head."""
+        meta, read_version = self._read_meta_versioned()
+        snap = next(
+            (s for s in meta["snapshots"] if s["version"] == version), None
+        )
+        if snap is None or not snap.get("staged"):
+            raise ValueError(f"version {version} is not a staged snapshot")
+        if meta["current"] != snap["parent"]:
+            raise CommitConflictError(
+                f"table advanced to {meta['current']} since version "
+                f"{version} was staged on {snap['parent']}; re-stage"
+            )
+        snap.pop("staged")
+        meta["current"] = version
+        self._publish_meta(meta, read_version + 1)
+
+    def drop_staged(self, version: int) -> None:
+        """Abandon a staged snapshot that failed its audit: remove its
+        metadata entry, then its data dir (same publish-then-delete order
+        as expiry)."""
+        import shutil
+
+        meta, read_version = self._read_meta_versioned()
+        snap = next(
+            (s for s in meta["snapshots"] if s["version"] == version), None
+        )
+        if snap is None or not snap.get("staged"):
+            raise ValueError(f"version {version} is not a staged snapshot")
+        meta["snapshots"] = [
+            s for s in meta["snapshots"] if s["version"] != version
+        ]
+        self._publish_meta(meta, read_version + 1)
+        shutil.rmtree(os.path.join(self.root, snap["path"]), ignore_errors=True)
+
+    def remove_orphans(self) -> int:
+        """Table maintenance: delete ``snap-*`` data dirs not referenced
+        by any snapshot in the current metadata (Iceberg's
+        ``remove_orphan_files``). Orphans arise from crashed commits —
+        a writer that wrote its data dir but died before the metadata
+        CAS. Metadata is untouched (orphans are by definition outside
+        it); returns the number of dirs removed."""
+        import shutil
+
+        meta = self._read_meta()
+        referenced = {s["path"] for s in meta["snapshots"]}
+        removed = 0
+        for name in os.listdir(self.root):
+            if name.startswith("snap-") and name not in referenced:
+                shutil.rmtree(
+                    os.path.join(self.root, name), ignore_errors=True
+                )
+                removed += 1
+        return removed
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Table maintenance: drop all but the last ``keep_last`` snapshots

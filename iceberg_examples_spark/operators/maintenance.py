@@ -33,6 +33,74 @@ from pyspark.sql import functions as F
 from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
 
 
+def wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish workflow (Iceberg ``spark.wap.branch`` /
+    stage-then-cherry-pick, the production guard against publishing bad
+    batches):
+
+        create(base)                         readers see base
+        stage(bad batch)  → audit FAILS      (planted null keys)
+        drop_staged                          bad data never visible
+        stage(base ∪ good) → audit passes
+        publish                              fast-forward, atomically
+        remove_orphans                       crashed-commit dir cleaned
+
+    The audit is deterministic (null-key count), so the whole lifecycle
+    is one hash-checked query: final contents must equal base ∪ good, and
+    the metadata counters (current version, snapshot count, rejected and
+    orphan counts) are pinned in the oracle — any drift in staging,
+    publish fast-forward, or cleanup semantics mismatches.
+    """
+    import os
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .filter("c_custkey <= 15")
+    )
+    base = cust.filter("c_custkey <= 10")
+    good = cust.filter("c_custkey > 10")
+    bad = good.withColumn("c_custkey", F.expr("cast(null as bigint)"))
+
+    table = LocalTable(spark, scratch_dir(sf_dir, "wap", fresh=True))
+    table.create(base)
+
+    def audit_ok(version: int) -> bool:
+        staged = table.read(version)
+        return staged.filter(F.col("c_custkey").isNull()).count() == 0
+
+    v_bad = table.stage(table.read().unionByName(bad))
+    n_rejected = 0
+    if not audit_ok(v_bad):
+        table.drop_staged(v_bad)
+        n_rejected += 1
+
+    v_good = table.stage(table.read().unionByName(good))
+    assert audit_ok(v_good)
+    table.publish(v_good)
+
+    # simulate a crashed commit (data dir written, metadata CAS never ran)
+    os.makedirs(os.path.join(table.root, "snap-99999-deadbeef"), exist_ok=True)
+    n_orphans = table.remove_orphans()
+
+    final = table.read()
+    return (
+        final.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+        .withColumn(
+            "current_version", F.lit(table.current_version).cast("bigint")
+        )
+        .withColumn(
+            "n_snapshots", F.lit(len(table.snapshots())).cast("bigint")
+        )
+        .withColumn("n_rejected", F.lit(n_rejected).cast("bigint"))
+        .withColumn("n_orphans_removed", F.lit(n_orphans).cast("bigint"))
+    )
+
+
 def table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the compaction + snapshot-expiry lifecycle and report both the
     final table contents (grouped) and the metadata counters."""

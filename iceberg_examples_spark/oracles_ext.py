@@ -1651,3 +1651,20 @@ SELECT CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS good_key_sum
 FROM nation
 """
+
+# ---- write-audit-publish lifecycle (operators/maintenance.py) -----------
+# Content: base (c_custkey <= 10) ∪ good (11..15); metadata counters are
+# deterministic: create=v0, bad stage v1 dropped, good stage v1 published
+# (current=1, 2 snapshots), 1 rejected batch, 1 orphan dir removed.
+
+EXT_ORACLES["wap_pattern"] = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+       CAST(1 AS BIGINT) AS current_version,
+       CAST(2 AS BIGINT) AS n_snapshots,
+       CAST(1 AS BIGINT) AS n_rejected,
+       CAST(1 AS BIGINT) AS n_orphans_removed
+FROM customer WHERE c_custkey <= 15
+GROUP BY c_nationkey
+"""

@@ -114,13 +114,14 @@ QUERIES: dict[str, QueryFn] = {
     "paragraph_dedup": SC.paragraph_dedup,
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
+    "wap_pattern": MT.wap_pattern,
     # ----- round-3 window, part 5: new ops + flagship LLM re-attestation -----
     "llm_prep_pipeline": LP.llm_prep_pipeline,
     "stream_cdc_merge": ST.stream_cdc_merge,
-    "dedup_minhash_lsh": D.minhash_lsh,
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "dedup_minhash_lsh": D.minhash_lsh,
     "dedup_components": D.dedup_components,
     "sequence_packing": LP.sequence_packing,
     "multimodal_features": MM.multimodal_features,

@@ -486,6 +486,62 @@ def test_localtable_cas_no_lost_update(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_localtable_wap_stage_publish(spark, tmp_path):
+    """Write-audit-publish: staged snapshots are invisible to plain
+    reads, auditable by version, publishable as a fast-forward only, and
+    abandonable without a trace in the data."""
+    from iceberg_examples_spark.catalog import CommitConflictError
+
+    t = LocalTable(spark, str(tmp_path / "tbl_wap"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    v = t.stage(
+        t.read().unionByName(
+            spark.createDataFrame([(2, "b")], "id long, v string")
+        )
+    )
+    # invisible until published; auditable by version
+    assert t.read().count() == 1
+    assert t.read(v).count() == 2
+    t.publish(v)
+    assert t.current_version == v
+    assert t.read().count() == 2
+    # double-publish / publishing a non-staged version is an error
+    with pytest.raises(ValueError):
+        t.publish(v)
+
+    # a staged snapshot whose parent is no longer head cannot publish
+    v2 = t.stage(
+        t.read().unionByName(
+            spark.createDataFrame([(3, "c")], "id long, v string")
+        )
+    )
+    t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    with pytest.raises(CommitConflictError):
+        t.publish(v2)
+    t.drop_staged(v2)
+    assert sorted(r.id for r in t.read().collect()) == [1, 2, 9]
+
+    # data commits racing a staged snapshot must not collide versions:
+    # the append above took a version ABOVE the staged v2
+    assert t.current_version > v2
+
+
+def test_localtable_remove_orphans(spark, tmp_path):
+    """remove_orphans deletes only unreferenced snap-* dirs (crashed
+    commits), never data referenced by current or historical snapshots."""
+    import os
+
+    t = LocalTable(spark, str(tmp_path / "tbl_orph"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    os.makedirs(os.path.join(t.root, "snap-77777-feedface"))
+    assert t.remove_orphans() == 1
+    assert t.remove_orphans() == 0  # idempotent
+    assert t.read().count() == 2
+    assert t.read(0).count() == 1  # history intact
+
+
 def test_localtable_expire_snapshots(spark, tmp_path):
     import os
 
