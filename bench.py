@@ -56,11 +56,15 @@ HEADLINE = [
     "cdc_pipeline",
     "llm_prep_pipeline",
     "kmeans_large",
-    # round-3 additions (curation + maintenance surface)
+    # round-3 additions (curation + maintenance + ingestion surface)
     "pii_scrub",
     "paragraph_dedup",
     "stratified_sample_lang",
     "table_maintenance",
+    "wap_pattern",
+    "multimodal_audio",
+    "stream_cdc_merge",
+    "json_corrupt_records",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of
