@@ -65,6 +65,7 @@ HEADLINE = [
     "multimodal_audio",
     "stream_cdc_merge",
     "json_corrupt_records",
+    "curation_pipeline",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

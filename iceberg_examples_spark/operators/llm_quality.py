@@ -88,6 +88,7 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.expr(tokens_expr("text"))).alias("term")
     )
+    # (single tokenizer occurrence — no with_tokens factoring needed)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -118,14 +119,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial per-partition top-k + single-reducer merge. At 100 TB this is
     one pass over the data plus kilobytes of coordination.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
     per_doc = docs.select(
         "doc_id",
-        F.expr(f"cast(size({toks}) as double)").alias("dl"),
+        F.expr("cast(size(tk) as double)").alias("dl"),
         *[
             F.expr(
-                f"cast(size(filter({toks}, x -> x = '{t}')) as double)"
+                f"cast(size(filter(tk, x -> x = '{t}')) as double)"
             ).alias(f"tf_{t}")
             for t in BM25_QUERY_TERMS
         ],
@@ -162,17 +164,18 @@ def repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow aggregations over the exploded stream; the heavy token work is
     in the first map stage. Exact rational fraction → bit-stable flag.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
     bigrams = (
-        docs.filter(F.expr(f"size({toks}) >= 2"))
+        docs.filter(F.expr("size(tk) >= 2"))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, size({toks}) - 1), "
-                    f"i -> concat(element_at({toks}, i), ' ', "
-                    f"element_at({toks}, i + 1)))"
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', "
+                    "element_at(tk, i + 1)))"
                 )
             ).alias("gram"),
         )
@@ -211,16 +214,17 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed eval suite), which turns the audit into one map-side hash join
     over the train shingle stream.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
     n = CONTAM_NGRAM
-    shingle_str = f"concat_ws(' ', slice({toks}, i, {n}))"
-    shingled = docs.filter(F.expr(f"size({toks}) >= {n}")).select(
+    shingle_str = f"concat_ws(' ', slice(tk, i, {n}))"
+    shingled = docs.filter(F.expr(f"size(tk) >= {n}")).select(
         "doc_id",
         F.expr(train_val_split_sql("doc_id")).alias("split"),
         F.explode(
             F.expr(
-                f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+                f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
                 f"i -> {md5_int_hash(shingle_str)}))"
             )
         ).alias("sh"),

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
-from iceberg_examples_spark.functions.texthash import md5_int_hash, tokens_expr
+from iceberg_examples_spark.functions.texthash import md5_int_hash
 
 # Paragraph width (tokens) for sub-document dedup. Real pipelines split on
 # '\n\n'; the synthetic corpus is one line, so fixed token windows stand in
@@ -66,6 +66,24 @@ def _spark_re(pattern: str) -> str:
     character while the DuckDB twin matches a literal dot). Doubling the
     backslashes makes both engines execute the same pattern."""
     return pattern.replace("\\", "\\\\")
+
+
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    """Tokens materialized once as column ``tk`` (plan-build cost: see
+    operators/text.py::with_tokens)."""
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    return with_tokens(docs)
+
+
+# Fixed-width token windows over the materialized ``tk`` column (shared by
+# paragraph_dedup and the curation capstone).
+_PARA_TRANSFORM = (
+    f"transform(sequence(1, cast(ceil(size(tk) / "
+    f"cast({PARA_TOKENS} as double)) as int)), "
+    f"i -> concat_ws(' ', slice(tk, (i - 1) * {PARA_TOKENS} + 1, "
+    f"{PARA_TOKENS})))"
+)
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,18 +127,10 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per document: paragraphs, survivors, and a bounded hash-sum
     fingerprint of the surviving set.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_expr("text")
-    paras = docs.filter(F.expr(f"size({toks}) >= 1")).select(
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    paras = docs.filter(F.expr("size(tk) >= 1")).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, cast(ceil(size({toks}) / "
-                f"cast({PARA_TOKENS} as double)) as int)), "
-                f"i -> concat_ws(' ', slice({toks}, (i - 1) * {PARA_TOKENS} + 1, "
-                f"{PARA_TOKENS})))"
-            )
-        ).alias("para_idx", "para"),
+        F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
     ).select(
         "doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h")
     )
@@ -136,6 +146,109 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr(f"case when is_first then h % {PARA_SUM_MOD} else 0 end")
         ).alias("kept_fp"),
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation capstone: the round-3 operators composed into one
+    hash-checked pipeline, the curation half of a training-data prep run
+    (the quality/dedup/split half is ``llm_prep_pipeline``):
+
+        1. repetition gate   — drop docs whose top bigram exceeds
+                               REPETITION_MAX_FRAC of all bigrams
+                               (Gopher/MassiveText boilerplate rule);
+        2. paragraph dedup   — within survivors, keep only globally-first
+                               paragraphs (sub-document boilerplate);
+        3. language rebalance — hash-pure stratified keep rule computed
+                               over the SURVIVING corpus (rates must
+                               reflect post-filter counts, not raw ones);
+        4. corpus report     — per-language doc counts, paragraph
+                               survival, and id-sum fingerprint.
+
+    Plan shape: two explode→aggregate pipelines over the corpus (bigrams
+    for the gate, token windows for the dedup) joined on doc_id, then two
+    kilobyte-scale aggregations broadcast back for the rebalance. Each
+    explode stream reduces to fixed-width keys before its shuffle; at
+    100 TB nothing wider than (hash, doc_id, count) crosses the wire and
+    no stage depends on corpus-wide ordering.
+    """
+    from iceberg_examples_spark.operators.llm_quality import (
+        REPETITION_MAX_FRAC,
+    )
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+
+    # stage 1: repetition gate (same formulation as repetition_topgram)
+    bigrams = docs.filter(F.expr("size(tk) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', "
+                "element_at(tk, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    rep = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_count"))
+        .filter(
+            F.expr(
+                f"cast(top_count as double) / n_bigrams <= {REPETITION_MAX_FRAC}"
+            )
+        )
+        .select("doc_id")
+        # three consumers (paragraph semi join, survivors, rebalance) would
+        # each re-run the bigram explode+aggregate subtree; the gate output
+        # is one bigint per surviving doc, so materialize it once
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 2: paragraph survival per doc (keep-first by global hash),
+    # restricted to gate survivors via broadcast semi join (the gate
+    # output is doc ids only — kilobytes per million docs)
+    paras = docs.filter(F.expr("size(tk) >= 1")).select(
+        "doc_id",
+        F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
+    ).select("doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    survival = (
+        paras.join(rep, "doc_id", "left_semi")
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.expr("case when rk = 1 then 1 else 0 end")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+    # stage 3: language rebalance over the surviving corpus
+    survivors = docs.join(rep, "doc_id", "left_semi").select("doc_id", "lang")
+    lang_counts = survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    )
+    n_min = lang_counts.agg(F.min("n_lang").alias("n_min"))
+    h = md5_int_hash("concat('curate#', cast(doc_id as string))")
+    sampled = (
+        survivors.join(F.broadcast(lang_counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .filter(F.expr(f"({h}) % n_lang < n_min"))
+    )
+
+    # stage 4: corpus report
+    return (
+        sampled.join(survival, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_paras").alias("total_paras"),
+            F.sum("n_kept").alias("kept_paras"),
+            F.sum("doc_id").alias("id_sum"),
+        )
     )
 
 

@@ -1668,3 +1668,69 @@ SELECT c_nationkey,
 FROM customer WHERE c_custkey <= 15
 GROUP BY c_nationkey
 """
+
+# ---- curation capstone (operators/scrub.py) -----------------------------
+# Same stage order as the Spark plan: repetition gate FIRST, then
+# paragraph keep-first among survivors, then language rebalance over the
+# surviving corpus.
+
+EXT_ORACLES["curation_pipeline"] = f"""
+WITH t AS (SELECT doc_id, lang, {_DOC_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS gram
+  FROM t WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+rep AS (
+  SELECT doc_id
+  FROM (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(max(cnt) AS BIGINT) AS top_count
+        FROM gc GROUP BY doc_id)
+  WHERE CAST(top_count AS DOUBLE) / n_bigrams <= {REPETITION_MAX_FRAC}
+),
+p AS (
+  SELECT doc_id,
+         unnest(range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                              AS INT) + 1)) AS para_idx,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                         AS INT) + 1),
+           i -> array_to_string(
+                  toks[((i - 1) * {PARA_TOKENS} + 1):(i * {PARA_TOKENS})],
+                  ' '))) AS para
+  FROM t WHERE len(toks) >= 1 AND doc_id IN (SELECT doc_id FROM rep)
+),
+ph AS (
+  SELECT doc_id, para_idx, {_para_h} AS h,
+         row_number() OVER (
+           PARTITION BY {_para_h} ORDER BY doc_id, para_idx
+         ) AS rk
+  FROM p
+),
+survival AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_paras,
+         CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM ph GROUP BY doc_id
+),
+survivors AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM rep)
+),
+lc AS (SELECT lang, count(*) AS n_lang FROM survivors GROUP BY lang),
+nm AS (SELECT min(n_lang) AS n_min FROM lc),
+sampled AS (
+  SELECT s.doc_id, s.lang
+  FROM survivors s JOIN lc USING (lang) CROSS JOIN nm
+  WHERE ({duck_md5_int("'curate#' || CAST(doc_id AS VARCHAR)")}) % n_lang < n_min
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_paras) AS BIGINT) AS total_paras,
+       CAST(sum(n_kept) AS BIGINT) AS kept_paras,
+       CAST(sum(sampled.doc_id) AS BIGINT) AS id_sum
+FROM sampled JOIN survival USING (doc_id)
+GROUP BY lang
+"""

@@ -115,12 +115,13 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
     "wap_pattern": MT.wap_pattern,
+    "curation_pipeline": SC.curation_pipeline,
     # ----- round-3 window, part 5: new ops + flagship LLM re-attestation -----
-    "llm_prep_pipeline": LP.llm_prep_pipeline,
     "stream_cdc_merge": ST.stream_cdc_merge,
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
     "dedup_minhash_lsh": D.minhash_lsh,
     "dedup_components": D.dedup_components,
     "sequence_packing": LP.sequence_packing,
