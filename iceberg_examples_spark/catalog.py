@@ -229,7 +229,13 @@ class LocalTable:
         versions = [s["version"] for s in meta["snapshots"]]
         return max(versions, default=meta["current"]) + 1
 
-    def _commit(self, df: DataFrame, operation: str, partition_by: list[str] | None) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        operation: str,
+        partition_by: list[str] | None,
+        staged: bool = False,
+    ) -> int:
         # Metadata-file versions advance on every publish (data commits
         # AND expiry); snapshot versions only on data commits — same
         # split as Iceberg's metadata.json sequence vs snapshot ids. The
@@ -249,17 +255,19 @@ class LocalTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        meta["snapshots"].append(
-            {
-                "version": version,
-                "parent": meta["current"],
-                "operation": operation,
-                "path": relpath,
-                "schema": df.schema.jsonValue(),
-                "partition_by": partition_by or [],
-            }
-        )
-        meta["current"] = version
+        entry = {
+            "version": version,
+            "parent": meta["current"],
+            "operation": operation,
+            "path": relpath,
+            "schema": df.schema.jsonValue(),
+            "partition_by": partition_by or [],
+        }
+        if staged:
+            entry["staged"] = True
+        else:
+            meta["current"] = version
+        meta["snapshots"].append(entry)
         try:
             self._publish_meta(meta, meta_version)
         except CommitConflictError:
@@ -318,32 +326,10 @@ class LocalTable:
         WITHOUT advancing ``current`` — readers keep seeing the old table
         while the staged snapshot is audited (Iceberg's
         ``spark.wap.branch`` / cherry-pick workflow). Returns the staged
-        snapshot version, readable via ``read(version)`` for audit."""
-        meta, read_version = self._read_meta_versioned()
-        version = self._next_snapshot_version(meta)
-        token = uuid.uuid4().hex[:8]
-        relpath = f"snap-{version:05d}-{token}"
-        path = os.path.join(self.root, relpath)
-        df.write.mode("overwrite").parquet(path)
-        meta["snapshots"].append(
-            {
-                "version": version,
-                "parent": meta["current"],
-                "operation": operation,
-                "path": relpath,
-                "schema": df.schema.jsonValue(),
-                "partition_by": [],
-                "staged": True,
-            }
-        )
-        try:
-            self._publish_meta(meta, read_version + 1)
-        except CommitConflictError:
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
-            raise
-        return version
+        snapshot version, readable via ``read(version)`` for audit.
+        Same write+CAS path as every data commit (``_commit``), just
+        without the current-pointer advance."""
+        return self._commit(df, operation, None, staged=True)
 
     def publish(self, version: int) -> None:
         """WAP step 3: fast-forward ``current`` to an audited staged
@@ -384,24 +370,47 @@ class LocalTable:
         self._publish_meta(meta, read_version + 1)
         shutil.rmtree(os.path.join(self.root, snap["path"]), ignore_errors=True)
 
-    def remove_orphans(self) -> int:
+    # Default orphan grace period: matches Iceberg's remove_orphan_files
+    # older_than default (3 days).
+    ORPHAN_GRACE_S = 3 * 24 * 3600
+
+    def remove_orphans(self, older_than_s: float | None = None) -> int:
         """Table maintenance: delete ``snap-*`` data dirs not referenced
         by any snapshot in the current metadata (Iceberg's
         ``remove_orphan_files``). Orphans arise from crashed commits —
         a writer that wrote its data dir but died before the metadata
-        CAS. Metadata is untouched (orphans are by definition outside
-        it); returns the number of dirs removed."""
-        import shutil
+        CAS.
 
+        ``older_than_s`` (default 3 days, Iceberg's default): only dirs
+        whose mtime is older than this are deleted. The grace period is
+        what makes the sweep safe against an IN-FLIGHT commit — a racing
+        writer that has written its data dir but not yet won the metadata
+        CAS would otherwise have its directory swept and publish a
+        snapshot pointing at nothing. Pass ``0`` only when no writer can
+        be active (tests, single-process maintenance windows).
+
+        Metadata is untouched (orphans are by definition outside it);
+        returns the number of dirs removed."""
+        import shutil
+        import time
+
+        cutoff = time.time() - (
+            self.ORPHAN_GRACE_S if older_than_s is None else older_than_s
+        )
         meta = self._read_meta()
         referenced = {s["path"] for s in meta["snapshots"]}
         removed = 0
         for name in os.listdir(self.root):
-            if name.startswith("snap-") and name not in referenced:
-                shutil.rmtree(
-                    os.path.join(self.root, name), ignore_errors=True
-                )
-                removed += 1
+            if not name.startswith("snap-") or name in referenced:
+                continue
+            path = os.path.join(self.root, name)
+            try:
+                if os.path.getmtime(path) > cutoff:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
         return removed
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
@@ -426,14 +435,23 @@ class LocalTable:
             raise ValueError("keep_last must be >= 1")
         meta, read_version = self._read_meta_versioned()
         snaps = meta["snapshots"]
-        if len(snaps) <= keep_last:
+        # Staged (WAP) snapshots are pending work, not history: they are
+        # never expired (Iceberg likewise retains branch/WAP snapshots
+        # until cherry-picked or dropped). Retention applies to the data
+        # lineage only; current is always the max data snapshot, so the
+        # keep_last tail always contains it.
+        data_snaps = [s for s in snaps if not s.get("staged")]
+        staged_snaps = [s for s in snaps if s.get("staged")]
+        if len(data_snaps) <= keep_last:
             return 0
-        retained = snaps[-keep_last:]
+        retained = data_snaps[-keep_last:]
         if not any(s["version"] == meta["current"] for s in retained):
             raise ValueError("retention window must include the current snapshot")
-        expired = snaps[: len(snaps) - keep_last]
+        expired = data_snaps[: len(data_snaps) - keep_last]
         new_meta = dict(meta)
-        new_meta["snapshots"] = retained
+        new_meta["snapshots"] = sorted(
+            retained + staged_snaps, key=lambda s: s["version"]
+        )
         new_meta["expired"] = meta.get("expired", []) + [
             {"version": s["version"], "operation": s["operation"]} for s in expired
         ]

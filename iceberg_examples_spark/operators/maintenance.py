@@ -79,9 +79,10 @@ def wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert audit_ok(v_good)
     table.publish(v_good)
 
-    # simulate a crashed commit (data dir written, metadata CAS never ran)
+    # simulate a crashed commit (data dir written, metadata CAS never ran);
+    # older_than_s=0 is safe here — this query is the only writer
     os.makedirs(os.path.join(table.root, "snap-99999-deadbeef"), exist_ok=True)
-    n_orphans = table.remove_orphans()
+    n_orphans = table.remove_orphans(older_than_s=0)
 
     final = table.read()
     return (

@@ -54,8 +54,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     27-30 the four repaired streaming queries,
 #     31-42 re-attestation of the reference core (§2.7 mutations,
 #           partition transforms),
-#     43-50 the new round-3 operators (curation, maintenance, audio,
-#           streaming CDC merge) and flagship LLM re-attestation.
+#     43-50 the new round-3 operators (curation ops + capstone, table
+#           maintenance, WAP, audio decode, streaming CDC merge).
+#           llm_prep_pipeline / dedup_minhash_lsh / dedup_components sit
+#           just past the window at 51-53 (driver-green in round 2;
+#           their local parity + vanilla-session sim still run each
+#           round).
 #   After round 3 every declared query has at least one driver row and
 #   the window can rotate freely over blocks needing re-attestation.
 # Every query keeps a local DuckDB parity test regardless of position

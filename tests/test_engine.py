@@ -529,17 +529,46 @@ def test_localtable_wap_stage_publish(spark, tmp_path):
 
 def test_localtable_remove_orphans(spark, tmp_path):
     """remove_orphans deletes only unreferenced snap-* dirs (crashed
-    commits), never data referenced by current or historical snapshots."""
+    commits) past the grace period — never data referenced by snapshots,
+    and never a fresh dir that could belong to an in-flight commit."""
     import os
 
     t = LocalTable(spark, str(tmp_path / "tbl_orph"))
     t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
     t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
     os.makedirs(os.path.join(t.root, "snap-77777-feedface"))
-    assert t.remove_orphans() == 1
-    assert t.remove_orphans() == 0  # idempotent
+    # default grace period protects a just-written dir (in-flight commit)
+    assert t.remove_orphans() == 0
+    assert t.remove_orphans(older_than_s=0) == 1
+    assert t.remove_orphans(older_than_s=0) == 0  # idempotent
     assert t.read().count() == 2
     assert t.read(0).count() == 1  # history intact
+
+
+def test_localtable_expire_skips_staged(spark, tmp_path):
+    """Staged (WAP) snapshots are pending work: expiry must never delete
+    them, and a pending staged snapshot must not break retention of the
+    data lineage (the expire/WAP interaction bug this pins)."""
+    t = LocalTable(spark, str(tmp_path / "tbl_exps"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v_staged = t.stage(
+        t.read().unionByName(
+            spark.createDataFrame([(2, "b")], "id long, v string")
+        )
+    )
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    # 3 data snapshots + 1 staged; keep last 2 data → expire 1, staged kept
+    assert t.expire_snapshots(keep_last=2) == 1
+    assert t.read(v_staged).count() == 2  # staged data intact, auditable
+    # keep_last=1 with only staged+current left: nothing data-expirable
+    # beyond current... expire the older retained one
+    assert t.expire_snapshots(keep_last=1) == 1
+    assert t.read(v_staged).count() == 2
+    # the staged snapshot still publishes/drops normally (parent moved on
+    # → conflict), and drop removes it cleanly
+    t.drop_staged(v_staged)
+    assert t.read().count() == 3
 
 
 def test_localtable_expire_snapshots(spark, tmp_path):
