@@ -33,6 +33,97 @@ from pyspark.sql import functions as F
 from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
 
 
+def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (Iceberg's marquee layout feature,
+    ``IcebergPartitionedTable.java:25-65`` + spec-evolution docs): the
+    same table commits snapshots under DIFFERENT partition layouts —
+    v0 partitioned by region, v1 (after an overwrite with a new spec) by
+    a 4-way bucket of the nation key. Old snapshots keep their layout
+    (time travel reads the old directory structure); new writes use the
+    new spec; readers never change.
+
+    The query proves all three: per-layout file-path shapes (counted via
+    input_file_name over each snapshot read), content equality across the
+    evolution, and the recorded spec in the snapshot log.
+
+    Scale: partition evolution is metadata-only in real Iceberg (each
+    data file remembers its spec); here each snapshot dir is
+    self-describing the same way — readers of any snapshot see exactly
+    the layout that snapshot was written with.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    table = LocalTable(spark, scratch_dir(sf_dir, "part_evo", fresh=True))
+    table.create(nat, partition_by=["n_regionkey"])
+    evolved = nat.withColumn(
+        "nk_bucket", (F.col("n_nationkey") % 4).cast("bigint")
+    )
+    table.overwrite(evolved, partition_by=["nk_bucket"])
+
+    def layout_dirs(version: int, key: str) -> DataFrame:
+        return (
+            table.read(version)
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), f"({key}=[^/]+)", 1
+                ).alias("part_dir")
+            )
+            .filter(F.col("part_dir") != "")
+            .distinct()
+        )
+
+    n_v0_dirs = layout_dirs(0, "n_regionkey").count()
+    n_v1_dirs = layout_dirs(1, "nk_bucket").count()
+    specs = [s["partition_by"] for s in table.snapshots()]
+
+    return (
+        table.read()
+        # partition-column type inference reads the dir name back as int;
+        # pin bigint so the grouped output matches the oracle exactly
+        .groupBy(F.col("nk_bucket").cast("bigint").alias("nk_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .withColumn("n_v0_partitions", F.lit(n_v0_dirs).cast("bigint"))
+        .withColumn("n_v1_partitions", F.lit(n_v1_dirs).cast("bigint"))
+        .withColumn(
+            "spec_history",
+            F.lit(";".join(",".join(s) for s in specs)),
+        )
+    )
+
+
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``#history`` / ``#snapshots`` metadata surface as a first-class
+    query (``IcebergHadoopTables.java:44-47``): build a table through a
+    create → append → overwrite → compact lifecycle and return its
+    snapshot log (version, parent, operation) joined with each
+    snapshot's row count — metadata and data lineage in one result.
+
+    Scale: the log is O(#snapshots) driver-side JSON; the per-snapshot
+    counts are one count() job per retained snapshot (bounded by the
+    retention policy, not data size)."""
+    nat = load_table(spark, sf_dir, "nation")
+    table = LocalTable(spark, scratch_dir(sf_dir, "snap_hist", fresh=True))
+    table.create(nat.filter("n_nationkey < 10"))
+    table.append(nat.filter("n_nationkey >= 10"))
+    table.overwrite(nat.filter("n_regionkey = 1"))
+    table.compact(target_files=1)
+
+    rows = [
+        (
+            s["version"],
+            s["parent"],
+            s["operation"],
+            table.read(s["version"]).count(),
+        )
+        for s in table.snapshots()
+    ]
+    return spark.createDataFrame(
+        rows, "version long, parent long, operation string, n_rows long"
+    )
+
+
 def wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-Audit-Publish workflow (Iceberg ``spark.wap.branch`` /
     stage-then-cherry-pick, the production guard against publishing bad

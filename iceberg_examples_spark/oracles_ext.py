@@ -1734,3 +1734,31 @@ SELECT lang,
 FROM sampled JOIN survival USING (doc_id)
 GROUP BY lang
 """
+
+# ---- partition evolution + snapshot history (operators/maintenance.py) --
+
+EXT_ORACLES["partition_evolution"] = """
+SELECT CAST(n_nationkey % 4 AS BIGINT) AS nk_bucket,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation)
+         AS n_v0_partitions,
+       (SELECT CAST(count(DISTINCT n_nationkey % 4) AS BIGINT) FROM nation)
+         AS n_v1_partitions,
+       'n_regionkey;nk_bucket' AS spec_history
+FROM nation GROUP BY 1
+"""
+
+EXT_ORACLES["snapshot_history"] = """
+SELECT CAST(0 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS parent,
+       'create' AS operation,
+       (SELECT count(*) FROM nation WHERE n_nationkey < 10) AS n_rows
+UNION ALL
+SELECT 1, 0, 'append', (SELECT count(*) FROM nation)
+UNION ALL
+SELECT 2, 1, 'overwrite',
+       (SELECT count(*) FROM nation WHERE n_regionkey = 1)
+UNION ALL
+SELECT 3, 2, 'compact',
+       (SELECT count(*) FROM nation WHERE n_regionkey = 1)
+"""

@@ -52,14 +52,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     1-26  the never-driver-checked tail (json_props .. json_infer) plus
 #           the new PERMISSIVE corrupt-record ingestion query,
 #     27-30 the four repaired streaming queries,
-#     31-42 re-attestation of the reference core (§2.7 mutations,
-#           partition transforms),
+#     31-42 re-attestation of the reference core (§2.7 mutations) plus
+#           the new partition_evolution / snapshot_history scenarios,
 #     43-50 the new round-3 operators (curation ops + capstone, table
 #           maintenance, WAP, audio decode, streaming CDC merge).
-#           llm_prep_pipeline / dedup_minhash_lsh / dedup_components sit
-#           just past the window at 51-53 (driver-green in round 2;
-#           their local parity + vanilla-session sim still run each
-#           round).
+#           zorder_cells / bloom_prune_join / llm_prep_pipeline /
+#           dedup_minhash_lsh / dedup_components sit just past the
+#           window at 51-55 (driver-green in round 2; local parity +
+#           the vanilla-session sim still run each round).
 #   After round 3 every declared query has at least one driver row and
 #   the window can rotate freely over blocks needing re-attestation.
 # Every query keeps a local DuckDB parity test regardless of position
@@ -111,8 +111,8 @@ QUERIES: dict[str, QueryFn] = {
     "merge_upsert_scale": RS.merge_upsert_scale_query,
     "cdc_pipeline": CP.cdc_pipeline,
     "partition_prune": PT.partition_prune,
-    "zorder_cells": PT.zorder_cells,
-    "bloom_prune_join": PT.bloom_prune_join,
+    "partition_evolution": MT.partition_evolution,
+    "snapshot_history": MT.snapshot_history,
     # ----- round-3 window, part 4: NEW round-3 operators -----
     "pii_scrub": SC.pii_scrub,
     "paragraph_dedup": SC.paragraph_dedup,
@@ -125,6 +125,8 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
     "llm_prep_pipeline": LP.llm_prep_pipeline,
     "dedup_minhash_lsh": D.minhash_lsh,
     "dedup_components": D.dedup_components,
