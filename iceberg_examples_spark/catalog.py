@@ -236,11 +236,15 @@ class LocalTable:
         partition_by: list[str] | None,
         staged: bool = False,
     ) -> int:
-        # Metadata-file versions advance on every publish (data commits
-        # AND expiry); snapshot versions only on data commits — same
-        # split as Iceberg's metadata.json sequence vs snapshot ids. The
+        # Metadata-file versions advance on every publish (data commits,
+        # staged commits, AND expiry); snapshot versions are minted by
+        # data AND staged commits (both write a data dir) but `current`
+        # only advances on data commits — same split as Iceberg's
+        # metadata.json sequence vs snapshot ids vs the main branch. The
         # publish version comes from the same read as the state (see
         # _read_meta_versioned) so the CAS cannot lose a racing commit.
+        import time
+
         meta, read_version = self._read_meta_versioned()
         meta_version = read_version + 1
         version = self._next_snapshot_version(meta)
@@ -262,6 +266,7 @@ class LocalTable:
             "path": relpath,
             "schema": df.schema.jsonValue(),
             "partition_by": partition_by or [],
+            "committed_at": time.time(),
         }
         if staged:
             entry["staged"] = True
@@ -394,9 +399,13 @@ class LocalTable:
         import shutil
         import time
 
-        cutoff = time.time() - (
-            self.ORPHAN_GRACE_S if older_than_s is None else older_than_s
-        )
+        grace = self.ORPHAN_GRACE_S if older_than_s is None else older_than_s
+        if grace < 0:
+            # a negative grace puts the cutoff in the future and would
+            # sweep a racing in-flight commit's dir — the exact hazard
+            # the grace period exists to prevent
+            raise ValueError("older_than_s must be >= 0")
+        cutoff = time.time() - grace
         meta = self._read_meta()
         referenced = {s["path"] for s in meta["snapshots"]}
         removed = 0
@@ -410,13 +419,17 @@ class LocalTable:
             except OSError:
                 continue
             shutil.rmtree(path, ignore_errors=True)
-            removed += 1
+            if not os.path.exists(path):  # count only actual deletions
+                removed += 1
         return removed
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
-        """Table maintenance: drop all but the last ``keep_last`` snapshots
-        (always retaining the current one) and delete their data dirs —
-        Iceberg's ``expireSnapshots()`` / ``expire_snapshots`` procedure.
+    def expire_snapshots(
+        self, keep_last: int = 2, max_staged_age_s: float | None = None
+    ) -> int:
+        """Table maintenance: drop all but the last ``keep_last`` data
+        snapshots (always retaining the current one) and delete their
+        data dirs — Iceberg's ``expireSnapshots()`` / ``expire_snapshots``
+        procedure.
 
         The retention change is itself a CAS-published metadata-only
         version (no new snapshot, ``current`` unchanged), so a racing data
@@ -427,30 +440,49 @@ class LocalTable:
         same read-after-expire hazard real Iceberg has (hence retention
         windows in production).
 
-        Returns the number of snapshots expired.
+        Staged (WAP) snapshots are pending work, not history, so by
+        default they are never expired. But a WAP writer that crashed
+        between ``stage`` and ``publish``/``drop_staged`` would pin its
+        snapshot forever; ``max_staged_age_s`` is the escape hatch
+        (Iceberg's max-snapshot-age analogue for branch snapshots):
+        staged snapshots older than it are dropped with the expiry.
+
+        Returns the number of snapshots expired (data + aged-out staged).
         """
         import shutil
+        import time
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         meta, read_version = self._read_meta_versioned()
         snaps = meta["snapshots"]
-        # Staged (WAP) snapshots are pending work, not history: they are
-        # never expired (Iceberg likewise retains branch/WAP snapshots
-        # until cherry-picked or dropped). Retention applies to the data
-        # lineage only; current is always the max data snapshot, so the
-        # keep_last tail always contains it.
         data_snaps = [s for s in snaps if not s.get("staged")]
         staged_snaps = [s for s in snaps if s.get("staged")]
-        if len(data_snaps) <= keep_last:
+        stale_staged = []
+        if max_staged_age_s is not None:
+            if max_staged_age_s < 0:
+                raise ValueError("max_staged_age_s must be >= 0")
+            now = time.time()
+            stale_staged = [
+                s
+                for s in staged_snaps
+                if now - s.get("committed_at", now) > max_staged_age_s
+            ]
+            staged_snaps = [s for s in staged_snaps if s not in stale_staged]
+        if len(data_snaps) <= keep_last and not stale_staged:
             return 0
+        # current is always the max data snapshot (data commits advance
+        # it; staged commits don't), so the keep_last tail contains it
         retained = data_snaps[-keep_last:]
         if not any(s["version"] == meta["current"] for s in retained):
             raise ValueError("retention window must include the current snapshot")
-        expired = data_snaps[: len(data_snaps) - keep_last]
+        expired = (
+            data_snaps[: max(len(data_snaps) - keep_last, 0)] + stale_staged
+        )
         new_meta = dict(meta)
         new_meta["snapshots"] = sorted(
-            retained + staged_snaps, key=lambda s: s["version"]
+            data_snaps[-keep_last:] + staged_snaps,
+            key=lambda s: s["version"],
         )
         new_meta["expired"] = meta.get("expired", []) + [
             {"version": s["version"], "operation": s["operation"]} for s in expired

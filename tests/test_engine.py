@@ -571,6 +571,34 @@ def test_localtable_expire_skips_staged(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_localtable_stale_staged_expiry(spark, tmp_path):
+    """An abandoned staged snapshot (WAP writer crashed before publish/
+    drop) must not pin data forever: max_staged_age_s ages it out, while
+    fresh staged snapshots are untouched."""
+    t = LocalTable(spark, str(tmp_path / "tbl_stale"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v = t.stage(
+        t.read().unionByName(
+            spark.createDataFrame([(2, "b")], "id long, v string")
+        )
+    )
+    # default: staged immortal
+    assert t.expire_snapshots(keep_last=1) == 0
+    # fresh staged survives an aged expiry
+    assert t.expire_snapshots(keep_last=1, max_staged_age_s=3600) == 0
+    assert t.read(v).count() == 2
+    # aged-out staged is dropped (age 0 = everything is stale)
+    assert t.expire_snapshots(keep_last=1, max_staged_age_s=0) == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(v)
+    assert t.read().count() == 1  # data lineage untouched
+    # guards
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=1, max_staged_age_s=-1)
+    with pytest.raises(ValueError):
+        t.remove_orphans(older_than_s=-5)
+
+
 def test_localtable_expire_snapshots(spark, tmp_path):
     import os
 
