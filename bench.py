@@ -66,6 +66,9 @@ HEADLINE = [
     "stream_cdc_merge",
     "json_corrupt_records",
     "curation_pipeline",
+    "partition_evolution",
+    "snapshot_history",
+    "changelog_feed",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

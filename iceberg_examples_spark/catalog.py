@@ -318,6 +318,33 @@ class LocalTable:
         older = self.read(from_version)
         return newer.exceptAll(older)
 
+    def change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Changelog scan between two snapshots (Iceberg's
+        ``create_changelog_view`` / Delta CDF analogue): every row that
+        differs between the versions, tagged ``_change_type`` = 'insert'
+        (present only in the newer snapshot) or 'delete' (present only in
+        the older). Updates appear as delete+insert pairs — the
+        row-identity-free formulation, exactly what a downstream
+        incremental consumer (sync, materialized view) needs.
+
+        Bag semantics via exceptAll (duplicate rows produce one change
+        row per surplus copy). Cost: two anti-diffs = one shuffle each on
+        the full row; at scale a keyed table would diff on (key, hash)
+        instead — same plan shape, narrower rows."""
+        from pyspark.sql import functions as F
+
+        newer = self.read(to_version)
+        older = self.read(from_version)
+        inserts = newer.exceptAll(older).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        deletes = older.exceptAll(newer).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return inserts.unionByName(deletes)
+
     def compact(self, target_files: int = 1) -> int:
         """Small-file compaction: rewrite the current snapshot into
         ``target_files`` files as a new snapshot (Iceberg

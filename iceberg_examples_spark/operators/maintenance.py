@@ -124,6 +124,42 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog scan between snapshots (Iceberg ``create_changelog_view``
+    / Delta CDF shape): v0 = customers with nationkey < 13, v1 = an
+    overwrite that drops nation 3, adds nation 13, and rewrites nation 5
+    rows with doubled account balances (an update = delete+insert pair
+    in the feed). The query returns the per-(_change_type, nation) counts
+    and key sums of the change feed — the exact input an incremental
+    downstream consumer would aggregate.
+
+    Scale: the feed is two exceptAll anti-diffs — one shuffle each over
+    the compared snapshots, no driver involvement; consumers read it like
+    any DataFrame."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    v0 = cust.filter("c_nationkey < 13")
+    v1 = cust.filter(
+        "(c_nationkey < 13 AND c_nationkey <> 3) OR c_nationkey = 13"
+    ).withColumn(
+        "c_acctbal",
+        F.expr(
+            "case when c_nationkey = 5 then c_acctbal * 2 else c_acctbal end"
+        ),
+    )
+
+    table = LocalTable(spark, scratch_dir(sf_dir, "changelog", fresh=True))
+    table.create(v0)
+    table.overwrite(v1)
+
+    feed = table.change_feed(0, 1)
+    return feed.groupBy("_change_type", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+    )
+
+
 def wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-Audit-Publish workflow (Iceberg ``spark.wap.branch`` /
     stage-then-cherry-pick, the production guard against publishing bad

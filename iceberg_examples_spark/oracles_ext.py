@@ -1762,3 +1762,28 @@ UNION ALL
 SELECT 3, 2, 'compact',
        (SELECT count(*) FROM nation WHERE n_regionkey = 1)
 """
+
+# ---- changelog feed (operators/maintenance.py + catalog.change_feed) ----
+# Same diff semantics as the engine: bag EXCEPT ALL in both directions,
+# updates appearing as delete+insert pairs.
+
+EXT_ORACLES["changelog_feed"] = """
+WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer),
+v0 AS (SELECT * FROM c WHERE c_nationkey < 13),
+v1 AS (SELECT c_custkey, c_name, c_nationkey,
+              CASE WHEN c_nationkey = 5 THEN c_acctbal * 2
+                   ELSE c_acctbal END AS c_acctbal
+       FROM c
+       WHERE (c_nationkey < 13 AND c_nationkey <> 3) OR c_nationkey = 13),
+feed AS (
+  SELECT *, 'insert' AS _change_type
+  FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+  UNION ALL
+  SELECT *, 'delete' AS _change_type
+  FROM (SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+)
+SELECT _change_type, c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c_custkey) AS BIGINT) AS key_sum
+FROM feed GROUP BY 1, 2
+"""

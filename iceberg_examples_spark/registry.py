@@ -53,13 +53,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #           the new PERMISSIVE corrupt-record ingestion query,
 #     27-30 the four repaired streaming queries,
 #     31-42 re-attestation of the reference core (§2.7 mutations) plus
-#           the new partition_evolution / snapshot_history scenarios,
+#           the new partition_evolution / snapshot_history /
+#           changelog_feed scenarios,
 #     43-50 the new round-3 operators (curation ops + capstone, table
 #           maintenance, WAP, audio decode, streaming CDC merge).
-#           zorder_cells / bloom_prune_join / llm_prep_pipeline /
-#           dedup_minhash_lsh / dedup_components sit just past the
-#           window at 51-55 (driver-green in round 2; local parity +
-#           the vanilla-session sim still run each round).
+#           merge_upsert_scale / zorder_cells / bloom_prune_join /
+#           llm_prep_pipeline / dedup_minhash_lsh / dedup_components sit
+#           just past the window at 51-56 (driver-green in round 2;
+#           local parity + the vanilla-session sim still run each
+#           round).
 #   After round 3 every declared query has at least one driver row and
 #   the window can rotate freely over blocks needing re-attestation.
 # Every query keeps a local DuckDB parity test regardless of position
@@ -108,11 +110,11 @@ QUERIES: dict[str, QueryFn] = {
     "delete_pred": RS.delete_pred_query,
     "schema_evolution": RS.schema_evolution_query,
     "upsert_by_key": RS.upsert_by_key_query,
-    "merge_upsert_scale": RS.merge_upsert_scale_query,
     "cdc_pipeline": CP.cdc_pipeline,
     "partition_prune": PT.partition_prune,
     "partition_evolution": MT.partition_evolution,
     "snapshot_history": MT.snapshot_history,
+    "changelog_feed": MT.changelog_feed,
     # ----- round-3 window, part 4: NEW round-3 operators -----
     "pii_scrub": SC.pii_scrub,
     "paragraph_dedup": SC.paragraph_dedup,
@@ -125,6 +127,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
     "zorder_cells": PT.zorder_cells,
     "bloom_prune_join": PT.bloom_prune_join,
     "llm_prep_pipeline": LP.llm_prep_pipeline,
