@@ -14,8 +14,13 @@ capabilities Spark-natively:
   (``os.link`` of a complete temp file — fails iff the version already
   exists), giving append / overwrite / time-travel reads and real
   optimistic concurrency: of two racing committers exactly one wins and
-  the loser raises :class:`CommitConflictError`.  These are the observable
-  semantics of Iceberg's snapshot commits without the connector jar.  On a
+  the loser raises :class:`CommitConflictError`. On top of that commit
+  protocol: changelog scans (:meth:`LocalTable.change_feed`),
+  write-audit-publish staging (``stage``/``publish``/``drop_staged``),
+  per-commit partition specs (partition evolution), and the maintenance
+  procedures (``compact``, staged-aware ``expire_snapshots``,
+  ``remove_orphans`` with a grace period). These are the observable
+  semantics of Iceberg's snapshot layer without the connector jar. On a
   cluster the same API is backed by the real Iceberg catalog (see
   ``sources/iceberg_compat.py``); nothing above this layer changes.
 """
@@ -47,10 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (columnar parquet scan; Catalyst gets
     pushdown + pruning for free because this is a plain file scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` it
-    arrives as raw nanoseconds and is truncated to a µs timestamp here —
-    exactly what DuckDB does implicitly, so both engines see equal values.
+    ``events.ts`` has shipped as either parquet TIMESTAMP(MICROS)
+    (current testdata — read as TIMESTAMP_NTZ) or TIMESTAMP(NANOS)
+    (earlier rounds — rejected by the vectorized reader unless
+    ``nanosAsLong`` surfaces it as raw int64). The dtype dispatch below
+    normalizes the nanos case to a µs TIMESTAMP_NTZ; physical types are
+    NOT stable across testdata regenerations, so both branches stay.
     """
     # Defensive session confs: the driver supplies its own SparkSession,
     # which may lack these (both are runtime-settable). Without
