@@ -229,11 +229,17 @@ class LocalTable:
 
     @staticmethod
     def _next_snapshot_version(meta: dict) -> int:
-        """Next snapshot version: one past the highest EXISTING snapshot,
-        not current+1 — a staged (write-audit-publish) snapshot occupies
-        a version number above current, and a racing data commit must not
-        collide with it."""
-        versions = [s["version"] for s in meta["snapshots"]]
+        """Next snapshot version: one past the highest version EVER minted
+        — live snapshots, expired/dropped ones (recorded in the
+        ``expired`` log), and ``current``. Monotonicity matters: a staged
+        snapshot occupies a version above current (a racing data commit
+        must not collide with it), and an expired or dropped version must
+        never be re-minted — a slow WAP writer still holding version v
+        must get FileNotFoundError on read(v), not another snapshot's
+        data."""
+        versions = [s["version"] for s in meta["snapshots"]] + [
+            e["version"] for e in meta.get("expired", [])
+        ]
         return max(versions, default=meta["current"]) + 1
 
     def _commit(
@@ -342,14 +348,12 @@ class LocalTable:
         instead — same plan shape, narrower rows."""
         from pyspark.sql import functions as F
 
-        newer = self.read(to_version)
-        older = self.read(from_version)
-        inserts = newer.exceptAll(older).withColumn(
+        inserts = self.changes(from_version, to_version).withColumn(
             "_change_type", F.lit("insert")
         )
-        deletes = older.exceptAll(newer).withColumn(
-            "_change_type", F.lit("delete")
-        )
+        deletes = self.read(from_version).exceptAll(
+            self.read(to_version)
+        ).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
     def compact(self, target_files: int = 1) -> int:
@@ -394,7 +398,8 @@ class LocalTable:
     def drop_staged(self, version: int) -> None:
         """Abandon a staged snapshot that failed its audit: remove its
         metadata entry, then its data dir (same publish-then-delete order
-        as expiry)."""
+        as expiry). The version is recorded in the ``expired`` log so it
+        is never re-minted (see :meth:`_next_snapshot_version`)."""
         import shutil
 
         meta, read_version = self._read_meta_versioned()
@@ -405,6 +410,9 @@ class LocalTable:
             raise ValueError(f"version {version} is not a staged snapshot")
         meta["snapshots"] = [
             s for s in meta["snapshots"] if s["version"] != version
+        ]
+        meta["expired"] = meta.get("expired", []) + [
+            {"version": version, "operation": snap["operation"]}
         ]
         self._publish_meta(meta, read_version + 1)
         shutil.rmtree(os.path.join(self.root, snap["path"]), ignore_errors=True)
@@ -497,26 +505,33 @@ class LocalTable:
             if max_staged_age_s < 0:
                 raise ValueError("max_staged_age_s must be >= 0")
             now = time.time()
+            # missing committed_at (entry written by an older engine
+            # version) means unknown age — treat as infinitely old: the
+            # escape hatch exists precisely for long-abandoned snapshots
             stale_staged = [
                 s
                 for s in staged_snaps
-                if now - s.get("committed_at", now) > max_staged_age_s
+                if now - s.get("committed_at", 0.0) > max_staged_age_s
             ]
             staged_snaps = [s for s in staged_snaps if s not in stale_staged]
         if len(data_snaps) <= keep_last and not stale_staged:
             return 0
         # current is always the max data snapshot (data commits advance
-        # it; staged commits don't), so the keep_last tail contains it
+        # it; staged commits don't), so the keep_last tail contains it.
+        # A staged-only table (WAP stage before any data commit, current
+        # -1) has nothing to retain — the check only applies when a data
+        # lineage exists.
         retained = data_snaps[-keep_last:]
-        if not any(s["version"] == meta["current"] for s in retained):
+        if data_snaps and not any(
+            s["version"] == meta["current"] for s in retained
+        ):
             raise ValueError("retention window must include the current snapshot")
         expired = (
             data_snaps[: max(len(data_snaps) - keep_last, 0)] + stale_staged
         )
         new_meta = dict(meta)
         new_meta["snapshots"] = sorted(
-            data_snaps[-keep_last:] + staged_snaps,
-            key=lambda s: s["version"],
+            retained + staged_snaps, key=lambda s: s["version"]
         )
         new_meta["expired"] = meta.get("expired", []) + [
             {"version": s["version"], "operation": s["operation"]} for s in expired

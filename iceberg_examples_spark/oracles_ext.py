@@ -1654,14 +1654,15 @@ FROM nation
 
 # ---- write-audit-publish lifecycle (operators/maintenance.py) -----------
 # Content: base (c_custkey <= 10) ∪ good (11..15); metadata counters are
-# deterministic: create=v0, bad stage v1 dropped, good stage v1 published
-# (current=1, 2 snapshots), 1 rejected batch, 1 orphan dir removed.
+# deterministic: create=v0, bad stage v1 dropped (version retired, never
+# re-minted), good stage v2 published (current=2, 2 live snapshots),
+# 1 rejected batch, 1 orphan dir removed.
 
 EXT_ORACLES["wap_pattern"] = """
 SELECT c_nationkey,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(c_custkey) AS BIGINT) AS key_sum,
-       CAST(1 AS BIGINT) AS current_version,
+       CAST(2 AS BIGINT) AS current_version,
        CAST(2 AS BIGINT) AS n_snapshots,
        CAST(1 AS BIGINT) AS n_rejected,
        CAST(1 AS BIGINT) AS n_orphans_removed

@@ -571,6 +571,56 @@ def test_localtable_expire_skips_staged(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_localtable_version_never_reused(spark, tmp_path):
+    """Dropped/expired snapshot versions must never be re-minted: a slow
+    WAP writer still holding version v must get FileNotFoundError on
+    read(v), never another snapshot's data."""
+    t = LocalTable(spark, str(tmp_path / "tbl_mono"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v1 = t.stage(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.drop_staged(v1)
+    v2 = t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert v2 > v1  # not re-minted
+    with pytest.raises(FileNotFoundError):
+        t.read(v1)
+    # same via automated staged expiry
+    v3 = t.stage(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert t.expire_snapshots(keep_last=2, max_staged_age_s=0) == 1
+    v4 = t.append(spark.createDataFrame([(5, "e")], "id long, v string"))
+    assert v4 > v3
+    with pytest.raises(FileNotFoundError):
+        t.read(v3)
+
+
+def test_localtable_staged_only_table_expiry(spark, tmp_path):
+    """A WAP stage on a fresh table (no data commit yet, current=-1)
+    followed by aged expiry must work — the crashed-first-writer case
+    the escape hatch exists for."""
+    t = LocalTable(spark, str(tmp_path / "tbl_fresh"))
+    v = t.stage(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert t.current_version == -1
+    assert t.expire_snapshots(keep_last=1, max_staged_age_s=0) == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(v)
+    assert t.snapshots() == []
+
+
+def test_localtable_legacy_staged_entry_ages_out(spark, tmp_path):
+    """A staged entry written by an older engine version (no committed_at
+    field) has unknown age — it must be treated as infinitely old, not
+    immortal."""
+    t = LocalTable(spark, str(tmp_path / "tbl_legacy"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    v = t.stage(spark.createDataFrame([(2, "b")], "id long, v string"))
+    meta, read_version = t._read_meta_versioned()
+    for s in meta["snapshots"]:
+        s.pop("committed_at", None)
+    t._publish_meta(meta, read_version + 1)
+    assert t.expire_snapshots(keep_last=1, max_staged_age_s=3600) == 1
+    with pytest.raises(FileNotFoundError):
+        t.read(v)
+
+
 def test_localtable_stale_staged_expiry(spark, tmp_path):
     """An abandoned staged snapshot (WAP writer crashed before publish/
     drop) must not pin data forever: max_staged_age_s ages it out, while

@@ -26,9 +26,11 @@ class Model:
     def __init__(self):
         self.snaps: dict[int, tuple[list[int], bool]] = {}  # v -> (rows, staged)
         self.current = -1
+        self.minted = -1  # highest version ever assigned — never reused
 
     def _next_version(self) -> int:
-        return max(self.snaps.keys(), default=self.current) + 1
+        self.minted += 1
+        return self.minted
 
     def rows(self, version: int | None = None) -> list[int]:
         v = self.current if version is None else version
@@ -105,6 +107,7 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
     t.create(df([0]))
     m.snaps[0] = ([0], False)
     m.current = 0
+    m.minted = 0
 
     for op, rows in ops:
         if op == "append":
