@@ -69,6 +69,7 @@ HEADLINE = [
     "partition_evolution",
     "snapshot_history",
     "changelog_feed",
+    "curation_incremental",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -252,6 +252,103 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recuration: process ONLY a newly-arrived batch against
+    the already-curated corpus — the steady-state shape of a production
+    crawl pipeline, where reprocessing the whole corpus per batch would
+    be O(corpus) instead of O(delta).
+
+    Fixture: the delta is ``doc_id % 10 == 7`` (a deterministic ~10%
+    "new crawl"); the base is everything else, standing in for the
+    curated store. Stages, all delta-sized except one index probe:
+
+        1. repetition gate over the DELTA only;
+        2. paragraph dedup of delta paragraphs against (a) the BASE
+           corpus's paragraph-hash set — at scale a stored 8-byte-key
+           index, here recomputed — via left-anti join, and (b) earlier
+           occurrences within the delta itself (keep-first window);
+        3. per-language report of batch survival.
+
+    Scale: the only corpus-sized object is the base hash set, which
+    joins as 8-byte keys (shuffle or broadcast depending on size) — the
+    delta never rescans base text, and base is never rewritten.
+    """
+    from iceberg_examples_spark.operators.llm_quality import (
+        REPETITION_MAX_FRAC,
+    )
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    is_delta = F.col("doc_id") % 10 == 7
+    base = docs.filter(~is_delta)
+    delta = docs.filter(is_delta)
+
+    # stage 1: repetition gate over the delta only
+    bigrams = delta.filter(F.expr("size(tk) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', "
+                "element_at(tk, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    gate = (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_count"))
+        .filter(
+            F.expr(
+                f"cast(top_count as double) / n_bigrams <= {REPETITION_MAX_FRAC}"
+            )
+        )
+        .select("doc_id")
+    )
+
+    def paras(df: DataFrame) -> DataFrame:
+        return df.filter(F.expr("size(tk) >= 1")).select(
+            "doc_id",
+            F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
+        ).select(
+            "doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h")
+        )
+
+    # stage 2: anti-join the delta's paragraphs against the base index,
+    # then keep-first within the delta
+    base_hashes = paras(base).select("h").distinct()
+    delta_paras = paras(delta.join(gate, "doc_id", "left_semi"))
+    fresh = delta_paras.join(base_hashes, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    survival = (
+        fresh.withColumn("rk", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fresh"),
+            F.sum(F.expr("case when rk = 1 then 1 else 0 end")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+    # stage 3: per-language batch report (docs gated out or fully
+    # deduped report zero surviving paragraphs)
+    return (
+        delta.join(gate, "doc_id", "left_semi")
+        .select("doc_id", "lang")
+        .join(survival, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_fresh"), F.lit(0))).alias(
+                "fresh_paras"
+            ),
+            F.sum(F.coalesce(F.col("n_kept"), F.lit(0))).alias("kept_paras"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
 def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced sample: each language keeps ~min-language-count
     docs via the hash-pure rule ``h(doc_id) % n_lang < n_min``.

@@ -1788,3 +1788,77 @@ SELECT _change_type, c_nationkey,
        CAST(sum(c_custkey) AS BIGINT) AS key_sum
 FROM feed GROUP BY 1, 2
 """
+
+# ---- incremental recuration (operators/scrub.py) ------------------------
+# Delta = doc_id % 10 == 7; same stage order as the Spark plan: gate over
+# the delta, anti-join delta paragraphs against the base hash set, then
+# keep-first within the delta.
+
+EXT_ORACLES["curation_incremental"] = f"""
+WITH t AS (SELECT doc_id, lang, {_DOC_TOKS} AS toks FROM documents),
+delta AS (SELECT * FROM t WHERE doc_id % 10 = 7),
+base AS (SELECT * FROM t WHERE doc_id % 10 <> 7),
+g AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1]
+                 for i in range(1, len(toks))]) AS gram
+  FROM delta WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+gate AS (
+  SELECT doc_id
+  FROM (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               CAST(max(cnt) AS BIGINT) AS top_count
+        FROM gc GROUP BY doc_id)
+  WHERE CAST(top_count AS DOUBLE) / n_bigrams <= {REPETITION_MAX_FRAC}
+),
+base_p AS (
+  SELECT DISTINCT {_para_h} AS h
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                           AS INT) + 1),
+             i -> array_to_string(
+                    toks[((i - 1) * {PARA_TOKENS} + 1):(i * {PARA_TOKENS})],
+                    ' '))) AS para
+    FROM base WHERE len(toks) >= 1
+  )
+),
+delta_p AS (
+  SELECT doc_id,
+         unnest(range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                              AS INT) + 1)) AS para_idx,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                         AS INT) + 1),
+           i -> array_to_string(
+                  toks[((i - 1) * {PARA_TOKENS} + 1):(i * {PARA_TOKENS})],
+                  ' '))) AS para
+  FROM delta
+  WHERE len(toks) >= 1 AND doc_id IN (SELECT doc_id FROM gate)
+),
+fresh AS (
+  SELECT doc_id, para_idx, {_para_h} AS h
+  FROM delta_p
+  WHERE {_para_h} NOT IN (SELECT h FROM base_p)
+),
+survival AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_fresh,
+         CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM (SELECT doc_id, h,
+               row_number() OVER (
+                 PARTITION BY h ORDER BY doc_id, para_idx
+               ) AS rk
+        FROM fresh)
+  GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(s.n_fresh, 0)) AS BIGINT) AS fresh_paras,
+       CAST(sum(coalesce(s.n_kept, 0)) AS BIGINT) AS kept_paras,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+FROM delta d JOIN gate USING (doc_id)
+LEFT JOIN survival s USING (doc_id)
+GROUP BY d.lang
+"""

@@ -109,7 +109,6 @@ QUERIES: dict[str, QueryFn] = {
     "scd2_final": RS.scd2_final_query,
     "delete_pred": RS.delete_pred_query,
     "schema_evolution": RS.schema_evolution_query,
-    "upsert_by_key": RS.upsert_by_key_query,
     "cdc_pipeline": CP.cdc_pipeline,
     "partition_prune": PT.partition_prune,
     "partition_evolution": MT.partition_evolution,
@@ -122,11 +121,13 @@ QUERIES: dict[str, QueryFn] = {
     "table_maintenance": MT.table_maintenance,
     "wap_pattern": MT.wap_pattern,
     "curation_pipeline": SC.curation_pipeline,
+    "curation_incremental": SC.curation_incremental,
     # ----- round-3 window, part 5: new ops + flagship LLM re-attestation -----
     "stream_cdc_merge": ST.stream_cdc_merge,
     "multimodal_audio": MM.multimodal_audio,
     # ----- end of round-3 window (50 entries above) -----
     # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "upsert_by_key": RS.upsert_by_key_query,
     "merge_upsert_scale": RS.merge_upsert_scale_query,
     "zorder_cells": PT.zorder_cells,
     "bloom_prune_join": PT.bloom_prune_join,
