@@ -77,13 +77,58 @@ def _with_tokens(docs: DataFrame) -> DataFrame:
 
 
 # Fixed-width token windows over the materialized ``tk`` column (shared by
-# paragraph_dedup and the curation capstone).
+# paragraph_dedup and the curation capstones).
 _PARA_TRANSFORM = (
     f"transform(sequence(1, cast(ceil(size(tk) / "
     f"cast({PARA_TOKENS} as double)) as int)), "
     f"i -> concat_ws(' ', slice(tk, (i - 1) * {PARA_TOKENS} + 1, "
     f"{PARA_TOKENS})))"
 )
+
+
+def _paras(docs: DataFrame) -> DataFrame:
+    """(doc_id, para_idx, h): the paragraph explode+hash stage shared by
+    paragraph_dedup and both curation pipelines — one source of truth for
+    the window/hash formulation (the oracle twins mirror it once)."""
+    return docs.filter(F.expr("size(tk) >= 1")).select(
+        "doc_id",
+        F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
+    ).select("doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h"))
+
+
+def _repetition_gate(docs: DataFrame) -> DataFrame:
+    """doc_ids passing the Gopher top-bigram repetition gate (same
+    formulation as llm_quality.repetition_topgram), materialized eagerly:
+    the gate output is one bigint per surviving doc, and every caller
+    consumes it from multiple branches — without the checkpoint each
+    branch re-runs the bigram explode+aggregate subtree."""
+    from iceberg_examples_spark.operators.llm_quality import (
+        REPETITION_MAX_FRAC,
+    )
+
+    bigrams = docs.filter(F.expr("size(tk) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', "
+                "element_at(tk, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        bigrams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_count"))
+        .filter(
+            F.expr(
+                f"cast(top_count as double) / n_bigrams <= {REPETITION_MAX_FRAC}"
+            )
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,12 +173,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint of the surviving set.
     """
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
-    paras = docs.filter(F.expr("size(tk) >= 1")).select(
-        "doc_id",
-        F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
-    ).select(
-        "doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h")
-    )
+    paras = _paras(docs)
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     kept = (
         paras.withColumn("rk", F.row_number().over(w))
@@ -172,50 +212,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB nothing wider than (hash, doc_id, count) crosses the wire and
     no stage depends on corpus-wide ordering.
     """
-    from iceberg_examples_spark.operators.llm_quality import (
-        REPETITION_MAX_FRAC,
-    )
-
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
 
-    # stage 1: repetition gate (same formulation as repetition_topgram)
-    bigrams = docs.filter(F.expr("size(tk) >= 2")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> concat(element_at(tk, i), ' ', "
-                "element_at(tk, i + 1)))"
-            )
-        ).alias("gram"),
-    )
-    rep = (
-        bigrams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_count"))
-        .filter(
-            F.expr(
-                f"cast(top_count as double) / n_bigrams <= {REPETITION_MAX_FRAC}"
-            )
-        )
-        .select("doc_id")
-        # three consumers (paragraph semi join, survivors, rebalance) would
-        # each re-run the bigram explode+aggregate subtree; the gate output
-        # is one bigint per surviving doc, so materialize it once
-        .localCheckpoint(eager=True)
-    )
+    # stage 1: repetition gate (shared helper; checkpointed — three
+    # consumers below)
+    rep = _repetition_gate(docs)
 
     # stage 2: paragraph survival per doc (keep-first by global hash),
     # restricted to gate survivors via broadcast semi join (the gate
     # output is doc ids only — kilobytes per million docs)
-    paras = docs.filter(F.expr("size(tk) >= 1")).select(
-        "doc_id",
-        F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
-    ).select("doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h"))
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     survival = (
-        paras.join(rep, "doc_id", "left_semi")
+        _paras(docs).join(rep, "doc_id", "left_semi")
         .withColumn("rk", F.row_number().over(w))
         .groupBy("doc_id")
         .agg(
@@ -267,57 +275,28 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            corpus's paragraph-hash set — at scale a stored 8-byte-key
            index, here recomputed — via left-anti join, and (b) earlier
            occurrences within the delta itself (keep-first window);
-        3. per-language report of batch survival.
+        3. per-language report of GATE-SURVIVING batch docs (gated-out
+           docs are dropped from the batch, so they do not appear in the
+           report; a fully-deduplicated survivor appears with zero kept
+           paragraphs).
 
     Scale: the only corpus-sized object is the base hash set, which
     joins as 8-byte keys (shuffle or broadcast depending on size) — the
     delta never rescans base text, and base is never rewritten.
     """
-    from iceberg_examples_spark.operators.llm_quality import (
-        REPETITION_MAX_FRAC,
-    )
-
     docs = _with_tokens(load_table(spark, sf_dir, "documents"))
     is_delta = F.col("doc_id") % 10 == 7
     base = docs.filter(~is_delta)
     delta = docs.filter(is_delta)
 
-    # stage 1: repetition gate over the delta only
-    bigrams = delta.filter(F.expr("size(tk) >= 2")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk) - 1), "
-                "i -> concat(element_at(tk, i), ' ', "
-                "element_at(tk, i + 1)))"
-            )
-        ).alias("gram"),
-    )
-    gate = (
-        bigrams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_count"))
-        .filter(
-            F.expr(
-                f"cast(top_count as double) / n_bigrams <= {REPETITION_MAX_FRAC}"
-            )
-        )
-        .select("doc_id")
-    )
-
-    def paras(df: DataFrame) -> DataFrame:
-        return df.filter(F.expr("size(tk) >= 1")).select(
-            "doc_id",
-            F.posexplode(F.expr(_PARA_TRANSFORM)).alias("para_idx", "para"),
-        ).select(
-            "doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h")
-        )
+    # stage 1: repetition gate over the delta only (shared helper;
+    # checkpointed — two consumers below)
+    gate = _repetition_gate(delta)
 
     # stage 2: anti-join the delta's paragraphs against the base index,
     # then keep-first within the delta
-    base_hashes = paras(base).select("h").distinct()
-    delta_paras = paras(delta.join(gate, "doc_id", "left_semi"))
+    base_hashes = _paras(base).select("h").distinct()
+    delta_paras = _paras(delta.join(gate, "doc_id", "left_semi"))
     fresh = delta_paras.join(base_hashes, "h", "left_anti")
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     survival = (
@@ -331,8 +310,8 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # stage 3: per-language batch report (docs gated out or fully
-    # deduped report zero surviving paragraphs)
+    # stage 3: per-language report over gate survivors (left join: a
+    # survivor whose every paragraph was deduped still reports with 0)
     return (
         delta.join(gate, "doc_id", "left_semi")
         .select("doc_id", "lang")

@@ -52,16 +52,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     1-26  the never-driver-checked tail (json_props .. json_infer) plus
 #           the new PERMISSIVE corrupt-record ingestion query,
 #     27-30 the four repaired streaming queries,
-#     31-42 re-attestation of the reference core (§2.7 mutations) plus
-#           the new partition_evolution / snapshot_history /
-#           changelog_feed scenarios,
-#     43-50 the new round-3 operators (curation ops + capstone, table
-#           maintenance, WAP, audio decode, streaming CDC merge).
-#           merge_upsert_scale / zorder_cells / bloom_prune_join /
-#           llm_prep_pipeline / dedup_minhash_lsh / dedup_components sit
-#           just past the window at 51-56 (driver-green in round 2;
-#           local parity + the vanilla-session sim still run each
-#           round).
+#     31-41 re-attestation of the reference core (§2.7 mutations minus
+#           upsert_by_key and merge_upsert_scale, both green in r2 and
+#           rotated to the tail) plus the new partition_evolution /
+#           snapshot_history / changelog_feed scenarios,
+#     42-50 the new round-3 operators (curation ops + both capstones,
+#           table maintenance, WAP, audio decode, streaming CDC merge).
+#           upsert_by_key / merge_upsert_scale / zorder_cells /
+#           bloom_prune_join / llm_prep_pipeline / dedup_minhash_lsh /
+#           dedup_components sit just past the window at 51-57
+#           (driver-green in round 2; local parity + the vanilla-session
+#           sim still run each round).
 #   After round 3 every declared query has at least one driver row and
 #   the window can rotate freely over blocks needing re-attestation.
 # Every query keeps a local DuckDB parity test regardless of position
