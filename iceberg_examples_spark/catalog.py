@@ -348,6 +348,11 @@ class LocalTable:
         instead — same plan shape, narrower rows."""
         from pyspark.sql import functions as F
 
+        # Resolve 'current' exactly once so both halves diff against the
+        # same 'to' snapshot even if a commit lands mid-computation.
+        if to_version is None:
+            to_version = self.current_version
+
         inserts = self.changes(from_version, to_version).withColumn(
             "_change_type", F.lit("insert")
         )

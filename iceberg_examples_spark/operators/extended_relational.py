@@ -225,13 +225,41 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations — the constant-memory 100 TB path:
-    HyperLogLog++ distinct counts and GK-sketch percentiles. Declared
-    rows-only: sketch internals (and thus exact estimates) are
-    engine-specific, so no cross-engine hash can exist by construction."""
+    HyperLogLog++ distinct counts and GK-sketch percentiles.
+
+    Self-verifying formulation: the sketch *estimates* are engine-specific
+    (DuckDB's sketches produce different, equally valid values), so the
+    raw estimates can never cross-engine hash. Instead the query computes
+    the exact statistics IN THE SAME PLAN and emits boolean
+    ``*_within_bound`` columns asserting the sketches land inside their
+    documented error envelopes — booleans and exact values hash
+    deterministically, so the driver's oracle gate now fully verifies
+    this query (the oracle emits the same exact values and literal TRUE).
+
+    Bounds: HLL++ at rsd=0.01 → 5% relative error is a >5σ envelope;
+    approx_percentile at accuracy=10000 has rank error ≤ n/10000, far
+    inside the exact p45..p55 value band used as the check."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("_approx_cd"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
+            "_approx_p50"
+        ),
+        F.expr("percentile(o_totalprice, 0.45)").alias("_p45"),
+        F.expr("percentile(o_totalprice, 0.55)").alias("_p55"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        (
+            F.abs(F.col("_approx_cd") - F.col("exact_customers"))
+            <= F.col("exact_customers") * 0.05
+        ).alias("cd_within_bound"),
+        (
+            (F.col("_approx_p50") >= F.col("_p45"))
+            & (F.col("_approx_p50") <= F.col("_p55"))
+        ).alias("p50_within_bound"),
     )
 
 

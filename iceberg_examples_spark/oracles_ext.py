@@ -536,6 +536,18 @@ SELECT o_orderstatus,
 FROM orders GROUP BY o_orderstatus
 """
 
+# approx_stats is self-verifying: the Spark side compares its HLL++ /
+# GK-sketch estimates to exact statistics computed in the same plan and
+# emits booleans; the oracle emits the same exact values plus literal
+# TRUE, so a sketch outside its documented error envelope hash-fails.
+EXT_ORACLES["approx_stats"] = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS cd_within_bound,
+       TRUE AS p50_within_bound
+FROM orders GROUP BY o_orderstatus
+"""
+
 # ---- join types / scalars / time travel / metadata ----------------------
 
 EXT_ORACLES["join_semi"] = """

@@ -48,125 +48,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #     §2.5 event windows                            -> 46/50 green
 #     (4 streaming queries crashed on TIMESTAMP_NTZ watermark — fixed in
 #     streaming/rollup.py by normalizing ts to LTZ before withWatermark)
-#   round 3 window (THIS order):
-#     1-26  the never-driver-checked tail (json_props .. json_infer) plus
-#           the new PERMISSIVE corrupt-record ingestion query,
-#     27-30 the four repaired streaming queries,
-#     31-41 re-attestation of the reference core (§2.7 mutations minus
-#           upsert_by_key and merge_upsert_scale, both green in r2 and
-#           rotated to the tail) plus the new partition_evolution /
-#           snapshot_history / changelog_feed scenarios,
-#     42-50 the new round-3 operators (curation ops + both capstones,
-#           table maintenance, WAP, audio decode, streaming CDC merge).
-#           upsert_by_key / merge_upsert_scale / zorder_cells /
-#           bloom_prune_join / llm_prep_pipeline / dedup_minhash_lsh /
-#           dedup_components sit just past the window at 51-57
-#           (driver-green in round 2; local parity + the vanilla-session
-#           sim still run each round).
-#   After round 3 every declared query has at least one driver row and
-#   the window can rotate freely over blocks needing re-attestation.
+#   round 3 window: the 26 never-driver-checked entries (25-query tail +
+#     new json_corrupt_records), 4 repaired streaming queries, 11-query
+#     reference-core re-attestation, 9 new round-3 ops -> 49 green + 1
+#     rows-only (approx_stats, since made self-verifying).  After round 3
+#     every declared query has at least one driver row.
+#   round 4 window (THIS order) — oldest-attestation-first rotation:
+#     1-31  the round-1 relational/TPC-H block, green only on round-1
+#           testdata (regenerated since; events.ts already changed
+#           physical type once — re-attest on fresh data),
+#     32-38 the seven queries that sat just past the round-3 window
+#           (driver-green r2): upsert_by_key merge_upsert_scale
+#           zorder_cells bloom_prune_join llm_prep_pipeline
+#           dedup_minhash_lsh dedup_components,
+#     39    approx_stats — first driver check of the self-verifying
+#           (hash-green) formulation,
+#     40-41 curation_pipeline / curation_incremental — modified this
+#           round (checkpoint strategy + incremental LSH band probe),
+#     42-50 round-2-attested ops not re-checked since: sequence_packing
+#           multimodal_features knn_cosine_ivf stream_sessionize
+#           stream_session_window stream_static_join text_token_count
+#           text_lang_id text_quality_score.
 # Every query keeps a local DuckDB parity test regardless of position
 # (tests/test_parity.py runs all of them at sf0.001 every round), and
 # scripts/driver_sim.py replays the full gate under a VANILLA SparkSession
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- round-3 window, part 1: never driver-checked (25) -----
-    "json_props": E.json_props,
-    "window_sliding": E.window_sliding,
-    "locf_fill": E.locf_fill,
-    "percentiles": XR.percentiles,
-    "value_histogram": XR.value_histogram,
-    "approx_stats": XR.approx_stats,
-    "join_semi": CV.join_semi,
-    "join_anti": CV.join_anti,
-    "join_outer": CV.join_outer,
-    "scalar_funcs": CV.scalar_funcs,
-    "time_travel": CV.time_travel,
-    "metadata_files": CV.metadata_files,
-    "incremental_view": CV.incremental_view,
-    "recursive_month_series": CV.recursive_month_series,
-    "variant_json_ops": CV.variant_json_ops,
-    "sql_entry": CV.sql_entry,
-    "grouped_median_pandas": CV.grouped_median_pandas,
-    "udtf_chunks": TX.chunk_documents_udtf,
-    "tfidf_topterms": LQ.tfidf_topterms,
-    "bm25_search": LQ.bm25_search,
-    "repetition_topgram": LQ.repetition_topgram,
-    "contamination_check": LQ.contamination_check,
-    "csv_roundtrip": CV.csv_roundtrip,
-    "orc_roundtrip": CV.orc_roundtrip,
-    "json_infer": RS.json_infer_query,
-    "json_corrupt_records": JS.json_corrupt_records,
-    # ----- round-3 window, part 2: streaming repaired after r2 NTZ crash -----
-    "stream_window_hourly": ST.stream_window_hourly,
-    "stream_dedup_latest": ST.stream_dedup_latest,
-    "stream_to_table": ST.stream_to_table,
-    "stream_stream_join": ST.stream_stream_join,
-    # ----- round-3 window, part 3: reference core re-attestation (§2.7) -----
-    "merge_upsert": RS.merge_upsert_query,
-    "merge_star": RS.merge_star_query,
-    "merge_cdc": RS.merge_cdc_query,
-    "scd2_final": RS.scd2_final_query,
-    "delete_pred": RS.delete_pred_query,
-    "schema_evolution": RS.schema_evolution_query,
-    "cdc_pipeline": CP.cdc_pipeline,
-    "partition_prune": PT.partition_prune,
-    "partition_evolution": MT.partition_evolution,
-    "snapshot_history": MT.snapshot_history,
-    "changelog_feed": MT.changelog_feed,
-    # ----- round-3 window, part 4: NEW round-3 operators -----
-    "pii_scrub": SC.pii_scrub,
-    "paragraph_dedup": SC.paragraph_dedup,
-    "stratified_sample_lang": SC.stratified_sample_lang,
-    "table_maintenance": MT.table_maintenance,
-    "wap_pattern": MT.wap_pattern,
-    "curation_pipeline": SC.curation_pipeline,
-    "curation_incremental": SC.curation_incremental,
-    # ----- round-3 window, part 5: new ops + flagship LLM re-attestation -----
-    "stream_cdc_merge": ST.stream_cdc_merge,
-    "multimodal_audio": MM.multimodal_audio,
-    # ----- end of round-3 window (50 entries above) -----
-    # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
-    "upsert_by_key": RS.upsert_by_key_query,
-    "merge_upsert_scale": RS.merge_upsert_scale_query,
-    "zorder_cells": PT.zorder_cells,
-    "bloom_prune_join": PT.bloom_prune_join,
-    "llm_prep_pipeline": LP.llm_prep_pipeline,
-    "dedup_minhash_lsh": D.minhash_lsh,
-    "dedup_components": D.dedup_components,
-    "sequence_packing": LP.sequence_packing,
-    "multimodal_features": MM.multimodal_features,
-    "knn_cosine_ivf": SIM.knn_cosine_ivf,
-    "stream_sessionize": ST.stream_sessionize_stateful,
-    "stream_session_window": ST.stream_session_window,
-    "stream_static_join": ST.stream_static_join,
-    "text_token_count": TX.token_count,
-    "text_lang_id": TX.lang_id,
-    "text_quality_score": TX.quality_score,
-    "text_fingerprint": TX.doc_fingerprint,
-    "text_simhash": TX.simhash16,
-    "explode_tokens": TX.explode_tokens,
-    "deterministic_sample": CV.deterministic_sample,
-    "train_test_split": CV.train_test_split,
-    "corpus_mixture": LP.corpus_mixture,
-    "dedup_exact": D.dedup_exact,
-    "dedup_exact_keep": D.dedup_exact_keep,
-    "ngram_jaccard": D.ngram_jaccard,
-    "knn_cosine": SIM.knn_cosine,
-    "kmeans_clusters": CL.kmeans_clusters,
-    "kmeans_large": CL.kmeans_large,
-    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
-    "pq_codes": CL.pq_codes,
-    "pq_adc_topk": CL.pq_adc_topk,
-    "embedding_neardup": SIM.embedding_neardup,
-    "multimodal_meta": MM.multimodal_meta,
-    "collect_sets": XR.collect_sets,
-    "dedup_latest": E.dedup_latest,
-    "sessionize": E.sessionize,
-    "session_window_agg": E.session_window_agg,
-    "window_hourly": E.window_hourly,
-    # --- driver-green in round 1 (CORRECTNESS_r01): relational / TPC-H ---
+    # ----- round-4 window, part 1: r1 relational/TPC-H re-attestation (31) ---
     "scan_full": R.scan_full,
     "project_literals": R.project_literals,
     "filter_conj": R.filter_conj,
@@ -199,6 +108,101 @@ QUERIES: dict[str, QueryFn] = {
     "tpch_q20": TF.tpch_q20,
     "tpch_q21": TF.tpch_q21,
     "tpch_q22": TF.tpch_q22,
+    # ----- round-4 window, part 2: r2-green, just past the r3 window (7) -----
+    "upsert_by_key": RS.upsert_by_key_query,
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
+    "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
+    "dedup_minhash_lsh": D.minhash_lsh,
+    "dedup_components": D.dedup_components,
+    # ----- round-4 window, part 3: newly self-verifying (1) -----
+    "approx_stats": XR.approx_stats,
+    # ----- round-4 window, part 4: modified this round (2) -----
+    "curation_pipeline": SC.curation_pipeline,
+    "curation_incremental": SC.curation_incremental,
+    # ----- round-4 window, part 5: r2-attested, oldest first (9) -----
+    "sequence_packing": LP.sequence_packing,
+    "multimodal_features": MM.multimodal_features,
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "stream_sessionize": ST.stream_sessionize_stateful,
+    "stream_session_window": ST.stream_session_window,
+    "stream_static_join": ST.stream_static_join,
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
+    # ----- end of round-4 window (50 entries above) -----
+    # --- driver-green in round 3 (CORRECTNESS_r03) ---
+    "json_props": E.json_props,
+    "window_sliding": E.window_sliding,
+    "locf_fill": E.locf_fill,
+    "percentiles": XR.percentiles,
+    "value_histogram": XR.value_histogram,
+    "join_semi": CV.join_semi,
+    "join_anti": CV.join_anti,
+    "join_outer": CV.join_outer,
+    "scalar_funcs": CV.scalar_funcs,
+    "time_travel": CV.time_travel,
+    "metadata_files": CV.metadata_files,
+    "incremental_view": CV.incremental_view,
+    "recursive_month_series": CV.recursive_month_series,
+    "variant_json_ops": CV.variant_json_ops,
+    "sql_entry": CV.sql_entry,
+    "grouped_median_pandas": CV.grouped_median_pandas,
+    "udtf_chunks": TX.chunk_documents_udtf,
+    "tfidf_topterms": LQ.tfidf_topterms,
+    "bm25_search": LQ.bm25_search,
+    "repetition_topgram": LQ.repetition_topgram,
+    "contamination_check": LQ.contamination_check,
+    "csv_roundtrip": CV.csv_roundtrip,
+    "orc_roundtrip": CV.orc_roundtrip,
+    "json_infer": RS.json_infer_query,
+    "json_corrupt_records": JS.json_corrupt_records,
+    "stream_window_hourly": ST.stream_window_hourly,
+    "stream_dedup_latest": ST.stream_dedup_latest,
+    "stream_to_table": ST.stream_to_table,
+    "stream_stream_join": ST.stream_stream_join,
+    "merge_upsert": RS.merge_upsert_query,
+    "merge_star": RS.merge_star_query,
+    "merge_cdc": RS.merge_cdc_query,
+    "scd2_final": RS.scd2_final_query,
+    "delete_pred": RS.delete_pred_query,
+    "schema_evolution": RS.schema_evolution_query,
+    "cdc_pipeline": CP.cdc_pipeline,
+    "partition_prune": PT.partition_prune,
+    "partition_evolution": MT.partition_evolution,
+    "snapshot_history": MT.snapshot_history,
+    "changelog_feed": MT.changelog_feed,
+    "pii_scrub": SC.pii_scrub,
+    "paragraph_dedup": SC.paragraph_dedup,
+    "stratified_sample_lang": SC.stratified_sample_lang,
+    "table_maintenance": MT.table_maintenance,
+    "wap_pattern": MT.wap_pattern,
+    "stream_cdc_merge": ST.stream_cdc_merge,
+    "multimodal_audio": MM.multimodal_audio,
+    # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    "deterministic_sample": CV.deterministic_sample,
+    "train_test_split": CV.train_test_split,
+    "corpus_mixture": LP.corpus_mixture,
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "ngram_jaccard": D.ngram_jaccard,
+    "knn_cosine": SIM.knn_cosine,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
+    "embedding_neardup": SIM.embedding_neardup,
+    "multimodal_meta": MM.multimodal_meta,
+    "collect_sets": XR.collect_sets,
+    "dedup_latest": E.dedup_latest,
+    "sessionize": E.sessionize,
+    "session_window_agg": E.session_window_agg,
+    "window_hourly": E.window_hourly,
     # §2.3-2.6 extended relational surface
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
@@ -221,15 +225,10 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
-# driver/judge should see.
-ROWS_ONLY_REASON: dict[str, str] = {
-    "approx_stats": (
-        "HyperLogLog++/GK-sketch estimates are engine-specific by "
-        "construction — DuckDB's sketches produce different (both valid) "
-        "approximations, so no cross-engine hash can exist; the exact "
-        "twins are covered by agg_count_distinct and percentiles"
-    ),
-}
+# driver/judge should see. Empty since round 4: approx_stats (the last
+# rows-only query) became self-verifying — it hashes boolean error-bound
+# columns comparing its sketches to exact stats computed in-plan.
+ROWS_ONLY_REASON: dict[str, str] = {}
 
 
 def get_oracles() -> dict[str, str]:

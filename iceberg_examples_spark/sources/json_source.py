@@ -85,5 +85,10 @@ def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("case when _bad is not null then 1 else 0 end")).alias(
             "n_corrupt"
         ),
-        F.sum("n_nationkey").alias("good_key_sum"),
+        # Gate on the corrupt marker rather than relying on corrupt rows
+        # parsing to all-NULL: with enablePartialResults (Spark 4.x
+        # default) some corruption shapes keep a parsed prefix populated.
+        F.sum(
+            F.expr("case when _bad is null then n_nationkey end")
+        ).alias("good_key_sum"),
     )
