@@ -51,12 +51,124 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# SQL compilation (pure; no SparkSession, no jar).
+#
+# Every statement the reference executes against its Iceberg catalog is
+# generated here as text, so the compile path is golden-testable offline
+# (tests/test_iceberg_sql_golden.py checks the generated statements
+# against the reference's literal SQL shapes) even though the connector
+# jar is unobtainable in this environment. IcebergTable below is a thin
+# executor over these compilers.
+# ---------------------------------------------------------------------------
+
+
+def compile_create(
+    name: str, ddl_columns: str, partitioned_by: str | None = None
+) -> str:
+    """CREATE TABLE ... USING iceberg (IcebergSQLMerge.java:17-21;
+    partitioned variant IcebergPartitionedTable.java:25-33)."""
+    part = f" PARTITIONED BY ({partitioned_by})" if partitioned_by else ""
+    return f"CREATE TABLE {name} ({ddl_columns}) USING iceberg{part}"
+
+
+def compile_merge_star(
+    name: str,
+    source_view: str,
+    keys: list[str],
+    matched_condition: str | None = None,
+) -> str:
+    """Schema-tolerant star merge — ``UPDATE SET * / INSERT *``
+    (IcebergSQLMerge.java:50-66, the mergev2/mergev3 statements)."""
+    on = " AND ".join(f"s.{k} = t.{k}" for k in keys)
+    cond = f" AND {matched_condition}" if matched_condition else ""
+    return (
+        f"MERGE INTO {name} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED{cond} THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def compile_merge_explicit(
+    name: str,
+    source_view: str,
+    keys: list[str],
+    update_cols: list[str],
+    insert_cols: list[str],
+    matched_condition: str | None = None,
+) -> str:
+    """Explicit-column merge — ``UPDATE SET t.c = s.c ... INSERT(cols)
+    VALUES(s.cols)`` (IcebergSQLMerge.java:29-46, the first merge)."""
+    on = " AND ".join(f"s.{k} = t.{k}" for k in keys)
+    cond = f" AND {matched_condition}" if matched_condition else ""
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols)
+    ins = ", ".join(insert_cols)
+    vals = ", ".join(f"s.{c}" for c in insert_cols)
+    return (
+        f"MERGE INTO {name} t USING {source_view} s ON {on} "
+        f"WHEN MATCHED{cond} THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT({ins}) VALUES({vals})"
+    )
+
+
+def compile_scd2_merge(
+    name: str,
+    staging: str,
+    key: str,
+    attr_cols: list[str],
+    effective_col: str = "effective_date",
+    end_col: str = "end_date",
+    current_col: str = "current",
+    open_end_literal: str = "to_date('9999-12-31', 'yyyy-MM-dd')",
+) -> str:
+    """The reference's SCD2 merge (IcebergSCD2.java:51-68): the source is
+    a UNION ALL of (a) staging rows opened with the far-future end date
+    and (b) the currently-open target rows re-keyed to close at the
+    staging row's effective date; matching on (key, effective_date) makes
+    (b) hit the MATCHED branch (close) and (a) the NOT MATCHED branch
+    (insert-open)."""
+    attrs = ", ".join(attr_cols)
+    t_attrs = ", ".join(f"t.{c}" for c in attr_cols)
+    ins_cols = f"{key}, {attrs}, {current_col}, {effective_col}, {end_col}"
+    ins_vals = f"s.{key}, {', '.join(f's.{c}' for c in attr_cols)}, true, s.{effective_col}, s.{end_col}"
+    return (
+        f"MERGE INTO {name} t USING ( "
+        f"SELECT {key}, {attrs}, {effective_col}, "
+        f"{open_end_literal} AS {end_col} FROM {staging} "
+        f"UNION ALL "
+        f"SELECT t.{key}, {t_attrs}, t.{effective_col}, "
+        f"s.{effective_col} AS {end_col} FROM {staging} s "
+        f"INNER JOIN {name} t ON s.{key} = t.{key} "
+        f"AND t.{current_col} = true "
+        f") s ON s.{key} = t.{key} AND s.{effective_col} = t.{effective_col} "
+        f"WHEN MATCHED THEN UPDATE SET t.{current_col} = false, "
+        f"t.{end_col} = s.{end_col} "
+        f"WHEN NOT MATCHED THEN INSERT({ins_cols}) VALUES({ins_vals})"
+    )
+
+
+def compile_delete(name: str, predicate_sql: str) -> str:
+    """DELETE FROM ... WHERE (IcebergSQLDelete.java:32)."""
+    return f"DELETE FROM {name} WHERE {predicate_sql}"
+
+
+def compile_add_column(name: str, column: str, dtype: str) -> str:
+    """ALTER TABLE ... ADD COLUMN (IcebergSQLMerge.java:69)."""
+    return f"ALTER TABLE {name} ADD COLUMN {column} {dtype}"
+
+
+def compile_drop_column(name: str, column: str) -> str:
+    """ALTER TABLE ... DROP COLUMN (IcebergSQLDelete.java:35)."""
+    return f"ALTER TABLE {name} DROP COLUMN {column}"
+
+
 class IcebergTable:
     """The engine mutation API compiled to Iceberg SQL (requires the jar).
 
-    Mirrors operators/mutations.py one-to-one; each method is the SQL the
-    reference executes, parameterized. Raising early when the connector is
-    absent keeps failure modes obvious.
+    Mirrors operators/mutations.py one-to-one; each method executes the
+    statement built by the matching ``compile_*`` function above (the SQL
+    the reference runs, parameterized). Raising early when the connector
+    is absent keeps failure modes obvious.
     """
 
     def __init__(self, spark: SparkSession, name: str):
@@ -69,35 +181,41 @@ class IcebergTable:
         self.name = name
 
     def create(self, ddl_columns: str, partitioned_by: str | None = None) -> None:
-        # IcebergSQLMerge.java:17-21 / IcebergPartitionedTable.java:25-33
-        part = f" PARTITIONED BY ({partitioned_by})" if partitioned_by else ""
-        self.spark.sql(
-            f"CREATE TABLE {self.name} ({ddl_columns}) USING iceberg{part}"
-        )
+        self.spark.sql(compile_create(self.name, ddl_columns, partitioned_by))
 
     def merge_upsert(
         self, source_view: str, keys: list[str], matched_condition: str | None = None
     ) -> None:
-        # IcebergSQLMerge.java:29-46 / IcebergSQLMergeAsDeleteInsert.java:30-50
-        on = " AND ".join(f"s.{k} = t.{k}" for k in keys)
-        cond = f" AND {matched_condition}" if matched_condition else ""
         self.spark.sql(
-            f"MERGE INTO {self.name} t USING {source_view} s ON {on} "
-            f"WHEN MATCHED{cond} THEN UPDATE SET * "
-            f"WHEN NOT MATCHED THEN INSERT *"
+            compile_merge_star(self.name, source_view, keys, matched_condition)
         )
 
+    def merge_explicit(
+        self,
+        source_view: str,
+        keys: list[str],
+        update_cols: list[str],
+        insert_cols: list[str],
+        matched_condition: str | None = None,
+    ) -> None:
+        self.spark.sql(
+            compile_merge_explicit(
+                self.name, source_view, keys, update_cols, insert_cols,
+                matched_condition,
+            )
+        )
+
+    def scd2_merge(self, staging: str, key: str, attr_cols: list[str]) -> None:
+        self.spark.sql(compile_scd2_merge(self.name, staging, key, attr_cols))
+
     def delete_where(self, predicate_sql: str) -> None:
-        # IcebergSQLDelete.java:32
-        self.spark.sql(f"DELETE FROM {self.name} WHERE {predicate_sql}")
+        self.spark.sql(compile_delete(self.name, predicate_sql))
 
     def add_column(self, name: str, dtype: str) -> None:
-        # IcebergSQLMerge.java:69
-        self.spark.sql(f"ALTER TABLE {self.name} ADD COLUMN {name} {dtype}")
+        self.spark.sql(compile_add_column(self.name, name, dtype))
 
     def drop_column(self, name: str) -> None:
-        # IcebergSQLDelete.java:35
-        self.spark.sql(f"ALTER TABLE {self.name} DROP COLUMN {name}")
+        self.spark.sql(compile_drop_column(self.name, name))
 
     def refresh(self) -> None:
         # the cloneSession() cache-dodge (IcebergSQLMerge.java:48) done right

@@ -1,0 +1,250 @@
+"""Golden tests for the Iceberg SQL compile path.
+
+The iceberg-spark-runtime jar is unobtainable in this offline environment
+(re-verified round 4: no jar on disk, no maven cache, no network), so the
+physical connector path cannot execute. These tests verify the next-best
+thing: the ``compile_*`` functions in ``sources/iceberg_compat.py``
+generate *exactly* the SQL text the reference executes against its
+Iceberg catalog (whitespace/keyword-case-insensitive), and every
+generated statement parses cleanly under Spark's own SQL parser. When the
+jar becomes available, ``IcebergTable`` executes these same strings
+unchanged — the only untested hop left is Iceberg's own executor.
+
+Reference statements transcribed from:
+- IcebergSQLMerge.java:17-21 (CREATE), 29-46 (explicit merge),
+  50-66 (star merge), 69 (ADD COLUMN)
+- IcebergSQLDelete.java:32 (DELETE), 35 (DROP COLUMN)
+- IcebergSCD2.java:51-68 (SCD2 merge)
+- IcebergHadoopTables.java:27 (identity+bucket partition spec; the SQL
+  twin of the Java-API ``PartitionSpec.builderFor(...).identity("name")
+  .bucket("age", 5)``)
+"""
+
+from __future__ import annotations
+
+import re
+
+from iceberg_examples_spark.sources import iceberg_compat as IC
+
+
+def norm(sql: str) -> str:
+    """Whitespace- and keyword-case-insensitive normal form: the Java
+    sources embed newlines/indentation and mix keyword case; neither
+    affects the parsed statement."""
+    s = sql.strip().rstrip(";")
+    s = re.sub(r"\s+", " ", s)
+    s = re.sub(r"\(\s+", "(", s)
+    s = re.sub(r"\s+\)", ")", s)
+    s = re.sub(r"\s*,\s*", ", ", s)
+    return s.casefold()
+
+
+# ---------------------------------------------------------------------------
+# DDL
+# ---------------------------------------------------------------------------
+
+# IcebergSQLMerge.java:17-21
+REF_CREATE = """
+CREATE TABLE default.test_table (
+    customer_id bigint COMMENT 'unique id',
+    name string,
+    lastname string
+) USING iceberg
+"""
+
+
+def test_create_table_golden():
+    got = IC.compile_create(
+        "default.test_table",
+        "customer_id bigint COMMENT 'unique id', name string, lastname string",
+    )
+    assert norm(got) == norm(REF_CREATE)
+
+
+def test_create_partitioned_golden():
+    # SQL twin of IcebergHadoopTables.java:27's PartitionSpec:
+    # identity("name") + bucket("age", 5)
+    got = IC.compile_create(
+        "default.partitioned_table",
+        "name string, age int",
+        partitioned_by="name, bucket(5, age)",
+    )
+    assert norm(got) == norm(
+        "CREATE TABLE default.partitioned_table (name string, age int) "
+        "USING iceberg PARTITIONED BY (name, bucket(5, age))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (explicit columns) — IcebergSQLMerge.java:29-46
+# ---------------------------------------------------------------------------
+
+REF_MERGE_EXPLICIT = """
+MERGE INTO default.test_table t
+USING (
+    SELECT 3 as customer_id, 'c-insert' as name, 'l-insert' as lastname
+    UNION ALL
+    SELECT 2 as customer_id, 'c-updated' as name, 'l-updated' as lastname
+) s
+ON s.customer_id = t.customer_id
+WHEN MATCHED
+  THEN UPDATE SET t.name = s.name, t.lastname = s.lastname
+WHEN NOT MATCHED THEN
+   INSERT(customer_id, name, lastname)
+   VALUES(s.customer_id, s.name, s.lastname);
+"""
+
+
+def test_merge_explicit_golden():
+    src = (
+        "(SELECT 3 as customer_id, 'c-insert' as name, 'l-insert' as lastname "
+        "UNION ALL "
+        "SELECT 2 as customer_id, 'c-updated' as name, 'l-updated' as lastname)"
+    )
+    got = IC.compile_merge_explicit(
+        "default.test_table",
+        src,
+        keys=["customer_id"],
+        update_cols=["name", "lastname"],
+        insert_cols=["customer_id", "name", "lastname"],
+    )
+    assert norm(got) == norm(REF_MERGE_EXPLICIT)
+
+
+# ---------------------------------------------------------------------------
+# MERGE (star, schema-tolerant) — IcebergSQLMerge.java:50-66
+# ---------------------------------------------------------------------------
+
+REF_MERGE_STAR = """
+MERGE INTO default.test_table t
+USING src s
+ON s.customer_id = t.customer_id
+WHEN MATCHED
+  THEN UPDATE SET *
+WHEN NOT MATCHED THEN
+   INSERT *;
+"""
+
+
+def test_merge_star_golden():
+    got = IC.compile_merge_star("default.test_table", "src", ["customer_id"])
+    assert norm(got) == norm(REF_MERGE_STAR)
+
+
+def test_merge_star_conditional():
+    # the CDC guard shape (conditional MATCHED clause)
+    got = IC.compile_merge_star(
+        "default.test_table", "src", ["customer_id"],
+        matched_condition="s.ts > t.ts",
+    )
+    assert "WHEN MATCHED AND s.ts > t.ts THEN UPDATE SET *" in got
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge — IcebergSCD2.java:51-68
+# ---------------------------------------------------------------------------
+
+REF_SCD2_MERGE = """
+MERGE INTO default.scd2_table t
+USING (
+    SELECT customer_id, name, effective_date,
+           to_date('9999-12-31', 'yyyy-MM-dd') as end_date
+    FROM default.stg_scd2_table
+    UNION ALL
+    SELECT t.customer_id, t.name, t.effective_date,
+           s.effective_date as end_date
+    FROM default.stg_scd2_table s
+    INNER JOIN default.scd2_table t
+      on s.customer_id = t.customer_id AND t.current = true
+) s
+ON s.customer_id = t.customer_id AND s.effective_date = t.effective_date
+WHEN MATCHED
+  THEN UPDATE SET t.current = false, t.end_date = s.end_date
+WHEN NOT MATCHED THEN
+   INSERT(customer_id, name, current, effective_date, end_date)
+   VALUES(s.customer_id, s.name, true, s.effective_date, s.end_date);
+"""
+
+
+def test_scd2_merge_golden():
+    got = IC.compile_scd2_merge(
+        "default.scd2_table",
+        "default.stg_scd2_table",
+        key="customer_id",
+        attr_cols=["name"],
+    )
+    assert norm(got) == norm(REF_SCD2_MERGE)
+
+
+# ---------------------------------------------------------------------------
+# DELETE / ALTER — IcebergSQLDelete.java:32,35; IcebergSQLMerge.java:69
+# ---------------------------------------------------------------------------
+
+def test_delete_golden():
+    got = IC.compile_delete(
+        "default.test_table", "customer_id=1 AND name='customer_a-V3'"
+    )
+    assert norm(got) == norm(
+        "DELETE FROM default.test_table "
+        "WHERE customer_id=1 AND name='customer_a-V3'"
+    )
+
+
+def test_add_column_golden():
+    got = IC.compile_add_column("default.test_table", "email", "string")
+    assert norm(got) == norm(
+        "ALTER TABLE default.test_table ADD COLUMN email string"
+    )
+
+
+def test_drop_column_golden():
+    got = IC.compile_drop_column("default.test_table", "name")
+    assert norm(got) == norm(
+        "ALTER TABLE default.test_table DROP COLUMN name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Every compiled statement must be valid Spark SQL (parser-level check —
+# no tables, catalog, or Iceberg jar needed; MERGE/DELETE/ALTER are all
+# first-class in Spark 4's grammar).
+# ---------------------------------------------------------------------------
+
+def _all_compiled() -> list[str]:
+    return [
+        IC.compile_create(
+            "default.test_table",
+            "customer_id bigint COMMENT 'unique id', name string, lastname string",
+        ),
+        IC.compile_create(
+            "default.partitioned_table",
+            "name string, age int",
+            partitioned_by="name, bucket(5, age)",
+        ),
+        IC.compile_merge_explicit(
+            "default.test_table",
+            "(SELECT 1 as customer_id, 'n' as name, 'l' as lastname)",
+            keys=["customer_id"],
+            update_cols=["name", "lastname"],
+            insert_cols=["customer_id", "name", "lastname"],
+        ),
+        IC.compile_merge_star("default.test_table", "src", ["customer_id"]),
+        IC.compile_merge_star(
+            "default.test_table", "src", ["customer_id"],
+            matched_condition="s.ts > t.ts",
+        ),
+        IC.compile_scd2_merge(
+            "default.scd2_table", "default.stg_scd2_table",
+            key="customer_id", attr_cols=["name"],
+        ),
+        IC.compile_delete("default.test_table", "customer_id = 1"),
+        IC.compile_add_column("default.test_table", "email", "string"),
+        IC.compile_drop_column("default.test_table", "name"),
+    ]
+
+
+def test_compiled_sql_parses(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for sql in _all_compiled():
+        # raises ParseException on invalid syntax
+        parser.parsePlan(sql)
