@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.checkpointing import stage
 
 K = 8
 NITER = 3
@@ -125,9 +126,9 @@ def _kmeans_rollup(
 ) -> DataFrame:
     # materialize the exploded relation once: every round's assign AND
     # update branch reads e, so an unmaterialized lineage re-runs the
-    # explode+scale 2*niter times (at cluster scale: cache/checkpoint
-    # the long form before iterating — the docstring's contract)
-    e = _long_form(spark, sf_dir).localCheckpoint(eager=True)
+    # explode+scale 2*niter times (checkpointing.stage: a reliable
+    # staging write when configured — the docstring's contract)
+    e = stage(_long_form(spark, sf_dir), "kmeans-long-form")
     assign = _final_assignment(e, k=k, niter=niter)
     return assign.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -605,7 +606,8 @@ def _kmeans_rollup_vectorized(
             f"transform(embedding, x -> "
             f"cast(round(cast(x as double) * {SCALE}) as bigint))"
         ).alias("varr"),
-    ).localCheckpoint(eager=True)
+    )
+    e_arr = stage(e_arr, "kmeans-emb-arr")
     e_long = e_arr.select(
         "vec_id", F.posexplode("varr").alias("d", "v")
     )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.checkpointing import stage
 from iceberg_examples_spark.functions.texthash import (
     MOD,
     char_ngram_shingles,
@@ -186,10 +187,11 @@ def lsh_verified_pairs(corpus: DataFrame) -> DataFrame:
     returns verified near-dup pairs (doc_a < doc_b, jaccard ≥ threshold).
     Shared by minhash_lsh (planted-corpus declared query), the component
     clustering, and the llm_prep_pipeline capstone."""
-    # checkpoint the signatures so the self-join + verify joins read them
-    # once instead of recomputing shingles+hashes per branch (at cluster
-    # scale: a checkpoint/staging write to reliable storage, same shape)
-    sig = _minhash_sig(corpus).localCheckpoint(eager=True)
+    # stage the signatures so the self-join + verify joins read them
+    # once instead of recomputing shingles+hashes per branch
+    # (checkpointing.stage: localCheckpoint here, a reliable-storage
+    # staging write when stagingDir is configured on a cluster)
+    sig = stage(_minhash_sig(corpus), "lsh-signatures")
     bands = _minhash_bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -281,20 +283,20 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
             )
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint(eager=True)
     )
+    sym = stage(sym, "cc-edges")
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
+    labels = stage(labels, "cc-labels-init")
     # Convergence probe: labels are per-node non-increasing, so the label
     # SUM strictly decreases every non-converged round — an unchanged sum
     # is exactly the fixpoint. A scalar agg over the just-checkpointed
     # frame is far cheaper than the old/new join-and-count.
     prev_sum = None
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
         # (1) hook: min over own + neighbor labels
         neighbor_min = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -314,13 +316,13 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         parent = hooked.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        new_labels = stage(
             hooked.join(parent, hooked.label == parent.p_id, "left")
             .select(
                 "doc_id",
                 F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            f"cc-labels-r{round_idx}",
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.checkpointing import stage
 from iceberg_examples_spark.functions.texthash import (
     char_poly_hash,
     train_val_split_sql,
@@ -49,15 +50,15 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1. quality gate — genuinely map-only: the metric columns are pure
     # per-row expressions appended to the ONE corpus scan (no re-scan,
     # no self-join)
-    # checkpointed: stages 2-3 reference the gated corpus from multiple
+    # staged: stages 2-3 reference the gated corpus from multiple
     # plan branches (representative join, LSH signatures, anti-joins) —
     # without materialization each branch would re-run the quality folds
-    # (at cluster scale: a staging write of the gated corpus, same shape)
-    kept = (
+    # (checkpointing.stage: a real staging write when configured)
+    kept = stage(
         with_quality_metrics(docs)
         .filter(F.col("quality") >= QUALITY_MIN)
-        .select("doc_id", "lang", "text", "n_tokens")
-        .localCheckpoint(eager=True)
+        .select("doc_id", "lang", "text", "n_tokens"),
+        "gated-corpus",
     )
 
     # 2. exact dedup: fingerprint group -> keep the min doc_id per text

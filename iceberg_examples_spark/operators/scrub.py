@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.checkpointing import stage
 from iceberg_examples_spark.functions.texthash import md5_int_hash
 
 # Paragraph width (tokens) for sub-document dedup. Real pipelines split on
@@ -116,7 +117,7 @@ def _repetition_gate(docs: DataFrame) -> DataFrame:
             )
         ).alias("gram"),
     )
-    return (
+    gate = (
         bigrams.groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("doc_id")
@@ -127,8 +128,8 @@ def _repetition_gate(docs: DataFrame) -> DataFrame:
             )
         )
         .select("doc_id")
-        .localCheckpoint(eager=True)
     )
+    return stage(gate, "repetition-gate")
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

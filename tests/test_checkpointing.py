@@ -1,0 +1,52 @@
+"""checkpointing.stage: localCheckpoint locally, parquet staging when a
+staging dir is configured — both strategies must be result-identical."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.checkpointing import STAGING_CONF_KEY, stage
+
+
+@pytest.fixture
+def staging_conf(spark, tmp_path):
+    spark.conf.set(STAGING_CONF_KEY, str(tmp_path))
+    yield str(tmp_path)
+    spark.conf.unset(STAGING_CONF_KEY)
+
+
+def test_stage_local_mode_is_localcheckpoint(spark):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = stage(df, "t")
+    assert out.count() == 100
+    # localCheckpoint truncates lineage to a cached-block scan
+    assert "Scan ExistingRDD" in out._jdf.queryExecution().toString()
+
+
+def test_stage_staging_mode_writes_parquet(spark, staging_conf):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out = stage(df, "probe")
+    staged = [d for d in os.listdir(staging_conf) if d.startswith("probe-")]
+    assert len(staged) == 1, "expected exactly one staged dataset"
+    files = os.listdir(os.path.join(staging_conf, staged[0]))
+    assert any(f.endswith(".parquet") for f in files)
+    assert sorted(r["x"] for r in out.collect()) == [2 * i for i in range(100)]
+
+
+def test_staged_operator_results_identical(spark, sf_dir, staging_conf):
+    """An operator that stages internally (LSH near-dup pairs) must give
+    byte-identical results under both strategies."""
+    from iceberg_examples_spark.operators.dedup import minhash_lsh
+
+    with_staging = sorted(
+        tuple(r) for r in minhash_lsh(spark, sf_dir).collect()
+    )
+    spark.conf.unset(STAGING_CONF_KEY)
+    without = sorted(tuple(r) for r in minhash_lsh(spark, sf_dir).collect())
+    assert with_staging == without
+    # restore for fixture symmetry
+    spark.conf.set(STAGING_CONF_KEY, staging_conf)
