@@ -165,6 +165,71 @@ def _minhash_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
 
+MINHASH_EST_AGREE = 5  # of N_MINHASH components — estimated Jaccard ≥ 0.5
+
+
+def minhash_index(corpus: DataFrame) -> DataFrame:
+    """The persisted-LSH-index artifact of a curated corpus: one
+    fixed-width row per doc — (doc_id, mh0..mh8, band0..band2), no text,
+    no shingles. An incremental pipeline stores this (O(1) bytes/doc) and
+    probes it with each new batch; the indexed corpus's text is never
+    rescanned. Maintenance is O(batch): accepted batch docs append their
+    own index rows."""
+    from iceberg_examples_spark.operators.signatures import (
+        minhash_component_index,
+    )
+
+    return minhash_component_index(corpus, N_MINHASH, N_BANDS, ROWS_PER_BAND)
+
+
+def lsh_index_probe(batch_index: DataFrame, base_index: DataFrame) -> DataFrame:
+    """Probe a persisted base LSH index with a new batch's index rows.
+
+    Candidates: band-hash equality on any of the N_BANDS bands (the same
+    banded-LSH candidate rule as lsh_verified_pairs, but across two
+    corpora). Verification: MinHash component agreement — matching
+    components / N_MINHASH is the unbiased Jaccard estimate (Broder
+    1997), so ``n_agree >= MINHASH_EST_AGREE`` ≈ J ≥ 0.5 — computed
+    entirely from the two fixed-width index rows, never from text.
+
+    Returns (batch_doc, base_doc, n_agree) for verified near-dup links.
+    Scale: both sides shuffle ~N_BANDS slim rows per doc on band keys;
+    the component compare touches only colliding pairs."""
+    cand = (
+        _minhash_bands(batch_index)
+        .alias("a")
+        .join(
+            _minhash_bands(base_index).alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_doc"),
+            F.col("b.doc_id").alias("base_doc"),
+        )
+        .distinct()
+    )
+    batch_mh = batch_index.select(
+        F.col("doc_id").alias("batch_doc"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_MINHASH)],
+    )
+    base_mh = base_index.select(
+        F.col("doc_id").alias("base_doc"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_MINHASH)],
+    )
+    agree = " + ".join(
+        f"(case when a_mh{i} = b_mh{i} then 1 else 0 end)"
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(batch_mh, "batch_doc")
+        .join(base_mh, "base_doc")
+        .withColumn("n_agree", F.expr(agree))
+        .filter(F.col("n_agree") >= MINHASH_EST_AGREE)
+        .select("batch_doc", "base_doc", "n_agree")
+    )
+
+
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection over the planted corpus:
 

@@ -269,36 +269,82 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fixture: the delta is ``doc_id % 10 == 7`` (a deterministic ~10%
     "new crawl"); the base is everything else, standing in for the
-    curated store. Stages, all delta-sized except one index probe:
+    curated store. The fixture additionally plants 10 cross-corpus
+    near-dups INTO the delta (near-copies of base docs ``doc_id % 10 ==
+    0, doc_id < 100`` at ``doc_id + 2000007`` — first word dropped, so
+    every token window shifts and paragraph hashes DON'T match: exactly
+    the boilerplate shape paragraph dedup misses and near-dup LSH
+    catches).
+
+    Stages, all delta-sized except the two index probes:
 
         1. repetition gate over the DELTA only;
-        2. paragraph dedup of delta paragraphs against (a) the BASE
-           corpus's paragraph-hash set — at scale a stored 8-byte-key
-           index, here recomputed — via left-anti join, and (b) earlier
-           occurrences within the delta itself (keep-first window);
-        3. per-language report of GATE-SURVIVING batch docs (gated-out
-           docs are dropped from the batch, so they do not appear in the
-           report; a fully-deduplicated survivor appears with zero kept
-           paragraphs).
+        2. near-dup probe of the batch against the base corpus's
+           persisted LSH index (``dedup.minhash_index``: fixed-width
+           (mh0..8, band0..2) rows, staged via checkpointing.stage) —
+           band-collision candidates verified by MinHash component
+           agreement; a verified near-dup drops the batch doc. Base
+           TEXT is never read and base signatures are never recomputed
+           at probe time: the probe consumes only the index artifact
+           (built once here from the fixture; maintained incrementally
+           in steady state, where accepted batch rows append their own
+           index entries);
+        3. paragraph dedup of surviving paragraphs against the base
+           paragraph-hash index — same probe discipline, 8-byte keys —
+           then keep-first within the delta;
+        4. per-language report: accepted docs, near-dup-dropped docs,
+           fresh/kept paragraphs and id_sum over accepted docs only
+           (a fully-paragraph-deduplicated survivor reports 0 kept).
 
-    Scale: the only corpus-sized object is the base hash set, which
-    joins as 8-byte keys (shuffle or broadcast depending on size) — the
+    Scale: the corpus-sized objects are the two indexes, which join as
+    fixed-width keys (shuffle or broadcast depending on size) — the
     delta never rescans base text, and base is never rewritten.
     """
-    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    from iceberg_examples_spark.operators.dedup import (
+        lsh_index_probe,
+        minhash_index,
+    )
+
+    raw = load_table(spark, sf_dir, "documents")
+    planted = raw.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
+    ).select(
+        (F.col("doc_id") + 2000007).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    docs = _with_tokens(raw.unionByName(planted))
     is_delta = F.col("doc_id") % 10 == 7
     base = docs.filter(~is_delta)
     delta = docs.filter(is_delta)
 
     # stage 1: repetition gate over the delta only (shared helper;
-    # checkpointed — two consumers below)
+    # staged — two consumers below)
     gate = _repetition_gate(delta)
+    gated = delta.join(gate, "doc_id", "left_semi")
 
-    # stage 2: anti-join the delta's paragraphs against the base index,
-    # then keep-first within the delta
-    base_hashes = _paras(base).select("h").distinct()
-    delta_paras = _paras(delta.join(gate, "doc_id", "left_semi"))
-    fresh = delta_paras.join(base_hashes, "h", "left_anti")
+    # stage 2: probe the base corpus's persisted LSH index with the
+    # batch; verified near-dups are dropped from the batch
+    base_lsh = stage(minhash_index(base.select("doc_id", "text")),
+                     "base-lsh-index")
+    batch_lsh = minhash_index(gated.select("doc_id", "text"))
+    neardup = (
+        lsh_index_probe(batch_lsh, base_lsh)
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+    )
+    flagged = gated.select("doc_id", "lang").join(
+        neardup.withColumn("is_nd", F.lit(True)), "doc_id", "left"
+    ).withColumn("is_nd", F.coalesce(F.col("is_nd"), F.lit(False)))
+    accepted = gated.join(neardup, "doc_id", "left_anti")
+
+    # stage 3: anti-join the accepted paragraphs against the base
+    # paragraph-hash index, then keep-first within the delta
+    base_hashes = stage(_paras(base).select("h").distinct(),
+                        "base-para-index")
+    fresh = _paras(accepted).join(base_hashes, "h", "left_anti")
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     survival = (
         fresh.withColumn("rk", F.row_number().over(w))
@@ -311,20 +357,27 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # stage 3: per-language report over gate survivors (left join: a
-    # survivor whose every paragraph was deduped still reports with 0)
+    # stage 4: per-language report (left join: an accepted doc whose
+    # every paragraph was deduped still reports with 0)
     return (
-        delta.join(gate, "doc_id", "left_semi")
-        .select("doc_id", "lang")
-        .join(survival, "doc_id", "left")
+        flagged.join(survival, "doc_id", "left")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.coalesce(F.col("n_fresh"), F.lit(0))).alias(
-                "fresh_paras"
+            F.sum(F.expr("case when is_nd then 0 else 1 end")).alias(
+                "n_docs"
             ),
-            F.sum(F.coalesce(F.col("n_kept"), F.lit(0))).alias("kept_paras"),
-            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.expr("case when is_nd then 1 else 0 end")).alias(
+                "neardup_docs"
+            ),
+            F.sum(
+                F.expr("case when is_nd then 0 else coalesce(n_fresh, 0) end")
+            ).alias("fresh_paras"),
+            F.sum(
+                F.expr("case when is_nd then 0 else coalesce(n_kept, 0) end")
+            ).alias("kept_paras"),
+            F.sum(F.expr("case when is_nd then 0 else doc_id end")).alias(
+                "id_sum"
+            ),
         )
     )
 

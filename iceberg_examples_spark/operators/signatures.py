@@ -96,6 +96,58 @@ def minhash_signatures(
     return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
 
 
+def minhash_component_index(
+    docs: DataFrame, n_minhash: int, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, mh0..mh{n-1}, band0..band{b-1}) — the
+    fixed-width row of a persistable LSH index: individual MinHash
+    components plus band hashes, NO shingle payloads (~100 B/doc at 9
+    components). Storing the components lets an incremental pipeline
+    verify band-collision candidates by component agreement (the
+    classic MinHash Jaccard estimate, Broder 1997) without rescanning
+    the indexed corpus's text. Values are bit-identical to
+    :func:`minhash_signatures` / the SQL+DuckDB formulations."""
+    params = [affine_params(seed) for seed in range(n_minhash)]
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_mh = [[] for _ in range(n_minhash)]
+            out_bands = [[] for _ in range(n_bands)]
+            for text in pdf["text"]:
+                xs = [
+                    _md5_int(s) % MOD
+                    for s in _shingles(_tokens(text))
+                ]
+                if xs:
+                    mh = [min((a * x + b) % MOD for x in xs) for a, b in params]
+                    for i in range(n_minhash):
+                        out_mh[i].append(mh[i])
+                    for bi in range(n_bands):
+                        acc = mh[bi * rows_per_band]
+                        for r in range(1, rows_per_band):
+                            acc = (acc * 31 + mh[bi * rows_per_band + r]) % MOD
+                        out_bands[bi].append(acc)
+                else:
+                    for i in range(n_minhash):
+                        out_mh[i].append(None)
+                    for bi in range(n_bands):
+                        out_bands[bi].append(None)
+            res = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            for i in range(n_minhash):
+                res[f"mh{i}"] = pd.Series(out_mh[i], dtype="object")
+            for bi in range(n_bands):
+                res[f"band{bi}"] = pd.Series(out_bands[bi], dtype="object")
+            yield res
+
+    schema = (
+        "doc_id long, "
+        + ", ".join(f"mh{i} long" for i in range(n_minhash))
+        + ", "
+        + ", ".join(f"band{b} long" for b in range(n_bands))
+    )
+    return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
+
+
 def simhash_fingerprints(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     """(doc_id, text) → (doc_id, simhash): ±1 vote per token per bit."""
 

@@ -20,6 +20,7 @@ from iceberg_examples_spark.functions.texthash import (
 )
 from iceberg_examples_spark.operators.dedup import (
     JACCARD_THRESHOLD,
+    MINHASH_EST_AGREE,
     N_BANDS,
     N_MINHASH,
     ROWS_PER_BAND,
@@ -1802,12 +1803,29 @@ FROM feed GROUP BY 1, 2
 """
 
 # ---- incremental recuration (operators/scrub.py) ------------------------
-# Delta = doc_id % 10 == 7; same stage order as the Spark plan: gate over
-# the delta, anti-join delta paragraphs against the base hash set, then
-# keep-first within the delta.
+# Delta = doc_id % 10 == 7, plus 10 planted cross-corpus near-dups
+# (near-copies of base doc_id % 10 == 0, doc_id < 100 at +2000007). Same
+# stage order as the Spark plan: gate over the delta, LSH-index probe of
+# the gated batch against the base corpus (band-collision candidates
+# verified by MinHash component agreement >= MINHASH_EST_AGREE), then
+# anti-join surviving paragraphs against the base hash set and keep-first
+# within the delta.
+
+_ci_agree = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(N_MINHASH)
+)
+_ci_band_values = ", ".join(f"({b})" for b in range(N_BANDS))
 
 EXT_ORACLES["curation_incremental"] = f"""
-WITH t AS (SELECT doc_id, lang, {_DOC_TOKS} AS toks FROM documents),
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000007 AS doc_id, lang,
+         substring(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100
+),
+t AS (SELECT doc_id, lang, text, {_DOC_TOKS} AS toks FROM corpus),
 delta AS (SELECT * FROM t WHERE doc_id % 10 = 7),
 base AS (SELECT * FROM t WHERE doc_id % 10 <> 7),
 g AS (
@@ -1823,6 +1841,40 @@ gate AS (
                CAST(max(cnt) AS BIGINT) AS top_count
         FROM gc GROUP BY doc_id)
   WHERE CAST(top_count AS DOUBLE) / n_bigrams <= {REPETITION_MAX_FRAC}
+),
+base_xs AS (
+  SELECT doc_id,
+         list_transform({_duck_shingles}, s -> {duck_md5_int('s')} % {MOD})
+           AS xs
+  FROM base
+),
+base_sig AS (SELECT doc_id, {_mh_cols} FROM base_xs),
+batch_xs AS (
+  SELECT doc_id,
+         list_transform({_duck_shingles}, s -> {duck_md5_int('s')} % {MOD})
+           AS xs
+  FROM delta WHERE doc_id IN (SELECT doc_id FROM gate)
+),
+batch_sig AS (SELECT doc_id, {_mh_cols} FROM batch_xs),
+base_band AS (
+  SELECT doc_id, b.band_idx, {_band_case} AS band_hash
+  FROM base_sig, (VALUES {_ci_band_values}) b(band_idx)
+),
+batch_band AS (
+  SELECT doc_id, b.band_idx, {_band_case} AS band_hash
+  FROM batch_sig, (VALUES {_ci_band_values}) b(band_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS base_doc
+  FROM batch_band a JOIN base_band b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+),
+nd AS (
+  SELECT DISTINCT c.batch_doc AS doc_id
+  FROM cand c
+  JOIN batch_sig a ON a.doc_id = c.batch_doc
+  JOIN base_sig b ON b.doc_id = c.base_doc
+  WHERE ({_ci_agree}) >= {MINHASH_EST_AGREE}
 ),
 base_p AS (
   SELECT DISTINCT {_para_h} AS h
@@ -1848,6 +1900,7 @@ delta_p AS (
                   ' '))) AS para
   FROM delta
   WHERE len(toks) >= 1 AND doc_id IN (SELECT doc_id FROM gate)
+    AND doc_id NOT IN (SELECT doc_id FROM nd)
 ),
 fresh AS (
   SELECT doc_id, para_idx, {_para_h} AS h
@@ -1866,11 +1919,20 @@ survival AS (
   GROUP BY doc_id
 )
 SELECT d.lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(coalesce(s.n_fresh, 0)) AS BIGINT) AS fresh_paras,
-       CAST(sum(coalesce(s.n_kept, 0)) AS BIGINT) AS kept_paras,
-       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+       CAST(sum(CASE WHEN nd.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs,
+       CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS neardup_docs,
+       CAST(sum(CASE WHEN nd.doc_id IS NULL
+                     THEN coalesce(s.n_fresh, 0) ELSE 0 END) AS BIGINT)
+         AS fresh_paras,
+       CAST(sum(CASE WHEN nd.doc_id IS NULL
+                     THEN coalesce(s.n_kept, 0) ELSE 0 END) AS BIGINT)
+         AS kept_paras,
+       CAST(sum(CASE WHEN nd.doc_id IS NULL THEN d.doc_id ELSE 0 END)
+            AS BIGINT) AS id_sum
 FROM delta d JOIN gate USING (doc_id)
+LEFT JOIN nd ON nd.doc_id = d.doc_id
 LEFT JOIN survival s USING (doc_id)
 GROUP BY d.lang
 """
