@@ -1,0 +1,94 @@
+"""Plan-assertion tests: lock in the scale invariants PLANS.md documents.
+
+For every headline query (the bench set plus a few plan-interesting
+extras) the FINAL adaptive physical plan must satisfy:
+
+- no row-at-a-time Python UDF stages (``BatchEvalPython``) — the only
+  Python on the hot path is Arrow-batched (``MapInPandas`` /
+  ``FlatMapGroupsInPandas``), which these assertions deliberately allow;
+- no ``CartesianProduct`` outside the brute-force kNN baseline
+  (``knn_cosine`` is the *documented* all-pairs reference; its IVF twin
+  must NOT be cartesian — that's the point of IVF);
+
+plus targeted per-query expectations (calibrated against PLANS.md):
+
+- filter pushdown reaches the parquet scan (non-empty PushedFilters);
+- joins expected to broadcast do broadcast (BroadcastHashJoin present);
+- the partitioned read actually prunes (non-empty PartitionFilters).
+
+The plan is captured AFTER executing the query, so AQE's final decisions
+(not the tentative static plan) are what get asserted.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bench import HEADLINE
+from iceberg_examples_spark.registry import QUERIES
+
+# queries allowed a CartesianProduct: the documented brute-force baseline
+CARTESIAN_OK = {"knn_cosine"}
+
+# non-empty PushedFilters must reach a FileScan
+PUSHDOWN_EXPECTED = {
+    "agg_sum_by_key",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q21",
+    "window_hourly",
+    "filter_conj",
+}
+
+# a BroadcastHashJoin must be present (small dims / index sides broadcast)
+BROADCAST_EXPECTED = {
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q21",
+    "dedup_minhash_lsh",
+    "stratified_sample_lang",
+    "bloom_prune_join",
+}
+
+# non-empty PartitionFilters (directory-level pruning on the read-back)
+PARTITION_PRUNE_EXPECTED = {"partition_prune"}
+
+PLAN_SET = sorted(set(HEADLINE) | {"filter_conj", "knn_cosine", "knn_cosine_ivf"})
+
+_PUSHED_NONEMPTY = re.compile(r"PushedFilters: \[[^\]]")
+_PART_NONEMPTY = re.compile(r"PartitionFilters: \[[^\]]")
+
+
+def _final_plan(df) -> str:
+    # execute first so an AdaptiveSparkPlan reports its FINAL shape
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", PLAN_SET)
+def test_plan_invariants(name, spark, sf_dir):
+    plan = _final_plan(QUERIES[name](spark, sf_dir))
+
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF stage in the plan"
+    )
+    if name not in CARTESIAN_OK:
+        assert "CartesianProduct" not in plan, (
+            f"{name}: unexpected CartesianProduct"
+        )
+    if name in PUSHDOWN_EXPECTED:
+        assert _PUSHED_NONEMPTY.search(plan), (
+            f"{name}: no pushed filters reached the scan"
+        )
+    if name in BROADCAST_EXPECTED:
+        assert "BroadcastHashJoin" in plan, (
+            f"{name}: expected broadcast join is not broadcast"
+        )
+    if name in PARTITION_PRUNE_EXPECTED:
+        assert _PART_NONEMPTY.search(plan), (
+            f"{name}: partitioned read-back shows no partition pruning"
+        )
