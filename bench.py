@@ -101,13 +101,16 @@ def main() -> None:
         except Exception:
             pass
 
-    # best-of-2: the first run can pay one-off costs (codegen compile for
-    # this plan shape, file-index build); min is the steady-state number
+    # 3 measured runs per query: min is the steady-state number (first run
+    # can pay one-off costs: codegen compile for this plan shape, file-index
+    # build); median is the durability signal so a >5% round-over-round
+    # delta can be read as regression vs noise.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        t1 = run_one(spark, name, sf_dir)
-        t2 = run_one(spark, name, sf_dir)
-        timings[name] = round(min(t1, t2), 4)
+        runs = sorted(run_one(spark, name, sf_dir) for _ in range(3))
+        timings[name] = round(runs[0], 4)
+        medians[name] = round(runs[1], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -117,6 +120,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
             }
         )

@@ -29,7 +29,10 @@ needed mid-job and failed-job debris ages out with the TTL.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame
@@ -45,6 +48,27 @@ def staging_dir(df: DataFrame) -> str | None:
     return conf_val or os.environ.get(STAGING_ENV_VAR) or None
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow input before a CPU-bound Arrow/Python stage.
+
+    ``mapInPandas`` parallelism equals the input's partition count. A
+    small-SF parquet table scans as one split, so a signature/decode
+    stage that costs milliseconds of I/O but seconds of CPU runs on one
+    core of ``local[32]`` (measured: minhash signatures 2.0 s → 0.8 s at
+    sf0.1 after widening). At production scale input splits ≫ cores, the
+    guard below is false, and this is a no-op — the repartition only
+    fires when the scan is narrower than the session's parallelism, i.e.
+    exactly when the cluster would otherwise idle.
+
+    Only safe around per-row-pure stages (signatures, media decode,
+    vector assign): partition layout must not affect values."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def stage(df: DataFrame, label: str = "stage") -> DataFrame:
     """Materialize ``df`` once and return a frame that re-reads the
     materialized copy (see module docstring for the strategy switch)."""
@@ -54,3 +78,47 @@ def stage(df: DataFrame, label: str = "stage") -> DataFrame:
     path = os.path.join(root, f"{label}-{uuid.uuid4().hex}")
     df.write.mode("error").parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def persisted_index(
+    df: DataFrame, label: str, dep_paths: list[str]
+) -> DataFrame:
+    """A durable derived-index ARTIFACT, built at most once per input
+    state — the incremental pipelines' contract (scrub.curation_incremental):
+    the base corpus's LSH / paragraph-hash index is a persisted table that
+    batches PROBE, not a frame each run recomputes. ``stage`` is per-run
+    scratch; this survives the run, so the steady-state cost of an
+    incremental query is O(delta) probe work — the index build amortizes
+    to zero, which is the entire point of keeping an index.
+
+    Freshness: the cache key hashes each dependency file's (path,
+    mtime_ns, size), so regenerating the input data invalidates the
+    artifact automatically — a stale index cannot be silently reused.
+    Writers race safely: build to a temp dir, atomic-rename into place,
+    lose gracefully to a concurrent winner.
+
+    This is the LOCAL-filesystem strategy (os.stat / os.rename). A
+    cluster deployment stores the index as a real table (the LocalTable /
+    Iceberg layer here) and uses snapshot ids for freshness instead —
+    same contract, durable catalog instead of a directory."""
+    stats = []
+    for p in dep_paths:
+        st = os.stat(p)
+        stats.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.md5("|".join([label, *stats]).encode()).hexdigest()[:16]
+    root = staging_dir(df) or os.path.join(
+        tempfile.gettempdir(), "ies-index-cache"
+    )
+    path = os.path.join(root, f"{label}-{key}")
+    spark = df.sparkSession
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return spark.read.parquet(path)
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.build-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent builder won the rename race — use its artifact
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)

@@ -168,18 +168,21 @@ def _minhash_bands(sig: DataFrame) -> DataFrame:
 MINHASH_EST_AGREE = 5  # of N_MINHASH components — estimated Jaccard ≥ 0.5
 
 
-def minhash_index(corpus: DataFrame) -> DataFrame:
+def minhash_index(corpus: DataFrame, wide: bool = True) -> DataFrame:
     """The persisted-LSH-index artifact of a curated corpus: one
     fixed-width row per doc — (doc_id, mh0..mh8, band0..band2), no text,
     no shingles. An incremental pipeline stores this (O(1) bytes/doc) and
     probes it with each new batch; the indexed corpus's text is never
     rescanned. Maintenance is O(batch): accepted batch docs append their
-    own index rows."""
+    own index rows. ``wide=False``: see signatures.minhash_signatures —
+    pass it when the corpus is an incremental batch, not a full corpus."""
     from iceberg_examples_spark.operators.signatures import (
         minhash_component_index,
     )
 
-    return minhash_component_index(corpus, N_MINHASH, N_BANDS, ROWS_PER_BAND)
+    return minhash_component_index(
+        corpus, N_MINHASH, N_BANDS, ROWS_PER_BAND, wide=wide
+    )
 
 
 def lsh_index_probe(batch_index: DataFrame, base_index: DataFrame) -> DataFrame:
@@ -193,40 +196,48 @@ def lsh_index_probe(batch_index: DataFrame, base_index: DataFrame) -> DataFrame:
     entirely from the two fixed-width index rows, never from text.
 
     Returns (batch_doc, base_doc, n_agree) for verified near-dup links.
-    Scale: both sides shuffle ~N_BANDS slim rows per doc on band keys;
-    the component compare touches only colliding pairs."""
-    cand = (
-        _minhash_bands(batch_index)
-        .alias("a")
-        .join(
-            _minhash_bands(base_index).alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
-        .select(
-            F.col("a.doc_id").alias("batch_doc"),
-            F.col("b.doc_id").alias("base_doc"),
-        )
-        .distinct()
-    )
-    batch_mh = batch_index.select(
-        F.col("doc_id").alias("batch_doc"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(N_MINHASH)],
-    )
-    base_mh = base_index.select(
-        F.col("doc_id").alias("base_doc"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(N_MINHASH)],
-    )
+
+    Plan shape: the exploded band rows CARRY their row's mh components
+    (~9 longs — the index row is fixed-width, so this is bounded), which
+    makes the whole probe ONE equi-join on (band_idx, band_hash) with the
+    agreement computed inline, then one distinct. The alternative — join
+    slim band rows, then join each side's components back on doc_id —
+    re-shuffles the corpus-sized index twice more; carrying ~72 B/band of
+    payload through the single join is cheaper at every scale where the
+    index dominates (it always does: candidates ≪ index)."""
     agree = " + ".join(
-        f"(case when a_mh{i} = b_mh{i} then 1 else 0 end)"
+        f"(case when batch_mh{i} = base_mh{i} then 1 else 0 end)"
         for i in range(N_MINHASH)
     )
+
+    def banded(idx: DataFrame, side: str) -> DataFrame:
+        return idx.select(
+            F.col("doc_id").alias(f"{side}_doc"),
+            *[
+                F.col(f"mh{i}").alias(f"{side}_mh{i}")
+                for i in range(N_MINHASH)
+            ],
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.col(f"band{b}").alias("band_hash"),
+                        )
+                        for b in range(N_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select(f"{side}_doc", *[f"{side}_mh{i}" for i in range(N_MINHASH)],
+                 "band.band_idx", "band.band_hash")
+
     return (
-        cand.join(batch_mh, "batch_doc")
-        .join(base_mh, "base_doc")
+        banded(batch_index, "batch")
+        .join(banded(base_index, "base"), ["band_idx", "band_hash"])
         .withColumn("n_agree", F.expr(agree))
         .filter(F.col("n_agree") >= MINHASH_EST_AGREE)
         .select("batch_doc", "base_doc", "n_agree")
+        .distinct()
     )
 
 

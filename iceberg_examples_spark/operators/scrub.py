@@ -38,11 +38,13 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
-from iceberg_examples_spark.checkpointing import stage
+from iceberg_examples_spark.checkpointing import persisted_index, stage
 from iceberg_examples_spark.functions.texthash import md5_int_hash
 
 # Paragraph width (tokens) for sub-document dedup. Real pipelines split on
@@ -326,10 +328,20 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = delta.join(gate, "doc_id", "left_semi")
 
     # stage 2: probe the base corpus's persisted LSH index with the
-    # batch; verified near-dups are dropped from the batch
-    base_lsh = stage(minhash_index(base.select("doc_id", "text")),
-                     "base-lsh-index")
-    batch_lsh = minhash_index(gated.select("doc_id", "text"))
+    # batch; verified near-dups are dropped from the batch.  The index is
+    # a persisted_index ARTIFACT keyed on the documents file state: built
+    # at most once per input, re-read (a plain parquet scan) by every
+    # later invocation — the steady-state probe never recomputes base
+    # signatures, which is what makes this query O(delta)
+    docs_file = os.path.join(sf_dir, "documents.parquet")
+    base_lsh = persisted_index(
+        minhash_index(base.select("doc_id", "text")),
+        "base-lsh-index",
+        [docs_file],
+    )
+    # wide=False: the batch is delta-sized by contract — widening a few
+    # hundred rows costs more than it parallelizes
+    batch_lsh = minhash_index(gated.select("doc_id", "text"), wide=False)
     neardup = (
         lsh_index_probe(batch_lsh, base_lsh)
         .select(F.col("batch_doc").alias("doc_id"))
@@ -341,9 +353,13 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = gated.join(neardup, "doc_id", "left_anti")
 
     # stage 3: anti-join the accepted paragraphs against the base
-    # paragraph-hash index, then keep-first within the delta
-    base_hashes = stage(_paras(base).select("h").distinct(),
-                        "base-para-index")
+    # paragraph-hash index (same persisted-artifact discipline), then
+    # keep-first within the delta
+    base_hashes = persisted_index(
+        _paras(base).select("h").distinct(),
+        "base-para-index",
+        [docs_file],
+    )
     fresh = _paras(accepted).join(base_hashes, "h", "left_anti")
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     survival = (

@@ -33,6 +33,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from iceberg_examples_spark.checkpointing import spread
 from iceberg_examples_spark.functions.texthash import (
     MOD,
     REMIX_ADD,
@@ -63,9 +64,18 @@ def _shingles(toks: list[str]) -> list[str]:
 
 
 def minhash_signatures(
-    docs: DataFrame, n_minhash: int, n_bands: int, rows_per_band: int
+    docs: DataFrame,
+    n_minhash: int,
+    n_bands: int,
+    rows_per_band: int,
+    wide: bool = True,
 ) -> DataFrame:
-    """(doc_id, text) → (doc_id, shingles, band0..band{n_bands-1})."""
+    """(doc_id, text) → (doc_id, shingles, band0..band{n_bands-1}).
+
+    ``wide=False`` skips the :func:`spread` widening — for callers whose
+    input is delta-sized by contract (an incremental batch), where the
+    repartition round-trip costs more than single-core compute saves
+    (measured 0.73 s vs 0.38 s on a ~500-doc batch)."""
     params = [affine_params(seed) for seed in range(n_minhash)]
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,11 +103,18 @@ def minhash_signatures(
     schema = "doc_id long, shingles array<string>, " + ", ".join(
         f"band{b} long" for b in range(n_bands)
     )
-    return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
+    sel = docs.select("doc_id", "text")
+    return (spread(sel) if wide else sel).mapInPandas(
+        compute, schema=schema
+    )
 
 
 def minhash_component_index(
-    docs: DataFrame, n_minhash: int, n_bands: int, rows_per_band: int
+    docs: DataFrame,
+    n_minhash: int,
+    n_bands: int,
+    rows_per_band: int,
+    wide: bool = True,
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, mh0..mh{n-1}, band0..band{b-1}) — the
     fixed-width row of a persistable LSH index: individual MinHash
@@ -145,10 +162,15 @@ def minhash_component_index(
         + ", "
         + ", ".join(f"band{b} long" for b in range(n_bands))
     )
-    return docs.select("doc_id", "text").mapInPandas(compute, schema=schema)
+    sel = docs.select("doc_id", "text")
+    return (spread(sel) if wide else sel).mapInPandas(
+        compute, schema=schema
+    )
 
 
-def simhash_fingerprints(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame, n_bits: int = 16, wide: bool = True
+) -> DataFrame:
     """(doc_id, text) → (doc_id, simhash): ±1 vote per token per bit."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,6 +189,7 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 16) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
 
-    return docs.select("doc_id", "text").mapInPandas(
+    sel = docs.select("doc_id", "text")
+    return (spread(sel) if wide else sel).mapInPandas(
         compute, schema="doc_id long, simhash long"
     )

@@ -37,6 +37,47 @@ def test_stage_staging_mode_writes_parquet(spark, staging_conf):
     assert sorted(r["x"] for r in out.collect()) == [2 * i for i in range(100)]
 
 
+def test_spread_widens_narrow_input(spark):
+    from iceberg_examples_spark.checkpointing import spread
+
+    narrow = spark.range(1000).coalesce(1)
+    wide = spread(narrow.toDF("id"))
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert wide.count() == 1000
+
+
+def test_spread_is_noop_when_already_wide(spark):
+    from iceberg_examples_spark.checkpointing import spread
+
+    target = spark.sparkContext.defaultParallelism
+    already = spark.range(1000).repartition(target + 4)
+    out = spread(already)
+    # no extra exchange: partitioning untouched when input >= parallelism
+    assert out is already
+
+
+def test_spread_preserves_signature_values(spark, sf_dir):
+    """Partition layout must not affect per-row-pure Arrow stages: the
+    minhash signatures of a 1-partition and an 8-partition corpus are
+    identical row sets."""
+    from iceberg_examples_spark.operators.signatures import minhash_signatures
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    one = minhash_signatures(docs.coalesce(1), 9, 3, 3)
+    many = minhash_signatures(docs.repartition(8), 9, 3, 3)
+    rows_one = sorted(
+        ((r["doc_id"], tuple(r["shingles"]), r["band0"], r["band1"], r["band2"]))
+        for r in one.collect()
+    )
+    rows_many = sorted(
+        ((r["doc_id"], tuple(r["shingles"]), r["band0"], r["band1"], r["band2"]))
+        for r in many.collect()
+    )
+    assert rows_one == rows_many
+
+
 def test_staged_operator_results_identical(spark, sf_dir, staging_conf):
     """An operator that stages internally (LSH near-dup pairs) must give
     byte-identical results under both strategies."""
