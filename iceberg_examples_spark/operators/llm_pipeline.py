@@ -49,7 +49,10 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 1. quality gate — genuinely map-only: the metric columns are pure
     # per-row expressions appended to the ONE corpus scan (no re-scan,
-    # no self-join)
+    # no self-join). An Arrow-batched gate twin was built and A/B'd in
+    # round 4 and LOST (0.69 s vs 0.51 s at sf0.1): with tokens factored
+    # through one materialized column the HOF folds stay JVM-side and
+    # beat the Python round-trip — see DESIGN.md round-4 notes.
     # staged: stages 2-3 reference the gated corpus from multiple
     # plan branches (representative join, LSH signatures, anti-joins) —
     # without materialization each branch would re-run the quality folds

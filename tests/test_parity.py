@@ -25,3 +25,4 @@ def test_oracle_parity(name, spark, sf_dir):
         assert df.count() >= 0  # rows-only smoke
         return
     compare(QUERIES[name](spark, sf_dir), oracles[name], sf_dir)
+
