@@ -342,10 +342,15 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wide=False: the batch is delta-sized by contract — widening a few
     # hundred rows costs more than it parallelizes
     batch_lsh = minhash_index(gated.select("doc_id", "text"), wide=False)
-    neardup = (
+    # staged: three downstream branches (flagged, accepted, and the
+    # paragraph stage through accepted) consume the probe result; without
+    # materialization each branch re-runs the batch signatures + probe
+    # join (caught by the steady-state plan test: 3 Arrow stages, not 1)
+    neardup = stage(
         lsh_index_probe(batch_lsh, base_lsh)
         .select(F.col("batch_doc").alias("doc_id"))
-        .distinct()
+        .distinct(),
+        "batch-neardup",
     )
     flagged = gated.select("doc_id", "lang").join(
         neardup.withColumn("is_nd", F.lit(True)), "doc_id", "left"

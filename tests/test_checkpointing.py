@@ -91,3 +91,63 @@ def test_staged_operator_results_identical(spark, sf_dir, staging_conf):
     assert with_staging == without
     # restore for fixture symmetry
     spark.conf.set(STAGING_CONF_KEY, staging_conf)
+
+
+def test_persisted_index_builds_once_and_invalidates(spark, tmp_path):
+    from iceberg_examples_spark.checkpointing import persisted_index
+
+    dep = tmp_path / "dep.txt"
+    dep.write_text("v1")
+    idx_root = tmp_path / "idx"
+    spark.conf.set(STAGING_CONF_KEY, str(idx_root))
+    try:
+        df = spark.range(10).withColumn("x", F.col("id") * 3)
+        out = persisted_index(df, "t-idx", [str(dep)])
+        assert sorted(r["x"] for r in out.collect()) == [
+            3 * i for i in range(10)
+        ]
+        built = set(os.listdir(idx_root))
+        assert len(built) == 1
+
+        # same input state: artifact reused, nothing new written
+        persisted_index(df, "t-idx", [str(dep)]).count()
+        assert set(os.listdir(idx_root)) == built
+
+        # changed input state (mtime) invalidates: a second artifact
+        os.utime(str(dep), ns=(12345, 12345))
+        persisted_index(df, "t-idx", [str(dep)]).count()
+        assert len(os.listdir(idx_root)) == 2
+    finally:
+        spark.conf.unset(STAGING_CONF_KEY)
+
+
+def test_curation_incremental_steady_state_probes_not_rebuilds(
+    spark, sf_dir, tmp_path
+):
+    """Once the base indexes exist, the incremental query's plan must read
+    them as parquet artifacts — no base-corpus signature recompute. The
+    delta-batch probe itself is staged (materialized once, eagerly), so
+    the FINAL plan contains no Arrow stage at all: any MapInPandas node
+    here means a corpus- or batch-sized recompute leaked back in."""
+    from iceberg_examples_spark.operators.scrub import curation_incremental
+
+    spark.conf.set(STAGING_CONF_KEY, str(tmp_path))
+    try:
+        # first invocation builds the two index artifacts
+        curation_incremental(spark, sf_dir).collect()
+        # steady state: re-plan and inspect
+        df = curation_incremental(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 0, (
+            "Arrow stage in the steady-state plan: signatures are being "
+            "recomputed instead of probed from the staged/persisted state"
+        )
+        # and the probe's inputs are the persisted artifacts (their
+        # staged parquet paths appear as scans in the eager probe's own
+        # lineage, checked via the artifacts existing on disk)
+        names = os.listdir(tmp_path)
+        assert any(n.startswith("base-lsh-index-") for n in names)
+        assert any(n.startswith("base-para-index-") for n in names)
+    finally:
+        spark.conf.unset(STAGING_CONF_KEY)
