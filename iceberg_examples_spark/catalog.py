@@ -97,16 +97,36 @@ def register_views(
     return out
 
 
+def scratch_root() -> str:
+    """Root for query-internal TRANSIENT writes (scenario tables, staged
+    snapshots — per-invocation lifetime, nothing durable). Preference
+    order: ``SPARK_GRAFT_SCRATCH_ROOT`` env override, then ``/dev/shm``
+    (RAM-backed: scenario queries are write-heavy and small, so tmpfs
+    removes disk latency/contention from their cost — the local-mode
+    analogue of pointing ``spark.local.dir`` at fast ephemeral storage),
+    then the system tempdir. All LocalTable commit atomicity (mkstemp +
+    hard-link CAS) holds on tmpfs."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_ROOT")
+    if env:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    import tempfile
+
+    return tempfile.gettempdir()
+
+
 def scratch_dir(sf_dir: str, name: str, fresh: bool = False) -> str:
     """Per-process scratch path for query-internal writes:
-    ``/tmp/ies_<name>_<sf-tag>_<pid>``. The pid suffix isolates concurrent
-    processes (bench + pytest racing on one path would rmtree snapshots
-    out from under each other's lazy jobs); ``fresh`` clears leftovers
-    from a previous run of THIS pid."""
+    ``<scratch_root>/ies_<name>_<sf-tag>_<pid>``. The pid suffix isolates
+    concurrent processes (bench + pytest racing on one path would rmtree
+    snapshots out from under each other's lazy jobs); ``fresh`` clears
+    leftovers from a previous run of THIS pid."""
     import shutil
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = f"/tmp/ies_{name}_{tag}_{os.getpid()}"
+    path = f"{scratch_root()}/ies_{name}_{tag}_{os.getpid()}"
     if fresh:
         shutil.rmtree(path, ignore_errors=True)
     return path
