@@ -70,6 +70,17 @@ HEADLINE = [
     "snapshot_history",
     "changelog_feed",
     "curation_incremental",
+    # round-4 additions (LLM-op breadth: dedup/ANN/text-scoring surface)
+    "dedup_exact",
+    "knn_cosine_ivf",
+    "kmeans_clusters",
+    "pq_adc_topk",
+    "sequence_packing",
+    "corpus_mixture",
+    "embedding_neardup",
+    "tfidf_topterms",
+    "bm25_search",
+    "contamination_check",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of
@@ -112,6 +123,20 @@ def main() -> None:
         timings[name] = round(runs[0], 4)
         medians[name] = round(runs[1], 4)
 
+    # Machine-speed canary: fixed work, independent of any operator code,
+    # so cross-ROUND comparisons can normalize for container speed (rounds
+    # run on different shared-host instances; round 4 measured uniform
+    # ~30% inflation vs round 3 on untouched queries).
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 3 + 1) as s", "count(1) as n"
+        ).collect()
+        return time.perf_counter() - t0
+
+    canary()  # warm the shape
+    canary_sec = round(min(canary() for _ in range(3)), 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -121,6 +146,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "canary_sec": canary_sec,
                 "sf": sf,
             }
         )

@@ -75,17 +75,51 @@ def _with_planted_near_dups(docs: DataFrame, n: int = 40) -> DataFrame:
     return docs.unionByName(near)
 
 
+def _with_fp(corpus: DataFrame) -> DataFrame:
+    """(doc_id, text, fp): the 64-bit poly-hash fingerprint column."""
+    return corpus.select(
+        "doc_id", "text", F.expr(char_poly_hash("text")).alias("fp")
+    )
+
+
+def _multi_fp_rows(fp: DataFrame) -> DataFrame:
+    """The two-phase exact-dedup core — the rows of fp-groups with >1
+    member, the ONLY rows whose text ever crosses a shuffle.
+
+    Semantics are identical to a direct ``groupBy(fp, text)`` (the
+    fingerprint + full text disambiguates hash collisions exactly), but
+    the plan shuffles differently: phase 1 groups on fp alone — 16-byte
+    (fp, doc_id) rows — and phase 2 joins text back ONLY for fps with
+    more than one member (true duplicates + the ~birthday-bound handful
+    of 64-bit collisions). A curated corpus is overwhelmingly singleton
+    fps, so the text column stays in its map tasks for ~all rows; the
+    direct formulation would shuffle every document's text as a grouping
+    key, which is the kind of claim-vs-plan gap this module's "8-byte
+    shuffle" scale note exists to rule out. The price is a second
+    column-pruned pass over the corpus for the multi-member resolution —
+    local scan I/O traded for network shuffle, the right direction on
+    any cluster (and free here when the input is a staged frame)."""
+    multi_fps = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .filter(F.col("n0") > 1)
+        .select("fp")
+    )
+    return fp.join(multi_fps, "fp", "left_semi")
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: group on the 64-bit poly-hash
     fingerprint (+ text to disambiguate collisions), keep min(doc_id) as
     the canonical representative. Returns the duplicate groups (the planted
-    100 copies)."""
+    100 copies). Two-phase plan: see :func:`_multi_fp_rows` — only
+    multi-member fp-groups (duplicates) carry text into the final
+    grouping; a colliding pair of distinct singleton texts yields
+    per-(fp, text) counts of 1 and is correctly filtered out."""
     corpus = _with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
-    fp = corpus.select(
-        "doc_id", "text", F.expr(char_poly_hash("text")).alias("fp")
-    )
     return (
-        fp.groupBy("fp", "text")
+        _multi_fp_rows(_with_fp(corpus))
+        .groupBy("fp", "text")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -95,16 +129,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The keep-side of exact dedup: one surviving doc_id per distinct
-    text over the planted corpus (count must equal the original corpus)."""
-    corpus = _with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
-    return (
-        corpus.select("doc_id", F.expr(char_poly_hash("text")).alias("fp"), "text")
+def exact_rep_ids(corpus: DataFrame) -> DataFrame:
+    """One surviving doc_id per distinct text: min(doc_id) per (fp, text)
+    group, via the two-phase plan (:func:`_multi_fp_rows`). Singleton-fp
+    docs are their own representative and never shuffle their text;
+    multi-member fps resolve per (fp, text) exactly. Shared by
+    dedup_exact_keep and the llm_prep_pipeline exact-dedup stage."""
+    fp = _with_fp(corpus)
+    by_fp = fp.select("fp", "doc_id").groupBy("fp").agg(
+        F.min("doc_id").alias("rep0"), F.count(F.lit(1)).alias("n0")
+    )
+    solo = by_fp.filter(F.col("n0") == 1).select(
+        F.col("rep0").alias("doc_id")
+    )
+    multi_reps = (
+        fp.join(
+            by_fp.filter(F.col("n0") > 1).select("fp"), "fp", "left_semi"
+        )
         .groupBy("fp", "text")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    return solo.unionByName(multi_reps)
+
+
+def exact_loser_ids(corpus: DataFrame) -> DataFrame:
+    """The DROP-side of exact dedup: every doc_id that is a non-min
+    member of its (fp, text) duplicate group — the complement of
+    :func:`exact_rep_ids`, produced without materializing a corpus-sized
+    keep set. The loser set's size is the number of surplus copies (a
+    small fraction of any curated corpus), so the caller's anti-join
+    carries a tiny build side instead of an N-row semi-join relation.
+    Same two-phase shuffle discipline: fp-only aggregate first, text only
+    for multi-member groups."""
+    from pyspark.sql import Window
+
+    fp = _with_fp(corpus)
+    multi = _multi_fp_rows(fp)
+    w = Window.partitionBy("fp", "text")
+    return (
+        multi.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("m"))
+        .select("doc_id")
+    )
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-side of exact dedup: one surviving doc_id per distinct
+    text over the planted corpus (count must equal the original corpus)."""
+    corpus = _with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
+    return exact_rep_ids(corpus)
 
 
 def _minhash_sig(corpus: DataFrame) -> DataFrame:

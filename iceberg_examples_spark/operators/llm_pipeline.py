@@ -31,11 +31,11 @@ from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
 from iceberg_examples_spark.checkpointing import stage
-from iceberg_examples_spark.functions.texthash import (
-    char_poly_hash,
-    train_val_split_sql,
+from iceberg_examples_spark.functions.texthash import train_val_split_sql
+from iceberg_examples_spark.operators.dedup import (
+    exact_loser_ids,
+    lsh_verified_pairs,
 )
-from iceberg_examples_spark.operators.dedup import lsh_verified_pairs
 from iceberg_examples_spark.operators.text import with_quality_metrics
 
 QUALITY_MIN = 4
@@ -64,10 +64,17 @@ def llm_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gated-corpus",
     )
 
-    # 2. exact dedup: fingerprint group -> keep the min doc_id per text
-    fp = kept.withColumn("fp", F.expr(char_poly_hash("text")))
-    reps = fp.groupBy("fp", "text").agg(F.min("doc_id").alias("doc_id"))
-    kept = kept.join(reps.select("doc_id"), on="doc_id", how="left_semi")
+    # 2. exact dedup: drop the non-min members of duplicate groups via
+    # the two-phase fp-first plan (dedup.exact_loser_ids) — only
+    # duplicate groups' text crosses a shuffle, and the anti-join's build
+    # side is just the surplus copies, not a corpus-sized keep set.
+    # The deduped corpus is staged: three consumers follow (LSH
+    # signatures, the near-dup anti-join, the final aggregate), and an
+    # un-staged dedup subtree would replicate into each branch.
+    losers = exact_loser_ids(kept.select("doc_id", "text"))
+    kept = stage(
+        kept.join(losers, on="doc_id", how="left_anti"), "exact-deduped"
+    )
 
     # 3. near-dup removal: drop the larger id of every verified LSH pair
     pairs = lsh_verified_pairs(kept.select("doc_id", "text"))
