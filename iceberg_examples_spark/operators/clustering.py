@@ -117,7 +117,10 @@ def _final_assignment(
     for i in range(niter):
         assign = _assign(e, cent)
         if i < niter - 1:
-            cent = _update(e, assign)
+            # stage the round's centroid relation (k x dims rows): keeps
+            # the next round's plan flat instead of nesting the whole
+            # prior iteration chain under the broadcast side
+            cent = stage(_update(e, assign), f"kmeans-cent-r{i}")
     return assign
 
 
@@ -174,8 +177,9 @@ def knn_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: assignment is the k-means plan (amortized — persist it);
     the search is an equi-join on cid (1/|cells| of the pairs a
     cross-join would score) + one vec-pair aggregation."""
-    e = _long_form(spark, sf_dir)
-    a = _final_assignment(e)
+    # staged: the fit, the norms, and both dot-product sides read e
+    e = stage(_long_form(spark, sf_dir), "ivf-long-form")
+    a = stage(_final_assignment(e), "ivf-assignment")
     norms = e.groupBy("vec_id").agg(
         F.sum(F.col("v") * F.col("v")).alias("nrm")
     )
@@ -335,8 +339,13 @@ PQ_NITER = 2
 
 
 def _pq_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _long_form(spark, sf_dir).withColumn(
-        "sub", F.expr(f"cast(d div {SUB_DIMS} as int)")
+    # staged: the fit loop, the final assign, and the ADC LUT all read
+    # this relation — unmaterialized, each consumer re-runs the explode
+    return stage(
+        _long_form(spark, sf_dir).withColumn(
+            "sub", F.expr(f"cast(d div {SUB_DIMS} as int)")
+        ),
+        "pq-long-form",
     )
 
 
@@ -375,8 +384,13 @@ def _pq_fit(e: DataFrame) -> DataFrame:
     cent = e.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").cast("int").alias("cid"), "d", F.col("v").alias("c")
     )
-    for _ in range(PQ_NITER):
-        cent = _pq_update(e, _pq_assign(e, cent))
+    for i in range(PQ_NITER):
+        # stage each round's codebook (N_SUB x PQ_K x SUB_DIMS = 256 rows):
+        # without it the unrolled iteration lineage nests into every
+        # downstream consumer and plan size grows with NITER
+        cent = stage(
+            _pq_update(e, _pq_assign(e, cent)), f"pq-cent-r{i}"
+        )
     return cent
 
 
