@@ -151,3 +151,39 @@ def test_curation_incremental_steady_state_probes_not_rebuilds(
         assert any(n.startswith("base-para-index-") for n in names)
     finally:
         spark.conf.unset(STAGING_CONF_KEY)
+
+
+def test_persisted_index_concurrent_builders_one_artifact(spark, tmp_path):
+    """Two racing builders: exactly one artifact survives the atomic
+    rename, both callers read identical rows, no .build-* debris left."""
+    import threading
+
+    from iceberg_examples_spark.checkpointing import persisted_index
+
+    dep = tmp_path / "dep.txt"
+    dep.write_text("v1")
+    idx_root = tmp_path / "idx"
+    spark.conf.set(STAGING_CONF_KEY, str(idx_root))
+    results, errors = [], []
+
+    def build():
+        try:
+            df = spark.range(50).withColumn("x", F.col("id") * 7)
+            out = persisted_index(df, "race-idx", [str(dep)])
+            results.append(sorted(r["x"] for r in out.collect()))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    try:
+        threads = [threading.Thread(target=build) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert results[0] == results[1] == [7 * i for i in range(50)]
+        names = os.listdir(idx_root)
+        assert [n for n in names if ".build-" in n] == []
+        assert len([n for n in names if n.startswith("race-idx-")]) == 1
+    finally:
+        spark.conf.unset(STAGING_CONF_KEY)
