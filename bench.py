@@ -81,6 +81,10 @@ HEADLINE = [
     "tfidf_topterms",
     "bm25_search",
     "contamination_check",
+    # round-4 additions (source/sink format surface)
+    "xml_roundtrip",
+    "binary_files_ingest",
+    "jsonl_shard_export",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -202,6 +202,37 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink coverage — the data source Spark 4 absorbed from
+    spark-xml (native in spark-sql; no extra jar, unlike spark-avro,
+    which this environment cannot provide — see DESIGN.md). Write the
+    supplier dimension as XML, read it back with an EXPLICIT schema (XML
+    inference costs a full extra document-parse pass at scale, same rule
+    as CSV/JSON), and aggregate. The oracle recomputes from the raw
+    parquet, proving the XML round-trip is lossless for these types.
+    Scale note: one XML document per row under a streaming tag parser —
+    splittable across files but not within one (same contract as
+    multiline JSON), so shard the write (here: Spark's task-per-partition
+    file layout already does)."""
+    out = scratch_dir(sf_dir, "xml_roundtrip")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    sup.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey long, s_nationkey long, s_acctbal double")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.expr(money_sum_sql("s_acctbal", scale=100)).alias("total_bal"),
+    )
+
+
 def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible sampling — the LLM-pipeline requirement rand() can't
     meet: membership must be a pure function of the row key so reruns,

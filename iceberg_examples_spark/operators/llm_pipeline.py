@@ -143,6 +143,53 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_EXPORT_SHARDS = 8
+
+
+def jsonl_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded JSONL delivery — the standard handoff format from a
+    curation pipeline to a training stack: the corpus lands as N
+    directories of newline-delimited JSON, shard membership a pure
+    function of doc_id (hash mod N, the deterministic_sample idiom) so
+    reruns, backfills, and downstream loaders agree on placement without
+    coordination. The write repartitions ON the shard column first, so
+    each output directory is produced by the tasks that own that shard
+    (hash-partitioned write; no shard's rows scatter across all tasks'
+    files), then ``partitionBy`` lays out ``shard=K/`` directories.
+    Read-back uses an explicit schema (JSONL inference is an extra full
+    pass at scale) with the shard recovered from directory layout, and
+    the returned manifest — per-shard counts, byte totals, id-sum
+    fingerprint — is what a delivery job would publish beside the data.
+    The oracle recomputes the manifest from the raw table, proving the
+    JSONL round trip is lossless and placement deterministic. At 100 TB
+    N_EXPORT_SHARDS scales with the corpus (shards ≈ files × target
+    size); the plan is one hash shuffle + map-side write either way."""
+    from iceberg_examples_spark.catalog import scratch_dir
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_hash("cast(doc_id as string)")
+    sharded = docs.withColumn(
+        "shard", F.expr(f"({h}) % {N_EXPORT_SHARDS}").cast("int")
+    )
+    out = scratch_dir(sf_dir, "jsonl_export", fresh=True)
+    (
+        sharded.repartition(N_EXPORT_SHARDS, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(out)
+    )
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, shard int"
+    ).json(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("total_text_bytes"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 MIXTURE = {"src0": 100, "src1": 50, "src2": 25}  # pct*100 kept per source
 
 

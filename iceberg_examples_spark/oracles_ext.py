@@ -390,6 +390,21 @@ FROM documents
 GROUP BY source
 """
 
+# binaryFile ingestion: file sizes are closed-form (the BMP layout is
+# deterministic: 54 header bytes + 4-byte-padded 24bpp rows), so the
+# oracle recomputes totals for the exported doc subset analytically.
+from iceberg_examples_spark.sources.multimodal import IMG_H, IMG_W  # noqa: E402
+
+_BMP_BYTES = 54 + (IMG_W * 3 + (4 - (IMG_W * 3) % 4) % 4) * IMG_H
+
+EXT_ORACLES["binary_files_ingest"] = f"""
+SELECT count(*) AS n_files,
+       CAST({_BMP_BYTES} * count(*) AS BIGINT) AS total_bytes,
+       CAST({_BMP_BYTES} * count(*) AS BIGINT) AS total_content_bytes,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM documents WHERE doc_id % 20 = 0
+"""
+
 # Analytic twin of the real BMP encode→decode round trip: the Spark side
 # encodes deterministic 13×7 24-bit BMPs and parses the bytes back
 # (multimodal.py: encode_bmp/decode_image); the oracle recomputes the
@@ -638,6 +653,20 @@ EXT_ORACLES["orc_roundtrip"] = f"""
 SELECT count(*) AS n_rows,
        {money_sum_sql('o_totalprice', scale=100)} AS total
 FROM orders WHERE o_orderstatus = 'F'
+"""
+
+EXT_ORACLES["xml_roundtrip"] = f"""
+SELECT s_nationkey, count(*) AS n_suppliers,
+       {money_sum_sql('s_acctbal', scale=100)} AS total_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+EXT_ORACLES["jsonl_shard_export"] = f"""
+SELECT CAST(({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 8 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_text_bytes,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1
 """
 
 EXT_ORACLES["explode_tokens"] = f"""

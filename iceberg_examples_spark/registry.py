@@ -156,6 +156,11 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": LQ.contamination_check,
     "csv_roundtrip": CV.csv_roundtrip,
     "orc_roundtrip": CV.orc_roundtrip,
+    # new in round 4 (tail: local parity + driver-sim attested; rotate into
+    # the driver window in round 5)
+    "xml_roundtrip": CV.xml_roundtrip,
+    "binary_files_ingest": MM.binary_files_ingest,
+    "jsonl_shard_export": LP.jsonl_shard_export,
     "json_infer": RS.json_infer_query,
     "json_corrupt_records": JS.json_corrupt_records,
     "stream_window_hourly": ST.stream_window_hourly,

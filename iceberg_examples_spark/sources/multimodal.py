@@ -23,6 +23,7 @@ and remain out of scope in this container.
 
 from __future__ import annotations
 
+import os
 import struct
 from collections.abc import Iterator
 
@@ -31,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.catalog import load_table, scratch_dir
 
 MEDIA_SCHEMA = (
     "media_id long, payload binary, "
@@ -429,6 +430,66 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised, not stubbed."""
     media = build_image_media_table(spark, sf_dir, max_media_id=50)
     return image_stats(media)
+
+
+def binary_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source coverage — how raw media corpora actually
+    enter Spark: a directory of opaque files becomes (path,
+    modificationTime, length, content) rows, keys recovered from
+    filenames. Stage 1 exports real BMP files (one per sampled doc,
+    ``encode_bmp`` payloads, atomic tmp+rename) from an Arrow-batched
+    ``mapInPandas`` partition loop — the distributed file-export shape;
+    on a cluster ``out`` is shared storage, in local mode the shared
+    local FS. Stage 2 reads them back via ``binaryFile`` with a
+    ``pathGlobFilter`` (pushed to the listing, so stray files are never
+    opened), recovers doc_id from the filename, joins to the source rows
+    (key-recovery check), and aggregates file/content byte totals. The
+    oracle recomputes the totals analytically (BMP size is closed-form:
+    54-byte headers + padded 40 B/row × 7 rows = 334 B/file). Scale
+    notes: binaryFile caps per-file size (spark.sql.sources.binaryFile.
+    maxLength) and is listing-bound for tiny files — exactly why the
+    media TABLE layout (payload as a parquet binary column, multimodal_*
+    queries) is this engine's primary format; this query is the
+    ingestion edge that feeds it."""
+    out = scratch_dir(sf_dir, "binary_files", fresh=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr("doc_id % 20 = 0")
+    ).select("doc_id")
+
+    def export(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sizes = []
+            for did in pdf["doc_id"]:
+                payload = encode_bmp(int(did))
+                tmp = os.path.join(out, f".{int(did)}.bmp.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(payload)
+                os.replace(tmp, os.path.join(out, f"{int(did)}.bmp"))
+                sizes.append(len(payload))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_bytes": sizes})
+
+    # Materialize the export (the write job) before the listing-based read.
+    docs.mapInPandas(export, schema="doc_id long, n_bytes long").count()
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(out)
+    )
+    keyed = files.select(
+        F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"^(\d+)\.bmp$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length"),
+        F.octet_length("content").cast("long").alias("content_bytes"),
+    )
+    return keyed.join(docs, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.sum("content_bytes").alias("total_content_bytes"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
