@@ -61,11 +61,29 @@ def spread(df: DataFrame) -> DataFrame:
     exactly when the cluster would otherwise idle.
 
     Only safe around per-row-pure stages (signatures, media decode,
-    vector assign): partition layout must not affect values."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    vector assign): partition layout must not affect values.
+
+    The narrowness guard is metadata-only: Catalyst's optimized-plan size
+    estimate (file bytes for a scan) against target × maxPartitionBytes.
+    Converting to an RDD just to count partitions costs ~0.2 s of physical
+    planning per call — a fixed per-query tax that dwarfed the stages it
+    was guarding at toy scale. If the estimate is unavailable (py4j
+    surface change), fall back to the exact partition count."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            .lower().rstrip("b")
+        )
+        if size >= target * max_bytes:
+            return df  # enough split material for every core — no-op
+    except Exception:
+        if df.rdd.getNumPartitions() >= target:
+            return df
     return df.repartition(target)
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.checkpointing import spread
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 3
@@ -54,7 +55,11 @@ def _knn(spark: SparkSession, sf_dir: str, by_cell: bool) -> DataFrame:
     """Shared top-k machinery for the exact and IVF variants — ONE scoring
     expression and tie-break so the two can't drift. Queries broadcast;
     ``by_cell`` swaps the cross join for an equi-join on the coarse cell."""
-    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # HOF lambdas (dot/norm folds) execute on Catalyst's interpreted path
+    # (higher-order functions are outside whole-stage codegen), so scoring
+    # cost is CPU-bound per partition — widen a single-split toy scan to
+    # session parallelism first (no-op at scale; see checkpointing.spread).
+    emb = _with_norm(spread(load_table(spark, sf_dir, "embeddings")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
