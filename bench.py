@@ -85,6 +85,7 @@ HEADLINE = [
     "xml_roundtrip",
     "binary_files_ingest",
     "jsonl_shard_export",
+    "mixture_temperature",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

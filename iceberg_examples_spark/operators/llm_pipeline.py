@@ -143,6 +143,44 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-LM
+    standard (XLM-R / mT5 style: sample source s with p ∝ n_s^α, α<1,
+    upweighting low-resource sources). Deterministic formulation at
+    α = 0.5: keep-rate_s = floor(10000·sqrt(min_s n / n_s)) out of
+    10000, so the smallest source keeps everything and a source 4× its
+    size keeps half; membership is the hash-pure doc_id threshold (no
+    RNG — reruns and engines agree). sqrt on doubles is IEEE
+    correctly-rounded in both engines, so the rates are bit-identical.
+
+    Plan: tiny per-source count agg → window-min over the handful of
+    rate rows → broadcast join back → map-only filter → final agg. The
+    corpus is touched twice (count + filter) but shuffles only bytes of
+    source keys; at 100 TB both passes are map-side against the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w_all = Window.partitionBy()
+    rates = counts.select(
+        "source",
+        F.floor(
+            10000
+            * F.sqrt(
+                F.min("n_s").over(w_all).cast("double") / F.col("n_s").cast("double")
+            )
+        ).alias("rate"),
+    )
+    h = md5_int_hash("cast(doc_id as string)")
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        F.expr(f"({h}) % 10000") < F.col("rate")
+    )
+    return kept.groupBy("source", "rate").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 N_EXPORT_SHARDS = 8
 
 

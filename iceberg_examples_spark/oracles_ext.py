@@ -661,6 +661,20 @@ SELECT s_nationkey, count(*) AS n_suppliers,
 FROM supplier GROUP BY s_nationkey
 """
 
+EXT_ORACLES["mixture_temperature"] = f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+r AS (SELECT source,
+             CAST(floor(10000 * sqrt(CAST(min(n_s) OVER () AS DOUBLE)
+                                     / CAST(n_s AS DOUBLE))) AS BIGINT) AS rate
+      FROM c)
+SELECT d.source, r.rate,
+       count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN r ON d.source = r.source
+WHERE ({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 10000 < r.rate
+GROUP BY d.source, r.rate
+"""
+
 EXT_ORACLES["jsonl_shard_export"] = f"""
 SELECT CAST(({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 8 AS INT) AS shard,
        count(*) AS n_docs,

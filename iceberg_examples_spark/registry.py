@@ -161,6 +161,7 @@ QUERIES: dict[str, QueryFn] = {
     "xml_roundtrip": CV.xml_roundtrip,
     "binary_files_ingest": MM.binary_files_ingest,
     "jsonl_shard_export": LP.jsonl_shard_export,
+    "mixture_temperature": LP.mixture_temperature,
     "json_infer": RS.json_infer_query,
     "json_corrupt_records": JS.json_corrupt_records,
     "stream_window_hourly": ST.stream_window_hourly,
