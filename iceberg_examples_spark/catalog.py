@@ -111,7 +111,15 @@ def scratch_root() -> str:
         return env
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
-        return shm
+        # tmpfs can be tiny (Docker defaults /dev/shm to 64 MB); only
+        # prefer it when there is real headroom for write-heavy scenario
+        # queries, else ENOSPC where plain /tmp would have worked
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 2 * 1024**3:
+                return shm
+        except OSError:
+            pass
     import tempfile
 
     return tempfile.gettempdir()

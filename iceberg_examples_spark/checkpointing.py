@@ -48,6 +48,22 @@ def staging_dir(df: DataFrame) -> str | None:
     return conf_val or os.environ.get(STAGING_ENV_VAR) or None
 
 
+_BYTE_SUFFIXES = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+
+
+def _parse_spark_bytes(value: str) -> int:
+    """Parse Spark byte-size conf values in all their documented forms:
+    bare bytes ('134217728'), unit-suffixed ('128m', '128MB', '1g')."""
+    s = str(value).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Widen a narrow input before a CPU-bound Arrow/Python stage.
 
@@ -63,27 +79,37 @@ def spread(df: DataFrame) -> DataFrame:
     Only safe around per-row-pure stages (signatures, media decode,
     vector assign): partition layout must not affect values.
 
-    The narrowness guard is metadata-only: Catalyst's optimized-plan size
-    estimate (file bytes for a scan) against target × maxPartitionBytes.
-    Converting to an RDD just to count partitions costs ~0.2 s of physical
+    The narrowness guard is metadata-only where it matters: Catalyst's
+    optimized-plan size estimate (file bytes for a scan) against
+    target × maxPartitionBytes decides the two scan extremes without
+    converting to an RDD just to count partitions (~0.2 s of physical
     planning per call — a fixed per-query tax that dwarfed the stages it
-    was guarding at toy scale. If the estimate is unavailable (py4j
-    surface change), fall back to the exact partition count."""
+    was guarding at toy scale). A small frame that is NOT a file scan
+    (in-memory / post-shuffle) still gets the exact partition-count
+    check, so an already-wide frame is never pointlessly re-shuffled."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
+    size = None
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j returns small BigInts as Python ints, large ones as objects
+        size = int(raw) if isinstance(raw, int) else int(raw.toString())
+        max_bytes = _parse_spark_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
         )
-        max_bytes = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-            .lower().rstrip("b")
-        )
-        if size >= target * max_bytes:
-            return df  # enough split material for every core — no-op
     except Exception:
-        if df.rdd.getNumPartitions() >= target:
-            return df
+        size = None
+    if size is not None and size >= target * max_bytes:
+        return df  # enough split material for every core — no-op
+    try:
+        is_file_scan = bool(df.inputFiles())
+    except Exception:
+        is_file_scan = False
+    if is_file_scan and size is not None:
+        # a file scan smaller than target splits: definitely narrow
+        return df.repartition(target)
+    if df.rdd.getNumPartitions() >= target:
+        return df
     return df.repartition(target)
 
 
@@ -99,7 +125,7 @@ def stage(df: DataFrame, label: str = "stage") -> DataFrame:
 
 
 def persisted_index(
-    df: DataFrame, label: str, dep_paths: list[str]
+    df: DataFrame, label: str, dep_paths: list[str], fingerprint: str = ""
 ) -> DataFrame:
     """A durable derived-index ARTIFACT, built at most once per input
     state — the incremental pipelines' contract (scrub.curation_incremental):
@@ -110,8 +136,12 @@ def persisted_index(
     to zero, which is the entire point of keeping an index.
 
     Freshness: the cache key hashes each dependency file's (path,
-    mtime_ns, size), so regenerating the input data invalidates the
-    artifact automatically — a stale index cannot be silently reused.
+    mtime_ns, size) PLUS the caller's ``fingerprint`` — the parameters
+    and formulation version that determine the index's *content* (LSH
+    band/hash counts, tokenizer version, …). Data regeneration and
+    definition changes both invalidate the artifact automatically; a
+    stale index cannot be silently reused, including across two
+    checkouts at different code versions sharing one cache root.
     Writers race safely: build to a temp dir, atomic-rename into place,
     lose gracefully to a concurrent winner.
 
@@ -123,7 +153,9 @@ def persisted_index(
     for p in dep_paths:
         st = os.stat(p)
         stats.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
-    key = hashlib.md5("|".join([label, *stats]).encode()).hexdigest()[:16]
+    key = hashlib.md5(
+        "|".join([label, fingerprint, *stats]).encode()
+    ).hexdigest()[:16]
     root = staging_dir(df) or os.path.join(
         tempfile.gettempdir(), "ies-index-cache"
     )

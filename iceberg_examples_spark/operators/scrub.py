@@ -315,7 +315,11 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
         "lang",
         "source",
+    ).withColumn(
+        # recompute from the DERIVED text (the planted copy drops its
+        # first word) so the fixture row stays internally consistent
         "n_chars",
+        F.length("text").cast("long"),
     )
     docs = _with_tokens(raw.unionByName(planted))
     is_delta = F.col("doc_id") % 10 == 7
@@ -334,10 +338,21 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # later invocation — the steady-state probe never recomputes base
     # signatures, which is what makes this query O(delta)
     docs_file = os.path.join(sf_dir, "documents.parquet")
+    from iceberg_examples_spark.operators.dedup import (
+        MOD,
+        N_BANDS,
+        N_MINHASH,
+        ROWS_PER_BAND,
+    )
+
+    # fingerprint = the parameters that determine index CONTENT, so a
+    # definition change invalidates the artifact like a data change does
+    lsh_fp = f"v1:mh{N_MINHASH}:b{N_BANDS}:r{ROWS_PER_BAND}:m{MOD}"
     base_lsh = persisted_index(
         minhash_index(base.select("doc_id", "text")),
         "base-lsh-index",
         [docs_file],
+        fingerprint=lsh_fp,
     )
     # wide=False: the batch is delta-sized by contract — widening a few
     # hundred rows costs more than it parallelizes
@@ -364,6 +379,7 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _paras(base).select("h").distinct(),
         "base-para-index",
         [docs_file],
+        fingerprint=f"v1:pt{PARA_TOKENS}:pm{PARA_SUM_MOD}",
     )
     fresh = _paras(accepted).join(base_hashes, "h", "left_anti")
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")

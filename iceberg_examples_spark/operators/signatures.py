@@ -63,6 +63,32 @@ def _shingles(toks: list[str]) -> list[str]:
     return list(dict.fromkeys(f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)))
 
 
+def _minhash_row(
+    text: str,
+    params: list[tuple[int, int]],
+    n_bands: int,
+    rows_per_band: int,
+) -> tuple[list[str], list[int] | None, list[int] | None]:
+    """Per-doc MinHash kernel shared by the signature and index
+    formulations: shingles, affine MinHash components, band folds.
+    ONE definition on purpose — both consumers promise values
+    bit-identical to the SQL/DuckDB formulation, so the fold must not
+    be able to drift between them. Returns (shingles, None, None) for
+    empty docs."""
+    sh = _shingles(_tokens(text))
+    xs = [_md5_int(s) % MOD for s in sh]
+    if not xs:
+        return sh, None, None
+    mh = [min((a * x + b) % MOD for x in xs) for a, b in params]
+    bands = []
+    for bi in range(n_bands):
+        acc = mh[bi * rows_per_band]
+        for r in range(1, rows_per_band):
+            acc = (acc * 31 + mh[bi * rows_per_band + r]) % MOD
+        bands.append(acc)
+    return sh, mh, bands
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_minhash: int,
@@ -82,19 +108,10 @@ def minhash_signatures(
         for pdf in batches:
             out_sh, out_bands = [], [[] for _ in range(n_bands)]
             for text in pdf["text"]:
-                sh = _shingles(_tokens(text))
+                sh, _mh, bands = _minhash_row(text, params, n_bands, rows_per_band)
                 out_sh.append(sh)
-                xs = [_md5_int(s) % MOD for s in sh]
-                if xs:
-                    mh = [min((a * x + b) % MOD for x in xs) for a, b in params]
-                    for bi in range(n_bands):
-                        acc = mh[bi * rows_per_band]
-                        for r in range(1, rows_per_band):
-                            acc = (acc * 31 + mh[bi * rows_per_band + r]) % MOD
-                        out_bands[bi].append(acc)
-                else:
-                    for bi in range(n_bands):
-                        out_bands[bi].append(None)
+                for bi in range(n_bands):
+                    out_bands[bi].append(bands[bi] if bands else None)
             res = pd.DataFrame({"doc_id": pdf["doc_id"], "shingles": out_sh})
             for bi in range(n_bands):
                 res[f"band{bi}"] = pd.Series(out_bands[bi], dtype="object")
@@ -131,24 +148,11 @@ def minhash_component_index(
             out_mh = [[] for _ in range(n_minhash)]
             out_bands = [[] for _ in range(n_bands)]
             for text in pdf["text"]:
-                xs = [
-                    _md5_int(s) % MOD
-                    for s in _shingles(_tokens(text))
-                ]
-                if xs:
-                    mh = [min((a * x + b) % MOD for x in xs) for a, b in params]
-                    for i in range(n_minhash):
-                        out_mh[i].append(mh[i])
-                    for bi in range(n_bands):
-                        acc = mh[bi * rows_per_band]
-                        for r in range(1, rows_per_band):
-                            acc = (acc * 31 + mh[bi * rows_per_band + r]) % MOD
-                        out_bands[bi].append(acc)
-                else:
-                    for i in range(n_minhash):
-                        out_mh[i].append(None)
-                    for bi in range(n_bands):
-                        out_bands[bi].append(None)
+                _sh, mh, bands = _minhash_row(text, params, n_bands, rows_per_band)
+                for i in range(n_minhash):
+                    out_mh[i].append(mh[i] if mh else None)
+                for bi in range(n_bands):
+                    out_bands[bi].append(bands[bi] if bands else None)
             res = pd.DataFrame({"doc_id": pdf["doc_id"]})
             for i in range(n_minhash):
                 res[f"mh{i}"] = pd.Series(out_mh[i], dtype="object")

@@ -56,6 +56,36 @@ def test_spread_is_noop_when_already_wide(spark):
     assert out is already
 
 
+def test_parse_spark_bytes_forms():
+    from iceberg_examples_spark.checkpointing import _parse_spark_bytes
+
+    assert _parse_spark_bytes("134217728") == 134217728
+    assert _parse_spark_bytes("128m") == 128 * 1024**2
+    assert _parse_spark_bytes("128MB") == 128 * 1024**2
+    assert _parse_spark_bytes("1g") == 1024**3
+    assert _parse_spark_bytes(" 64k ") == 64 * 1024
+
+
+def test_spread_scan_decides_without_rdd(spark, sf_dir, monkeypatch):
+    """The scan path must decide from plan metadata alone — converting to
+    an RDD for the partition count is the physical-planning tax spread()
+    exists to avoid (and the silent-fallback failure mode the round-4
+    review caught: a broken metadata probe degraded every call to the
+    RDD path without any test noticing)."""
+    import pyspark.sql
+
+    from iceberg_examples_spark.catalog import load_table
+    from iceberg_examples_spark.checkpointing import spread
+
+    def boom(self):
+        raise AssertionError("spread() used RDD conversion on a file scan")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "rdd", property(boom))
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = spread(df)  # narrow toy scan -> repartition, no .rdd touch
+    assert out is not df
+
+
 def test_spread_preserves_signature_values(spark, sf_dir):
     """Partition layout must not affect per-row-pure Arrow stages: the
     minhash signatures of a 1-partition and an 8-partition corpus are
