@@ -65,10 +65,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #           (hash-green) formulation,
 #     40-41 curation_pipeline / curation_incremental — modified this
 #           round (checkpoint strategy + incremental LSH band probe),
-#     42-50 round-2-attested ops not re-checked since: sequence_packing
+#     42-46 round-2-attested ops not re-checked since: sequence_packing
 #           multimodal_features knn_cosine_ivf stream_sessionize
-#           stream_session_window stream_static_join text_token_count
-#           text_lang_id text_quality_score.
+#           stream_session_window,
+#     47-50 NEW round-4 queries (first driver check): xml_roundtrip
+#           binary_files_ingest jsonl_shard_export mixture_temperature;
+#           the four r2-green queries they displaced (stream_static_join
+#           text_token_count text_lang_id text_quality_score) sit first
+#           past the window as the round-5 rotation priority.
 # Every query keeps a local DuckDB parity test regardless of position
 # (tests/test_parity.py runs all of them at sf0.001 every round), and
 # scripts/driver_sim.py replays the full gate under a VANILLA SparkSession
@@ -121,17 +125,26 @@ QUERIES: dict[str, QueryFn] = {
     # ----- round-4 window, part 4: modified this round (2) -----
     "curation_pipeline": SC.curation_pipeline,
     "curation_incremental": SC.curation_incremental,
-    # ----- round-4 window, part 5: r2-attested, oldest first (9) -----
+    # ----- round-4 window, part 5: r2-attested, oldest first (5) -----
     "sequence_packing": LP.sequence_packing,
     "multimodal_features": MM.multimodal_features,
     "knn_cosine_ivf": SIM.knn_cosine_ivf,
     "stream_sessionize": ST.stream_sessionize_stateful,
     "stream_session_window": ST.stream_session_window,
+    # ----- round-4 window, part 6: NEW this round, never driver-checked
+    # (4) — never-checked outranks re-attestation (the round-3 precedent);
+    # the four r2-green queries they displaced lead the round-5 rotation
+    # below -----
+    "xml_roundtrip": CV.xml_roundtrip,
+    "binary_files_ingest": MM.binary_files_ingest,
+    "jsonl_shard_export": LP.jsonl_shard_export,
+    "mixture_temperature": LP.mixture_temperature,
+    # ----- end of round-4 window (50 entries above) -----
+    # --- round-5 rotation priority: displaced from the round-4 window ---
     "stream_static_join": ST.stream_static_join,
     "text_token_count": TX.token_count,
     "text_lang_id": TX.lang_id,
     "text_quality_score": TX.quality_score,
-    # ----- end of round-4 window (50 entries above) -----
     # --- driver-green in round 3 (CORRECTNESS_r03) ---
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
@@ -156,12 +169,6 @@ QUERIES: dict[str, QueryFn] = {
     "contamination_check": LQ.contamination_check,
     "csv_roundtrip": CV.csv_roundtrip,
     "orc_roundtrip": CV.orc_roundtrip,
-    # new in round 4 (tail: local parity + driver-sim attested; rotate into
-    # the driver window in round 5)
-    "xml_roundtrip": CV.xml_roundtrip,
-    "binary_files_ingest": MM.binary_files_ingest,
-    "jsonl_shard_export": LP.jsonl_shard_export,
-    "mixture_temperature": LP.mixture_temperature,
     "json_infer": RS.json_infer_query,
     "json_corrupt_records": JS.json_corrupt_records,
     "stream_window_hourly": ST.stream_window_hourly,
