@@ -276,6 +276,8 @@ class LocalTable:
         operation: str,
         partition_by: list[str] | None,
         staged: bool = False,
+        parent: int | None = None,
+        move_ref: str | None = None,
     ) -> int:
         # Metadata-file versions advance on every publish (data commits,
         # staged commits, AND expiry); snapshot versions are minted by
@@ -302,7 +304,7 @@ class LocalTable:
         writer.parquet(path)
         entry = {
             "version": version,
-            "parent": meta["current"],
+            "parent": meta["current"] if parent is None else parent,
             "operation": operation,
             "path": relpath,
             "schema": df.schema.jsonValue(),
@@ -313,6 +315,14 @@ class LocalTable:
             entry["staged"] = True
         else:
             meta["current"] = version
+        if move_ref is not None:
+            # branch write: the ref head advances with this commit, under
+            # the same CAS — a racing branch writer loses the link and
+            # retries against the moved head, never silently forking
+            meta.setdefault("refs", {})[move_ref] = {
+                "type": "branch",
+                "version": version,
+            }
         meta["snapshots"].append(entry)
         try:
             self._publish_meta(meta, meta_version)
@@ -342,9 +352,17 @@ class LocalTable:
             df = self.read().unionByName(df, allowMissingColumns=True)
         return self._commit(df, "append", None)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Read current or time-travel to an older snapshot."""
+    def read(self, version: int | str | None = None) -> DataFrame:
+        """Read current, time-travel to a snapshot version, or read a
+        named ref (``read("my-tag")`` — Iceberg ``VERSION AS OF 'ref'``)."""
         meta = self._read_meta()
+        if isinstance(version, str):
+            refs = meta.get("refs", {})
+            if version not in refs:
+                raise FileNotFoundError(
+                    f"table {self.root} has no ref named {version!r}"
+                )
+            version = refs[version]["version"]
         v = meta["current"] if version is None else version
         if v < 0:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
@@ -450,6 +468,117 @@ class LocalTable:
         self._publish_meta(meta, read_version + 1)
         shutil.rmtree(os.path.join(self.root, snap["path"]), ignore_errors=True)
 
+    # ---- named refs: tags + branches ------------------------------------
+    # Iceberg's snapshot-reference surface (ALTER TABLE ... CREATE TAG /
+    # CREATE BRANCH, reads via VERSION AS OF 'ref', branch writes +
+    # fast_forward): refs live in table metadata as {name: {type,
+    # version}}, published through the same CAS as every commit, and pin
+    # their snapshots against expiry.
+
+    def refs(self) -> dict:
+        """All named refs: ``{name: {"type": "tag"|"branch", "version": v}}``."""
+        return dict(self._read_meta().get("refs", {}))
+
+    def _set_ref(self, name: str, ref_type: str, version: int | None) -> int:
+        meta, read_version = self._read_meta_versioned()
+        v = meta["current"] if version is None else version
+        snap = next(
+            (s for s in meta["snapshots"] if s["version"] == v), None
+        )
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {self.root} has no snapshot version {v}"
+            )
+        refs = meta.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(
+                f"ref {name!r} already exists ({refs[name]['type']} at "
+                f"version {refs[name]['version']}); drop it first"
+            )
+        refs[name] = {"type": ref_type, "version": v}
+        self._publish_meta(meta, read_version + 1)
+        return v
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named pointer to a snapshot (default: current).
+        Tags never move; re-tagging requires an explicit drop_ref."""
+        return self._set_ref(name, "tag", version)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Movable head starting at a snapshot (default: current).
+        Advance it with :meth:`append_to_branch`; land it on main with
+        :meth:`fast_forward`."""
+        return self._set_ref(name, "branch", version)
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a tag or branch. Snapshots it pinned become ordinary
+        history, expirable by the next retention pass (branch snapshots
+        off the main lineage stay ``staged`` and are reclaimed via
+        ``expire_snapshots(max_staged_age_s=...)``)."""
+        meta, read_version = self._read_meta_versioned()
+        refs = meta.get("refs", {})
+        if name not in refs:
+            raise ValueError(f"no ref named {name!r}")
+        del refs[name]
+        self._publish_meta(meta, read_version + 1)
+
+    def resolve_ref(self, name: str) -> int:
+        """Ref name -> snapshot version (Iceberg ``VERSION AS OF 'ref'``)."""
+        refs = self._read_meta().get("refs", {})
+        if name not in refs:
+            raise FileNotFoundError(
+                f"table {self.root} has no ref named {name!r}"
+            )
+        return refs[name]["version"]
+
+    def append_to_branch(self, name: str, df: DataFrame) -> int:
+        """Branch write: head-content ∪ new rows committed as a snapshot
+        whose PARENT is the branch head (not main), with the branch ref
+        moved to it in the same CAS publish. ``current`` is untouched —
+        main's readers never see branch-only rows (Iceberg's
+        write-to-branch semantics). The snapshot is marked staged so
+        default expiry never reclaims a live branch's history."""
+        meta = self._read_meta()
+        refs = meta.get("refs", {})
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"{name!r} is not a branch")
+        head = refs[name]["version"]
+        data = self.read(head).unionByName(df, allowMissingColumns=True)
+        return self._commit(
+            data, "branch-append", None, staged=True, parent=head,
+            move_ref=name,
+        )
+
+    def fast_forward(self, name: str) -> int:
+        """Fast-forward main to a branch head, iff main is an ancestor of
+        it (Iceberg's ``fast_forward`` procedure). Walks the parent chain
+        from the head back to ``current``; refuses (CommitConflictError)
+        if main diverged — the branch must be rebuilt from the new head.
+        Snapshots along the path lose their staged flag: they are main
+        history now."""
+        meta, read_version = self._read_meta_versioned()
+        refs = meta.get("refs", {})
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"{name!r} is not a branch")
+        head = refs[name]["version"]
+        by_version = {s["version"]: s for s in meta["snapshots"]}
+        path = []
+        v = head
+        while v != meta["current"]:
+            snap = by_version.get(v)
+            if snap is None:
+                raise CommitConflictError(
+                    f"main ({meta['current']}) is not an ancestor of branch "
+                    f"{name!r} ({head}); re-branch from the current head"
+                )
+            path.append(snap)
+            v = snap["parent"]
+        for snap in path:
+            snap.pop("staged", None)
+        meta["current"] = head
+        self._publish_meta(meta, read_version + 1)
+        return head
+
     # Default orphan grace period: matches Iceberg's remove_orphan_files
     # older_than default (3 days).
     ORPHAN_GRACE_S = 3 * 24 * 3600
@@ -531,6 +660,9 @@ class LocalTable:
             raise ValueError("keep_last must be >= 1")
         meta, read_version = self._read_meta_versioned()
         snaps = meta["snapshots"]
+        # ref-pinned snapshots (tags, branch heads) are never expired —
+        # Iceberg's reference-retention rule; drop the ref to release them
+        pinned = {r["version"] for r in meta.get("refs", {}).values()}
         data_snaps = [s for s in snaps if not s.get("staged")]
         staged_snaps = [s for s in snaps if s.get("staged")]
         stale_staged = []
@@ -545,6 +677,7 @@ class LocalTable:
                 s
                 for s in staged_snaps
                 if now - s.get("committed_at", 0.0) > max_staged_age_s
+                and s["version"] not in pinned
             ]
             staged_snaps = [s for s in staged_snaps if s not in stale_staged]
         if len(data_snaps) <= keep_last and not stale_staged:
@@ -559,12 +692,21 @@ class LocalTable:
             s["version"] == meta["current"] for s in retained
         ):
             raise ValueError("retention window must include the current snapshot")
-        expired = (
-            data_snaps[: max(len(data_snaps) - keep_last, 0)] + stale_staged
-        )
+        pinned_extra = [
+            s
+            for s in data_snaps[: max(len(data_snaps) - keep_last, 0)]
+            if s["version"] in pinned
+        ]
+        expired = [
+            s
+            for s in data_snaps[: max(len(data_snaps) - keep_last, 0)]
+            if s["version"] not in pinned
+        ] + stale_staged
+        if not expired:
+            return 0
         new_meta = dict(meta)
         new_meta["snapshots"] = sorted(
-            retained + staged_snaps, key=lambda s: s["version"]
+            retained + pinned_extra + staged_snaps, key=lambda s: s["version"]
         )
         new_meta["expired"] = meta.get("expired", []) + [
             {"version": s["version"], "operation": s["operation"]} for s in expired

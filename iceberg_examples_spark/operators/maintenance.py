@@ -124,6 +124,54 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs end-to-end — Iceberg's tag/branch surface
+    (``ALTER TABLE ... CREATE TAG/BRANCH``, ``VERSION AS OF 'ref'``,
+    write-to-branch, reference-retention in ``expire_snapshots``):
+
+    v0 create (nations < 10) → v1 append (rest) → tag ``v1-release`` and
+    branch ``audit`` at v1 → branch-append region-2 rows (head v2, main
+    untouched) → main overwrite to region-1 (v3) → expire(keep_last=1),
+    which reclaims v0 but must keep tag-pinned v1 and the live branch's
+    v2. Result: one row per ref (main, tag, branch) with the version it
+    resolves to, its row count / key sum, and the surviving snapshot
+    count — so a broken expiry, a moved tag, or branch rows leaking into
+    main all hash-mismatch.
+
+    Scale: refs are O(1) metadata entries under the same CAS publish as
+    every commit; branch reads are ordinary snapshot scans."""
+    nat = load_table(spark, sf_dir, "nation")
+    t = LocalTable(spark, scratch_dir(sf_dir, "snapshot_refs", fresh=True))
+    t.create(nat.filter("n_nationkey < 10"))
+    v1 = t.append(nat.filter("n_nationkey >= 10"))
+    t.create_tag("v1-release", v1)
+    t.create_branch("audit", v1)
+    t.append_to_branch("audit", nat.filter("n_regionkey = 2"))
+    t.overwrite(nat.filter("n_regionkey = 1"))
+    t.expire_snapshots(keep_last=1)
+
+    n_live = len(t.snapshots())
+    targets = [("main", "branch", t.current_version)] + [
+        (name, r["type"], r["version"]) for name, r in sorted(t.refs().items())
+    ]
+    rows = []
+    for name, ref_type, version in targets:
+        agg = (
+            t.read(version)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_nationkey").alias("ks"),
+            )
+            .collect()[0]
+        )
+        rows.append((name, ref_type, version, agg.n, agg.ks, n_live))
+    return spark.createDataFrame(
+        rows,
+        "ref string, ref_type string, version long, n_rows long, "
+        "key_sum long, n_live_snapshots long",
+    )
+
+
 def changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog scan between snapshots (Iceberg ``create_changelog_view``
     / Delta CDF shape): v0 = customers with nationkey < 13, v1 = an

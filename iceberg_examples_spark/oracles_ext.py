@@ -1806,6 +1806,27 @@ SELECT CAST(n_nationkey % 4 AS BIGINT) AS nk_bucket,
 FROM nation GROUP BY 1
 """
 
+EXT_ORACLES["snapshot_refs"] = """
+SELECT 'main' AS ref, 'branch' AS ref_type, CAST(3 AS BIGINT) AS version,
+       (SELECT count(*) FROM nation WHERE n_regionkey = 1) AS n_rows,
+       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+        WHERE n_regionkey = 1) AS key_sum,
+       CAST(3 AS BIGINT) AS n_live_snapshots
+UNION ALL
+SELECT 'audit', 'branch', 2,
+       (SELECT count(*) FROM nation)
+         + (SELECT count(*) FROM nation WHERE n_regionkey = 2),
+       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation)
+         + (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+            WHERE n_regionkey = 2),
+       3
+UNION ALL
+SELECT 'v1-release', 'tag', 1,
+       (SELECT count(*) FROM nation),
+       (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation),
+       3
+"""
+
 EXT_ORACLES["snapshot_history"] = """
 SELECT CAST(0 AS BIGINT) AS version, CAST(-1 AS BIGINT) AS parent,
        'create' AS operation,

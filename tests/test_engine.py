@@ -1008,3 +1008,78 @@ def test_sequence_packing_multiple_shards(spark, sf_dir):
 
     shards = sequence_packing(spark, sf_dir).select("shard_id").distinct().count()
     assert shards >= 3
+
+
+# ---- LocalTable: named refs (tags + branches) ---------------------------
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+def test_refs_tag_pins_and_resolves(spark, tmp_path):
+    t = LocalTable(spark, str(tmp_path / "tbl_refs"))
+    t.create(_mk(spark, [(1, "a")]))
+    v1 = t.append(_mk(spark, [(2, "b")]))
+    t.create_tag("rel", v1)
+    assert t.resolve_ref("rel") == v1
+    assert t.read("rel").count() == 2
+    # tags are immutable: re-creating raises
+    with pytest.raises(ValueError):
+        t.create_tag("rel", 0)
+    # expire keeps the pinned snapshot even outside keep_last
+    t.overwrite(_mk(spark, [(9, "z")]))
+    t.overwrite(_mk(spark, [(10, "y")]))
+    assert t.expire_snapshots(keep_last=1) > 0
+    assert t.read("rel").count() == 2  # still readable
+    with pytest.raises(FileNotFoundError):
+        t.read(0)  # unpinned v0 really expired
+    t.drop_ref("rel")
+    assert "rel" not in t.refs()
+
+
+def test_refs_branch_write_isolated_from_main(spark, tmp_path):
+    t = LocalTable(spark, str(tmp_path / "tbl_branch"))
+    t.create(_mk(spark, [(1, "a")]))
+    t.create_branch("audit")
+    head = t.append_to_branch("audit", _mk(spark, [(2, "b")]))
+    # main untouched; branch sees both rows
+    assert t.read().count() == 1
+    assert t.read("audit").count() == 2
+    assert t.resolve_ref("audit") == head
+    # branch snapshot is staged, so default expiry never reclaims it
+    snap = next(s for s in t.snapshots() if s["version"] == head)
+    assert snap.get("staged") is True
+
+
+def test_refs_fast_forward_and_divergence(spark, tmp_path):
+    from iceberg_examples_spark.catalog import CommitConflictError
+
+    t = LocalTable(spark, str(tmp_path / "tbl_ff"))
+    t.create(_mk(spark, [(1, "a")]))
+    t.create_branch("dev")
+    t.append_to_branch("dev", _mk(spark, [(2, "b")]))
+    head = t.append_to_branch("dev", _mk(spark, [(3, "c")]))
+    assert t.fast_forward("dev") == head
+    assert t.current_version == head
+    assert t.read().count() == 3
+    # snapshots on the landed path are main history now (not staged)
+    assert not any(s.get("staged") for s in t.snapshots())
+    # diverged main -> fast_forward must refuse
+    t2 = LocalTable(spark, str(tmp_path / "tbl_ff2"))
+    t2.create(_mk(spark, [(1, "a")]))
+    t2.create_branch("dev")
+    t2.append_to_branch("dev", _mk(spark, [(2, "b")]))
+    t2.append(_mk(spark, [(9, "z")]))  # main moves independently
+    with pytest.raises(CommitConflictError):
+        t2.fast_forward("dev")
+
+
+def test_refs_branch_survives_staged_age_expiry(spark, tmp_path):
+    t = LocalTable(spark, str(tmp_path / "tbl_age"))
+    t.create(_mk(spark, [(1, "a")]))
+    t.create_branch("keepme")
+    head = t.append_to_branch("keepme", _mk(spark, [(2, "b")]))
+    # an aggressive staged-age sweep must not reclaim a live branch head
+    assert t.expire_snapshots(keep_last=5, max_staged_age_s=0.0) == 0
+    assert t.read("keepme").count() == 2
+    assert t.resolve_ref("keepme") == head
