@@ -459,6 +459,11 @@ class LocalTable:
         )
         if snap is None or not snap.get("staged"):
             raise ValueError(f"version {version} is not a staged snapshot")
+        if version in {r["version"] for r in meta.get("refs", {}).values()}:
+            raise ValueError(
+                f"version {version} is referenced by a named ref; "
+                "drop the ref first"
+            )
         meta["snapshots"] = [
             s for s in meta["snapshots"] if s["version"] != version
         ]

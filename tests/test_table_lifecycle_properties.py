@@ -27,6 +27,10 @@ class Model:
         self.snaps: dict[int, tuple[list[int], bool]] = {}  # v -> (rows, staged)
         self.current = -1
         self.minted = -1  # highest version ever assigned — never reused
+        self.refs: dict[str, tuple[str, int]] = {}  # name -> (type, version)
+
+    def pinned(self) -> set[int]:
+        return {v for _, v in self.refs.values()}
 
     def _next_version(self) -> int:
         self.minted += 1
@@ -63,11 +67,14 @@ class Model:
 
     def expire(self, keep_last: int) -> int:
         # staged snapshots are pending work — never expired; retention
-        # applies to the data lineage only (mirrors LocalTable)
+        # applies to the data lineage only, and ref-pinned snapshots
+        # survive regardless (mirrors LocalTable)
         data = sorted(v for v, (_, s) in self.snaps.items() if not s)
         if len(data) <= keep_last:
             return 0
-        expired = data[: len(data) - keep_last]
+        expired = [
+            v for v in data[: len(data) - keep_last] if v not in self.pinned()
+        ]
         for v in expired:
             del self.snaps[v]
         return len(expired)
@@ -83,9 +90,16 @@ OPS = st.lists(
         st.tuples(st.just("compact"), st.just([])),
         st.tuples(st.just("expire"), st.just([])),
         st.tuples(st.just("orphans"), st.just([])),
+        st.tuples(st.just("tag"), st.sampled_from(["r1", "r2"])),
+        st.tuples(st.just("branch"), st.sampled_from(["b1", "b2"])),
+        st.tuples(
+            st.just("branch_append"), st.lists(st.integers(0, 9), max_size=3)
+        ),
+        st.tuples(st.just("fast_forward"), st.just([])),
+        st.tuples(st.just("drop_ref"), st.sampled_from(["r1", "b1"])),
     ),
     min_size=1,
-    max_size=8,
+    max_size=10,
 )
 
 
@@ -143,8 +157,13 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
             if not staged:
                 continue
             v = staged[0]
-            t.drop_staged(v)
-            del m.snaps[v]
+            if v in m.pinned():
+                # a ref (branch head) pins the snapshot — engine refuses
+                with pytest.raises(ValueError):
+                    t.drop_staged(v)
+            else:
+                t.drop_staged(v)
+                del m.snaps[v]
         elif op == "compact":
             t.compact(target_files=1)
             m.compact()
@@ -158,6 +177,64 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
             # protect anything fresh regardless
             assert t.remove_orphans() == 0
             assert t.remove_orphans(older_than_s=0) == 0
+        elif op in ("tag", "branch"):
+            name = rows  # strategy passes the ref name in the 2nd slot
+            mk = t.create_tag if op == "tag" else t.create_branch
+            if name in m.refs:
+                with pytest.raises(ValueError):
+                    mk(name)
+            else:
+                mk(name)
+                m.refs[name] = (op, m.current)
+        elif op == "branch_append":
+            branches = sorted(
+                n for n, (ty, _) in m.refs.items() if ty == "branch"
+            )
+            if not branches:
+                continue
+            name = branches[0]
+            head = m.refs[name][1]
+            v_real = t.append_to_branch(name, df(rows))
+            v_model = m._next_version()
+            m.snaps[v_model] = (m.snaps[head][0] + rows, True)
+            m.refs[name] = ("branch", v_model)
+            m.parent_of[v_model] = head
+            assert v_real == v_model
+        elif op == "fast_forward":
+            from iceberg_examples_spark.catalog import CommitConflictError
+
+            branches = sorted(
+                n for n, (ty, _) in m.refs.items() if ty == "branch"
+            )
+            if not branches:
+                continue
+            name = branches[0]
+            head = m.refs[name][1]
+            path, v, reachable = [], head, True
+            while v != m.current:
+                if v not in m.parent_of:
+                    # walk crossed out of the staged branch chain without
+                    # hitting current: main is not an ancestor
+                    reachable = False
+                    break
+                path.append(v)
+                v = m.parent_of[v]
+            if reachable:
+                t.fast_forward(name)
+                for pv in path:
+                    m.snaps[pv] = (m.snaps[pv][0], False)
+                m.current = head
+            else:
+                with pytest.raises(CommitConflictError):
+                    t.fast_forward(name)
+        elif op == "drop_ref":
+            name = rows
+            if name in m.refs:
+                t.drop_ref(name)
+                del m.refs[name]
+            else:
+                with pytest.raises(ValueError):
+                    t.drop_ref(name)
 
         # invariants after every step
         assert t.current_version == m.current
@@ -167,3 +244,9 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
         )
         for v in m.snaps:
             assert sorted(r.id for r in t.read(v).collect()) == m.rows(v)
+        assert t.refs() == {
+            n: {"type": ty, "version": rv} for n, (ty, rv) in m.refs.items()
+        }
+        for n, (_ty, rv) in m.refs.items():
+            assert t.resolve_ref(n) == rv
+            assert sorted(r.id for r in t.read(n).collect()) == m.rows(rv)
