@@ -86,6 +86,8 @@ HEADLINE = [
     "binary_files_ingest",
     "jsonl_shard_export",
     "mixture_temperature",
+    "bucketed_join",
+    "snapshot_refs",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -27,7 +27,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.catalog import load_table, scratch_dir
 from iceberg_examples_spark.functions.exact import money_sum_sql
 
 
@@ -110,6 +110,40 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)).alias(
             "revenue"
         ),
+    )
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket co-location end-to-end — the 100 TB join strategy for
+    recurring fact-fact joins: both tables are written ``bucketBy`` the
+    join key into the SAME bucket count (+ in-bucket sort), so the join
+    plans as a SortMergeJoin with NO Exchange on either side — the
+    shuffle was paid once at write time and amortizes over every
+    subsequent join (Iceberg's bucket partition transform serves the
+    same role; the engine test asserts the no-Exchange plan). Tables are
+    registered with pid-unique names at an explicit scratch path, so
+    concurrent processes and the vanilla driver session never collide or
+    write into the working directory. The oracle recomputes the joined
+    aggregate from the raw tables, proving bucketed placement is
+    content-neutral."""
+    pid = os.getpid()
+    lname, oname = f"ies_bkt_lineitem_{pid}", f"ies_bkt_orders_{pid}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", scratch_dir(sf_dir, "bkt_lineitem")
+    ).mode("overwrite").saveAsTable(lname)
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", scratch_dir(sf_dir, "bkt_orders")
+    ).mode("overwrite").saveAsTable(oname)
+    joined = spark.table(lname).join(
+        spark.table(oname), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
     )
 
 

@@ -372,6 +372,13 @@ FROM sess GROUP BY user_id, session_seq
 
 # ---- partitioning / multimodal / streaming ------------------------------
 
+EXT_ORACLES["bucketed_join"] = f"""
+SELECT o_orderstatus, count(*) AS n_items,
+       {money_sum_sql('l_quantity', scale=100)} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
 EXT_ORACLES["partition_prune"] = f"""
 SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
        count(*) AS n_rows,

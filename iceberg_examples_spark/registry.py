@@ -146,6 +146,7 @@ QUERIES: dict[str, QueryFn] = {
     "text_lang_id": TX.lang_id,
     "text_quality_score": TX.quality_score,
     "snapshot_refs": MT.snapshot_refs,
+    "bucketed_join": PT.bucketed_join,
     # --- driver-green in round 3 (CORRECTNESS_r03) ---
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
