@@ -88,6 +88,8 @@ HEADLINE = [
     "mixture_temperature",
     "bucketed_join",
     "snapshot_refs",
+    "stream_wap_branch",
+    "python_datasource_scan",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -536,6 +536,12 @@ class LocalTable:
             )
         return refs[name]["version"]
 
+    def _branch_head(self, name: str) -> int:
+        refs = self._read_meta().get("refs", {})
+        if name not in refs or refs[name]["type"] != "branch":
+            raise ValueError(f"{name!r} is not a branch")
+        return refs[name]["version"]
+
     def append_to_branch(self, name: str, df: DataFrame) -> int:
         """Branch write: head-content ∪ new rows committed as a snapshot
         whose PARENT is the branch head (not main), with the branch ref
@@ -543,14 +549,22 @@ class LocalTable:
         main's readers never see branch-only rows (Iceberg's
         write-to-branch semantics). The snapshot is marked staged so
         default expiry never reclaims a live branch's history."""
-        meta = self._read_meta()
-        refs = meta.get("refs", {})
-        if name not in refs or refs[name]["type"] != "branch":
-            raise ValueError(f"{name!r} is not a branch")
-        head = refs[name]["version"]
+        head = self._branch_head(name)
         data = self.read(head).unionByName(df, allowMissingColumns=True)
         return self._commit(
             data, "branch-append", None, staged=True, parent=head,
+            move_ref=name,
+        )
+
+    def overwrite_branch(self, name: str, df: DataFrame) -> int:
+        """Branch write with replace semantics — the complete-output-mode
+        streaming sink shape (each epoch's state replaces the branch
+        head; main is untouched until fast_forward lands the audited
+        result). Same staged+parent+ref-move CAS commit as
+        :meth:`append_to_branch`."""
+        head = self._branch_head(name)
+        return self._commit(
+            df, "branch-overwrite", None, staged=True, parent=head,
             move_ref=name,
         )
 

@@ -630,7 +630,20 @@ FROM (
 GROUP BY table_name, row_group_id
 """
 
+EXT_ORACLES["python_datasource_scan"] = """
+WITH g AS (
+  SELECT s.range AS shard, s.range * 200 + i.range AS seq
+  FROM range(0, 8) s, range(0, 200) i
+)
+SELECT CAST(shard AS INT) AS shard,
+       count(*) AS n_urls,
+       CAST(sum((seq * 2654435761 + 101) % 100000) AS BIGINT) AS total_bytes,
+       count(DISTINCT 'doc-' || seq) AS n_distinct_urls
+FROM g GROUP BY 1
+"""
+
 EXT_ORACLES["stream_to_table"] = EXT_ORACLES["window_hourly"]
+EXT_ORACLES["stream_wap_branch"] = EXT_ORACLES["window_hourly"]
 
 EXT_ORACLES["sql_entry"] = f"""
 SELECT n_name,

@@ -32,6 +32,7 @@ from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.operators import tpch_full as TF
 from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
+from iceberg_examples_spark.sources import python_datasource as PD
 from iceberg_examples_spark.streaming import rollup as ST
 from iceberg_examples_spark.oracles import ORACLES
 
@@ -147,6 +148,8 @@ QUERIES: dict[str, QueryFn] = {
     "text_quality_score": TX.quality_score,
     "snapshot_refs": MT.snapshot_refs,
     "bucketed_join": PT.bucketed_join,
+    "stream_wap_branch": ST.stream_wap_branch,
+    "python_datasource_scan": PD.python_datasource_scan,
     # --- driver-green in round 3 (CORRECTNESS_r03) ---
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,

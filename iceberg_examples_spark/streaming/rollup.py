@@ -203,6 +203,40 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read()
 
 
+def stream_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Write-Audit-Publish onto a branch — Iceberg's
+    ``spark.wap.branch`` pattern for streams: every microbatch of the
+    complete-mode hourly rollup REPLACES the audit branch's head
+    (``overwrite_branch``: staged commit, parent = branch head, ref moved
+    in the same CAS), so main's readers never see in-flight streaming
+    state; when the stream drains, the audit gate checks main is still
+    untouched and ``fast_forward`` lands the whole audited lineage on
+    main atomically. Final main state = the batch rollup, verified by
+    the same oracle as ``window_hourly`` / ``stream_to_table`` — so a
+    leak of branch rows into main before publish, or a lost epoch, both
+    fail loudly (the in-query gate raises; the hash mismatches)."""
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+
+    agg = _hourly_rollup(_events_stream(spark, sf_dir))
+    table = LocalTable(spark, scratch_dir(sf_dir, "stream_wap", fresh=True))
+    table.create(spark.createDataFrame([], agg.schema))
+    table.create_branch("audit")
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        table.overwrite_branch("audit", batch_df)
+
+    q = agg.writeStream.outputMode("complete").foreachBatch(commit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    if table.read().count() != 0:  # the audit: main must be untouched
+        raise RuntimeError("branch rows leaked into main before publish")
+    table.fast_forward("audit")
+    return table.read()
+
+
 def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert sink: each microbatch is reduced to its latest
     row per user and MERGEd into the snapshot-versioned profile table via
