@@ -90,6 +90,7 @@ HEADLINE = [
     "snapshot_refs",
     "stream_wap_branch",
     "python_datasource_scan",
+    "bigram_lm_score",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of

@@ -238,3 +238,55 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("sh").alias("n_shared"))
     )
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality gate (the KenLM-style statistical
+    filter, MLE without smoothing — the corpus scores itself): each
+    document's score is the average conditional probability of its
+    bigrams under corpus counts, P(w2|w1) = c(w1 w2) / c(w1 ·), so
+    documents full of rare transitions (gibberish, boilerplate mashes)
+    score low. Arithmetic is exact for the cross-engine hash: each bigram
+    contributes ``c2 * 10^6 div c1`` (integer division — identical floor
+    semantics in Spark's ``div`` and DuckDB's ``//``), and the per-doc
+    aggregate is a BIGINT sum + count, so no float log or division-order
+    effect can diverge.
+
+    Plan (the inverted-index shape, linear at scale): one explode to
+    bigram rows, two vocabulary-bounded count aggregates (bigram,
+    context), join back on the bigram/context keys, per-doc sum. The
+    documents themselves shuffle once (the explode output grouped per
+    key); the count tables are |vocab|-bounded and at production scale
+    the context table broadcasts."""
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    big = (
+        docs.filter(F.expr("size(tk) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), i -> "
+                    "struct(element_at(tk, i) as w1, "
+                    "element_at(tk, i + 1) as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .withColumn("p_scaled", F.expr("c2 * 1000000 div c1"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_scaled").alias("p_scaled_sum"),
+        )
+        .withColumn("avg_p_scaled", F.expr("p_scaled_sum div n_bigrams"))
+    )

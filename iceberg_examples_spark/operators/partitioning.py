@@ -138,7 +138,11 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
         "path", scratch_dir(sf_dir, "bkt_orders")
     ).mode("overwrite").saveAsTable(oname)
-    joined = spark.table(lname).join(
+    # hint("merge"): at toy scale the planner would broadcast the small
+    # side, hiding the point — force the SortMergeJoin that bucket
+    # co-location makes Exchange-free (at 100 TB SMJ is what the planner
+    # picks anyway; the hint is a no-op there)
+    joined = spark.table(lname).hint("merge").join(
         spark.table(oname), F.col("l_orderkey") == F.col("o_orderkey")
     )
     return joined.groupBy("o_orderstatus").agg(

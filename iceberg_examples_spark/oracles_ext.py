@@ -630,6 +630,26 @@ FROM (
 GROUP BY table_name, row_group_id
 """
 
+EXT_ORACLES["bigram_lm_score"] = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKS.format(col='text')} AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(tk[1:len(tk)-1]) AS w1,
+         unnest(tk[2:len(tk)]) AS w2
+  FROM toks WHERE len(tk) >= 2
+),
+bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       CAST(sum(c2 * 1000000 // c1) AS BIGINT) AS p_scaled_sum,
+       CAST(CAST(sum(c2 * 1000000 // c1) AS BIGINT) // count(*) AS BIGINT)
+         AS avg_p_scaled
+FROM bg b JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY b.doc_id
+"""
+
 EXT_ORACLES["python_datasource_scan"] = """
 WITH g AS (
   SELECT s.range AS shard, s.range * 200 + i.range AS seq

@@ -150,6 +150,7 @@ QUERIES: dict[str, QueryFn] = {
     "bucketed_join": PT.bucketed_join,
     "stream_wap_branch": ST.stream_wap_branch,
     "python_datasource_scan": PD.python_datasource_scan,
+    "bigram_lm_score": LQ.bigram_lm_score,
     # --- driver-green in round 3 (CORRECTNESS_r03) ---
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
