@@ -141,16 +141,21 @@ QUERIES: dict[str, QueryFn] = {
     "jsonl_shard_export": LP.jsonl_shard_export,
     "mixture_temperature": LP.mixture_temperature,
     # ----- end of round-4 window (50 entries above) -----
-    # --- round-5 rotation priority: displaced from the round-4 window ---
-    "stream_static_join": ST.stream_static_join,
-    "text_token_count": TX.token_count,
-    "text_lang_id": TX.lang_id,
-    "text_quality_score": TX.quality_score,
+    # --- round-5 rotation priority (lead the next window): first the
+    # five late-round-4 queries that have never been driver-checked
+    # (snapshot_refs bucketed_join stream_wap_branch
+    # python_datasource_scan bigram_lm_score — all green in local parity
+    # + the vanilla-session driver sim), then the four r2-green queries
+    # displaced from the round-4 window ---
     "snapshot_refs": MT.snapshot_refs,
     "bucketed_join": PT.bucketed_join,
     "stream_wap_branch": ST.stream_wap_branch,
     "python_datasource_scan": PD.python_datasource_scan,
     "bigram_lm_score": LQ.bigram_lm_score,
+    "stream_static_join": ST.stream_static_join,
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
     # --- driver-green in round 3 (CORRECTNESS_r03) ---
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
