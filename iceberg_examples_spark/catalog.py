@@ -256,6 +256,27 @@ class LocalTable:
         )
 
     @staticmethod
+    def _pinned_versions(meta: dict) -> set[int]:
+        """Versions protected by named refs — Iceberg's reference
+        retention: a tag pins its target; a BRANCH pins its head plus the
+        head's staged ancestry (the branch's own lineage), so neither
+        expiry sweeps nor drop_staged can sever the parent chain that
+        fast_forward walks. Main-history ancestors below the fork point
+        are NOT pinned: snapshots are self-contained data dirs, so branch
+        reads never need them, and ordinary retention applies."""
+        by_version = {s["version"]: s for s in meta["snapshots"]}
+        pinned: set[int] = set()
+        for r in meta.get("refs", {}).values():
+            v = r["version"]
+            pinned.add(v)
+            if r["type"] == "branch":
+                snap = by_version.get(v)
+                while snap is not None and snap.get("staged"):
+                    pinned.add(snap["version"])
+                    snap = by_version.get(snap["parent"])
+        return pinned
+
+    @staticmethod
     def _next_snapshot_version(meta: dict) -> int:
         """Next snapshot version: one past the highest version EVER minted
         — live snapshots, expired/dropped ones (recorded in the
@@ -290,6 +311,18 @@ class LocalTable:
 
         meta, read_version = self._read_meta_versioned()
         meta_version = read_version + 1
+        if move_ref is not None:
+            # re-validate against the SAME read the CAS publish is built
+            # on: if the branch moved (or was dropped) since the caller
+            # read its head, this commit would silently discard the other
+            # writer's rows — surface the conflict instead; the CAS then
+            # guarantees nothing lands between this read and our publish
+            ref = meta.get("refs", {}).get(move_ref)
+            if ref is None or ref.get("type") != "branch" or ref["version"] != parent:
+                raise CommitConflictError(
+                    f"branch {move_ref!r} moved or was dropped since its "
+                    f"head ({parent}) was read; re-read and retry"
+                )
         version = self._next_snapshot_version(meta)
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
         # committers never write into each other's files; the metadata CAS
@@ -459,10 +492,11 @@ class LocalTable:
         )
         if snap is None or not snap.get("staged"):
             raise ValueError(f"version {version} is not a staged snapshot")
-        if version in {r["version"] for r in meta.get("refs", {}).values()}:
+        if version in self._pinned_versions(meta):
             raise ValueError(
-                f"version {version} is referenced by a named ref; "
-                "drop the ref first"
+                f"version {version} is referenced by a named ref "
+                "(a tag target or a live branch's lineage); drop the "
+                "ref first"
             )
         meta["snapshots"] = [
             s for s in meta["snapshots"] if s["version"] != version
@@ -679,9 +713,10 @@ class LocalTable:
             raise ValueError("keep_last must be >= 1")
         meta, read_version = self._read_meta_versioned()
         snaps = meta["snapshots"]
-        # ref-pinned snapshots (tags, branch heads) are never expired —
-        # Iceberg's reference-retention rule; drop the ref to release them
-        pinned = {r["version"] for r in meta.get("refs", {}).values()}
+        # ref-pinned snapshots (tag targets; branch heads + their staged
+        # lineage) are never expired — Iceberg's reference-retention rule;
+        # drop the ref to release them
+        pinned = self._pinned_versions(meta)
         data_snaps = [s for s in snaps if not s.get("staged")]
         staged_snaps = [s for s in snaps if s.get("staged")]
         stale_staged = []

@@ -253,11 +253,14 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect can diverge.
 
     Plan (the inverted-index shape, linear at scale): one explode to
-    bigram rows, two vocabulary-bounded count aggregates (bigram,
-    context), join back on the bigram/context keys, per-doc sum. The
-    documents themselves shuffle once (the explode output grouped per
-    key); the count tables are |vocab|-bounded and at production scale
-    the context table broadcasts."""
+    bigram rows; the bigram count aggregate; the CONTEXT counts derived
+    from the bigram counts (c(w1·) = Σ_w2 c(w1,w2) — algebraically
+    identical and |vocab|²-bounded input, so the corpus is never
+    re-tokenized for the second statistic); join back on the bigram key;
+    per-doc sum. The corpus tokenize+explode runs twice (count-build and
+    probe sides of the self-join) — at production scale the probe side
+    re-reads the staged bigram relation instead; the count tables are
+    vocab-bounded and the context side broadcasts."""
     from iceberg_examples_spark.operators.text import with_tokens
 
     docs = with_tokens(load_table(spark, sf_dir, "documents"))
@@ -276,7 +279,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bg.w1", "bg.w2")
     )
     bgc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ctx = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         big.join(bgc, ["w1", "w2"])
         .join(ctx, "w1")

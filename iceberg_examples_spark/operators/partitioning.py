@@ -126,29 +126,45 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     write into the working directory. The oracle recomputes the joined
     aggregate from the raw tables, proving bucketed placement is
     content-neutral."""
+    import shutil
+
     pid = os.getpid()
     lname, oname = f"ies_bkt_lineitem_{pid}", f"ies_bkt_orders_{pid}"
+    lpath = scratch_dir(sf_dir, "bkt_lineitem", fresh=True)
+    opath = scratch_dir(sf_dir, "bkt_orders", fresh=True)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
-        "path", scratch_dir(sf_dir, "bkt_lineitem")
-    ).mode("overwrite").saveAsTable(lname)
-    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
-        "path", scratch_dir(sf_dir, "bkt_orders")
-    ).mode("overwrite").saveAsTable(oname)
-    # hint("merge"): at toy scale the planner would broadcast the small
-    # side, hiding the point — force the SortMergeJoin that bucket
-    # co-location makes Exchange-free (at 100 TB SMJ is what the planner
-    # picks anyway; the hint is a no-op there)
-    joined = spark.table(lname).hint("merge").join(
-        spark.table(oname), F.col("l_orderkey") == F.col("o_orderkey")
-    )
-    return joined.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
-    )
+    try:
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", lpath
+        ).mode("overwrite").saveAsTable(lname)
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", opath
+        ).mode("overwrite").saveAsTable(oname)
+        # hint("merge"): at toy scale the planner would broadcast the small
+        # side, hiding the point — force the SortMergeJoin that bucket
+        # co-location makes Exchange-free (at 100 TB SMJ is what the
+        # planner picks anyway; the hint is a no-op there)
+        joined = spark.table(lname).hint("merge").join(
+            spark.table(oname), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        result = joined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
+        )
+        # materialize the (3-row) result so the bucketed tables, their
+        # catalog entries, and the RAM-backed scratch copies can be
+        # reclaimed before returning — a query must not leak two table
+        # copies per invocation for the lifetime of the process
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lname}")
+        spark.sql(f"DROP TABLE IF EXISTS {oname}")
+        shutil.rmtree(lpath, ignore_errors=True)
+        shutil.rmtree(opath, ignore_errors=True)
 
 
 def _zorder_scaled_keys_spark(li: DataFrame) -> tuple[str, str]:

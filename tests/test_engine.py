@@ -1083,3 +1083,45 @@ def test_refs_branch_survives_staged_age_expiry(spark, tmp_path):
     assert t.expire_snapshots(keep_last=5, max_staged_age_s=0.0) == 0
     assert t.read("keepme").count() == 2
     assert t.resolve_ref("keepme") == head
+
+
+def test_refs_branch_lineage_pinned(spark, tmp_path):
+    """Reference retention covers the branch's staged ancestry, not just
+    the head: intermediates can be neither drop_staged nor swept by the
+    staged-age escape hatch while the branch lives."""
+    t = LocalTable(spark, str(tmp_path / "tbl_lineage"))
+    t.create(_mk(spark, [(1, "a")]))
+    t.create_branch("b")
+    v1 = t.append_to_branch("b", _mk(spark, [(2, "b")]))
+    v2 = t.append_to_branch("b", _mk(spark, [(3, "c")]))
+    with pytest.raises(ValueError):
+        t.drop_staged(v1)  # intermediate of a live branch
+    assert t.expire_snapshots(keep_last=5, max_staged_age_s=0.0) == 0
+    assert t.fast_forward("b") == v2  # chain intact end-to-end
+    assert t.read().count() == 3
+
+
+def test_refs_branch_write_race_surfaces_conflict(spark, tmp_path):
+    """Two branch writers racing from the same head: the loser must get
+    CommitConflictError, never a silent lost update (the ref re-check in
+    _commit runs against the same read its CAS publish is built on)."""
+    from iceberg_examples_spark.catalog import CommitConflictError
+
+    t = LocalTable(spark, str(tmp_path / "tbl_race"))
+    t.create(_mk(spark, [(1, "a")]))
+    t.create_branch("b")
+    stale_head = t._branch_head("b")
+    t.append_to_branch("b", _mk(spark, [(2, "b")]))  # writer 1 wins
+    # writer 2 still holds the stale head; its commit must refuse
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            _mk(spark, [(9, "z")]), "branch-append", None,
+            staged=True, parent=stale_head, move_ref="b",
+        )
+    # and a write against a dropped ref refuses too
+    t.drop_ref("b")
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            _mk(spark, [(9, "z")]), "branch-append", None,
+            staged=True, parent=stale_head, move_ref="b",
+        )

@@ -30,7 +30,18 @@ class Model:
         self.refs: dict[str, tuple[str, int]] = {}  # name -> (type, version)
 
     def pinned(self) -> set[int]:
-        return {v for _, v in self.refs.values()}
+        """Tag targets; for branches, the head plus its STAGED ancestry —
+        mirrors LocalTable._pinned_versions (reference retention must
+        cover the lineage fast_forward walks, not just the head)."""
+        out = set()
+        for ty, v in self.refs.values():
+            out.add(v)
+            if ty == "branch":
+                x = v
+                while x in self.snaps and self.snaps[x][1]:
+                    out.add(x)
+                    x = self.parent_of.get(x, -1)
+        return out
 
     def _next_version(self) -> int:
         self.minted += 1
