@@ -254,3 +254,28 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
     )
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibrated sampling — the production shape of "keep
+    high-quality data at a higher rate": each document's keep
+    probability is a function of its quality score (here the shared
+    4-point heuristic standing in for a classifier: rate = q² · 625 out
+    of 10000, so top-quality docs always survive, quality-0 never does),
+    and membership is the hash-pure doc_id threshold — deterministic
+    across engines, reruns, and backfills, unlike rand()-based sampling
+    which silently resamples every run. Map-only over the corpus (the
+    quality metrics and the hash are per-row expressions); one tiny
+    final aggregate."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+    from iceberg_examples_spark.operators.text import with_quality_metrics
+
+    docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
+    h = md5_int_hash("cast(doc_id as string)")
+    kept = docs.withColumn(
+        "rate", F.expr("quality * quality * 625")
+    ).filter(F.expr(f"({h}) % 10000") < F.col("rate"))
+    return kept.groupBy("quality", "rate").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -141,6 +141,17 @@ SELECT doc_id,
 FROM t
 """
 
+EXT_ORACLES["quality_weighted_sample"] = f"""
+WITH t AS (SELECT doc_id, text, {_toks} AS toks FROM documents),
+q AS (SELECT doc_id, {_quality} AS quality FROM t)
+SELECT quality, CAST(quality * quality * 625 AS BIGINT) AS rate,
+       count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM q
+WHERE ({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 10000
+      < quality * quality * 625
+GROUP BY 1, 2
+"""
+
 _poly_text = duck_poly_hash("text")
 EXT_ORACLES["text_fingerprint"] = f"""
 SELECT doc_id,
