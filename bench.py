@@ -91,6 +91,7 @@ HEADLINE = [
     "stream_wap_branch",
     "python_datasource_scan",
     "bigram_lm_score",
+    "quality_weighted_sample",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of
