@@ -531,3 +531,32 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning (the QuantileDiscretizer /
+    feature-bucketing step of a training pipeline): orders are split
+    into 10 NTILE buckets of o_totalprice with a fully deterministic
+    total order — ties broken by o_orderkey, so both engines assign the
+    identical bucket to every row — and the result is each bucket's
+    boundary/count profile (the bin dictionary a feature store would
+    publish).
+
+    Scale note: NTILE is a total-order window — the 100 TB formulation
+    replaces it with approx quantile CUTS (computed once, broadcast,
+    assignment map-only; same output contract). This query is the exact
+    small-N reference for that path, the same exact/approx pairing as
+    percentiles vs approx_stats."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    binned = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

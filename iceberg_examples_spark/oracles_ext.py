@@ -141,6 +141,18 @@ SELECT doc_id,
 FROM t
 """
 
+EXT_ORACLES["quantile_bins"] = """
+WITH b AS (
+  SELECT o_orderkey, o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS INT) AS bin, count(*) AS n_orders,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM b GROUP BY 1
+"""
+
 EXT_ORACLES["quality_weighted_sample"] = f"""
 WITH t AS (SELECT doc_id, text, {_toks} AS toks FROM documents),
 q AS (SELECT doc_id, {_quality} AS quality FROM t)

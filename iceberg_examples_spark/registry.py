@@ -153,6 +153,7 @@ QUERIES: dict[str, QueryFn] = {
     "python_datasource_scan": PD.python_datasource_scan,
     "bigram_lm_score": LQ.bigram_lm_score,
     "quality_weighted_sample": LP.quality_weighted_sample,
+    "quantile_bins": XR.quantile_bins,
     "stream_static_join": ST.stream_static_join,
     "text_token_count": TX.token_count,
     "text_lang_id": TX.lang_id,
