@@ -256,6 +256,13 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality→rate calibration: rate = quality² · QUALITY_RATE_SCALE out of
+# SAMPLE_MOD. Shared with the DuckDB oracle by interpolation (module
+# policy: one definition, so the engines cannot drift silently).
+QUALITY_RATE_SCALE = 625
+SAMPLE_MOD = 10_000
+
+
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-calibrated sampling — the production shape of "keep
     high-quality data at a higher rate": each document's keep
@@ -273,8 +280,8 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
     h = md5_int_hash("cast(doc_id as string)")
     kept = docs.withColumn(
-        "rate", F.expr("quality * quality * 625")
-    ).filter(F.expr(f"({h}) % 10000") < F.col("rate"))
+        "rate", F.expr(f"quality * quality * {QUALITY_RATE_SCALE}")
+    ).filter(F.expr(f"({h}) % {SAMPLE_MOD}") < F.col("rate"))
     return kept.groupBy("quality", "rate").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),

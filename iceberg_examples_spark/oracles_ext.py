@@ -153,14 +153,19 @@ SELECT CAST(bin AS INT) AS bin, count(*) AS n_orders,
 FROM b GROUP BY 1
 """
 
+from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
+    QUALITY_RATE_SCALE,
+    SAMPLE_MOD,
+)
+
+_q_rate = f"quality * quality * {QUALITY_RATE_SCALE}"
 EXT_ORACLES["quality_weighted_sample"] = f"""
 WITH t AS (SELECT doc_id, text, {_toks} AS toks FROM documents),
 q AS (SELECT doc_id, {_quality} AS quality FROM t)
-SELECT quality, CAST(quality * quality * 625 AS BIGINT) AS rate,
+SELECT quality, CAST({_q_rate} AS BIGINT) AS rate,
        count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM q
-WHERE ({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 10000
-      < quality * quality * 625
+WHERE ({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % {SAMPLE_MOD} < {_q_rate}
 GROUP BY 1, 2
 """
 
