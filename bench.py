@@ -92,6 +92,7 @@ HEADLINE = [
     "python_datasource_scan",
     "bigram_lm_score",
     "quality_weighted_sample",
+    "quantile_bins",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of
