@@ -560,3 +560,37 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+def quantile_bins_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale formulation quantile_bins' docstring promises: bin by
+    BROADCAST CUT POINTS instead of a total-order window. The nine decile
+    boundaries are computed once (exact interpolated percentiles — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit, the
+    `percentiles` query's established pair), broadcast as a single row,
+    and assignment is a map-only indicator sum: bin = 1 + Σ(price > cut_i),
+    ties landing in the lower bin deterministically. No global sort, no
+    single-task window — the plan is one tiny agg + one map pass, which
+    is exactly how a 100 TB discretizer runs (swap the exact percentiles
+    for percentile_approx and nothing else changes). Bin populations
+    differ from NTILE's only where ties straddle a boundary; this query
+    carries its own oracle with the same cut rule."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {i / 10})").alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    ind = " + ".join(
+        f"cast(o_totalprice > c{i} as int)" for i in range(1, 10)
+    )
+    binned = orders.join(F.broadcast(cuts)).withColumn(
+        "bin", F.expr(f"cast(1 + {ind} as int)")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

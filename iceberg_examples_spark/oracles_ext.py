@@ -159,6 +159,22 @@ from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
 )
 
 _q_rate = f"quality * quality * {QUALITY_RATE_SCALE}"
+_cut_ind = " + ".join(
+    f"CAST(o_totalprice > c.c{i} AS INT)" for i in range(1, 10)
+)
+_cut_cols = ", ".join(
+    f"quantile_cont(o_totalprice, {i / 10}) AS c{i}" for i in range(1, 10)
+)
+EXT_ORACLES["quantile_bins_cuts"] = f"""
+WITH c AS (SELECT {_cut_cols} FROM orders)
+SELECT CAST(1 + {_cut_ind} AS INT) AS bin,
+       count(*) AS n_orders,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders, c
+GROUP BY 1
+"""
+
 EXT_ORACLES["quality_weighted_sample"] = f"""
 WITH t AS (SELECT doc_id, text, {_toks} AS toks FROM documents),
 q AS (SELECT doc_id, {_quality} AS quality FROM t)

@@ -154,6 +154,7 @@ QUERIES: dict[str, QueryFn] = {
     "bigram_lm_score": LQ.bigram_lm_score,
     "quality_weighted_sample": LP.quality_weighted_sample,
     "quantile_bins": XR.quantile_bins,
+    "quantile_bins_cuts": XR.quantile_bins_cuts,
     "stream_static_join": ST.stream_static_join,
     "text_token_count": TX.token_count,
     "text_lang_id": TX.lang_id,
