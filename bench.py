@@ -93,6 +93,7 @@ HEADLINE = [
     "bigram_lm_score",
     "quality_weighted_sample",
     "quantile_bins",
+    "quantile_bins_cuts",
 ]
 
 # Queries whose result is a full table at sf scale — count() instead of
