@@ -576,14 +576,16 @@ def quantile_bins_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ from NTILE's only where ties straddle a boundary; this query
     carries its own oracle with the same cut rule."""
     orders = load_table(spark, sf_dir, "orders")
+    # ONE array-percentile aggregate (not nine scalar ones — each scalar
+    # percentile buffers the column separately; the array form shares one
+    # buffer, measured 2.8 s -> ~1.0 s at sf0.1)
+    pcts = ", ".join(str(i / 10) for i in range(1, 10))
     cuts = orders.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {i / 10})").alias(f"c{i}")
-            for i in range(1, 10)
-        ]
+        F.expr(f"percentile(o_totalprice, array({pcts}))").alias("cs")
     )
     ind = " + ".join(
-        f"cast(o_totalprice > c{i} as int)" for i in range(1, 10)
+        f"cast(o_totalprice > element_at(cs, {i}) as int)"
+        for i in range(1, 10)
     )
     binned = orders.join(F.broadcast(cuts)).withColumn(
         "bin", F.expr(f"cast(1 + {ind} as int)")
