@@ -42,111 +42,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ORDERING CONTRACT (driver correctness window = first 50 entries).
 #
 # The external correctness gate verifies registry entries in declaration
-# order, capped at 50 per round.  Rotation history:
-#   round 1 window: relational/TPC-H block          -> 49/50 green
-#   round 2 window: §2.7 mutations, partition transforms, LLM text/dedup/
-#     ANN/pipeline ops, multimodal, streaming, repaired collect_sets,
-#     §2.5 event windows                            -> 46/50 green
-#     (4 streaming queries crashed on TIMESTAMP_NTZ watermark — fixed in
-#     streaming/rollup.py by normalizing ts to LTZ before withWatermark)
-#   round 3 window: the 26 never-driver-checked entries (25-query tail +
-#     new json_corrupt_records), 4 repaired streaming queries, 11-query
-#     reference-core re-attestation, 9 new round-3 ops -> 49 green + 1
-#     rows-only (approx_stats, since made self-verifying).  After round 3
-#     every declared query has at least one driver row.
-#   round 4 window (THIS order) — oldest-attestation-first rotation:
-#     1-31  the round-1 relational/TPC-H block, green only on round-1
-#           testdata (regenerated since; events.ts already changed
-#           physical type once — re-attest on fresh data),
-#     32-38 the seven queries that sat just past the round-3 window
-#           (driver-green r2): upsert_by_key merge_upsert_scale
-#           zorder_cells bloom_prune_join llm_prep_pipeline
-#           dedup_minhash_lsh dedup_components,
-#     39    approx_stats — first driver check of the self-verifying
-#           (hash-green) formulation,
-#     40-41 curation_pipeline / curation_incremental — modified this
-#           round (checkpoint strategy + incremental LSH band probe),
-#     42-46 round-2-attested ops not re-checked since: sequence_packing
-#           multimodal_features knn_cosine_ivf stream_sessionize
-#           stream_session_window,
-#     47-50 NEW round-4 queries (first driver check): xml_roundtrip
-#           binary_files_ingest jsonl_shard_export mixture_temperature;
-#           the four r2-green queries they displaced (stream_static_join
-#           text_token_count text_lang_id text_quality_score) sit first
-#           past the window as the round-5 rotation priority.
+# order, capped at 50 per round.  Since round 5 the order is DATA-DERIVED,
+# not hand-maintained: scripts/rotation.py reads every CORRECTNESS_r0*.json
+# the driver has produced and sorts the declared queries
+# oldest-attestation-first —
+#   1. queries with no green driver row yet (never attested) come first;
+#      newly added queries are appended at their group's end, so they join
+#      this block behind existing never-attested entries,
+#   2. then ascending "latest round with a green driver row",
+#   3. ties keep the previous declaration order (stable sort).
+# tests/test_rotation.py asserts this file's declared order matches the
+# computed order exactly, so a rotation that drifts fails CI.  History of
+# past windows lives in the CORRECTNESS_r0*.json files themselves and in
+# DESIGN.md; rounds 1-4 rotated by hand-maintained comments (one miscount,
+# caught by round-3 ADVICE — the reason this is now automated).
 # Every query keeps a local DuckDB parity test regardless of position
 # (tests/test_parity.py runs all of them at sf0.001 every round), and
 # scripts/driver_sim.py replays the full gate under a VANILLA SparkSession
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- round-4 window, part 1: r1 relational/TPC-H re-attestation (31) ---
-    "scan_full": R.scan_full,
-    "project_literals": R.project_literals,
-    "filter_conj": R.filter_conj,
-    "join_inner": R.join_inner,
-    "union_all": R.union_all,
-    "sort_multi": R.sort_multi,
-    "topk": R.topk,
-    "agg_sum_by_key": R.agg_sum_by_key,
-    "agg_count_distinct": R.agg_count_distinct,
-    "tpch_q3": R.tpch_q3,
-    "tpch_q4": R.tpch_q4,
-    "tpch_q5": R.tpch_q5,
-    "tpch_q6": R.tpch_q6,
-    "tpch_q7": R.tpch_q7,
-    "tpch_q10": R.tpch_q10,
-    "tpch_q12": R.tpch_q12,
-    "tpch_q14": R.tpch_q14,
-    "tpch_q15": R.tpch_q15,
-    "tpch_q18": R.tpch_q18,
-    "tpch_q19": R.tpch_q19,
-    # TPC-H completion set (operators/tpch_full.py)
-    "tpch_q1": TF.tpch_q1,
-    "tpch_q2": TF.tpch_q2,
-    "tpch_q8": TF.tpch_q8,
-    "tpch_q9": TF.tpch_q9,
-    "tpch_q11": TF.tpch_q11,
-    "tpch_q13": TF.tpch_q13,
-    "tpch_q16": TF.tpch_q16,
-    "tpch_q17": TF.tpch_q17,
-    "tpch_q20": TF.tpch_q20,
-    "tpch_q21": TF.tpch_q21,
-    "tpch_q22": TF.tpch_q22,
-    # ----- round-4 window, part 2: r2-green, just past the r3 window (7) -----
-    "upsert_by_key": RS.upsert_by_key_query,
-    "merge_upsert_scale": RS.merge_upsert_scale_query,
-    "zorder_cells": PT.zorder_cells,
-    "bloom_prune_join": PT.bloom_prune_join,
-    "llm_prep_pipeline": LP.llm_prep_pipeline,
-    "dedup_minhash_lsh": D.minhash_lsh,
-    "dedup_components": D.dedup_components,
-    # ----- round-4 window, part 3: newly self-verifying (1) -----
-    "approx_stats": XR.approx_stats,
-    # ----- round-4 window, part 4: modified this round (2) -----
-    "curation_pipeline": SC.curation_pipeline,
-    "curation_incremental": SC.curation_incremental,
-    # ----- round-4 window, part 5: r2-attested, oldest first (5) -----
-    "sequence_packing": LP.sequence_packing,
-    "multimodal_features": MM.multimodal_features,
-    "knn_cosine_ivf": SIM.knn_cosine_ivf,
-    "stream_sessionize": ST.stream_sessionize_stateful,
-    "stream_session_window": ST.stream_session_window,
-    # ----- round-4 window, part 6: NEW this round, never driver-checked
-    # (4) — never-checked outranks re-attestation (the round-3 precedent);
-    # the four r2-green queries they displaced lead the round-5 rotation
-    # below -----
-    "xml_roundtrip": CV.xml_roundtrip,
-    "binary_files_ingest": MM.binary_files_ingest,
-    "jsonl_shard_export": LP.jsonl_shard_export,
-    "mixture_temperature": LP.mixture_temperature,
-    # ----- end of round-4 window (50 entries above) -----
-    # --- round-5 rotation priority (lead the next window): first the
-    # five late-round-4 queries that have never been driver-checked
-    # (snapshot_refs bucketed_join stream_wap_branch
-    # python_datasource_scan bigram_lm_score — all green in local parity
-    # + the vanilla-session driver sim), then the four r2-green queries
-    # displaced from the round-4 window ---
+    # ----- never driver-attested (local parity + driver-sim green): always first -----
     "snapshot_refs": MT.snapshot_refs,
     "bucketed_join": PT.bucketed_join,
     "stream_wap_branch": ST.stream_wap_branch,
@@ -155,11 +71,54 @@ QUERIES: dict[str, QueryFn] = {
     "quality_weighted_sample": LP.quality_weighted_sample,
     "quantile_bins": XR.quantile_bins,
     "quantile_bins_cuts": XR.quantile_bins_cuts,
+    # ----- latest green driver row: round 1 -----
+    "project_dates": XR.project_dates,
+    "set_ops": XR.set_ops,
+    "set_ops_all": XR.set_ops_all,
+    "unpivot_metrics": XR.unpivot_metrics,
+    "agg_rollup": XR.agg_rollup,
+    "asof_join": XR.asof_join,
+    "range_join_buckets": XR.range_join_buckets,
+    "running_totals": XR.running_totals,
+    "range_frame_agg": XR.range_frame_agg,
+    "json_struct_parse": XR.json_struct_parse,
+    "window_rank_funcs": XR.window_rank_funcs,
+    "lateral_topn": XR.lateral_topn,
+    "agg_cube": XR.agg_cube,
+    "grouping_sets_agg": XR.grouping_sets_agg,
+    "map_type_ops": XR.map_type_ops,
+    "salted_agg": XR.salted_agg_query,
+    "skew_join": XR.skew_join_query,
+    "pivot_status": XR.pivot_status,
+    # ----- latest green driver row: round 2 -----
     "stream_static_join": ST.stream_static_join,
     "text_token_count": TX.token_count,
     "text_lang_id": TX.lang_id,
     "text_quality_score": TX.quality_score,
-    # --- driver-green in round 3 (CORRECTNESS_r03) ---
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    "deterministic_sample": CV.deterministic_sample,
+    "train_test_split": CV.train_test_split,
+    "corpus_mixture": LP.corpus_mixture,
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "ngram_jaccard": D.ngram_jaccard,
+    "knn_cosine": SIM.knn_cosine,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
+    "embedding_neardup": SIM.embedding_neardup,
+    "multimodal_meta": MM.multimodal_meta,
+    "collect_sets": XR.collect_sets,
+    "dedup_latest": E.dedup_latest,
+    "sessionize": E.sessionize,
+    # ----- end of the 50-entry driver correctness window -----
+    "session_window_agg": E.session_window_agg,
+    "window_hourly": E.window_hourly,
+    # ----- latest green driver row: round 3 -----
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
     "locf_fill": E.locf_fill,
@@ -207,48 +166,57 @@ QUERIES: dict[str, QueryFn] = {
     "wap_pattern": MT.wap_pattern,
     "stream_cdc_merge": ST.stream_cdc_merge,
     "multimodal_audio": MM.multimodal_audio,
-    # --- driver-green in round 2: text / sampling / dedup / ANN / stream ---
-    "text_fingerprint": TX.doc_fingerprint,
-    "text_simhash": TX.simhash16,
-    "explode_tokens": TX.explode_tokens,
-    "deterministic_sample": CV.deterministic_sample,
-    "train_test_split": CV.train_test_split,
-    "corpus_mixture": LP.corpus_mixture,
-    "dedup_exact": D.dedup_exact,
-    "dedup_exact_keep": D.dedup_exact_keep,
-    "ngram_jaccard": D.ngram_jaccard,
-    "knn_cosine": SIM.knn_cosine,
-    "kmeans_clusters": CL.kmeans_clusters,
-    "kmeans_large": CL.kmeans_large,
-    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
-    "pq_codes": CL.pq_codes,
-    "pq_adc_topk": CL.pq_adc_topk,
-    "embedding_neardup": SIM.embedding_neardup,
-    "multimodal_meta": MM.multimodal_meta,
-    "collect_sets": XR.collect_sets,
-    "dedup_latest": E.dedup_latest,
-    "sessionize": E.sessionize,
-    "session_window_agg": E.session_window_agg,
-    "window_hourly": E.window_hourly,
-    # §2.3-2.6 extended relational surface
-    "project_dates": XR.project_dates,
-    "set_ops": XR.set_ops,
-    "set_ops_all": XR.set_ops_all,
-    "unpivot_metrics": XR.unpivot_metrics,
-    "agg_rollup": XR.agg_rollup,
-    "asof_join": XR.asof_join,
-    "range_join_buckets": XR.range_join_buckets,
-    "running_totals": XR.running_totals,
-    "range_frame_agg": XR.range_frame_agg,
-    "json_struct_parse": XR.json_struct_parse,
-    "window_rank_funcs": XR.window_rank_funcs,
-    "lateral_topn": XR.lateral_topn,
-    "agg_cube": XR.agg_cube,
-    "grouping_sets_agg": XR.grouping_sets_agg,
-    "map_type_ops": XR.map_type_ops,
-    "salted_agg": XR.salted_agg_query,
-    "skew_join": XR.skew_join_query,
-    "pivot_status": XR.pivot_status,
+    # ----- latest green driver row: round 4 -----
+    "scan_full": R.scan_full,
+    "project_literals": R.project_literals,
+    "filter_conj": R.filter_conj,
+    "join_inner": R.join_inner,
+    "union_all": R.union_all,
+    "sort_multi": R.sort_multi,
+    "topk": R.topk,
+    "agg_sum_by_key": R.agg_sum_by_key,
+    "agg_count_distinct": R.agg_count_distinct,
+    "tpch_q3": R.tpch_q3,
+    "tpch_q4": R.tpch_q4,
+    "tpch_q5": R.tpch_q5,
+    "tpch_q6": R.tpch_q6,
+    "tpch_q7": R.tpch_q7,
+    "tpch_q10": R.tpch_q10,
+    "tpch_q12": R.tpch_q12,
+    "tpch_q14": R.tpch_q14,
+    "tpch_q15": R.tpch_q15,
+    "tpch_q18": R.tpch_q18,
+    "tpch_q19": R.tpch_q19,
+    "tpch_q1": TF.tpch_q1,
+    "tpch_q2": TF.tpch_q2,
+    "tpch_q8": TF.tpch_q8,
+    "tpch_q9": TF.tpch_q9,
+    "tpch_q11": TF.tpch_q11,
+    "tpch_q13": TF.tpch_q13,
+    "tpch_q16": TF.tpch_q16,
+    "tpch_q17": TF.tpch_q17,
+    "tpch_q20": TF.tpch_q20,
+    "tpch_q21": TF.tpch_q21,
+    "tpch_q22": TF.tpch_q22,
+    "upsert_by_key": RS.upsert_by_key_query,
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
+    "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
+    "dedup_minhash_lsh": D.minhash_lsh,
+    "dedup_components": D.dedup_components,
+    "approx_stats": XR.approx_stats,
+    "curation_pipeline": SC.curation_pipeline,
+    "curation_incremental": SC.curation_incremental,
+    "sequence_packing": LP.sequence_packing,
+    "multimodal_features": MM.multimodal_features,
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "stream_sessionize": ST.stream_sessionize_stateful,
+    "stream_session_window": ST.stream_session_window,
+    "xml_roundtrip": CV.xml_roundtrip,
+    "binary_files_ingest": MM.binary_files_ingest,
+    "jsonl_shard_export": LP.jsonl_shard_export,
+    "mixture_temperature": LP.mixture_temperature,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

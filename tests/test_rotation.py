@@ -1,0 +1,48 @@
+"""The registry's declared order IS the rotation order.
+
+scripts/rotation.py derives the driver-correctness window order from the
+CORRECTNESS_r0*.json attestation history (oldest-attestation-first, never-
+attested queries leading).  These tests pin the registry to that order so
+the window contract can't drift the way the hand-maintained comments once
+did (round-3 ADVICE caught a miscount).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from iceberg_examples_spark.registry import QUERIES  # noqa: E402
+from scripts.rotation import (  # noqa: E402
+    WINDOW,
+    expected_order,
+    latest_green_round,
+)
+
+
+def test_registry_order_is_rotation_order():
+    names = list(QUERIES)
+    assert names == expected_order(names)
+
+
+def test_window_leads_with_never_attested():
+    """Every never-attested query sits inside the driver window (or, if
+    there are ever more than WINDOW of them, they fill it entirely)."""
+    names = list(QUERIES)
+    latest = latest_green_round()
+    never = [q for q in names if q not in latest]
+    window = set(names[:WINDOW])
+    missing = [q for q in never[:WINDOW] if q not in window]
+    assert not missing, f"never-attested queries outside window: {missing}"
+
+
+def test_attestation_history_parses():
+    """Sanity: the driver files exist and cover most declared queries."""
+    latest = latest_green_round()
+    names = set(QUERIES)
+    covered = names & set(latest)
+    # round 4's verdict: 141/149 attested; never shrink below that ratio.
+    assert len(covered) >= 0.9 * len(names)
