@@ -299,6 +299,7 @@ class LocalTable:
         staged: bool = False,
         parent: int | None = None,
         move_ref: str | None = None,
+        expect_head: int | None = None,
     ) -> int:
         # Metadata-file versions advance on every publish (data commits,
         # staged commits, AND expiry); snapshot versions are minted by
@@ -317,11 +318,15 @@ class LocalTable:
             # read its head, this commit would silently discard the other
             # writer's rows — surface the conflict instead; the CAS then
             # guarantees nothing lands between this read and our publish
+            # expect_head defaults to the recorded parent; an overwrite
+            # commit that COLLAPSES the chain (parent = superseded head's
+            # parent) still validates against the head it actually read
+            expected = parent if expect_head is None else expect_head
             ref = meta.get("refs", {}).get(move_ref)
-            if ref is None or ref.get("type") != "branch" or ref["version"] != parent:
+            if ref is None or ref.get("type") != "branch" or ref["version"] != expected:
                 raise CommitConflictError(
                     f"branch {move_ref!r} moved or was dropped since its "
-                    f"head ({parent}) was read; re-read and retry"
+                    f"head ({expected}) was read; re-read and retry"
                 )
         version = self._next_snapshot_version(meta)
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
@@ -594,12 +599,35 @@ class LocalTable:
         """Branch write with replace semantics — the complete-output-mode
         streaming sink shape (each epoch's state replaces the branch
         head; main is untouched until fast_forward lands the audited
-        result). Same staged+parent+ref-move CAS commit as
-        :meth:`append_to_branch`."""
+        result). Same staged+ref-move CAS commit as
+        :meth:`append_to_branch`, with one difference: when the head
+        being replaced is itself a branch-overwrite epoch, the new
+        snapshot's PARENT is the superseded head's parent, collapsing the
+        chain. Snapshots are self-contained data dirs, so neither branch
+        reads nor :meth:`fast_forward` need the replaced epoch — without
+        the collapse a long-running stream would pin one full table copy
+        per epoch (every intermediate sat in the head's staged ancestry,
+        unreclaimable by drop_staged or expiry until the ref dropped).
+        The superseded epoch becomes an unpinned staged snapshot,
+        reclaimed by :meth:`drop_staged` or
+        ``expire_snapshots(max_staged_age_s=...)``; the CAS still
+        validates against the head actually read (``expect_head``), so a
+        racing branch writer conflicts instead of silently forking."""
         head = self._branch_head(name)
+        meta = self._read_meta()
+        snap = next(
+            (s for s in meta["snapshots"] if s["version"] == head), None
+        )
+        parent = head
+        if (
+            snap is not None
+            and snap.get("staged")
+            and snap.get("operation") == "branch-overwrite"
+        ):
+            parent = snap["parent"]
         return self._commit(
-            df, "branch-overwrite", None, staged=True, parent=head,
-            move_ref=name,
+            df, "branch-overwrite", None, staged=True, parent=parent,
+            move_ref=name, expect_head=head,
         )
 
     def fast_forward(self, name: str) -> int:

@@ -102,11 +102,18 @@ def spread(df: DataFrame) -> DataFrame:
     if size is not None and size >= target * max_bytes:
         return df  # enough split material for every core — no-op
     try:
-        is_file_scan = bool(df.inputFiles())
+        n_files = len(df.inputFiles())
     except Exception:
-        is_file_scan = False
-    if is_file_scan and size is not None:
-        # a file scan smaller than target splits: definitely narrow
+        n_files = 0
+    if n_files >= target:
+        # many small files already give every core a split; forcing a
+        # repartition here would be a pure-loss shuffle (and, for a
+        # many-file scan collapsed by plan-size estimate, could REDUCE
+        # parallelism to `target`)
+        return df
+    if n_files > 0 and size is not None:
+        # a file scan smaller than target splits AND fewer files than
+        # cores: definitely narrow
         return df.repartition(target)
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -152,6 +152,8 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     size keeps half; membership is the hash-pure doc_id threshold (no
     RNG — reruns and engines agree). sqrt on doubles is IEEE
     correctly-rounded in both engines, so the rates are bit-identical.
+    The rate resolution is SAMPLE_MOD (one definition, interpolated into
+    both this plan and the DuckDB oracle).
 
     Plan: tiny per-source count agg → window-min over the handful of
     rate rows → broadcast join back → map-only filter → final agg. The
@@ -165,7 +167,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = counts.select(
         "source",
         F.floor(
-            10000
+            SAMPLE_MOD
             * F.sqrt(
                 F.min("n_s").over(w_all).cast("double") / F.col("n_s").cast("double")
             )
@@ -173,7 +175,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = md5_int_hash("cast(doc_id as string)")
     kept = docs.join(F.broadcast(rates), "source").filter(
-        F.expr(f"({h}) % 10000") < F.col("rate")
+        F.expr(f"({h}) % {SAMPLE_MOD}") < F.col("rate")
     )
     return kept.groupBy("source", "rate").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -154,9 +154,11 @@ FROM b GROUP BY 1
 """
 
 from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
+    N_EXPORT_SHARDS,
     QUALITY_RATE_SCALE,
     SAMPLE_MOD,
 )
+from iceberg_examples_spark.sources import python_datasource as PDS  # noqa: E402
 
 _q_rate = f"quality * quality * {QUALITY_RATE_SCALE}"
 _cut_ind = " + ".join(
@@ -694,14 +696,15 @@ FROM bg b JOIN bgc USING (w1, w2) JOIN ctx USING (w1)
 GROUP BY b.doc_id
 """
 
-EXT_ORACLES["python_datasource_scan"] = """
+EXT_ORACLES["python_datasource_scan"] = f"""
 WITH g AS (
-  SELECT s.range AS shard, s.range * 200 + i.range AS seq
-  FROM range(0, 8) s, range(0, 200) i
+  SELECT s.range AS shard, s.range * {PDS.PER_SHARD} + i.range AS seq
+  FROM range(0, {PDS.N_SHARDS}) s, range(0, {PDS.PER_SHARD}) i
 )
 SELECT CAST(shard AS INT) AS shard,
        count(*) AS n_urls,
-       CAST(sum((seq * 2654435761 + 101) % 100000) AS BIGINT) AS total_bytes,
+       CAST(sum((seq * {PDS.MIX_MUL} + {PDS.MIX_ADD}) % {PDS.MIX_MOD})
+            AS BIGINT) AS total_bytes,
        count(DISTINCT 'doc-' || seq) AS n_distinct_urls
 FROM g GROUP BY 1
 """
@@ -748,19 +751,20 @@ FROM supplier GROUP BY s_nationkey
 EXT_ORACLES["mixture_temperature"] = f"""
 WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
 r AS (SELECT source,
-             CAST(floor(10000 * sqrt(CAST(min(n_s) OVER () AS DOUBLE)
+             CAST(floor({SAMPLE_MOD} * sqrt(CAST(min(n_s) OVER () AS DOUBLE)
                                      / CAST(n_s AS DOUBLE))) AS BIGINT) AS rate
       FROM c)
 SELECT d.source, r.rate,
        count(*) AS n_kept,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
 FROM documents d JOIN r ON d.source = r.source
-WHERE ({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 10000 < r.rate
+WHERE ({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % {SAMPLE_MOD} < r.rate
 GROUP BY d.source, r.rate
 """
 
 EXT_ORACLES["jsonl_shard_export"] = f"""
-SELECT CAST(({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % 8 AS INT) AS shard,
+SELECT CAST(({duck_md5_int('CAST(doc_id AS VARCHAR)')}) % {N_EXPORT_SHARDS}
+            AS INT) AS shard,
        count(*) AS n_docs,
        CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_text_bytes,
        CAST(sum(doc_id) AS BIGINT) AS id_sum

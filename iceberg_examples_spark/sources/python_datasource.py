@@ -29,6 +29,10 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 MIX_MUL = 2_654_435_761  # Knuth multiplicative constant (texthash.REMIX_MUL)
 MIX_ADD = 101
 MIX_MOD = 100_000
+# declared-query scan shape; the DuckDB oracle interpolates these (and the
+# MIX_* constants above) so both sides share one definition
+N_SHARDS = 8
+PER_SHARD = 200
 
 
 class CrawlManifestReader(DataSourceReader):
@@ -69,8 +73,8 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(CrawlManifestSource)
     df = (
         spark.read.format("crawl_manifest")
-        .option("shards", "8")
-        .option("per_shard", "200")
+        .option("shards", str(N_SHARDS))
+        .option("per_shard", str(PER_SHARD))
         .load()
     )
     return df.groupBy("shard").agg(

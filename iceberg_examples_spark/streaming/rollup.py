@@ -210,11 +210,19 @@ def stream_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``overwrite_branch``: staged commit, parent = branch head, ref moved
     in the same CAS), so main's readers never see in-flight streaming
     state; when the stream drains, the audit gate checks main is still
-    untouched and ``fast_forward`` lands the whole audited lineage on
-    main atomically. Final main state = the batch rollup, verified by
-    the same oracle as ``window_hourly`` / ``stream_to_table`` — so a
-    leak of branch rows into main before publish, or a lost epoch, both
-    fail loudly (the in-query gate raises; the hash mismatches)."""
+    untouched and ``fast_forward`` lands the audited head on main
+    atomically. Overwrite-branch commits collapse the epoch chain
+    (each epoch re-parents to the fork point — see
+    ``LocalTable.overwrite_branch``), so a long stream pins ONE branch
+    snapshot rather than one table copy per epoch, and fast_forward
+    lands only the head; the superseded epochs are unpinned staged
+    snapshots reclaimed by the post-publish
+    ``expire_snapshots(max_staged_age_s=0)`` epilogue below (safe here:
+    the stream has drained, no writer is active). Final main state = the
+    batch rollup, verified by the same oracle as ``window_hourly`` /
+    ``stream_to_table`` — so a leak of branch rows into main before
+    publish, or a lost epoch, both fail loudly (the in-query gate
+    raises; the hash mismatches)."""
     from iceberg_examples_spark.catalog import LocalTable, scratch_dir
 
     agg = _hourly_rollup(_events_stream(spark, sf_dir))
@@ -234,6 +242,8 @@ def stream_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     if table.read().count() != 0:  # the audit: main must be untouched
         raise RuntimeError("branch rows leaked into main before publish")
     table.fast_forward("audit")
+    # WAP epilogue: reclaim the superseded (collapsed-out) epoch snapshots
+    table.expire_snapshots(max_staged_age_s=0.0)
     return table.read()
 
 

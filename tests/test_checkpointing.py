@@ -56,6 +56,20 @@ def test_spread_is_noop_when_already_wide(spark):
     assert out is already
 
 
+def test_spread_is_noop_for_many_small_files(spark, tmp_path):
+    """A scan of many tiny files (>= target of them) was a no-op under the
+    old partition-count check; the plan-size branch must not turn it into
+    a full shuffle that could REDUCE parallelism (round-4 ADVICE)."""
+    from iceberg_examples_spark.checkpointing import spread
+
+    target = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "many_small")
+    spark.range(10 * target).repartition(target).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= target
+    assert spread(df) is df
+
+
 def test_parse_spark_bytes_forms():
     from iceberg_examples_spark.checkpointing import _parse_spark_bytes
 

@@ -1101,6 +1101,42 @@ def test_refs_branch_lineage_pinned(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_overwrite_branch_collapses_superseded_epochs(spark, tmp_path):
+    """Replace-semantics branch commits re-parent to the fork point, so a
+    long-running WAP stream pins ONE snapshot, not one table copy per
+    epoch: superseded epochs are unpinned, drop_staged-able, reclaimable
+    by the staged-age sweep, and fast_forward lands only the head
+    (round-4 ADVICE)."""
+    t = LocalTable(spark, str(tmp_path / "tbl_wapcollapse"))
+    fork = t.create(_mk(spark, [(1, "a")]))
+    t.create_branch("audit")
+    e1 = t.overwrite_branch("audit", _mk(spark, [(2, "b")]))
+    e2 = t.overwrite_branch("audit", _mk(spark, [(3, "c")]))
+    e3 = t.overwrite_branch("audit", _mk(spark, [(4, "d")]))
+    by_v = {s["version"]: s for s in t.snapshots()}
+    assert by_v[e3]["parent"] == fork  # chain collapsed to the fork point
+    # superseded epochs are NOT pinned: drop one, sweep the other
+    t.drop_staged(e1)
+    assert t.expire_snapshots(keep_last=5, max_staged_age_s=0.0) == 1  # e2
+    # the live head is untouched and publishable; main gains only e3
+    assert t.read("audit").count() == 1
+    assert t.fast_forward("audit") == e3
+    assert sorted(r.id for r in t.read().collect()) == [4]
+    versions = {s["version"] for s in t.snapshots()}
+    assert e1 not in versions and e2 not in versions
+    # mixed lineage: an overwrite on top of an APPEND epoch must not
+    # collapse past it (append history stays walkable/pinned)
+    t2 = LocalTable(spark, str(tmp_path / "tbl_mixed"))
+    t2.create(_mk(spark, [(1, "a")]))
+    t2.create_branch("b")
+    a1 = t2.append_to_branch("b", _mk(spark, [(2, "b")]))
+    o1 = t2.overwrite_branch("b", _mk(spark, [(3, "c")]))
+    by_v2 = {s["version"]: s for s in t2.snapshots()}
+    assert by_v2[o1]["parent"] == a1
+    with pytest.raises(ValueError):
+        t2.drop_staged(a1)  # still the head's lineage
+
+
 def test_refs_branch_write_race_surfaces_conflict(spark, tmp_path):
     """Two branch writers racing from the same head: the loser must get
     CommitConflictError, never a silent lost update (the ref re-check in

@@ -106,6 +106,9 @@ OPS = st.lists(
         st.tuples(
             st.just("branch_append"), st.lists(st.integers(0, 9), max_size=3)
         ),
+        st.tuples(
+            st.just("branch_overwrite"), st.lists(st.integers(0, 9), max_size=3)
+        ),
         st.tuples(st.just("fast_forward"), st.just([])),
         st.tuples(st.just("drop_ref"), st.sampled_from(["r1", "b1"])),
     ),
@@ -125,6 +128,7 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
     t = LocalTable(spark, root)
     m = Model()
     m.parent_of = {}
+    m.overwrote = set()  # versions minted by branch_overwrite
 
     def df(rows):
         return spark.createDataFrame([(r,) for r in rows], "id long")
@@ -210,6 +214,26 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
             m.snaps[v_model] = (m.snaps[head][0] + rows, True)
             m.refs[name] = ("branch", v_model)
             m.parent_of[v_model] = head
+            assert v_real == v_model
+        elif op == "branch_overwrite":
+            branches = sorted(
+                n for n, (ty, _) in m.refs.items() if ty == "branch"
+            )
+            if not branches:
+                continue
+            name = branches[0]
+            head = m.refs[name][1]
+            v_real = t.overwrite_branch(name, df(rows))
+            v_model = m._next_version()
+            m.snaps[v_model] = (list(rows), True)
+            m.refs[name] = ("branch", v_model)
+            # collapse rule: replacing an overwrite epoch re-parents to
+            # ITS parent (the superseded epoch drops out of the lineage)
+            if head in m.overwrote and m.snaps.get(head, (None, False))[1]:
+                m.parent_of[v_model] = m.parent_of[head]
+            else:
+                m.parent_of[v_model] = head
+            m.overwrote.add(v_model)
             assert v_real == v_model
         elif op == "fast_forward":
             from iceberg_examples_spark.catalog import CommitConflictError
