@@ -94,7 +94,27 @@ HEADLINE = [
     "quality_weighted_sample",
     "quantile_bins",
     "quantile_bins_cuts",
+    # round-5: the O(delta) evidence pair. _cold drops the persisted base
+    # indexes first, so it measures fixture + index BUILD + probe (the
+    # O(corpus) once-per-input cost); _warm guarantees the artifacts
+    # exist, so it measures the steady-state probe alone (the per-batch
+    # cost that must track delta size, not base size — see
+    # scripts/odelta_sweep.py for the fixed-delta scaling datapoint).
+    "curation_incremental_cold",
+    "curation_incremental_warm",
 ]
+
+INDEX_LABELS = ("base-lsh-index", "base-para-index")
+
+
+def _run_incremental(spark, sf_dir: str, cold: bool) -> float:
+    from iceberg_examples_spark.checkpointing import drop_index_artifacts
+
+    if cold:
+        drop_index_artifacts(spark, INDEX_LABELS)
+    t0 = time.perf_counter()
+    QUERIES["curation_incremental"](spark, sf_dir).collect()
+    return time.perf_counter() - t0
 
 # Queries whose result is a full table at sf scale — count() instead of
 # collect() so the bench measures the plan, not the driver transfer.
@@ -102,6 +122,16 @@ COUNT_ONLY = {"filter_conj", "join_inner", "sort_multi", "union_all", "scan_full
 
 
 def run_one(spark, name: str, sf_dir: str) -> float:
+    if name == "curation_incremental_cold":
+        return _run_incremental(spark, sf_dir, cold=True)
+    if name == "curation_incremental_warm":
+        # one throwaway pass guarantees the artifacts exist (the _cold
+        # runs above just dropped them); the timed runs are then the
+        # steady-state probe
+        if getattr(run_one, "_warm_primed", None) != sf_dir:
+            _run_incremental(spark, sf_dir, cold=False)
+            run_one._warm_primed = sf_dir
+        return _run_incremental(spark, sf_dir, cold=False)
     fn = QUERIES[name]
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)

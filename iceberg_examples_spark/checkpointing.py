@@ -169,7 +169,7 @@ def persisted_index(
     path = os.path.join(root, f"{label}-{key}")
     spark = df.sparkSession
     if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path)
+        return _artifact_reader(spark, path)
     os.makedirs(root, exist_ok=True)
     tmp = f"{path}.build-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
@@ -178,4 +178,44 @@ def persisted_index(
     except OSError:
         # a concurrent builder won the rename race — use its artifact
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    return _artifact_reader(spark, path)
+
+
+# Reader-frame cache for persisted artifacts: creating a parquet reader
+# costs a driver-side schema/footer probe (~0.1 s each) that a warm
+# incremental run would otherwise pay per probe per invocation. Safe to
+# memoize: DataFrames are immutable plans, and an artifact path encodes
+# its content key (label + input-state + fingerprint hash), so a given
+# path's bytes never change once the _SUCCESS marker exists.
+_reader_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def drop_index_artifacts(spark, label_prefixes: tuple[str, ...]) -> int:
+    """Delete persisted-index artifacts whose directory name starts with
+    any of ``label_prefixes`` (and purge their cached readers) — the
+    cold-path reset used by bench.py to measure index BUILD cost
+    separately from the steady-state probe. Returns dirs removed."""
+    conf_val = spark.conf.get(STAGING_CONF_KEY, None)
+    root = (
+        conf_val
+        or os.environ.get(STAGING_ENV_VAR)
+        or os.path.join(tempfile.gettempdir(), "ies-index-cache")
+    )
+    removed = 0
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if any(name.startswith(p) for p in label_prefixes):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed += 1
+    for key in [k for k in _reader_cache if k[1].startswith(root)]:
+        if any(os.path.basename(key[1]).startswith(p) for p in label_prefixes):
+            del _reader_cache[key]
+    return removed
+
+
+def _artifact_reader(spark, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _reader_cache.get(key)
+    if df is None:
+        df = _reader_cache[key] = spark.read.parquet(path)
+    return df

@@ -1,0 +1,96 @@
+"""Steady-state maintenance of the incremental-curation indexes.
+
+``scrub.curation_incremental`` (the declared, oracle-checked query)
+demonstrates one batch probing a base corpus's persisted LSH + paragraph
+indexes. Its steady-state contract — "accepted batch rows append their
+own index entries, so batch N+1's probe sees batch N" — lives here:
+:class:`CurationIndex` owns the two index artifacts as APPEND-ONLY
+parquet stores and gives the pipeline its three verbs:
+
+- :meth:`build` — index the curated base once (the O(corpus) step,
+  amortized to zero);
+- :meth:`probe` / :meth:`fresh_paras` — O(batch) candidate checks for an
+  incoming batch (same join machinery as the declared query:
+  ``dedup.lsh_index_probe`` and a paragraph-hash anti-join);
+- :meth:`append_batch` — write the ACCEPTED docs' own index rows as one
+  new parquet commit directory. Appending is O(batch): nothing existing
+  is read or rewritten, which is precisely what keeps per-batch cost
+  independent of corpus size.
+
+Storage layout: each append lands under ``<root>/<index>/c<seq>-<token>/``
+and reads glob the index directory — the "append = add data files"
+half of a table format, which is all an append-only index needs. On a
+cluster the same contract is an Iceberg/LocalTable APPEND commit with
+snapshot isolation; the local layout keeps this demonstrable without a
+metadata layer (two writers racing the same seq produce distinct token
+dirs and both rows survive — append-only stores merge by union).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_examples_spark.operators.dedup import (
+    lsh_index_probe,
+    minhash_index,
+)
+
+
+def _para_hashes(docs: DataFrame) -> DataFrame:
+    from iceberg_examples_spark.operators.scrub import _paras, _with_tokens
+
+    return _paras(_with_tokens(docs)).select("h").distinct()
+
+
+class CurationIndex:
+    """The curated corpus's LSH band index + paragraph-hash index as
+    append-only parquet stores (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.lsh_dir = os.path.join(root, "lsh")
+        self.para_dir = os.path.join(root, "paras")
+
+    def _append(self, df: DataFrame, index_dir: str) -> None:
+        seq = len(os.listdir(index_dir)) if os.path.isdir(index_dir) else 0
+        out = os.path.join(index_dir, f"c{seq:05d}-{uuid.uuid4().hex[:8]}")
+        df.write.mode("error").parquet(out)
+
+    def _read(self, index_dir: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(index_dir, "*"))
+
+    # -- the O(corpus) step, once --------------------------------------
+    def build(self, corpus: DataFrame) -> None:
+        """Index the curated base corpus (columns: doc_id, text)."""
+        self._append(minhash_index(corpus.select("doc_id", "text")), self.lsh_dir)
+        self._append(_para_hashes(corpus), self.para_dir)
+
+    # -- O(batch) per incoming batch ------------------------------------
+    def probe(self, batch: DataFrame) -> DataFrame:
+        """(batch_doc, base_doc, n_agree) near-dup links of a batch
+        (doc_id, text) against everything indexed so far."""
+        return lsh_index_probe(
+            minhash_index(batch.select("doc_id", "text"), wide=False),
+            self._read(self.lsh_dir),
+        )
+
+    def fresh_paras(self, batch: DataFrame) -> DataFrame:
+        """The batch's paragraph rows whose hash is NOT yet indexed."""
+        from iceberg_examples_spark.operators.scrub import _paras, _with_tokens
+
+        return _paras(_with_tokens(batch)).join(
+            self._read(self.para_dir), "h", "left_anti"
+        )
+
+    def append_batch(self, accepted: DataFrame) -> None:
+        """Append the ACCEPTED batch docs' own index rows — the O(batch)
+        maintenance step that makes batch N visible to batch N+1's probe
+        without ever rescanning or rewriting the existing index."""
+        self._append(
+            minhash_index(accepted.select("doc_id", "text"), wide=False),
+            self.lsh_dir,
+        )
+        self._append(_para_hashes(accepted), self.para_dir)

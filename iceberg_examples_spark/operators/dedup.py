@@ -242,7 +242,9 @@ def _minhash_bands(sig: DataFrame) -> DataFrame:
 MINHASH_EST_AGREE = 5  # of N_MINHASH components — estimated Jaccard ≥ 0.5
 
 
-def minhash_index(corpus: DataFrame, wide: bool = True) -> DataFrame:
+def minhash_index(
+    corpus: DataFrame, wide: bool = True, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """The persisted-LSH-index artifact of a curated corpus: one
     fixed-width row per doc — (doc_id, mh0..mh8, band0..band2), no text,
     no shingles. An incremental pipeline stores this (O(1) bytes/doc) and
@@ -255,7 +257,7 @@ def minhash_index(corpus: DataFrame, wide: bool = True) -> DataFrame:
     )
 
     return minhash_component_index(
-        corpus, N_MINHASH, N_BANDS, ROWS_PER_BAND, wide=wide
+        corpus, N_MINHASH, N_BANDS, ROWS_PER_BAND, wide=wide, keep=keep
     )
 
 
@@ -285,32 +287,33 @@ def lsh_index_probe(batch_index: DataFrame, base_index: DataFrame) -> DataFrame:
     )
 
     def banded(idx: DataFrame, side: str) -> DataFrame:
-        return idx.select(
-            F.col("doc_id").alias(f"{side}_doc"),
-            *[
-                F.col(f"mh{i}").alias(f"{side}_mh{i}")
-                for i in range(N_MINHASH)
-            ],
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.col(f"band{b}").alias("band_hash"),
-                        )
-                        for b in range(N_BANDS)
-                    ]
-                )
-            ).alias("band"),
-        ).select(f"{side}_doc", *[f"{side}_mh{i}" for i in range(N_MINHASH)],
-                 "band.band_idx", "band.band_hash")
+        # one selectExpr per step: plan construction is driver-side py4j
+        # round-trips, and the warm incremental probe rebuilds this plan
+        # per run — string expressions batch it to a handful of calls
+        structs = ", ".join(
+            f"named_struct('band_idx', {b}, 'band_hash', band{b})"
+            for b in range(N_BANDS)
+        )
+        return idx.selectExpr(
+            f"doc_id as {side}_doc",
+            *[f"mh{i} as {side}_mh{i}" for i in range(N_MINHASH)],
+            f"explode(array({structs})) as band",
+        ).selectExpr(
+            f"{side}_doc",
+            *[f"{side}_mh{i}" for i in range(N_MINHASH)],
+            "band.band_idx",
+            "band.band_hash",
+        )
 
     return (
         banded(batch_index, "batch")
         .join(banded(base_index, "base"), ["band_idx", "band_hash"])
-        .withColumn("n_agree", F.expr(agree))
-        .filter(F.col("n_agree") >= MINHASH_EST_AGREE)
-        .select("batch_doc", "base_doc", "n_agree")
+        .selectExpr(
+            "batch_doc",
+            "base_doc",
+            f"{agree} as n_agree",
+        )
+        .where(f"n_agree >= {MINHASH_EST_AGREE}")
         .distinct()
     )
 

@@ -99,16 +99,28 @@ def _paras(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "para_idx", F.expr(md5_int_hash("para")).alias("h"))
 
 
-def _repetition_gate(docs: DataFrame) -> DataFrame:
+def _repetition_gate(docs: DataFrame, staged: bool = True) -> DataFrame:
     """doc_ids passing the Gopher top-bigram repetition gate (same
-    formulation as llm_quality.repetition_topgram), materialized eagerly:
-    the gate output is one bigint per surviving doc, and every caller
-    consumes it from multiple branches — without the checkpoint each
-    branch re-runs the bigram explode+aggregate subtree."""
+    formulation as llm_quality.repetition_topgram). By default the gate
+    is materialized eagerly: the output is one bigint per surviving doc,
+    and callers with multiple consuming branches would otherwise re-run
+    the bigram explode+aggregate subtree per branch. Pass ``staged=False``
+    when the CALLER checkpoints the joined result instead (the incremental
+    pipeline stages the gated batch WITH its text, so staging the bare ids
+    too would be a wasted job)."""
     from iceberg_examples_spark.operators.llm_quality import (
         REPETITION_MAX_FRAC,
     )
 
+    # Formulation note (measured, round 5): a shuffle-free per-row fold
+    # (top count = longest equal-adjacent run in the array_sort'ed bigram
+    # array) is expressible with HOFs, but Spark evaluates HOF lambdas
+    # interpreted — at sf0.1 it ran the full-corpus gate ~4× SLOWER than
+    # this explode+groupBy, which stays inside whole-stage codegen with
+    # map-side partial aggregation. The shuffle rows are (doc_id, gram,
+    # cnt) — bounded by distinct bigrams per doc — and all of a doc's
+    # rows co-locate, so the agg is one exchange of narrow rows; that is
+    # the right trade until HOFs codegen.
     bigrams = docs.filter(F.expr("size(tk) >= 2")).select(
         "doc_id",
         F.explode(
@@ -131,7 +143,7 @@ def _repetition_gate(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id")
     )
-    return stage(gate, "repetition-gate")
+    return stage(gate, "repetition-gate") if staged else gate
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,9 +300,12 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            agreement; a verified near-dup drops the batch doc. Base
            TEXT is never read and base signatures are never recomputed
            at probe time: the probe consumes only the index artifact
-           (built once here from the fixture; maintained incrementally
-           in steady state, where accepted batch rows append their own
-           index entries);
+           (built once here from the fixture; in steady state the
+           indexes are maintained by ``curation_index.CurationIndex``,
+           whose ``append_batch`` writes accepted batch rows' own index
+           entries as an O(batch) append — tested end-to-end in
+           tests/test_curation_index.py: batch N's accepted docs are
+           visible to batch N+1's probe);
         3. paragraph dedup of surviving paragraphs against the base
            paragraph-hash index — same probe discipline, 8-byte keys —
            then keep-first within the delta;
@@ -302,11 +317,6 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width keys (shuffle or broadcast depending on size) — the
     delta never rescans base text, and base is never rewritten.
     """
-    from iceberg_examples_spark.operators.dedup import (
-        lsh_index_probe,
-        minhash_index,
-    )
-
     raw = load_table(spark, sf_dir, "documents")
     planted = raw.filter(
         (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100)
@@ -325,42 +335,93 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = F.col("doc_id") % 10 == 7
     base = docs.filter(~is_delta)
     delta = docs.filter(is_delta)
-
-    # stage 1: repetition gate over the delta only (shared helper;
-    # staged — two consumers below)
-    gate = _repetition_gate(delta)
-    gated = delta.join(gate, "doc_id", "left_semi")
-
-    # stage 2: probe the base corpus's persisted LSH index with the
-    # batch; verified near-dups are dropped from the batch.  The index is
-    # a persisted_index ARTIFACT keyed on the documents file state: built
-    # at most once per input, re-read (a plain parquet scan) by every
-    # later invocation — the steady-state probe never recomputes base
-    # signatures, which is what makes this query O(delta)
     docs_file = os.path.join(sf_dir, "documents.parquet")
+    return incremental_curate(
+        spark, base, delta, [docs_file], base_tag="mod10ne7"
+    )
+
+
+def incremental_curate(
+    spark: SparkSession,
+    base: DataFrame,
+    delta: DataFrame,
+    index_deps: list[str],
+    base_tag: str,
+) -> DataFrame:
+    """The incremental-curation core: gate + probe + report for an
+    arbitrary (base, delta) pair — shared by the declared query (the
+    %10 fixture above) and scripts/odelta_sweep.py, which holds the
+    delta FIXED while the base grows 10× to demonstrate the O(delta)
+    steady state. Both frames must carry (doc_id, text, lang) and a
+    materialized ``tk`` column (``_with_tokens``). ``base_tag`` feeds
+    the persisted-index fingerprint so two different base DEFINITIONS
+    over the same input files can never share an artifact."""
+    # stage 1: repetition gate over the delta, then checkpoint the GATED
+    # BATCH — ids + text + lang + its own LSH index columns (mh*/band*)
+    # — in ONE materialization job. Everything O(delta) and Arrow-bound
+    # (the bigram gate explode, the MinHash signature stage) happens
+    # exactly once here; the three consuming branches (probe, the
+    # accepted/flagged split, the paragraph stage) read the checkpoint.
+    # Before this fold the gate ids were staged separately and each
+    # consumer re-scanned the corpus fixture and re-ran the semi join /
+    # signature pass — at sf0.1 those repeats were ~40% of the warm
+    # probe's wall clock.
     from iceberg_examples_spark.operators.dedup import (
         MOD,
         N_BANDS,
         N_MINHASH,
         ROWS_PER_BAND,
+        lsh_index_probe,
+        minhash_index,
     )
+
+    gated_raw = delta.join(
+        _repetition_gate(delta, staged=False), "doc_id", "left_semi"
+    )
+    # Explicit widen before the CPU-bound Arrow stage: the gate's output
+    # is a post-shuffle frame that AQE coalesces to ~1 partition, which
+    # would run the batch's signature computation on one core (wide=True's
+    # spread() can't see this — a join's plan-size estimate is inflated).
+    # The shuffle moved is the batch itself — delta-sized, trivial. keep=
+    # carries text + lang THROUGH the Arrow stage, so the checkpoint holds
+    # (row + index columns) without evaluating the gate subtree twice.
+    batch_wide = gated_raw.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    gated = stage(
+        minhash_index(batch_wide, wide=False, keep=("text", "lang")),
+        "gated-batch-indexed",
+    )
+
+    # stage 2: probe the base corpus's persisted LSH index with the
+    # batch's checkpointed index columns — a pure JVM join; verified
+    # near-dups are dropped from the batch. The base index is a
+    # persisted_index ARTIFACT keyed on the documents file state: built
+    # at most once per input, re-read (a plain parquet scan) by every
+    # later invocation — the steady-state probe never recomputes base
+    # signatures, which is what makes this query O(delta)
 
     # fingerprint = the parameters that determine index CONTENT, so a
     # definition change invalidates the artifact like a data change does
-    lsh_fp = f"v1:mh{N_MINHASH}:b{N_BANDS}:r{ROWS_PER_BAND}:m{MOD}"
+    lsh_fp = f"v1:mh{N_MINHASH}:b{N_BANDS}:r{ROWS_PER_BAND}:m{MOD}:{base_tag}"
     base_lsh = persisted_index(
         minhash_index(base.select("doc_id", "text")),
         "base-lsh-index",
-        [docs_file],
+        index_deps,
         fingerprint=lsh_fp,
     )
-    # wide=False: the batch is delta-sized by contract — widening a few
-    # hundred rows costs more than it parallelizes
-    batch_lsh = minhash_index(gated.select("doc_id", "text"), wide=False)
-    # staged: three downstream branches (flagged, accepted, and the
-    # paragraph stage through accepted) consume the probe result; without
-    # materialization each branch re-runs the batch signatures + probe
-    # join (caught by the steady-state plan test: 3 Arrow stages, not 1)
+    batch_lsh = gated.select(
+        "doc_id",
+        *[f"mh{i}" for i in range(N_MINHASH)],
+        *[f"band{b}" for b in range(N_BANDS)],
+    )
+    # staged: two downstream branches (the flagged split and the
+    # accepted anti-join feeding the paragraph stage) consume the probe
+    # result; without materialization each branch re-runs the probe join
+    # against the CORPUS-sized base index. (Measured at sf0.1 the two
+    # choices tie — the barrier costs one extra job, the recompute costs
+    # one extra join — but at scale the join side grows with the corpus
+    # and the staged rows stay candidate-sized, so the barrier wins.)
     neardup = stage(
         lsh_index_probe(batch_lsh, base_lsh)
         .select(F.col("batch_doc").alias("doc_id"))
@@ -378,10 +439,13 @@ def curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_hashes = persisted_index(
         _paras(base).select("h").distinct(),
         "base-para-index",
-        [docs_file],
-        fingerprint=f"v1:pt{PARA_TOKENS}:pm{PARA_SUM_MOD}",
+        index_deps,
+        fingerprint=f"v1:pt{PARA_TOKENS}:pm{PARA_SUM_MOD}:{base_tag}",
     )
-    fresh = _paras(accepted).join(base_hashes, "h", "left_anti")
+    # re-derive tk from the checkpointed text (JVM regex over the
+    # accepted batch — cheaper than shipping token arrays through Arrow
+    # and storing them in the checkpoint)
+    fresh = _paras(_with_tokens(accepted)).join(base_hashes, "h", "left_anti")
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     survival = (
         fresh.withColumn("rk", F.row_number().over(w))

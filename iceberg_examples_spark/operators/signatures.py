@@ -132,6 +132,7 @@ def minhash_component_index(
     n_bands: int,
     rows_per_band: int,
     wide: bool = True,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, mh0..mh{n-1}, band0..band{b-1}) — the
     fixed-width row of a persistable LSH index: individual MinHash
@@ -140,7 +141,13 @@ def minhash_component_index(
     verify band-collision candidates by component agreement (the
     classic MinHash Jaccard estimate, Broder 1997) without rescanning
     the indexed corpus's text. Values are bit-identical to
-    :func:`minhash_signatures` / the SQL+DuckDB formulations."""
+    :func:`minhash_signatures` / the SQL+DuckDB formulations.
+
+    ``keep``: extra input columns carried through the Arrow stage into
+    the output — one batch transfer instead of a join-back on doc_id,
+    so a caller can checkpoint (row + its index columns) as one
+    materialization without evaluating the input subtree twice (the
+    incremental-curation gated-batch shape)."""
     params = [affine_params(seed) for seed in range(n_minhash)]
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -153,20 +160,27 @@ def minhash_component_index(
                     out_mh[i].append(mh[i] if mh else None)
                 for bi in range(n_bands):
                     out_bands[bi].append(bands[bi] if bands else None)
-            res = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            res = pd.DataFrame({c: pdf[c] for c in ("doc_id", *keep)})
             for i in range(n_minhash):
                 res[f"mh{i}"] = pd.Series(out_mh[i], dtype="object")
             for bi in range(n_bands):
                 res[f"band{bi}"] = pd.Series(out_bands[bi], dtype="object")
             yield res
 
+    by_name = {f.name: f for f in docs.schema.fields}
+    kept_ddl = "".join(
+        f", {c} {by_name[c].dataType.simpleString()}" for c in keep
+    )
     schema = (
-        "doc_id long, "
+        "doc_id long"
+        + kept_ddl
+        + ", "
         + ", ".join(f"mh{i} long" for i in range(n_minhash))
         + ", "
         + ", ".join(f"band{b} long" for b in range(n_bands))
     )
-    sel = docs.select("doc_id", "text")
+    cols = ["doc_id", *keep] + ([] if "text" in keep else ["text"])
+    sel = docs.select(*cols)
     return (spread(sel) if wide else sel).mapInPandas(
         compute, schema=schema
     )
