@@ -162,6 +162,60 @@ def compile_drop_column(name: str, column: str) -> str:
     return f"ALTER TABLE {name} DROP COLUMN {column}"
 
 
+# ---------------------------------------------------------------------------
+# Named refs DDL — the connector-SQL twins of LocalTable's tag/branch
+# surface (catalog.create_tag/create_branch/fast_forward, demonstrated by
+# the snapshot_refs and stream_wap_branch queries). CREATE/DROP TAG/BRANCH
+# use Iceberg's SQL-extension grammar (parseable only with
+# IcebergSparkSessionExtensions on the session — same jar gate as
+# execution); VERSION AS OF and CALL are first-class in Spark 4's own
+# parser and are parse-verified offline in the golden tests.
+# ---------------------------------------------------------------------------
+
+
+def compile_create_tag(
+    name: str, tag: str, snapshot_id: int | None = None
+) -> str:
+    """ALTER TABLE ... CREATE TAG (Iceberg branching DDL; extension
+    grammar). ``snapshot_id`` pins the tag to a snapshot, else head."""
+    asof = f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
+    return f"ALTER TABLE {name} CREATE TAG `{tag}`{asof}"
+
+
+def compile_create_branch(
+    name: str, branch: str, snapshot_id: int | None = None
+) -> str:
+    """ALTER TABLE ... CREATE BRANCH (extension grammar)."""
+    asof = f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
+    return f"ALTER TABLE {name} CREATE BRANCH `{branch}`{asof}"
+
+
+def compile_drop_ref(name: str, ref: str, ref_type: str) -> str:
+    """ALTER TABLE ... DROP TAG/BRANCH (extension grammar)."""
+    kw = {"tag": "TAG", "branch": "BRANCH"}[ref_type]
+    return f"ALTER TABLE {name} DROP {kw} `{ref}`"
+
+
+def compile_read_ref(name: str, ref: str) -> str:
+    """Read a named ref — ``VERSION AS OF 'ref'`` (vanilla Spark 4
+    time-travel grammar; LocalTable.read(ref) is the engine twin)."""
+    return f"SELECT * FROM {name} VERSION AS OF '{ref}'"
+
+
+def compile_fast_forward(name: str, branch: str, to: str) -> str:
+    """CALL catalog.system.fast_forward (Iceberg procedure; CALL is
+    first-class in Spark 4's parser). LocalTable.fast_forward is the
+    engine twin; stream_wap_branch's publish step compiles to this."""
+    return f"CALL system.fast_forward('{name}', '{branch}', '{to}')"
+
+
+def compile_write_branch_option(branch: str) -> str:
+    """The write-to-branch conf the streaming WAP pattern sets —
+    Iceberg's ``spark.wap.branch`` session conf (stream_wap_branch's
+    overwrite_branch commits are the engine twin)."""
+    return f"SET spark.wap.branch = {branch}"
+
+
 class IcebergTable:
     """The engine mutation API compiled to Iceberg SQL (requires the jar).
 

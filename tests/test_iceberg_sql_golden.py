@@ -248,3 +248,49 @@ def test_compiled_sql_parses(spark):
     for sql in _all_compiled():
         # raises ParseException on invalid syntax
         parser.parsePlan(sql)
+
+
+# ---------------------------------------------------------------------------
+# Named-refs DDL (round 5): the connector twins of the snapshot_refs /
+# stream_wap_branch surface. Golden text follows Iceberg's documented
+# branching DDL; CREATE/DROP TAG/BRANCH are extension grammar (parseable
+# only with IcebergSparkSessionExtensions — the same jar gate as
+# execution), while VERSION AS OF and CALL fast_forward are first-class
+# in Spark 4's parser and are parse-verified here.
+# ---------------------------------------------------------------------------
+
+
+def test_refs_ddl_golden():
+    assert norm(IC.compile_create_tag("db.t", "v1-release", 3)) == norm(
+        "ALTER TABLE db.t CREATE TAG `v1-release` AS OF VERSION 3"
+    )
+    assert norm(IC.compile_create_tag("db.t", "v1")) == norm(
+        "ALTER TABLE db.t CREATE TAG `v1`"
+    )
+    assert norm(IC.compile_create_branch("db.t", "audit", 3)) == norm(
+        "ALTER TABLE db.t CREATE BRANCH `audit` AS OF VERSION 3"
+    )
+    assert norm(IC.compile_drop_ref("db.t", "v1", "tag")) == norm(
+        "ALTER TABLE db.t DROP TAG `v1`"
+    )
+    assert norm(IC.compile_drop_ref("db.t", "audit", "branch")) == norm(
+        "ALTER TABLE db.t DROP BRANCH `audit`"
+    )
+    assert norm(IC.compile_read_ref("db.t", "audit")) == norm(
+        "SELECT * FROM db.t VERSION AS OF 'audit'"
+    )
+    assert norm(IC.compile_fast_forward("db.t", "main", "audit")) == norm(
+        "CALL system.fast_forward('db.t', 'main', 'audit')"
+    )
+    assert norm(IC.compile_write_branch_option("audit")) == norm(
+        "SET spark.wap.branch = audit"
+    )
+
+
+def test_refs_vanilla_parseable_statements_parse(spark):
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for sql in (
+        IC.compile_read_ref("db.t", "audit"),
+        IC.compile_fast_forward("db.t", "main", "audit"),
+    ):
+        parser.parsePlan(sql)

@@ -57,7 +57,12 @@ BROADCAST_EXPECTED = {
 # non-empty PartitionFilters (directory-level pruning on the read-back)
 PARTITION_PRUNE_EXPECTED = {"partition_prune"}
 
-PLAN_SET = sorted(set(HEADLINE) | {"filter_conj", "knn_cosine", "knn_cosine_ivf"})
+# bench pseudo-entries (curation_incremental_cold/_warm wrap the same
+# registry query with artifact-state setup) aren't separate plans
+PLAN_SET = sorted(
+    (set(HEADLINE) | {"filter_conj", "knn_cosine", "knn_cosine_ivf"})
+    & set(QUERIES)
+)
 
 _PUSHED_NONEMPTY = re.compile(r"PushedFilters: \[[^\]]")
 _PART_NONEMPTY = re.compile(r"PartitionFilters: \[[^\]]")
