@@ -102,6 +102,11 @@ HEADLINE = [
     # scripts/odelta_sweep.py for the fixed-delta scaling datapoint).
     "curation_incremental_cold",
     "curation_incremental_warm",
+    # round-5 additions (dedup/sampling/vocab breadth)
+    "dedup_simhash",
+    "vocab_coverage",
+    "balanced_shards",
+    "fixed_size_sample",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -249,6 +249,32 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIXED_SAMPLE_K = 200
+
+
+def fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size deterministic sample — the eval-set/holdout requirement
+    rate-based sampling can't meet (a 1/10 hash filter yields ~N/10 ± √N
+    rows; an eval set must be exactly K). Sample = the K docs with the
+    smallest md5-derived hash (doc_id tiebreak): order statistics over a
+    pure key function, so reruns, engines, and backfills agree row-for-row
+    AND the size is exact.
+
+    Plan: TakeOrderedAndProject — each partition keeps a local top-K heap
+    and the driver merges P·K candidate rows, never a global sort; at
+    100 TB that's the only correct-and-cheap shape for small K. Output is
+    the sample membership itself (doc_id, lang, rank_hash)."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_hash("cast(doc_id as string)")
+    return (
+        docs.select("doc_id", "lang", F.expr(h).alias("rank_hash"))
+        .orderBy("rank_hash", "doc_id")
+        .limit(FIXED_SAMPLE_K)
+    )
+
+
 def incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over the snapshot changelog: a
     materialized per-priority aggregate of a LocalTable is maintained

@@ -498,6 +498,81 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     )
 
 
+# SimHash near-dup search (Manku/Jain/Sarma, WWW'07 shape): F-bit
+# fingerprints, Hamming-ball candidate search via band tables. With B
+# bands, any pair within Hamming distance B-1 agrees on >= 1 whole band
+# (pigeonhole), so bucketing on band values finds every such pair without
+# an all-pairs scan. Production tunes F up (64) and uses rotated tables;
+# the constants here keep the planted fixture's recall meaningful at the
+# toy token counts (the fingerprint has ~REMIX_MOD entropy, 31 bits max).
+SIMHASH_DEDUP_BITS = 24
+SIMHASH_DEDUP_BANDS = 3  # -> 8-bit bands, 256 buckets each
+SIMHASH_DEDUP_HAMMING_MAX = SIMHASH_DEDUP_BANDS - 1  # pigeonhole-complete
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection over the planted corpus — the third
+    dedup family beside exact-hash and MinHash-LSH: per-doc 24-bit
+    SimHash (Arrow kernel, signatures.simhash_fingerprints), candidates
+    by band-bucket equality (NO all-pairs join; the band explode is 3
+    fixed-width rows/doc), verified by exact Hamming distance
+    ``bit_count(a ^ b) <= 2`` — which the banding provably covers
+    (pigeonhole over 3 bands). Output: per-Hamming-distance pair counts,
+    id sums, and how many pairs are the planted original→copy links —
+    compact at any sf, and the oracle recomputes fingerprints + an
+    all-pairs Hamming check in DuckDB, so a banding bug that DROPS a
+    within-ball pair hash-mismatches.
+
+    Scale: fingerprints are map-only Arrow; the self-join shuffles
+    (band_idx, band_val, fp, doc_id) rows — ~24 B/doc × 3. Band width
+    trades bucket size vs recall radius: at corpus scale you raise F to
+    64 and keep buckets sparse (the classic 4-table/64-bit layout)."""
+    from iceberg_examples_spark.operators.signatures import (
+        simhash_fingerprints,
+    )
+
+    corpus = _with_planted_near_dups(load_table(spark, sf_dir, "documents"))
+    fps = stage(
+        simhash_fingerprints(corpus, n_bits=SIMHASH_DEDUP_BITS),
+        "simhash-fp",
+    )
+    width = SIMHASH_DEDUP_BITS // SIMHASH_DEDUP_BANDS
+    structs = ", ".join(
+        f"named_struct('band_idx', {b}, "
+        f"'band_val', (simhash div {2 ** (b * width)}) % {2 ** width})"
+        for b in range(SIMHASH_DEDUP_BANDS)
+    )
+    bands = fps.selectExpr(
+        "doc_id", "simhash", f"explode(array({structs})) as band"
+    ).selectExpr("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .selectExpr(
+            "a.doc_id as doc_a",
+            "b.doc_id as doc_b",
+            "bit_count(a.simhash ^ b.simhash) as hamming",
+        )
+        .where(f"hamming <= {SIMHASH_DEDUP_HAMMING_MAX}")
+        .distinct()
+    )
+    return pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("doc_a").alias("a_sum"),
+        F.sum("doc_b").alias("b_sum"),
+        F.sum(
+            F.expr("case when doc_b = doc_a + 1000000 then 1 else 0 end")
+        ).alias("n_planted"),
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the verified
     MinHash-LSH pair graph, each doc labeled with the min doc_id reachable

@@ -288,3 +288,48 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("doc_id").alias("id_sum"),
     )
+
+
+N_WORKERS = 8
+
+
+def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced worker assignment — the data-parallel loading step
+    after packing: spread documents over N_WORKERS so per-worker token
+    totals are even, deterministically. Greedy LPT needs a sequential
+    fold, so this uses its classic parallel approximation: rank docs by
+    n_tokens DESC within each shard (the contiguous doc_id ranges of
+    SHARD_DOCS, as in sequence_packing) and fold the rank serpentine
+    (boustrophedon) over 2·N_WORKERS slots — consecutive heavy docs land
+    on different workers and each worker gets one heavy + one light doc
+    per zig-zag, the standard balanced-static-partitioning trick.
+
+    Plan: per-shard window rank (bounded partitions — no total-order
+    sort), map-only slot arithmetic, one final aggregate. Output:
+    per-worker doc count, token total, id-sum fingerprint; the imbalance
+    is readable directly off the token totals."""
+    from iceberg_examples_spark.operators.text import with_quality_metrics
+
+    docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("shard_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    two_w = 2 * N_WORKERS
+    return (
+        docs.select("doc_id", "n_tokens")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        .withColumn("slot", (F.row_number().over(w) - 1) % two_w)
+        .withColumn(
+            "worker",
+            F.expr(
+                f"case when slot < {N_WORKERS} then slot "
+                f"else {two_w - 1} - slot end"
+            ),
+        )
+        .groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )

@@ -293,3 +293,42 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("avg_p_scaled", F.expr("p_scaled_sum div n_bigrams"))
     )
+
+
+VOCAB_SIZE = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: induce the top-VOCAB_SIZE vocabulary
+    by global occurrence count (ties broken lexicographically, so the cut
+    is fully deterministic) and report per-language OOV statistics —
+    the analysis that sizes a tokenizer's vocab against a corpus (what
+    fraction of token OCCURRENCES fall outside the vocab, per language).
+
+    Plan: one explode→count aggregate (map-side combine reduces each
+    partition to its distinct tokens before the shuffle), a top-V via
+    TakeOrdered (V rows to the driver side of the plan, never the corpus),
+    then the vocab — kilobytes — broadcasts back onto the token stream
+    for a map-only membership tag and a per-language aggregate. At 100 TB
+    the only corpus-sized exchange is the (token, count) aggregate."""
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    tokens = docs.select("lang", F.explode("tk").alias("token"))
+    counts = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_SIZE)
+        .select("token")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    tagged = tokens.join(F.broadcast(vocab), "token", "left")
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(
+            F.expr("case when in_vocab is null then 1 else 0 end")
+        ).alias("oov_tokens"),
+        F.count_distinct(
+            F.expr("case when in_vocab is null then token end")
+        ).alias("oov_types"),
+    )

@@ -1496,9 +1496,14 @@ FROM events WHERE user_id < 50
 
 # ---- sequence packing + mixture sampling (operators/llm_pipeline.py) -----
 
+from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
+    BIN_TOKENS,
+    SHARD_DOCS,
+)
+
 EXT_ORACLES["sequence_packing"] = f"""
 WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
-q AS (SELECT doc_id, doc_id // 128 AS shard_id,
+q AS (SELECT doc_id, doc_id // {SHARD_DOCS} AS shard_id,
              CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
 off AS (
   SELECT doc_id, shard_id, n_tokens,
@@ -1508,7 +1513,7 @@ off AS (
               AS BIGINT) AS o
   FROM q
 )
-SELECT shard_id, o // 512 AS bin_id,
+SELECT shard_id, o // {BIN_TOKENS} AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        CAST(sum(doc_id) AS BIGINT) AS id_sum
@@ -2087,4 +2092,94 @@ FROM delta d JOIN gate USING (doc_id)
 LEFT JOIN nd ON nd.doc_id = d.doc_id
 LEFT JOIN survival s USING (doc_id)
 GROUP BY d.lang
+"""
+
+# ---- round-5 additions ---------------------------------------------------
+
+from iceberg_examples_spark.operators.dedup import (  # noqa: E402
+    SIMHASH_DEDUP_BITS,
+    SIMHASH_DEDUP_HAMMING_MAX,
+)
+from iceberg_examples_spark.operators.llm_quality import (  # noqa: E402
+    VOCAB_SIZE,
+)
+from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
+    N_WORKERS,
+)
+from iceberg_examples_spark.operators.coverage import (  # noqa: E402
+    FIXED_SAMPLE_K,
+)
+
+_sh_bit_sums = ",\n       ".join(
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hh, "
+    f"h -> CAST(CASE WHEN h % {2 ** (i + 1)} >= {2 ** i} THEN 1 ELSE -1 END AS BIGINT))), "
+    f"(acc, x) -> acc + x) AS bit{i}"
+    for i in range(SIMHASH_DEDUP_BITS)
+)
+_sh_fp_sum = " + ".join(
+    f"(CASE WHEN bit{i} >= 0 THEN {2 ** i} ELSE 0 END)"
+    for i in range(SIMHASH_DEDUP_BITS)
+)
+
+# All-pairs Hamming reference for the banded Spark plan: the banding is
+# pigeonhole-complete for hamming <= BANDS-1, so the sets must be equal.
+EXT_ORACLES["dedup_simhash"] = f"""
+WITH corpus AS ({_near_corpus}),
+h AS (SELECT doc_id, {_tok_h} AS hh FROM corpus),
+bits AS (SELECT doc_id, {_sh_bit_sums} FROM h),
+fp AS (SELECT doc_id, CAST({_sh_fp_sum} AS BIGINT) AS simhash FROM bits),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_DEDUP_HAMMING_MAX}
+)
+SELECT CAST(hamming AS INT) AS hamming,
+       count(*) AS n_pairs,
+       CAST(sum(doc_a) AS BIGINT) AS a_sum,
+       CAST(sum(doc_b) AS BIGINT) AS b_sum,
+       CAST(sum(CASE WHEN doc_b = doc_a + 1000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_planted
+FROM pairs GROUP BY 1
+"""
+
+EXT_ORACLES["vocab_coverage"] = f"""
+WITH tok AS (SELECT lang, unnest({_toks}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT {VOCAB_SIZE})
+SELECT t.lang,
+       count(*) AS total_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(count(DISTINCT CASE WHEN v.token IS NULL THEN t.token END)
+            AS BIGINT) AS oov_types
+FROM tok t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.lang
+"""
+
+EXT_ORACLES["balanced_shards"] = f"""
+WITH t AS (SELECT doc_id, {_toks} AS toks FROM documents),
+q AS (SELECT doc_id, doc_id // {SHARD_DOCS} AS shard_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+slotted AS (
+  SELECT doc_id, n_tokens,
+         (row_number() OVER (PARTITION BY shard_id
+             ORDER BY n_tokens DESC, doc_id ASC) - 1) % {2 * N_WORKERS}
+           AS slot
+  FROM q
+)
+SELECT CAST(CASE WHEN slot < {N_WORKERS} THEN slot
+            ELSE {2 * N_WORKERS - 1} - slot END AS INT) AS worker,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM slotted GROUP BY 1
+"""
+
+EXT_ORACLES["fixed_size_sample"] = f"""
+SELECT doc_id, lang,
+       CAST({duck_md5_int('CAST(doc_id AS VARCHAR)')} AS BIGINT) AS rank_hash
+FROM documents
+ORDER BY rank_hash, doc_id
+LIMIT {FIXED_SAMPLE_K}
 """

@@ -71,6 +71,13 @@ QUERIES: dict[str, QueryFn] = {
     "quality_weighted_sample": LP.quality_weighted_sample,
     "quantile_bins": XR.quantile_bins,
     "quantile_bins_cuts": XR.quantile_bins_cuts,
+    # NEW round-5 queries (never attested, so they join this tier after
+    # the existing entries — the rotation sort is stable on declaration
+    # order)
+    "dedup_simhash": D.dedup_simhash,
+    "vocab_coverage": LQ.vocab_coverage,
+    "balanced_shards": LP.balanced_shards,
+    "fixed_size_sample": CV.fixed_size_sample,
     # ----- latest green driver row: round 1 -----
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
