@@ -107,6 +107,7 @@ HEADLINE = [
     "vocab_coverage",
     "balanced_shards",
     "fixed_size_sample",
+    "curation_steady_state",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -2183,3 +2183,74 @@ FROM documents
 ORDER BY rank_hash, doc_id
 LIMIT {FIXED_SAMPLE_K}
 """
+
+from iceberg_examples_spark.operators.dedup import (  # noqa: E402
+    MINHASH_EST_AGREE,
+)
+
+_steady_agree = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(N_MINHASH)
+)
+
+EXT_ORACLES["curation_steady_state"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000001 AS doc_id,
+         substring(text, strpos(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 4 = 2 AND doc_id < 80
+),
+tok AS (SELECT doc_id, {DUCK_TOKS.format(col='text')} AS toks FROM corpus),
+sh AS (SELECT doc_id, {_duck_shingles} AS shingles FROM tok),
+xsed AS (SELECT doc_id,
+         list_transform(shingles, s -> {duck_md5_int('s')} % {MOD}) AS xs FROM sh),
+sig AS (SELECT doc_id, {_mh_cols} FROM xsed),
+band AS (
+  SELECT doc_id, b.band_idx, {_band_case} AS band_hash
+  FROM sig, (VALUES {', '.join(f'({b})' for b in range(N_BANDS))}) b(band_idx)
+),
+ep AS (SELECT doc_id, CASE WHEN doc_id >= 3000000 THEN 2
+                           WHEN doc_id % 4 = 2 THEN 1
+                           WHEN doc_id % 4 = 3 THEN 2
+                           ELSE 0 END AS epoch FROM corpus),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM band a JOIN band b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id <> b.doc_id
+),
+links AS (
+  SELECT c.da, c.db FROM cand c
+  JOIN sig sa ON sa.doc_id = c.da
+  JOIN sig sb ON sb.doc_id = c.db
+  WHERE {_steady_agree} >= {MINHASH_EST_AGREE}
+),
+nd1 AS (
+  SELECT DISTINCT l.da AS doc_id FROM links l
+  JOIN ep ea ON ea.doc_id = l.da AND ea.epoch = 1
+  JOIN ep eb ON eb.doc_id = l.db AND eb.epoch = 0
+),
+acc1 AS (SELECT doc_id FROM ep WHERE epoch = 1
+         AND doc_id NOT IN (SELECT doc_id FROM nd1)),
+idx1 AS (SELECT doc_id FROM ep WHERE epoch = 0
+         UNION ALL SELECT doc_id FROM acc1),
+nd2 AS (
+  SELECT DISTINCT l.da AS doc_id FROM links l
+  JOIN ep ea ON ea.doc_id = l.da AND ea.epoch = 2
+  JOIN idx1 i ON i.doc_id = l.db
+),
+acc2 AS (SELECT doc_id FROM ep WHERE epoch = 2
+         AND doc_id NOT IN (SELECT doc_id FROM nd2))
+SELECT CAST(1 AS INT) AS epoch,
+       (SELECT count(*) FROM ep WHERE epoch = 1) AS n_batch,
+       (SELECT count(*) FROM nd1) AS n_neardup,
+       (SELECT count(*) FROM acc1) AS n_accepted,
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM acc1) AS id_sum
+UNION ALL
+SELECT CAST(2 AS INT),
+       (SELECT count(*) FROM ep WHERE epoch = 2),
+       (SELECT count(*) FROM nd2),
+       (SELECT count(*) FROM acc2),
+       (SELECT CAST(sum(doc_id) AS BIGINT) FROM acc2)
+"""

@@ -78,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_coverage": LQ.vocab_coverage,
     "balanced_shards": LP.balanced_shards,
     "fixed_size_sample": CV.fixed_size_sample,
+    "curation_steady_state": SC.curation_steady_state,
     # ----- latest green driver row: round 1 -----
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
