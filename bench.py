@@ -108,6 +108,8 @@ HEADLINE = [
     "balanced_shards",
     "fixed_size_sample",
     "curation_steady_state",
+    "pagerank_links",
+    "data_quality_audit",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

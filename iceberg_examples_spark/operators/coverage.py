@@ -411,3 +411,70 @@ def variant_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate — the admission checks a lakehouse runs before
+    promoting a batch (null keys, domain violations, FK orphans,
+    duplicate primary keys), here over a deterministically CORRUPTED
+    copy of ``orders`` so every check has planted positives and the
+    oracle verifies exact violation sets, not just zeros:
+
+    - ``o_orderkey % 97 == 0``  → customer key shifted +10^9 (FK orphan)
+    - ``o_orderkey % 89 == 0``  → total price negated (domain violation)
+    - ``o_orderkey % 83 == 0``  → order priority nulled (null check)
+    - ``o_orderkey % 101 == 0`` → row duplicated (PK uniqueness)
+
+    Output: one row per check with violation count and key-sum
+    fingerprint. Plan: the corrupted batch is staged once (map-only
+    derivation + one duplicate union), then each check is a narrow
+    aggregate — the FK check is a broadcast-friendly anti-join against
+    the customer keys, the PK check a count>1 aggregate on the key
+    column; nothing shuffles more than (key, flag) pairs at any scale."""
+    from iceberg_examples_spark.checkpointing import stage
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    corrupted = orders.selectExpr(
+        "o_orderkey",
+        "case when o_orderkey % 97 = 0 then o_custkey + 1000000000 "
+        "else o_custkey end as o_custkey",
+        "case when o_orderkey % 89 = 0 then -o_totalprice "
+        "else o_totalprice end as o_totalprice",
+        "case when o_orderkey % 83 = 0 then cast(null as string) "
+        "else o_orderpriority end as o_orderpriority",
+    ).unionByName(
+        orders.filter("o_orderkey % 101 = 0")
+    )
+    batch = stage(corrupted, "dq-batch")
+
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = batch.join(
+        cust_keys, batch.o_custkey == cust_keys.c_custkey, "left_anti"
+    ).agg(
+        F.lit("fk_orphan").alias("check"),
+        F.count(F.lit(1)).alias("n_violations"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    negative = batch.filter("o_totalprice < 0").agg(
+        F.lit("negative_price").alias("check"),
+        F.count(F.lit(1)).alias("n_violations"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    nulls = batch.filter("o_orderpriority is null").agg(
+        F.lit("null_priority").alias("check"),
+        F.count(F.lit(1)).alias("n_violations"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    dups = (
+        batch.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .agg(
+            F.lit("dup_key").alias("check"),
+            F.count(F.lit(1)).alias("n_violations"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+    return orphans.unionByName(negative).unionByName(nulls).unionByName(dups)

@@ -1,0 +1,87 @@
+"""Iterative graph analytics over the corpus: integer-exact PageRank.
+
+Crawl pipelines rank pages to prioritize fetch/curation budgets; the
+canonical algorithm is PageRank, and it is the third iterative family in
+this engine beside connected components (dedup.dedup_components) and
+k-means (clustering). The formulation here is chosen for CLUSTER
+execution and cross-engine exactness:
+
+- The link graph is synthesized deterministically: every document emits
+  OUT_DEGREE edges whose targets are md5-derived (``h('link#id#k') %
+  (max_id + 1)``) — both engines build the identical graph, and targets
+  that miss a real doc are dangling links whose mass simply evaporates
+  (the standard simplified treatment; determinism is unaffected).
+- ALL arithmetic is scaled-integer (rank × 10^6, damping 85/100 via
+  BIGINT ``div``). Floating-point PageRank cannot be hash-compared
+  across engines — parallel summation orders differ and double addition
+  is non-associative; integer sums are associative, so the result is
+  bit-identical regardless of partitioning, parallelism, or engine.
+- Each iteration is one equi-join (edges ⋈ ranks on src) + one
+  aggregate (sum of contributions by dst) + one left join back to the
+  node set — shuffles keyed on node id, exactly the shape Pregel-style
+  systems distribute. Iterations are staged (checkpointing.stage) so
+  the plan depth stays constant and a cluster run truncates lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import load_table
+from iceberg_examples_spark.checkpointing import stage
+from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+OUT_DEGREE = 3
+PR_ITERATIONS = 3
+PR_SCALE = 1_000_000  # rank fixed-point scale
+PR_TOPK = 20
+
+
+def _edges(docs: DataFrame) -> DataFrame:
+    """(src, dst): OUT_DEGREE deterministic md5-derived links per doc."""
+    n_expr = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
+    h = md5_int_hash(
+        "concat('link#', cast(src as string), '#', cast(k as string))"
+    )
+    return (
+        docs.select(F.col("doc_id").alias("src"))
+        .crossJoin(F.broadcast(n_expr))
+        .select(
+            "src",
+            F.explode(F.expr(f"sequence(1, {OUT_DEGREE})")).alias("k"),
+            "n_ids",
+        )
+        .select("src", F.expr(f"({h}) % n_ids").alias("dst"))
+    )
+
+
+def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR_ITERATIONS rounds of integer-exact PageRank over the synthetic
+    link graph; output = the PR_TOPK highest-ranked documents
+    (rank desc, doc_id asc — fully deterministic order and values)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = stage(_edges(docs), "pr-edges")
+    ranks = docs.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    base = int(0.15 * PR_SCALE)
+    for i in range(PR_ITERATIONS):
+        recv = (
+            edges.join(ranks, edges.src == ranks.doc_id)
+            .select("dst", F.expr(f"rank div {OUT_DEGREE}").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = stage(
+            docs.join(recv, docs.doc_id == recv.dst, "left").select(
+                "doc_id",
+                F.expr(
+                    f"{base} + (85 * coalesce(in_mass, 0L)) div 100"
+                ).alias("rank"),
+            ),
+            f"pr-iter-{i}",
+        )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(PR_TOPK)
+        .select("doc_id", "rank")
+    )

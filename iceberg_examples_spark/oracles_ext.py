@@ -2254,3 +2254,75 @@ SELECT CAST(2 AS INT),
        (SELECT count(*) FROM acc2),
        (SELECT CAST(sum(doc_id) AS BIGINT) FROM acc2)
 """
+
+from iceberg_examples_spark.operators.graph import (  # noqa: E402
+    OUT_DEGREE,
+    PR_ITERATIONS,
+    PR_SCALE,
+    PR_TOPK,
+)
+
+_pr_base = int(0.15 * PR_SCALE)
+_pr_edge_h = duck_md5_int(
+    "'link#' || CAST(src AS VARCHAR) || '#' || CAST(k AS VARCHAR)"
+)
+_pr_iters = "".join(
+    f""",
+recv{i} AS (
+  SELECT e.dst, sum(r.rank // {OUT_DEGREE}) AS in_mass
+  FROM edges e JOIN ranks{i - 1} r ON e.src = r.doc_id
+  GROUP BY e.dst
+),
+ranks{i} AS (
+  SELECT d.doc_id,
+         {_pr_base} + (85 * coalesce(v.in_mass, 0)) // 100 AS rank
+  FROM nodes d LEFT JOIN recv{i} v ON d.doc_id = v.dst
+)"""
+    for i in range(1, PR_ITERATIONS + 1)
+)
+
+EXT_ORACLES["pagerank_links"] = f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+n AS (SELECT max(doc_id) + 1 AS n_ids FROM nodes),
+edges AS (
+  SELECT src, ({_pr_edge_h}) % (SELECT n_ids FROM n) AS dst
+  FROM (SELECT doc_id AS src FROM nodes), range(1, {OUT_DEGREE + 1}) t(k)
+),
+ranks0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)
+{_pr_iters}
+SELECT doc_id, CAST(rank AS BIGINT) AS rank
+FROM ranks{PR_ITERATIONS}
+ORDER BY rank DESC, doc_id ASC
+LIMIT {PR_TOPK}
+"""
+
+_dq_batch = """
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000000
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 83 = 0 THEN CAST(NULL AS VARCHAR)
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+EXT_ORACLES["data_quality_audit"] = f"""
+WITH batch AS ({_dq_batch})
+SELECT 'fk_orphan' AS check, count(*) AS n_violations,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM batch b WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = b.o_custkey)
+UNION ALL
+SELECT 'negative_price', count(*), CAST(sum(o_orderkey) AS BIGINT)
+FROM batch WHERE o_totalprice < 0
+UNION ALL
+SELECT 'null_priority', count(*), CAST(sum(o_orderkey) AS BIGINT)
+FROM batch WHERE o_orderpriority IS NULL
+UNION ALL
+SELECT 'dup_key', count(*), CAST(sum(o_orderkey) AS BIGINT)
+FROM (SELECT o_orderkey FROM batch GROUP BY o_orderkey HAVING count(*) > 1)
+"""

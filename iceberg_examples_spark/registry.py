@@ -20,6 +20,7 @@ from iceberg_examples_spark.operators import coverage as CV
 from iceberg_examples_spark.operators import dedup as D
 from iceberg_examples_spark.operators import events_ops as E
 from iceberg_examples_spark.operators import extended_relational as XR
+from iceberg_examples_spark.operators import graph as GR
 from iceberg_examples_spark.operators import llm_pipeline as LP
 from iceberg_examples_spark.operators import llm_quality as LQ
 from iceberg_examples_spark.operators import maintenance as MT
@@ -79,6 +80,8 @@ QUERIES: dict[str, QueryFn] = {
     "balanced_shards": LP.balanced_shards,
     "fixed_size_sample": CV.fixed_size_sample,
     "curation_steady_state": SC.curation_steady_state,
+    "pagerank_links": GR.pagerank_links,
+    "data_quality_audit": CV.data_quality_audit,
     # ----- latest green driver row: round 1 -----
     "project_dates": XR.project_dates,
     "set_ops": XR.set_ops,
@@ -117,13 +120,13 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_large": CL.kmeans_large,
     "knn_kmeans_ivf": CL.knn_kmeans_ivf,
     "pq_codes": CL.pq_codes,
+    # ----- end of the 50-entry driver correctness window -----
     "pq_adc_topk": CL.pq_adc_topk,
     "embedding_neardup": SIM.embedding_neardup,
     "multimodal_meta": MM.multimodal_meta,
     "collect_sets": XR.collect_sets,
     "dedup_latest": E.dedup_latest,
     "sessionize": E.sessionize,
-    # ----- end of the 50-entry driver correctness window -----
     "session_window_agg": E.session_window_agg,
     "window_hourly": E.window_hourly,
     # ----- latest green driver row: round 3 -----
