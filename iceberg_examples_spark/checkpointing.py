@@ -132,7 +132,11 @@ def stage(df: DataFrame, label: str = "stage") -> DataFrame:
 
 
 def persisted_index(
-    df: DataFrame, label: str, dep_paths: list[str], fingerprint: str = ""
+    spark,
+    build,
+    label: str,
+    dep_paths: list[str],
+    fingerprint: str = "",
 ) -> DataFrame:
     """A durable derived-index ARTIFACT, built at most once per input
     state — the incremental pipelines' contract (scrub.curation_incremental):
@@ -155,7 +159,13 @@ def persisted_index(
     This is the LOCAL-filesystem strategy (os.stat / os.rename). A
     cluster deployment stores the index as a real table (the LocalTable /
     Iceberg layer here) and uses snapshot ids for freshness instead —
-    same contract, durable catalog instead of a directory."""
+    same contract, durable catalog instead of a directory.
+
+    ``build`` is a DataFrame or (preferably) a zero-arg callable
+    returning one: the cache key is computed from dep state alone, so on
+    a warm hit a callable's build PLAN is never even constructed —
+    measured ~0.15 s of py4j plan-building per probe saved in the warm
+    incremental path."""
     stats = []
     for p in dep_paths:
         st = os.stat(p)
@@ -163,13 +173,16 @@ def persisted_index(
     key = hashlib.md5(
         "|".join([label, fingerprint, *stats]).encode()
     ).hexdigest()[:16]
-    root = staging_dir(df) or os.path.join(
-        tempfile.gettempdir(), "ies-index-cache"
+    conf_val = spark.conf.get(STAGING_CONF_KEY, None)
+    root = (
+        conf_val
+        or os.environ.get(STAGING_ENV_VAR)
+        or os.path.join(tempfile.gettempdir(), "ies-index-cache")
     )
     path = os.path.join(root, f"{label}-{key}")
-    spark = df.sparkSession
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return _artifact_reader(spark, path)
+    df = build() if callable(build) else build
     os.makedirs(root, exist_ok=True)
     tmp = f"{path}.build-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
