@@ -41,6 +41,28 @@ from pyspark.sql import DataFrame
 STAGING_CONF_KEY = "spark.iceberg_examples.stagingDir"
 STAGING_ENV_VAR = "SPARK_GRAFT_STAGING_DIR"
 
+# Separate knob for the durable index-artifact root (persisted_index /
+# drop_index_artifacts). Falls back to the staging conf, then a shared
+# tempdir. The separation exists so a process can isolate its artifact
+# cache (e.g. a test session) WITHOUT flipping stage() from
+# localCheckpoint to parquet-staging mode — the two settings answer
+# different questions (per-run scratch strategy vs durable cache root),
+# and sharing one default root across concurrent processes is unsafe:
+# drop_index_artifacts() deletes dirs another process may be mid-scan on.
+INDEX_CONF_KEY = "spark.iceberg_examples.indexDir"
+INDEX_ENV_VAR = "SPARK_GRAFT_INDEX_DIR"
+
+
+def index_root(spark) -> str:
+    """The durable index-artifact root for this session."""
+    return (
+        spark.conf.get(INDEX_CONF_KEY, None)
+        or os.environ.get(INDEX_ENV_VAR)
+        or spark.conf.get(STAGING_CONF_KEY, None)
+        or os.environ.get(STAGING_ENV_VAR)
+        or os.path.join(tempfile.gettempdir(), "ies-index-cache")
+    )
+
 
 def staging_dir(df: DataFrame) -> str | None:
     """The configured staging root, or None for localCheckpoint mode."""
@@ -173,12 +195,7 @@ def persisted_index(
     key = hashlib.md5(
         "|".join([label, fingerprint, *stats]).encode()
     ).hexdigest()[:16]
-    conf_val = spark.conf.get(STAGING_CONF_KEY, None)
-    root = (
-        conf_val
-        or os.environ.get(STAGING_ENV_VAR)
-        or os.path.join(tempfile.gettempdir(), "ies-index-cache")
-    )
+    root = index_root(spark)
     path = os.path.join(root, f"{label}-{key}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return _artifact_reader(spark, path)
@@ -208,12 +225,7 @@ def drop_index_artifacts(spark, label_prefixes: tuple[str, ...]) -> int:
     any of ``label_prefixes`` (and purge their cached readers) — the
     cold-path reset used by bench.py to measure index BUILD cost
     separately from the steady-state probe. Returns dirs removed."""
-    conf_val = spark.conf.get(STAGING_CONF_KEY, None)
-    root = (
-        conf_val
-        or os.environ.get(STAGING_ENV_VAR)
-        or os.path.join(tempfile.gettempdir(), "ies-index-cache")
-    )
+    root = index_root(spark)
     removed = 0
     if os.path.isdir(root):
         for name in os.listdir(root):

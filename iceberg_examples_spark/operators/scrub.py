@@ -405,7 +405,8 @@ def incremental_curate(
     # definition change invalidates the artifact like a data change does
     lsh_fp = f"v1:mh{N_MINHASH}:b{N_BANDS}:r{ROWS_PER_BAND}:m{MOD}:{base_tag}"
     base_lsh = persisted_index(
-        minhash_index(base.select("doc_id", "text")),
+        spark,
+        lambda: minhash_index(base.select("doc_id", "text")),
         "base-lsh-index",
         index_deps,
         fingerprint=lsh_fp,
@@ -437,7 +438,8 @@ def incremental_curate(
     # paragraph-hash index (same persisted-artifact discipline), then
     # keep-first within the delta
     base_hashes = persisted_index(
-        _paras(base).select("h").distinct(),
+        spark,
+        lambda: _paras(base).select("h").distinct(),
         "base-para-index",
         index_deps,
         fingerprint=f"v1:pt{PARA_TOKENS}:pm{PARA_SUM_MOD}:{base_tag}",

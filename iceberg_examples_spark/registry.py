@@ -63,64 +63,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- never driver-attested (local parity + driver-sim green): always first -----
-    "snapshot_refs": MT.snapshot_refs,
-    "bucketed_join": PT.bucketed_join,
-    "stream_wap_branch": ST.stream_wap_branch,
-    "python_datasource_scan": PD.python_datasource_scan,
-    "bigram_lm_score": LQ.bigram_lm_score,
-    "quality_weighted_sample": LP.quality_weighted_sample,
-    "quantile_bins": XR.quantile_bins,
-    "quantile_bins_cuts": XR.quantile_bins_cuts,
-    # NEW round-5 queries (never attested, so they join this tier after
-    # the existing entries — the rotation sort is stable on declaration
-    # order)
-    "dedup_simhash": D.dedup_simhash,
-    "vocab_coverage": LQ.vocab_coverage,
-    "balanced_shards": LP.balanced_shards,
-    "fixed_size_sample": CV.fixed_size_sample,
-    "curation_steady_state": SC.curation_steady_state,
-    "pagerank_links": GR.pagerank_links,
-    "data_quality_audit": CV.data_quality_audit,
-    # ----- latest green driver row: round 1 -----
-    "project_dates": XR.project_dates,
-    "set_ops": XR.set_ops,
-    "set_ops_all": XR.set_ops_all,
-    "unpivot_metrics": XR.unpivot_metrics,
-    "agg_rollup": XR.agg_rollup,
-    "asof_join": XR.asof_join,
-    "range_join_buckets": XR.range_join_buckets,
-    "running_totals": XR.running_totals,
-    "range_frame_agg": XR.range_frame_agg,
-    "json_struct_parse": XR.json_struct_parse,
-    "window_rank_funcs": XR.window_rank_funcs,
-    "lateral_topn": XR.lateral_topn,
-    "agg_cube": XR.agg_cube,
-    "grouping_sets_agg": XR.grouping_sets_agg,
-    "map_type_ops": XR.map_type_ops,
-    "salted_agg": XR.salted_agg_query,
-    "skew_join": XR.skew_join_query,
-    "pivot_status": XR.pivot_status,
     # ----- latest green driver row: round 2 -----
-    "stream_static_join": ST.stream_static_join,
-    "text_token_count": TX.token_count,
-    "text_lang_id": TX.lang_id,
-    "text_quality_score": TX.quality_score,
-    "text_fingerprint": TX.doc_fingerprint,
-    "text_simhash": TX.simhash16,
-    "explode_tokens": TX.explode_tokens,
-    "deterministic_sample": CV.deterministic_sample,
-    "train_test_split": CV.train_test_split,
-    "corpus_mixture": LP.corpus_mixture,
-    "dedup_exact": D.dedup_exact,
-    "dedup_exact_keep": D.dedup_exact_keep,
-    "ngram_jaccard": D.ngram_jaccard,
-    "knn_cosine": SIM.knn_cosine,
-    "kmeans_clusters": CL.kmeans_clusters,
-    "kmeans_large": CL.kmeans_large,
-    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
     "pq_codes": CL.pq_codes,
-    # ----- end of the 50-entry driver correctness window -----
     "pq_adc_topk": CL.pq_adc_topk,
     "embedding_neardup": SIM.embedding_neardup,
     "multimodal_meta": MM.multimodal_meta,
@@ -171,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_history": MT.snapshot_history,
     "changelog_feed": MT.changelog_feed,
     "pii_scrub": SC.pii_scrub,
+    # ----- end of the 50-entry driver correctness window -----
     "paragraph_dedup": SC.paragraph_dedup,
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
@@ -228,6 +173,57 @@ QUERIES: dict[str, QueryFn] = {
     "binary_files_ingest": MM.binary_files_ingest,
     "jsonl_shard_export": LP.jsonl_shard_export,
     "mixture_temperature": LP.mixture_temperature,
+    # ----- latest green driver row: round 5 -----
+    "snapshot_refs": MT.snapshot_refs,
+    "bucketed_join": PT.bucketed_join,
+    "stream_wap_branch": ST.stream_wap_branch,
+    "python_datasource_scan": PD.python_datasource_scan,
+    "bigram_lm_score": LQ.bigram_lm_score,
+    "quality_weighted_sample": LP.quality_weighted_sample,
+    "quantile_bins": XR.quantile_bins,
+    "quantile_bins_cuts": XR.quantile_bins_cuts,
+    "dedup_simhash": D.dedup_simhash,
+    "vocab_coverage": LQ.vocab_coverage,
+    "balanced_shards": LP.balanced_shards,
+    "fixed_size_sample": CV.fixed_size_sample,
+    "curation_steady_state": SC.curation_steady_state,
+    "pagerank_links": GR.pagerank_links,
+    "data_quality_audit": CV.data_quality_audit,
+    "project_dates": XR.project_dates,
+    "set_ops": XR.set_ops,
+    "set_ops_all": XR.set_ops_all,
+    "unpivot_metrics": XR.unpivot_metrics,
+    "agg_rollup": XR.agg_rollup,
+    "asof_join": XR.asof_join,
+    "range_join_buckets": XR.range_join_buckets,
+    "running_totals": XR.running_totals,
+    "range_frame_agg": XR.range_frame_agg,
+    "json_struct_parse": XR.json_struct_parse,
+    "window_rank_funcs": XR.window_rank_funcs,
+    "lateral_topn": XR.lateral_topn,
+    "agg_cube": XR.agg_cube,
+    "grouping_sets_agg": XR.grouping_sets_agg,
+    "map_type_ops": XR.map_type_ops,
+    "salted_agg": XR.salted_agg_query,
+    "skew_join": XR.skew_join_query,
+    "pivot_status": XR.pivot_status,
+    "stream_static_join": ST.stream_static_join,
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    "deterministic_sample": CV.deterministic_sample,
+    "train_test_split": CV.train_test_split,
+    "corpus_mixture": LP.corpus_mixture,
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "ngram_jaccard": D.ngram_jaccard,
+    "knn_cosine": SIM.knn_cosine,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

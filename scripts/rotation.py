@@ -39,7 +39,7 @@ WINDOW = 50  # driver correctness window: first N registry entries
 def latest_green_round(repo: str = REPO) -> dict[str, int]:
     """query -> latest round number whose driver row was green."""
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)\.json$", path).group(1))
         with open(path) as f:
             data = json.load(f)

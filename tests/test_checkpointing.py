@@ -9,7 +9,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from iceberg_examples_spark.checkpointing import STAGING_CONF_KEY, stage
+from iceberg_examples_spark.checkpointing import (
+    INDEX_CONF_KEY,
+    STAGING_CONF_KEY,
+    stage,
+)
 
 
 @pytest.fixture
@@ -143,26 +147,37 @@ def test_persisted_index_builds_once_and_invalidates(spark, tmp_path):
     dep = tmp_path / "dep.txt"
     dep.write_text("v1")
     idx_root = tmp_path / "idx"
-    spark.conf.set(STAGING_CONF_KEY, str(idx_root))
+    spark.conf.set(INDEX_CONF_KEY, str(idx_root))
     try:
         df = spark.range(10).withColumn("x", F.col("id") * 3)
-        out = persisted_index(df, "t-idx", [str(dep)])
+        out = persisted_index(spark, df, "t-idx", [str(dep)])
         assert sorted(r["x"] for r in out.collect()) == [
             3 * i for i in range(10)
         ]
         built = set(os.listdir(idx_root))
         assert len(built) == 1
 
-        # same input state: artifact reused, nothing new written
-        persisted_index(df, "t-idx", [str(dep)]).count()
-        assert set(os.listdir(idx_root)) == built
+        # same input state: artifact reused, nothing new written — and a
+        # callable build is NEVER invoked on a warm hit (the stated point
+        # of the thunk signature: the build plan isn't even constructed)
+        calls = []
 
-        # changed input state (mtime) invalidates: a second artifact
+        def thunk():
+            calls.append(1)
+            return df
+
+        persisted_index(spark, thunk, "t-idx", [str(dep)]).count()
+        assert set(os.listdir(idx_root)) == built
+        assert calls == [], "warm hit invoked the build callable"
+
+        # changed input state (mtime) invalidates: a second artifact,
+        # and the callable IS invoked for the cold rebuild
         os.utime(str(dep), ns=(12345, 12345))
-        persisted_index(df, "t-idx", [str(dep)]).count()
+        persisted_index(spark, thunk, "t-idx", [str(dep)]).count()
         assert len(os.listdir(idx_root)) == 2
+        assert calls == [1], "cold miss must invoke the build callable"
     finally:
-        spark.conf.unset(STAGING_CONF_KEY)
+        spark.conf.unset(INDEX_CONF_KEY)
 
 
 def test_curation_incremental_steady_state_probes_not_rebuilds(
@@ -176,6 +191,7 @@ def test_curation_incremental_steady_state_probes_not_rebuilds(
     from iceberg_examples_spark.operators.scrub import curation_incremental
 
     spark.conf.set(STAGING_CONF_KEY, str(tmp_path))
+    spark.conf.set(INDEX_CONF_KEY, str(tmp_path))
     try:
         # first invocation builds the two index artifacts
         curation_incremental(spark, sf_dir).collect()
@@ -195,6 +211,7 @@ def test_curation_incremental_steady_state_probes_not_rebuilds(
         assert any(n.startswith("base-para-index-") for n in names)
     finally:
         spark.conf.unset(STAGING_CONF_KEY)
+        spark.conf.unset(INDEX_CONF_KEY)
 
 
 def test_persisted_index_concurrent_builders_one_artifact(spark, tmp_path):
@@ -207,13 +224,13 @@ def test_persisted_index_concurrent_builders_one_artifact(spark, tmp_path):
     dep = tmp_path / "dep.txt"
     dep.write_text("v1")
     idx_root = tmp_path / "idx"
-    spark.conf.set(STAGING_CONF_KEY, str(idx_root))
+    spark.conf.set(INDEX_CONF_KEY, str(idx_root))
     results, errors = [], []
 
     def build():
         try:
             df = spark.range(50).withColumn("x", F.col("id") * 7)
-            out = persisted_index(df, "race-idx", [str(dep)])
+            out = persisted_index(spark, df, "race-idx", [str(dep)])
             results.append(sorted(r["x"] for r in out.collect()))
         except Exception as exc:  # pragma: no cover - failure detail
             errors.append(exc)
@@ -230,4 +247,4 @@ def test_persisted_index_concurrent_builders_one_artifact(spark, tmp_path):
         assert [n for n in names if ".build-" in n] == []
         assert len([n for n in names if n.startswith("race-idx-")]) == 1
     finally:
-        spark.conf.unset(STAGING_CONF_KEY)
+        spark.conf.unset(INDEX_CONF_KEY)
