@@ -110,6 +110,14 @@ HEADLINE = [
     "curation_steady_state",
     "pagerank_links",
     "data_quality_audit",
+    # round-6 additions (training-order, per-dim stats, sketches,
+    # intra-doc scrub, quota sampling, length histogram)
+    "epoch_shuffle",
+    "embedding_stats",
+    "hll_distinct",
+    "intra_doc_dedup",
+    "domain_cap_sample",
+    "length_buckets",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -478,3 +478,69 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return orphans.unionByName(negative).unionByName(nulls).unionByName(dups)
+
+
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost pipeline instrumentation via ``DataFrame.observe``: the
+    quality-gate job over lineitem runs ONCE, and its audit metrics (rows
+    seen, rows kept, exact scaled revenue kept) ride the same job as
+    accumulator-style observations — no second scan, which is the entire
+    value at 100 TB (the naive audit re-aggregates the input; this costs
+    nothing beyond the job you were running anyway).
+
+    The observation payload comes back as driver-side scalars (that is
+    the mechanism — Spark's QueryExecutionListener path), re-lifted into
+    a one-row frame; the oracle recomputes the same three aggregates
+    relationally, pinning both the kept-side write-out AND the observed
+    metrics to the exact integer arithmetic."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("gate-audit")
+    gated = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_seen"),
+        F.sum(
+            F.expr("case when l_quantity < 30 then 1 else 0 end")
+        ).alias("n_kept"),
+        F.sum(
+            F.expr(
+                "case when l_quantity < 30 then "
+                "cast(round(l_extendedprice * 100) as bigint) else 0 end"
+            )
+        ).alias("kept_cents"),
+    ).filter(F.col("l_quantity") < 30)
+    # the action that would exist anyway (the gate's write-out, here a
+    # count); observation scalars are then available without re-scan
+    n_out = gated.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_seen"], m["n_kept"], int(n_out), m["kept_cents"])],
+        "n_seen bigint, n_kept bigint, n_written bigint, kept_cents bigint",
+    )
+
+
+def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operator chaining — SIGMOD'24
+    "SQL Has Problems" Google pipe-syntax proposal, adopted upstream):
+    the same declarative plan as a nested SELECT, written as a linear
+    stage chain. Catalyst sees identical logical operators — this query
+    asserts the surface exists and optimizes normally (the oracle is the
+    classic ANSI spelling of the same aggregation).
+
+    Exact-arithmetic discipline as everywhere: revenue summed as scaled
+    BIGINT inside the pipe AGGREGATE stage."""
+    for t in ("lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1995-01-01'
+        |> AGGREGATE count(*) AS n_items,
+                     sum(cast(round(l_extendedprice * 100) as bigint))
+                       AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 0
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

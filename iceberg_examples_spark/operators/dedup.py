@@ -28,7 +28,7 @@ Scale design notes (the real targets are ~10^10 documents):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
@@ -580,3 +580,46 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`connected_components` for the distributed algorithm."""
     pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return connected_components(pairs)
+
+
+def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-repetition scrub accounting — duplicate paragraph windows
+    WITHIN a document (boilerplate repeats, template spam), the
+    complement of paragraph_dedup's cross-document pass. Keep-first
+    semantics: occurrence 1 of a window hash survives, later occurrences
+    are the intra-doc duplicates; the output is the per-doc audit
+    (window count, surviving count, and a mod-bounded hash fingerprint of
+    the dropped occurrences so the oracle checks WHICH windows dropped,
+    not just how many).
+
+    Plan: the shared paragraph explode+hash stage (scrub._paras — one
+    source of truth for the window/hash formulation), then a window
+    partitioned BY DOC over (hash, position): the partition key is the
+    document, the natural parallel unit — no global sort, no cross-doc
+    traffic, and a 100×-bigger corpus just means more doc partitions.
+    Docs shorter than one window (size < 1 token) simply don't appear —
+    same contract as the paragraph stage it reuses."""
+    from iceberg_examples_spark.operators.scrub import (
+        PARA_SUM_MOD,
+        _paras,
+        _with_tokens,
+    )
+
+    docs = _with_tokens(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id", "h").orderBy("para_idx")
+    return (
+        _paras(docs)
+        .withColumn("occ", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.expr("case when occ = 1 then 1 else 0 end")).alias(
+                "n_kept"
+            ),
+            F.sum(
+                F.expr(
+                    f"case when occ > 1 then h % {PARA_SUM_MOD} else 0 end"
+                )
+            ).alias("dup_h_sum"),
+        )
+    )

@@ -596,3 +596,48 @@ def quantile_bins_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+HLL_REL_ERR_PCT = 5  # lgConfigK=12 default ≈ 1.6% std error; 5% ≈ 3σ
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, the
+    engine's hll_sketch_agg/hll_union_agg surface): per-event-type user
+    cardinality from per-group sketches, PLUS the all-types row obtained
+    by UNIONING the group sketches — never re-scanning the input. That
+    mergeability is the 100 TB story: partial sketches combine across
+    partitions, days, and tables in O(sketch) not O(data), which exact
+    count-distinct (a full shuffle of the key universe) cannot do.
+
+    Self-verifying like approx_stats: sketches are estimates, so the
+    hash-checked payload is the EXACT cardinality computed alongside plus
+    a boolean "estimate within HLL_REL_ERR_PCT of exact" per row — the
+    oracle recomputes the exact side and pins the boolean TRUE, so a
+    broken sketch path (or an out-of-contract error) flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("n_exact"),
+    )
+    groups = per_group.select(
+        "event_type",
+        "n_exact",
+        F.expr("hll_sketch_estimate(sk)").alias("est"),
+    )
+    # the union row: merge the per-group sketches (exact side needs the
+    # global distinct — one more agg over the same scan in this demo; at
+    # scale only the sketches exist and THAT is the point)
+    merged = per_group.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).crossJoin(ev.agg(F.count_distinct("user_id").alias("n_exact")))
+    unioned = groups.unionByName(
+        merged.select(F.lit("ALL").alias("event_type"), "n_exact", "est")
+    )
+    return unioned.select(
+        "event_type",
+        "n_exact",
+        F.expr(
+            f"abs(est - n_exact) * 100 <= n_exact * {HLL_REL_ERR_PCT}"
+        ).alias("est_in_bound"),
+    )

@@ -333,3 +333,133 @@ def balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         )
     )
+
+
+# epoch_shuffle: range-bucket fan-out + tiny offset table instead of a
+# one-partition global window. 2^60 hash space / EPOCH_BUCKETS ranges.
+EPOCH_SEED = "epoch1"
+EPOCH_BUCKETS = 32
+_EPOCH_BUCKET_WIDTH = (1 << 60) // EPOCH_BUCKETS
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order (epoch shuffle): every doc gets
+    an exact position 1..N in the order of a seeded hash — the "shuffle
+    once, replay anywhere" requirement of distributed training (a rerun,
+    a resumed job, and a different engine must all agree on the order,
+    which rand()-shuffles cannot give).
+
+    The naive formulation — ``row_number() OVER (ORDER BY hash)`` — is a
+    single-partition global sort window: one task materializes the whole
+    corpus at 100 TB. This uses the distributed enumeration instead:
+    the 60-bit hash space is cut into EPOCH_BUCKETS equal RANGES (range,
+    not mod — bucket order must agree with hash order), per-bucket counts
+    (a tiny aggregate: 32 rows to the driver, planning-scalar hop) become
+    prefix-sum offsets, and the exact global position is
+    ``offset[bucket] + row_number within bucket``. Each bucket's window
+    sorts only ~N/32 rows in parallel — the same two-phase shape as
+    zipWithIndex, expressed declaratively. Hash uniformity bounds bucket
+    skew; more buckets = more parallelism, same arithmetic."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_hash(f"concat('{EPOCH_SEED}:', cast(doc_id as string))")
+    hashed = docs.select(
+        "doc_id",
+        F.expr(h).alias("rank_hash"),
+    ).withColumn("bucket", F.expr(f"rank_hash div {_EPOCH_BUCKET_WIDTH}"))
+
+    counts = {
+        r["bucket"]: r["n"]
+        for r in hashed.groupBy("bucket").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(EPOCH_BUCKETS):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "bucket bigint, offset bigint")
+    )
+
+    w = Window.partitionBy("bucket").orderBy("rank_hash", "doc_id")
+    return (
+        hashed.join(off, "bucket")
+        .withColumn("pos", F.col("offset") + F.row_number().over(w))
+        .select("pos", "doc_id", "rank_hash")
+    )
+
+
+DOMAIN_CAP = 15
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling — cap any one source's contribution at
+    DOMAIN_CAP docs so a crawl dominated by a few giant domains cannot
+    dominate the training mix (the source-balancing step every web-scale
+    corpus applies). Selection within a domain is by seeded-hash order
+    (deterministic; reruns and engines agree), not arrival order.
+
+    Plan: one shuffle by source + per-source window rank over ~equal
+    groups. A pathological mega-domain makes that group's sort big; the
+    fix at scale is the two-phase top-K (per-partition local top-K, then
+    the final rank over ≤ P·K survivors) — same output, and AQE's skew
+    splitting already covers the moderate cases. Output is the kept
+    membership itself (doc_id, source, pick rank)."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_int_hash(f"concat('cap:', cast(doc_id as string))")
+    w = Window.partitionBy("source").orderBy("pick_hash", "doc_id")
+    return (
+        docs.select("doc_id", "source", F.expr(h).alias("pick_hash"))
+        .withColumn("pick", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick") <= DOMAIN_CAP)
+        .select("doc_id", "source", "pick")
+    )
+
+
+LEN_BUCKET_MAX_P = 30
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the packing
+    / context-window planning histogram (what share of docs fit 2^k
+    tokens, and where the token mass lives). Bucket = floor(log2(n)) is
+    computed in INTEGER arithmetic (count of set powers via a shiftleft
+    fold), never float log: both engines agree exactly at boundaries,
+    where log2(2^k) in doubles can land on either side of k.
+
+    Map-only bucket assignment + one tiny aggregate; the cumulative
+    share columns are a window over the ≤30-row grouped result."""
+    from iceberg_examples_spark.functions.texthash import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = f"size({tokens_expr('text')})"
+    bucket = (
+        f"size(filter(sequence(0, {LEN_BUCKET_MAX_P}), "
+        f"p -> shiftleft(1L, p) <= {n_tok})) - 1"
+    )
+    grouped = (
+        docs.select(
+            F.expr(f"cast({bucket} as bigint)").alias("bucket"),
+            F.expr(f"cast({n_tok} as bigint)").alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumn("lo", F.expr("shiftleft(1L, cast(bucket as int))"))
+        .withColumn("hi", F.expr("shiftleft(1L, cast(bucket as int) + 1) - 1"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return grouped.select(
+        "bucket",
+        "lo",
+        "hi",
+        "n_docs",
+        "total_tokens",
+        F.sum("n_docs").over(w).alias("cum_docs"),
+    )

@@ -147,3 +147,61 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.999)
     )
+
+
+EMB_DIM = 64
+EMB_SCALE = 1_000_000
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column (the
+    feature-normalization / whitening precursor: mean-center and scale
+    need exact per-dim sums and sum-of-squares over the whole corpus).
+
+    Scale formulation: NO explode. Exploding (row, dim, value) multiplies
+    the shuffle by the dimensionality (64× here, 4096× for real models);
+    instead each per-dim sum is its own aggregate column — 2·DIM + 1
+    narrow columnar aggregates with map-side partial aggregation, so the
+    only exchange is one partial-agg row per partition. The 64-row output
+    shape is recovered by exploding the single aggregated row (trivial).
+
+    Cross-engine exactness: float sums are shuffle-order-dependent, so
+    each element is scaled to BIGINT per row (round(x·1e6), and
+    round(x²·1e6) from one deterministic double multiply) and accumulated
+    exactly; ``mean`` is one trailing double division off the exact sum —
+    the functions/exact.py discipline applied elementwise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = "cast(embedding[{i}] as double)"
+    sums = [
+        F.expr(
+            f"sum(cast(round({e.format(i=i)} * {EMB_SCALE}) as bigint))"
+        ).alias(f"s{i}")
+        for i in range(EMB_DIM)
+    ]
+    sumsqs = [
+        F.expr(
+            f"sum(cast(round({e.format(i=i)} * {e.format(i=i)}"
+            f" * {EMB_SCALE}) as bigint))"
+        ).alias(f"q{i}")
+        for i in range(EMB_DIM)
+    ]
+    one = emb.agg(F.count(F.lit(1)).alias("n"), *sums, *sumsqs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"s{i}").alias("sum_s"), F.col(f"q{i}").alias("sumsq_s")
+            )
+            for i in range(EMB_DIM)
+        ]
+    )
+    return one.select(
+        "n", F.posexplode(pairs).alias("dim", "sq")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        F.col("sq.sum_s").alias("sum_s"),
+        F.col("sq.sumsq_s").alias("sumsq_s"),
+        F.expr(
+            f"cast(sq.sum_s as double) / {EMB_SCALE}.0 / cast(n as double)"
+        ).alias("mean"),
+    )

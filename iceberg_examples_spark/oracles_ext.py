@@ -2326,3 +2326,144 @@ UNION ALL
 SELECT 'dup_key', count(*), CAST(sum(o_orderkey) AS BIGINT)
 FROM (SELECT o_orderkey FROM batch GROUP BY o_orderkey HAVING count(*) > 1)
 """
+
+# ---- round-6 additions --------------------------------------------------
+
+from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
+    DOMAIN_CAP,
+    EPOCH_SEED,
+    LEN_BUCKET_MAX_P,
+)
+from iceberg_examples_spark.operators.similarity import (  # noqa: E402
+    EMB_DIM,
+    EMB_SCALE,
+)
+
+_epoch_h = duck_md5_int(f"'{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)")
+EXT_ORACLES["epoch_shuffle"] = f"""
+SELECT row_number() OVER (ORDER BY rank_hash, doc_id) AS pos,
+       doc_id, rank_hash
+FROM (SELECT doc_id, {_epoch_h} AS rank_hash FROM documents)
+"""
+
+_cap_h = duck_md5_int("'cap:' || CAST(doc_id AS VARCHAR)")
+EXT_ORACLES["domain_cap_sample"] = f"""
+SELECT doc_id, source, pick FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY pick_hash, doc_id
+         ) AS pick
+  FROM (SELECT doc_id, source, {_cap_h} AS pick_hash FROM documents)
+) WHERE pick <= {DOMAIN_CAP}
+"""
+
+_lb_n = f"len({_DOC_TOKS})"
+_lb_bucket = (
+    f"len(list_filter(range(0, {LEN_BUCKET_MAX_P} + 1), "
+    f"p -> (CAST(1 AS BIGINT) << p) <= n_tokens)) - 1"
+)
+EXT_ORACLES["length_buckets"] = f"""
+WITH t AS (SELECT CAST({_lb_n} AS BIGINT) AS n_tokens FROM documents),
+b AS (SELECT CAST({_lb_bucket} AS BIGINT) AS bucket, n_tokens FROM t),
+g AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket,
+       CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS BIGINT) AS lo,
+       (CAST(1 AS BIGINT) << (CAST(bucket AS INT) + 1)) - 1 AS hi,
+       n_docs, total_tokens,
+       CAST(sum(n_docs) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs
+FROM g
+"""
+
+EXT_ORACLES["embedding_stats"] = f"""
+WITH x AS (
+  SELECT unnest(range(1, {EMB_DIM} + 1)) AS ord, embedding FROM embeddings
+),
+u AS (
+  SELECT ord - 1 AS dim,
+         CAST(round(CAST(embedding[ord] AS DOUBLE) * {EMB_SCALE})
+              AS BIGINT) AS xs,
+         CAST(round(CAST(embedding[ord] AS DOUBLE)
+                    * CAST(embedding[ord] AS DOUBLE) * {EMB_SCALE})
+              AS BIGINT) AS xq
+  FROM x
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(sum(xs) AS BIGINT) AS sum_s,
+       CAST(sum(xq) AS BIGINT) AS sumsq_s,
+       CAST(CAST(sum(xs) AS BIGINT) AS DOUBLE) / {EMB_SCALE}.0
+         / CAST(n AS DOUBLE) AS mean
+FROM u, tot GROUP BY dim, n
+"""
+
+EXT_ORACLES["intra_doc_dedup"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents
+           WHERE len({_DOC_TOKS}) >= 1),
+p AS (
+  SELECT doc_id,
+         unnest(range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                              AS INT) + 1)) AS para_idx,
+         unnest(list_transform(
+           range(1, CAST(ceil(len(toks) / CAST({PARA_TOKENS} AS DOUBLE))
+                         AS INT) + 1),
+           i -> array_to_string(
+                  toks[((i - 1) * {PARA_TOKENS} + 1):(i * {PARA_TOKENS})],
+                  ' '))) AS para
+  FROM t
+),
+h AS (
+  SELECT doc_id, para_idx, {_para_h} AS h,
+         row_number() OVER (
+           PARTITION BY doc_id, {_para_h} ORDER BY para_idx
+         ) AS occ
+  FROM p
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN occ > 1 THEN h % {PARA_SUM_MOD} ELSE 0 END)
+            AS BIGINT) AS dup_h_sum
+FROM h
+GROUP BY doc_id
+"""
+
+EXT_ORACLES["hll_distinct"] = """
+SELECT event_type, n_exact, TRUE AS est_in_bound FROM (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+  FROM events
+)
+"""
+
+EXT_ORACLES["observed_metrics"] = """
+SELECT CAST(count(*) AS BIGINT) AS n_seen,
+       CAST(sum(CASE WHEN l_quantity < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN l_quantity < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_written,
+       CAST(sum(CASE WHEN l_quantity < 30
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS kept_cents
+FROM lineitem
+"""
+
+EXT_ORACLES["sql_pipe_query"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+HAVING count(*) > 0
+ORDER BY l_returnflag, l_linestatus
+"""

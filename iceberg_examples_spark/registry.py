@@ -63,6 +63,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
+    # ----- never driver-attested (round-6 additions): always first -----
+    "epoch_shuffle": LP.epoch_shuffle,
+    "domain_cap_sample": LP.domain_cap_sample,
+    "length_buckets": LP.length_buckets,
+    "embedding_stats": SIM.embedding_stats,
+    "intra_doc_dedup": D.intra_doc_dedup,
+    "hll_distinct": XR.hll_distinct,
+    "observed_metrics": CV.observed_metrics,
+    "sql_pipe_query": CV.sql_pipe_query,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

@@ -52,7 +52,19 @@ BROADCAST_EXPECTED = {
     "dedup_minhash_lsh",
     "stratified_sample_lang",
     "bloom_prune_join",
+    "epoch_shuffle",  # the 32-row offset table must broadcast
 }
+
+# the global-enumeration queries must NOT collapse a window to one
+# partition (the exact anti-pattern their bucket formulation exists to
+# avoid; "Window" + "SinglePartition" adjacency is the plan smell)
+NO_GLOBAL_WINDOW = {"epoch_shuffle"}
+
+# embedding_stats: columnar per-dim aggregation — the ONLY Generate
+# (explode) allowed is the final 64-row unpack of the 1-row aggregate,
+# never an explode of the input relation (which would multiply the
+# shuffle by the dimensionality)
+SINGLE_GENERATE = {"embedding_stats"}
 
 # non-empty PartitionFilters (directory-level pruning on the read-back)
 PARTITION_PRUNE_EXPECTED = {"partition_prune"}
@@ -96,4 +108,12 @@ def test_plan_invariants(name, spark, sf_dir):
     if name in PARTITION_PRUNE_EXPECTED:
         assert _PART_NONEMPTY.search(plan), (
             f"{name}: partitioned read-back shows no partition pruning"
+        )
+    if name in NO_GLOBAL_WINDOW:
+        assert "Window" in plan and "SinglePartition" not in plan, (
+            f"{name}: window collapsed to a single partition"
+        )
+    if name in SINGLE_GENERATE:
+        assert plan.count("Generate") <= 1, (
+            f"{name}: input-relation explode leaked into the plan"
         )
