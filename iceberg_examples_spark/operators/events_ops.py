@@ -191,3 +191,97 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("locf_value"),
     )
+
+
+FUNNEL = ("view", "click", "purchase")
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event log (view → click →
+    purchase): a user advances to stage k+1 only with an event of that
+    type strictly AFTER their stage-k entry time — the product-analytics
+    staple (and the one naive per-type counts get wrong by ignoring
+    order). Output per stage: users reaching it + the exact summed lag
+    from the previous stage in microseconds (BIGINT — cross-engine
+    exact; an avg would be one float div away for the reader).
+
+    Plan: one aggregation per stage over (user, type)-filtered events,
+    each joined back user-keyed — k tiny hash joins on user_id for a
+    k-stage funnel, each stage's frame only shrinking. No window over
+    the full log, no per-user event arrays materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lag_us = "cast(unix_micros(cast({b} as timestamp)) - unix_micros(cast({a} as timestamp)) as bigint)"
+    rows = [
+        s1.agg(
+            F.lit(1).cast("bigint").alias("stage"),
+            F.lit(FUNNEL[0]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.lit(0).cast("bigint").alias("sum_lag_us"),
+        ),
+        s2.agg(
+            F.lit(2).cast("bigint").alias("stage"),
+            F.lit(FUNNEL[1]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.expr(lag_us.format(a="t1", b="t2"))).alias("sum_lag_us"),
+        ),
+        s3.agg(
+            F.lit(3).cast("bigint").alias("stage"),
+            F.lit(FUNNEL[2]).alias("event_type"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.expr(lag_us.format(a="t2", b="t3"))).alias("sum_lag_us"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the Monday
+    week of their FIRST event; each (cohort_week, week_offset) cell
+    counts distinct cohort members active that week — the
+    did-they-come-back curve (cohort analysis, the OLAP companion of the
+    funnel). All bucketing is integer/date arithmetic (date_trunc to
+    Monday weeks, day-diff div 7), identical in both engines.
+
+    Plan: first-event per user (one user-keyed aggregate), broadcast-
+    joinable back onto the log (users ≪ events always), then one
+    (cohort, offset) aggregate with count_distinct — two shuffles
+    total, both on small keys."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    joined = ev.join(F.broadcast(first), "user_id")
+    return (
+        joined.select(
+            "user_id",
+            F.expr("cast(date_trunc('week', t0) as date)").alias(
+                "cohort_week"
+            ),
+            F.expr(
+                "cast(datediff(cast(date_trunc('week', ts) as date), "
+                "cast(date_trunc('week', t0) as date)) div 7 as bigint)"
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

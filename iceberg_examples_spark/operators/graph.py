@@ -85,3 +85,73 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOPK)
         .select("doc_id", "rank")
     )
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census over the synthetic link graph (the
+    graph-quality / community-density signal crawl curation reads):
+    one row (n_nodes, n_edges, n_wedges, n_triangles) over the
+    undirected simple graph derived from _edges.
+
+    The naive edge³ self-join explodes on high-degree nodes ("the curse
+    of the last reducer" — Suri & Vassilvitskii, WWW'11); the standard
+    fix implemented here is DEGREE ORIENTATION: direct every undirected
+    edge from its lower-degree endpoint to the higher (id tiebreak),
+    making the directed out-degree ≤ O(√m) for every node, so the
+    wedge join (e(a,b) ⋈ e(b,c)) — the expensive step — is bounded
+    regardless of skew. Triangles = wedges that close (join against the
+    oriented edge set). Three equi-joins keyed on node ids, one tiny
+    final aggregate; every shuffle carries 16-byte edge rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # undirected simple edges (lo, hi): dedup both directions, drop loops
+    und = (
+        _edges(docs)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+    )
+    und = stage(und, "tri-edges")
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient lo->hi edge by (degree, id): from the smaller endpoint
+    withdeg = (
+        und.join(deg.withColumnRenamed("v", "lo").withColumnRenamed("d", "d_lo"), "lo")
+        .join(deg.withColumnRenamed("v", "hi").withColumnRenamed("d", "d_hi"), "hi")
+    )
+    oriented = stage(
+        withdeg.select(
+            F.when(
+                (F.col("d_lo") < F.col("d_hi"))
+                | ((F.col("d_lo") == F.col("d_hi")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("s"), F.col("hi").alias("t")),
+            )
+            .otherwise(F.struct(F.col("hi").alias("s"), F.col("lo").alias("t")))
+            .alias("e")
+        ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t")),
+        "tri-oriented",
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    e3 = oriented.alias("e3")
+    wedges = e1.join(e2, F.col("e1.t") == F.col("e2.s")).select(
+        F.col("e1.s").alias("a"), F.col("e1.t").alias("b"), F.col("e2.t").alias("c")
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("a") == F.col("e3.s")) & (F.col("c") == F.col("e3.t")),
+        "left_semi",
+    )
+    n_nodes = docs.select(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n_wedges"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
+    )

@@ -2467,3 +2467,125 @@ GROUP BY l_returnflag, l_linestatus
 HAVING count(*) > 0
 ORDER BY l_returnflag, l_linestatus
 """
+
+from iceberg_examples_spark.operators.events_ops import FUNNEL  # noqa: E402
+from iceberg_examples_spark.operators.graph import (  # noqa: E402
+    OUT_DEGREE,
+)
+from iceberg_examples_spark.streaming.rollup import (  # noqa: E402
+    LATE_MOD,
+    LATE_PICK,
+)
+
+EXT_ORACLES["funnel_stages"] = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{FUNNEL[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id, s1.t1
+),
+s3 AS (
+  SELECT e.user_id, s2.t2, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{FUNNEL[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id, s2.t2
+)
+SELECT CAST(1 AS BIGINT) AS stage, '{FUNNEL[0]}' AS event_type,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS sum_lag_us
+FROM s1
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{FUNNEL[1]}', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{FUNNEL[2]}', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0) AS BIGINT)
+FROM s3
+"""
+
+EXT_ORACLES["cohort_retention"] = """
+WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id)
+SELECT CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+       CAST(datediff('day', CAST(date_trunc('week', f.t0) AS DATE),
+                     CAST(date_trunc('week', e.ts) AS DATE)) // 7
+            AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+_tri_h = duck_md5_int(
+    "'link#' || CAST(src AS VARCHAR) || '#' || CAST(k AS VARCHAR)"
+)
+EXT_ORACLES["triangle_count"] = f"""
+WITH n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+raw AS (
+  SELECT doc_id AS src, unnest(range(1, {OUT_DEGREE} + 1)) AS k
+  FROM documents
+),
+e AS (SELECT src, ({_tri_h}) % n.n_ids AS dst FROM raw, n),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und
+  ) GROUP BY v
+),
+ori AS (
+  SELECT CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND u.lo < u.hi)
+              THEN u.lo ELSE u.hi END AS s,
+         CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND u.lo < u.hi)
+              THEN u.hi ELSE u.lo END AS t
+  FROM und u
+  JOIN deg dl ON dl.v = u.lo
+  JOIN deg dh ON dh.v = u.hi
+),
+wedges AS (
+  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+  FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+),
+tri AS (
+  SELECT w.a FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM ori e3 WHERE e3.s = w.a AND e3.t = w.c)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+"""
+
+_late_is_max = "ts = (SELECT max(ts) FROM events)"
+_late_is_late = (
+    f"event_id % {LATE_MOD} = {LATE_PICK} AND NOT ({_late_is_max})"
+)
+EXT_ORACLES["stream_late_data"] = f"""
+WITH ontime AS (
+  SELECT * FROM events
+  WHERE NOT ({_late_is_late}) AND NOT ({_late_is_max})
+),
+hb AS (SELECT * FROM events WHERE {_late_is_max}),
+late AS (SELECT * FROM events WHERE {_late_is_late}),
+wm1 AS (SELECT max(ts) - INTERVAL 3 DAY AS w FROM ontime),
+wmf AS (SELECT max(ts) - INTERVAL 3 DAY AS w FROM events),
+kept AS (
+  SELECT ts, value FROM ontime
+  UNION ALL
+  SELECT ts, value FROM hb
+  UNION ALL
+  SELECT late.ts, late.value FROM late, wm1
+  WHERE date_trunc('day', late.ts) + INTERVAL 1 DAY > wm1.w
+)
+SELECT CAST(date_trunc('day', kept.ts) AS TIMESTAMP) AS day_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {money_sum_sql('kept.value', scale=100)} AS sum_value
+FROM kept, wmf
+WHERE date_trunc('day', kept.ts) + INTERVAL 1 DAY <= wmf.w
+GROUP BY 1
+"""

@@ -72,6 +72,10 @@ QUERIES: dict[str, QueryFn] = {
     "hll_distinct": XR.hll_distinct,
     "observed_metrics": CV.observed_metrics,
     "sql_pipe_query": CV.sql_pipe_query,
+    "funnel_stages": E.funnel_stages,
+    "cohort_retention": E.cohort_retention,
+    "triangle_count": GR.triangle_count,
+    "stream_late_data": ST.stream_late_data,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

@@ -415,3 +415,86 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
     )
     return _run_to_memory(agg, "complete")
+
+
+LATE_DELAY = "3 days"
+LATE_MOD = 10
+LATE_PICK = 3
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, made deterministic and
+    oracle-checkable. The event log replays as THREE single-file
+    micro-batches (mtime-ordered, one file per trigger):
+
+    - batch 0: the on-time corpus (everything but the late picks and the
+      globally-latest event);
+    - batch 1: the globally-latest event alone — a heartbeat whose only
+      job is to advance the watermark;
+    - batch 2: the LATE rows (every 10th event).
+
+    Spark's late filter for a streaming aggregation uses the watermark
+    REPORTED FOR THE PREVIOUS BATCH (one batch behind the eviction/
+    emission threshold — verified empirically on this pinned Spark and
+    regression-tested in tests/test_streaming_semantics.py; a late batch
+    arriving only one trigger after the data that advanced the watermark
+    is NOT yet filtered). Hence the heartbeat batch in the middle: batch
+    2's rows are filtered against wm1 = max(batch 0 ts) − 3d, so late
+    rows whose day-window END ≤ wm1 are dropped and the rest join their
+    still-open windows. Append mode then emits exactly the windows with
+    END ≤ final watermark (global max − 3d).
+
+    The oracle replays this arithmetic relationally — on-time ∪ heartbeat
+    ∪ (late rows with window end > wm1), windowed, filtered to
+    end ≤ final watermark — pinning the drop rule, the one-batch filter
+    lag, and the append-emission rule in one hash. State stays bounded by
+    the watermark horizon (3 days of open windows) — the entire point of
+    watermarks at scale."""
+    import os
+    import shutil
+
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__late_all")
+    is_max = "ts = (SELECT max(ts) FROM __late_all)"
+    is_late = f"event_id % {LATE_MOD} = {LATE_PICK} AND NOT ({is_max})"
+    root = scratch_dir(sf_dir, "late_data", fresh=True)
+    parts = (
+        ev.filter(~F.expr(f"({is_late}) OR ({is_max})")),  # on-time
+        ev.filter(F.expr(is_max)),  # heartbeat: advances the watermark
+        ev.filter(F.expr(is_late)),  # late arrivals
+    )
+    for i, b in enumerate(parts):
+        path = os.path.join(root, f"batch-{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(path)
+        # file-source ordering is (mtime, path): pin mtimes so the replay
+        # order is exactly on-time -> heartbeat -> late
+        for name in os.listdir(path):
+            os.utime(
+                os.path.join(path, name), ns=(1_000_000_000 * (i + 1),) * 2
+            )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(root, "batch-*"))
+    )
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    rollup = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("day_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = _run_to_memory(rollup, "append")
+    shutil.rmtree(root, ignore_errors=True)
+    return out

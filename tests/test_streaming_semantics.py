@@ -1,0 +1,75 @@
+"""Pin the empirical watermark semantics stream_late_data relies on.
+
+Observed on this pinned Spark (4.1.x, local mode, file source one file
+per trigger): for a streaming AGGREGATION,
+
+- the LATE-ROW FILTER for batch N uses the watermark reported for batch
+  N-1 (one batch BEHIND the eviction/emission threshold): a late row
+  arriving one trigger after the watermark-advancing data is still
+  accepted, aggregated, and — if its window is already past the
+  watermark — immediately evicted and emitted;
+- a late row arriving TWO triggers after is dropped (filtered), so an
+  evicted window can never re-emit (append-mode consistency);
+- append mode emits exactly the windows whose end ≤ the final watermark.
+
+If a Spark upgrade changes this (e.g. the filter stops lagging),
+stream_late_data's oracle arithmetic must be revisited — this test
+exists to fail loudly at that moment rather than letting the parity
+suite mis-diagnose it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
+    root = str(tmp_path / "late-sem")
+    os.makedirs(root)
+    batches = {
+        0: "2024-01-01 10:00:00",  # advances wm to 09:50 (10 min delay)
+        1: "2024-01-01 08:00:00",  # late, but filter still at wm=0: KEPT
+        2: "2024-01-01 08:30:00",  # late, filter now at 09:50: DROPPED
+        3: "2024-01-01 10:30:00",  # advances wm to 10:20 (final flush)
+    }
+    for i, ts in batches.items():
+        d = spark.createDataFrame([(ts,)], "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+        p = f"{root}/batch-{i}"
+        d.coalesce(1).write.parquet(p)
+        for name in os.listdir(p):
+            os.utime(os.path.join(p, name), ns=(10**9 * (i + 1),) * 2)
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{root}/batch-*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sem")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["w"]["start"].hour, r["n"])
+        for r in spark.table("late_sem").collect()
+    }
+    # exactly one emitted window: 08:00-09:00 with n=1 — the batch-1 late
+    # row was ACCEPTED (filter lag) and emitted once; the batch-2 row was
+    # DROPPED (no n=2 re-emission); the 10:00-11:00 window stays open
+    # (end 11:00 > final wm 10:20) and never appears
+    assert rows == {(8, 1)}, rows
+    shutil.rmtree(root, ignore_errors=True)
