@@ -124,10 +124,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 copies). Two-phase plan: see :func:`_multi_fp_rows` — only
     multi-member fp-groups (duplicates) carry text into the final
     grouping; a colliding pair of distinct singleton texts yields
-    per-(fp, text) counts of 1 and is correctly filtered out."""
+    per-(fp, text) counts of 1 and is correctly filtered out.
+
+    The fingerprint frame is STAGED before the two-phase core: this
+    query's output exposes fp, forcing the cross-engine char-fold poly
+    hash (not codegen-native xxhash64), and _multi_fp_rows references
+    its input from two plan branches — unstaged, the per-character fold
+    over every document runs twice (measured 1.5 s → 0.64 s median at
+    sf0.1). The xxhash64 consumers (exact_rep_ids/exact_loser_ids) skip
+    this: their fingerprint pass is cheaper than a materialization."""
     corpus = _with_planted_exact_dups(load_table(spark, sf_dir, "documents"))
     return (
-        _multi_fp_rows(_with_fp(corpus, oracle_hash=True))
+        _multi_fp_rows(stage(_with_fp(corpus, oracle_hash=True), "exact-fp"))
         .groupBy("fp", "text")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
