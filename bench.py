@@ -196,6 +196,22 @@ def main() -> None:
     canary()  # warm the shape
     canary_sec = round(min(canary() for _ in range(3)), 4)
 
+    # Second canary: job-scheduling / driver-round-trip latency (10 tiny
+    # jobs). The arithmetic canary tracks codegen THROUGHPUT; most toy-SF
+    # queries are dominated by per-job fixed costs instead, so one scalar
+    # can over- or under-correct (round 6 observed the arithmetic canary
+    # 15% faster while per-job overheads stayed flat — single-scalar
+    # normalization painted uniform 'regressions' on untouched queries).
+    # Two canaries let the round-over-round analysis bracket honestly.
+    def canary_jobs() -> float:
+        t0 = time.perf_counter()
+        for _ in range(10):
+            spark.range(1).count()
+        return time.perf_counter() - t0
+
+    canary_jobs()  # warm
+    canary_jobs_sec = round(min(canary_jobs() for _ in range(3)), 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -206,6 +222,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "canary_sec": canary_sec,
+                "canary_jobs_sec": canary_jobs_sec,
                 "sf": sf,
             }
         )
