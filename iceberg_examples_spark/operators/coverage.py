@@ -544,3 +544,70 @@ def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    dimension-lookup edge case where NULL is a real key value (unknown
+    category) that must match the dimension's NULL row — a plain
+    equi-join silently drops those rows. Fact side: orders with every
+    7th key's priority NULLed; dim side: the distinct priorities plus an
+    explicit NULL member. One hash join on the null-safe predicate
+    (Spark executes `<=>` as a hash join key, not a nested loop), then a
+    per-dim-member count — the oracle's IS NOT DISTINCT FROM twin pins
+    NULL↔NULL matching exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        F.expr(
+            "case when o_orderkey % 7 = 0 then cast(null as string) "
+            "else o_orderpriority end"
+        ).alias("prio"),
+    )
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("d_prio"))
+        .distinct()
+        .unionByName(
+            spark.range(1).select(
+                F.lit(None).cast("string").alias("d_prio")
+            )
+        )
+        .withColumn(
+            "prio_label", F.coalesce(F.col("d_prio"), F.lit("UNKNOWN"))
+        )
+    )
+    return (
+        fact.join(
+            F.broadcast(dim), fact["prio"].eqNullSafe(dim["d_prio"])
+        )
+        .groupBy("prio_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
+
+
+def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union (`unionByName(allowMissingColumns)`):
+    the multi-source ingestion staple — two extracts of the same entity
+    with different column sets combine by NAME, absent columns
+    null-filled, never by position (positional UNION silently pairs
+    wrong columns when sources evolve independently). Here: an old
+    extract (key, price) and a new extract (key, priority, clerk) of
+    disjoint order ranges; the oracle spells the same thing as UNION ALL
+    with explicit NULL literals — which is exactly the plan Spark
+    builds, so this is surface coverage with a semantics pin."""
+    orders = load_table(spark, sf_dir, "orders")
+    old_extract = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "price_cents"
+        ),
+    )
+    new_extract = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return old_extract.unionByName(new_extract, allowMissingColumns=True)

@@ -631,3 +631,35 @@ def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_h_sum"),
         )
     )
+
+
+FUZZY_PREFIX = 40
+
+
+def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity on bounded pairs: levenshtein over the
+    first FUZZY_PREFIX chars of adjacent-doc_id documents — the
+    character-level fuzzy-dedup measure (OCR noise, minor edits) that
+    token/shingle methods miss. Both engines implement the classic DP
+    edit distance, so the integer result crosses engines exactly
+    (verified on a probe set before this query landed).
+
+    Scale posture mirrors ngram_jaccard: the MEASURE is exercised on a
+    linear number of pairs; candidate GENERATION at scale is the LSH
+    family's job (levenshtein is O(p²) per pair — you never all-pairs
+    it). Prefix-bounding caps the DP cost per pair regardless of
+    document length — the standard production guard."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"substring(text, 1, {FUZZY_PREFIX})").alias("pre")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("cast(levenshtein(a.pre, b.pre) as bigint)").alias(
+                "edit_dist"
+            ),
+        )
+    )

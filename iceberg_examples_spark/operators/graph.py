@@ -155,3 +155,51 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_nodes.crossJoin(n_edges).crossJoin(n_wedges).crossJoin(n_tri)
     )
+
+
+BFS_SOURCE = 0
+BFS_MAX_LEVEL = 8
+
+
+def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability levels from BFS_SOURCE over the
+    synthetic link graph (crawl-frontier / link-distance analysis — the
+    fourth iterative family beside PageRank, connected components, and
+    k-means). Level = first-visit round ≡ shortest hop distance; output
+    is the per-level census (level, n_nodes, id_sum).
+
+    Iteration shape: frontier ⋈ edges (keyed on src) → subtract visited
+    (left_anti on node id) → next frontier; visited and frontier are
+    staged per round (constant plan depth, cluster-safe lineage), and
+    the loop stops on an empty frontier via an 8-byte head() probe —
+    dedup_components' convergence discipline. Levels are capped at
+    BFS_MAX_LEVEL so the DuckDB twin (a recursive CTE, which cannot
+    early-stop on cycles) terminates on the identical bound; with
+    out-degree 3 the reachable set saturates well before the cap."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = stage(_edges(docs), "bfs-edges")
+    visited = stage(
+        docs.filter(F.col("doc_id") == BFS_SOURCE).select(
+            "doc_id", F.lit(0).cast("bigint").alias("level")
+        ),
+        "bfs-visited",
+    )
+    frontier = visited
+    for lvl in range(1, BFS_MAX_LEVEL + 1):
+        nxt = (
+            frontier.join(edges, frontier["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited, "doc_id", "left_anti")
+            .withColumn("level", F.lit(lvl).cast("bigint"))
+        )
+        frontier = stage(nxt, f"bfs-frontier-{lvl}")
+        if frontier.isEmpty():
+            break
+        visited = stage(
+            visited.unionByName(frontier), f"bfs-visited-{lvl}"
+        )
+    return visited.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("doc_id").alias("id_sum"),
+    )

@@ -2589,3 +2589,67 @@ FROM kept, wmf
 WHERE date_trunc('day', kept.ts) + INTERVAL 1 DAY <= wmf.w
 GROUP BY 1
 """
+
+from iceberg_examples_spark.operators.graph import (  # noqa: E402
+    BFS_MAX_LEVEL,
+    BFS_SOURCE,
+)
+
+EXT_ORACLES["bfs_levels"] = f"""
+WITH RECURSIVE n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+raw AS (
+  SELECT doc_id AS src, unnest(range(1, {OUT_DEGREE} + 1)) AS k
+  FROM documents
+),
+e AS (SELECT src, ({_tri_h}) % n.n_ids AS dst FROM raw, n),
+walk(doc, lvl) AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.dst, walk.lvl + 1
+  FROM walk JOIN e ON e.src = walk.doc
+  WHERE walk.lvl < {BFS_MAX_LEVEL}
+)
+SELECT CAST(lvl AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(doc) AS BIGINT) AS id_sum
+FROM (SELECT doc, min(lvl) AS lvl FROM walk GROUP BY doc)
+GROUP BY lvl
+"""
+
+EXT_ORACLES["fuzzy_match"] = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+            AS BIGINT) AS edit_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+EXT_ORACLES["null_safe_join"] = """
+WITH fact AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE o_orderpriority END AS prio
+  FROM orders
+),
+dim AS (
+  SELECT d_prio, coalesce(d_prio, 'UNKNOWN') AS prio_label FROM (
+    SELECT DISTINCT o_orderpriority AS d_prio FROM orders
+    UNION ALL SELECT CAST(NULL AS VARCHAR)
+  )
+)
+SELECT dim.prio_label,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(fact.o_orderkey) AS BIGINT) AS key_sum
+FROM fact JOIN dim ON fact.prio IS NOT DISTINCT FROM dim.d_prio
+GROUP BY dim.prio_label
+"""
+
+EXT_ORACLES["union_schema_drift"] = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+       CAST(NULL AS VARCHAR) AS priority,
+       CAST(NULL AS VARCHAR) AS status
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS BIGINT), o_orderpriority, o_orderstatus
+FROM orders WHERE o_orderkey % 3 = 1
+"""

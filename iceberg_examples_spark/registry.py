@@ -76,6 +76,10 @@ QUERIES: dict[str, QueryFn] = {
     "cohort_retention": E.cohort_retention,
     "triangle_count": GR.triangle_count,
     "stream_late_data": ST.stream_late_data,
+    "bfs_levels": GR.bfs_levels,
+    "fuzzy_match": D.fuzzy_match,
+    "null_safe_join": CV.null_safe_join,
+    "union_schema_drift": CV.union_schema_drift,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
