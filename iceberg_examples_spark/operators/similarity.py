@@ -165,43 +165,44 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     only exchange is one partial-agg row per partition. The 64-row output
     shape is recovered by exploding the single aggregated row (trivial).
 
+    Plan-BUILD discipline: the whole query is three ``selectExpr`` calls
+    (one py4j round trip each, strings parsed JVM-side). The first
+    landing built 129 Column objects via ``F.expr``/``alias`` — ~0.9 s
+    of py4j round trips PER INVOCATION, 7× the JVM's parse+analyze cost
+    for the same strings (measured: build 0.89 → 0.12 s). The same
+    lesson as lsh_index_probe's selectExpr rewrite in round 5: for
+    wide-expression plans, ship strings, not object graphs.
+
     Cross-engine exactness: float sums are shuffle-order-dependent, so
     each element is scaled to BIGINT per row (round(x·1e6), and
     round(x²·1e6) from one deterministic double multiply) and accumulated
     exactly; ``mean`` is one trailing double division off the exact sum —
     the functions/exact.py discipline applied elementwise."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = "cast(embedding[{i}] as double)"
-    sums = [
-        F.expr(
-            f"sum(cast(round({e.format(i=i)} * {EMB_SCALE}) as bigint))"
-        ).alias(f"s{i}")
+    e = "cast(embedding[{i}] as double)".format
+    aggs = ["cast(count(1) as bigint) as n"]
+    aggs += [
+        f"sum(cast(round({e(i=i)} * {EMB_SCALE}) as bigint)) as s{i}"
         for i in range(EMB_DIM)
     ]
-    sumsqs = [
-        F.expr(
-            f"sum(cast(round({e.format(i=i)} * {e.format(i=i)}"
-            f" * {EMB_SCALE}) as bigint))"
-        ).alias(f"q{i}")
+    aggs += [
+        f"sum(cast(round({e(i=i)} * {e(i=i)} * {EMB_SCALE}) as bigint))"
+        f" as q{i}"
         for i in range(EMB_DIM)
     ]
-    one = emb.agg(F.count(F.lit(1)).alias("n"), *sums, *sumsqs)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.col(f"s{i}").alias("sum_s"), F.col(f"q{i}").alias("sumsq_s")
-            )
-            for i in range(EMB_DIM)
-        ]
+    arr = ",".join(
+        f"named_struct('sum_s', s{i}, 'sumsq_s', q{i})"
+        for i in range(EMB_DIM)
     )
-    return one.select(
-        "n", F.posexplode(pairs).alias("dim", "sq")
-    ).select(
-        F.col("dim").cast("bigint").alias("dim"),
-        "n",
-        F.col("sq.sum_s").alias("sum_s"),
-        F.col("sq.sumsq_s").alias("sumsq_s"),
-        F.expr(
+    return (
+        emb.selectExpr(*aggs)
+        .selectExpr("n", f"posexplode(array({arr})) as (dim, sq)")
+        .selectExpr(
+            "cast(dim as bigint) as dim",
+            "n",
+            "sq.sum_s as sum_s",
+            "sq.sumsq_s as sumsq_s",
             f"cast(sq.sum_s as double) / {EMB_SCALE}.0 / cast(n as double)"
-        ).alias("mean"),
+            " as mean",
+        )
     )
