@@ -118,6 +118,13 @@ HEADLINE = [
     "intra_doc_dedup",
     "domain_cap_sample",
     "length_buckets",
+    "funnel_stages",
+    "cohort_retention",
+    "triangle_count",
+    "bfs_levels",
+    "stream_late_data",
+    "dynamic_partition_prune",
+    "embedding_norms_arrow",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

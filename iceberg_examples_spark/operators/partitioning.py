@@ -280,3 +280,56 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+DPP_QUARTER = "1996Q1"
+
+
+def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end — the star-join scan killer
+    at 100 TB: the fact table is partitioned by ship_month, the dim's
+    selective filter is on a NON-join column (quarter), so the set of
+    surviving months exists only at runtime — static pruning can do
+    nothing, and without DPP the fact scan reads every partition.
+    Catalyst's DPP injects a dynamicpruning subquery into the fact scan
+    (reusing the dim's broadcast), so only the three 1996Q1 month
+    directories are read (tests/test_plans.py asserts the
+    dynamicpruningexpression survives in the final plan).
+
+    The dim is DERIVED (distinct months + computed quarter label) so the
+    optimizer provably can't constant-fold the month set; the oracle
+    replays the same join relationally from the raw table."""
+    out = scratch_dir(sf_dir, "dpp_lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    write_partitioned(
+        with_partition_keys(li, {"ship_month": month("l_shipdate")}),
+        out,
+        ["ship_month"],
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(month("l_shipdate").alias("ship_month"))
+        .distinct()
+        .withColumn(
+            "q",
+            F.expr(
+                "concat(substring(ship_month, 1, 4), 'Q', "
+                "cast(ceil(cast(substring(ship_month, 6, 2) as int) / 3.0) "
+                "as int))"
+            ),
+        )
+    )
+    sel = dim.filter(F.col("q") == DPP_QUARTER)
+    return (
+        fact.join(F.broadcast(sel), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue"),
+        )
+    )

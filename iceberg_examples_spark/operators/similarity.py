@@ -206,3 +206,44 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as mean",
         )
     )
+
+
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scaled squared-norm via ``mapInArrow`` — the
+    Arrow-NATIVE batch API (pyspark.sql.DataFrame.mapInArrow): the UDF
+    receives pyarrow RecordBatches and computes with zero pandas
+    conversion — for pure-numeric kernels this skips mapInPandas'
+    Arrow→pandas→Arrow materialization entirely (the conversion cost is
+    the pandas layer, not Arrow transport). Written justification for a
+    Python stage, per house rules: a fixed-width float kernel is exactly
+    the vectorized-numpy case (same argument as clustering.kmeans_large's
+    assign step), and this query exists to cover the mapInArrow surface
+    the pandas twin cannot.
+
+    Exactness across engines AND across numpy: the per-element scaled
+    square round(x²·1e6) is computed as ``trunc(v + 0.5)`` (away-from-
+    zero for v ≥ 0 — np.round would banker's-round) into int64, then
+    summed — integer, order-independent, so numpy's SIMD/pairwise
+    summation cannot diverge from the oracle's left-fold."""
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            emb = batch.column("embedding")
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            arr = flat.reshape(n, EMB_DIM)
+            scaled = np.trunc(arr * arr * EMB_SCALE + 0.5).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.asarray(batch.column("vec_id")).astype(np.int64)
+                    ),
+                    pa.array(scaled.sum(axis=1)),
+                ],
+                ["vec_id", "sumsq_s"],
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(kernel, "vec_id bigint, sumsq_s bigint")

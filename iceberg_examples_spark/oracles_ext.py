@@ -2653,3 +2653,41 @@ UNION ALL
 SELECT o_orderkey, CAST(NULL AS BIGINT), o_orderpriority, o_orderstatus
 FROM orders WHERE o_orderkey % 3 = 1
 """
+
+from iceberg_examples_spark.operators.partitioning import (  # noqa: E402
+    DPP_QUARTER,
+)
+
+EXT_ORACLES["dynamic_partition_prune"] = f"""
+WITH fact AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         l_extendedprice, l_discount
+  FROM lineitem
+),
+dim AS (
+  SELECT ship_month,
+         CAST(substr(ship_month, 1, 4) ||
+              'Q' ||
+              CAST(CAST(ceil(CAST(substr(ship_month, 6, 2) AS INT) / 3.0)
+                        AS INT) AS VARCHAR) AS VARCHAR) AS q
+  FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS ship_month
+        FROM lineitem)
+)
+SELECT fact.ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)}
+         AS revenue
+FROM fact JOIN dim ON fact.ship_month = dim.ship_month
+WHERE dim.q = '{DPP_QUARTER}'
+GROUP BY fact.ship_month
+"""
+
+EXT_ORACLES["embedding_norms_arrow"] = f"""
+SELECT vec_id,
+       CAST(list_aggregate(
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                           * {EMB_SCALE}) AS BIGINT)),
+         'sum') AS BIGINT) AS sumsq_s
+FROM embeddings
+"""

@@ -80,6 +80,8 @@ QUERIES: dict[str, QueryFn] = {
     "fuzzy_match": D.fuzzy_match,
     "null_safe_join": CV.null_safe_join,
     "union_schema_drift": CV.union_schema_drift,
+    "dynamic_partition_prune": PT.dynamic_partition_prune,
+    "embedding_norms_arrow": SIM.embedding_norms_arrow,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

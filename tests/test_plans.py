@@ -67,7 +67,11 @@ NO_GLOBAL_WINDOW = {"epoch_shuffle"}
 SINGLE_GENERATE = {"embedding_stats"}
 
 # non-empty PartitionFilters (directory-level pruning on the read-back)
-PARTITION_PRUNE_EXPECTED = {"partition_prune"}
+PARTITION_PRUNE_EXPECTED = {"partition_prune", "dynamic_partition_prune"}
+
+# a dynamicpruning subquery must reach the fact scan (runtime partition
+# pruning from the dim's selective filter — the query's entire point)
+DPP_EXPECTED = {"dynamic_partition_prune"}
 
 # bench pseudo-entries (curation_incremental_cold/_warm wrap the same
 # registry query with artifact-state setup) aren't separate plans
@@ -116,4 +120,8 @@ def test_plan_invariants(name, spark, sf_dir):
     if name in SINGLE_GENERATE:
         assert plan.count("Generate") <= 1, (
             f"{name}: input-relation explode leaked into the plan"
+        )
+    if name in DPP_EXPECTED:
+        assert "dynamicpruning" in plan.lower(), (
+            f"{name}: no dynamic partition pruning subquery in the plan"
         )
