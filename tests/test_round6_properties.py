@@ -1,0 +1,128 @@
+"""Structural invariants of the round-6 operators — properties the
+oracle hash can't state directly (it pins one dataset's answer; these pin
+the CONTRACT on any dataset the query runs over).
+
+Session-scoped results: each query runs once at the module level and the
+assertions read the collected rows — no repeated Spark jobs per test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rows(spark, sf_dir):
+    from iceberg_examples_spark.registry import QUERIES
+
+    out = {}
+    for name in (
+        "epoch_shuffle",
+        "domain_cap_sample",
+        "length_buckets",
+        "intra_doc_dedup",
+        "funnel_stages",
+        "cohort_retention",
+        "triangle_count",
+        "bfs_levels",
+        "embedding_stats",
+    ):
+        out[name] = QUERIES[name](spark, sf_dir).collect()
+    return out
+
+
+def test_epoch_shuffle_is_a_permutation(rows, spark, sf_dir):
+    """Positions are exactly 1..N, each doc appears once, and the order
+    is the (rank_hash, doc_id) sort order."""
+    r = rows["epoch_shuffle"]
+    n = len(r)
+    assert sorted(x["pos"] for x in r) == list(range(1, n + 1))
+    assert len({x["doc_id"] for x in r}) == n
+    by_pos = sorted(r, key=lambda x: x["pos"])
+    keys = [(x["rank_hash"], x["doc_id"]) for x in by_pos]
+    assert keys == sorted(keys), "positions disagree with the hash order"
+
+
+def test_domain_cap_sample_respects_cap(rows):
+    from iceberg_examples_spark.operators.llm_pipeline import DOMAIN_CAP
+
+    per_source: dict[str, list[int]] = {}
+    for x in rows["domain_cap_sample"]:
+        per_source.setdefault(x["source"], []).append(x["pick"])
+    for source, picks in per_source.items():
+        assert len(picks) <= DOMAIN_CAP, source
+        # picks are the contiguous ranks 1..k (no gaps — the cap keeps a
+        # PREFIX of the hash order, not an arbitrary subset)
+        assert sorted(picks) == list(range(1, len(picks) + 1)), source
+
+
+def test_length_buckets_partition_the_corpus(rows, spark, sf_dir):
+    from iceberg_examples_spark.catalog import load_table
+
+    r = rows["length_buckets"]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(x["n_docs"] for x in r) == n_docs
+    for x in r:
+        assert x["lo"] == 2 ** x["bucket"]
+        assert x["hi"] == 2 ** (x["bucket"] + 1) - 1
+    by_bucket = sorted(r, key=lambda x: x["bucket"])
+    cum = 0
+    for x in by_bucket:
+        cum += x["n_docs"]
+        assert x["cum_docs"] == cum
+
+
+def test_intra_doc_dedup_bounds(rows):
+    for x in rows["intra_doc_dedup"]:
+        assert 1 <= x["n_kept"] <= x["n_paras"]
+        # no dups <=> zero dup fingerprint mass
+        if x["n_kept"] == x["n_paras"]:
+            assert x["dup_h_sum"] == 0
+
+
+def test_funnel_is_monotone_nonincreasing(rows):
+    r = sorted(rows["funnel_stages"], key=lambda x: x["stage"])
+    counts = [x["n_users"] for x in r]
+    assert counts == sorted(counts, reverse=True)
+    assert r[0]["sum_lag_us"] == 0
+    assert all(x["sum_lag_us"] >= 0 for x in r)
+
+
+def test_cohort_retention_offsets_nonnegative(rows):
+    r = rows["cohort_retention"]
+    assert all(x["week_offset"] >= 0 for x in r)
+    # offset 0 of a cohort includes the first event itself, so every
+    # cohort has an offset-0 cell
+    cohorts = {x["cohort_week"] for x in r}
+    zero = {x["cohort_week"] for x in r if x["week_offset"] == 0}
+    assert cohorts == zero
+
+
+def test_triangle_census_sanity(rows):
+    (x,) = rows["triangle_count"]
+    assert 0 <= x["n_triangles"] <= x["n_wedges"]
+    assert x["n_edges"] > 0 and x["n_nodes"] > 0
+
+
+def test_bfs_levels_grow_then_exhaust(rows):
+    from iceberg_examples_spark.operators.graph import BFS_MAX_LEVEL
+
+    r = sorted(rows["bfs_levels"], key=lambda x: x["level"])
+    assert r[0]["level"] == 0 and r[0]["n_nodes"] == 1  # the source
+    levels = [x["level"] for x in r]
+    assert levels == list(range(len(levels)))  # contiguous from 0
+    assert levels[-1] <= BFS_MAX_LEVEL
+
+
+def test_embedding_stats_one_row_per_dim(rows):
+    from iceberg_examples_spark.operators.similarity import EMB_DIM
+
+    r = rows["embedding_stats"]
+    assert sorted(x["dim"] for x in r) == list(range(EMB_DIM))
+    n = {x["n"] for x in r}
+    assert len(n) == 1  # every dim saw the same row count
+    for x in r:
+        assert x["sumsq_s"] >= 0
+        assert x["mean"] == pytest.approx(
+            x["sum_s"] / 1_000_000 / x["n"], abs=0
+        )
