@@ -449,31 +449,57 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     end ≤ final watermark — pinning the drop rule, the one-batch filter
     lag, and the append-emission rule in one hash. State stays bounded by
     the watermark horizon (3 days of open windows) — the entire point of
-    watermarks at scale."""
+    watermarks at scale.
+
+    The three-file fixture is a durable artifact (persisted_index's
+    freshness-key discipline, built by hand here because the artifact is
+    a directory TREE with pinned mtimes, not one frame): keyed on the
+    events file's (mtime, size) + the split-rule version, built once,
+    atomic-renamed, reused by every later invocation — worth ~0.6 s of the
+    scenario's ~3.8 s wall clock (the rest is micro-batch machinery:
+    four triggers, state store, memory sink)."""
+    import hashlib
     import os
     import shutil
+    import uuid
 
-    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.catalog import load_table
+    from iceberg_examples_spark.checkpointing import index_root
 
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("__late_all")
     is_max = "ts = (SELECT max(ts) FROM __late_all)"
     is_late = f"event_id % {LATE_MOD} = {LATE_PICK} AND NOT ({is_max})"
-    root = scratch_dir(sf_dir, "late_data", fresh=True)
-    parts = (
-        ev.filter(~F.expr(f"({is_late}) OR ({is_max})")),  # on-time
-        ev.filter(F.expr(is_max)),  # heartbeat: advances the watermark
-        ev.filter(F.expr(is_late)),  # late arrivals
-    )
-    for i, b in enumerate(parts):
-        path = os.path.join(root, f"batch-{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(path)
-        # file-source ordering is (mtime, path): pin mtimes so the replay
-        # order is exactly on-time -> heartbeat -> late
-        for name in os.listdir(path):
-            os.utime(
-                os.path.join(path, name), ns=(1_000_000_000 * (i + 1),) * 2
-            )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"late-v1:{LATE_MOD}:{LATE_PICK}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(index_root(spark), f"late-fixture-{key}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        tmp = f"{root}.build-{uuid.uuid4().hex}"
+        parts = (
+            ev.filter(~F.expr(f"({is_late}) OR ({is_max})")),  # on-time
+            ev.filter(F.expr(is_max)),  # heartbeat: advances the watermark
+            ev.filter(F.expr(is_late)),  # late arrivals
+        )
+        for i, b in enumerate(parts):
+            path = os.path.join(tmp, f"batch-{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(path)
+            # file-source ordering is (mtime, path): pin mtimes so the
+            # replay order is exactly on-time -> heartbeat -> late
+            # (rename preserves file mtimes)
+            for name in os.listdir(path):
+                os.utime(
+                    os.path.join(path, name),
+                    ns=(1_000_000_000 * (i + 1),) * 2,
+                )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -495,6 +521,4 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    out = _run_to_memory(rollup, "append")
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    return _run_to_memory(rollup, "append")
