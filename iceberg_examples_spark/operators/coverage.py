@@ -611,3 +611,47 @@ def union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
     )
     return old_extract.unionByName(new_extract, allowMissingColumns=True)
+
+
+def merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-evolution read (`mergeSchema`): two file
+    generations of one dataset — generation 0 (key, price) and
+    generation 1 with an added column (key, price, priority) — live in
+    one directory; reading with ``mergeSchema=true`` reconciles the
+    union schema and null-fills the old files' missing column. This is
+    the file-level half of schema evolution (the table-format half is
+    `schema_evolution`'s ADD/DROP COLUMN): at scale, footer
+    reconciliation is a distributed job over file footers, which is why
+    it's opt-in — and why the read-side contract deserves its own pin.
+    The oracle replays both generations with explicit NULLs."""
+    import os
+
+    from iceberg_examples_spark.catalog import scratch_dir
+
+    out = scratch_dir(sf_dir, "merge_schema", fresh=True)
+    orders = load_table(spark, sf_dir, "orders")
+    gen0 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "price_cents"
+        ),
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "price_cents"
+        ),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    gen0.write.parquet(os.path.join(out, "gen=0"))
+    gen1.write.parquet(os.path.join(out, "gen=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "gen=0"), os.path.join(out, "gen=1")
+    )
+    return merged.groupBy(
+        F.expr("priority is null").alias("is_old_gen")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("price_cents").alias("total_cents"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )

@@ -333,3 +333,54 @@ def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+BACKFILL_MONTH = "1996-03"
+
+
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition backfill via DYNAMIC partition overwrite — the
+    lakehouse correction workflow: rewrite exactly the partitions the
+    corrected frame contains, leaving every other partition's files
+    untouched (static overwrite mode would truncate the whole table; at
+    100 TB the difference is rewriting one day vs the archive).
+
+    Scenario: lineitem lands partitioned by ship_month; one month's
+    rows are then re-landed with a 10% discount correction using
+    ``partitionOverwriteMode=dynamic``. Output: per-month rollup of the
+    post-backfill table restricted to the backfilled month and its two
+    calendar neighbors — proving the target month changed AND the
+    neighbors kept their original bytes. The oracle computes the
+    expected post-state relationally."""
+    out = scratch_dir(sf_dir, "backfill_lineitem", fresh=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    keyed = with_partition_keys(li, {"ship_month": month("l_shipdate")})
+    write_partitioned(keyed, out, ["ship_month"])
+
+    corrected = keyed.filter(F.col("ship_month") == BACKFILL_MONTH).withColumn(
+        "l_discount", F.expr("round(l_discount + 0.10, 2)")
+    )
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("ship_month").parquet(
+            out
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    back = spark.read.parquet(out).filter(
+        F.col("ship_month").isin("1996-02", BACKFILL_MONTH, "1996-04")
+    )
+    return back.groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(money_sum_sql("l_discount", scale=100)).alias("sum_discount"),
+        F.expr(
+            money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+        ).alias("revenue"),
+    )

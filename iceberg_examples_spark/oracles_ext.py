@@ -2691,3 +2691,67 @@ SELECT vec_id,
          'sum') AS BIGINT) AS sumsq_s
 FROM embeddings
 """
+
+from iceberg_examples_spark.operators.partitioning import (  # noqa: E402
+    BACKFILL_MONTH,
+)
+
+EXT_ORACLES["dynamic_partition_overwrite"] = f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_extendedprice,
+         CASE WHEN strftime(l_shipdate, '%Y-%m') = '{BACKFILL_MONTH}'
+              THEN round(l_discount + 0.10, 2) ELSE l_discount
+         END AS l_discount,
+         strftime(l_shipdate, '%Y-%m') AS ship_month
+  FROM lineitem
+)
+SELECT ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       {money_sum_sql('l_discount', scale=100)} AS sum_discount,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)}
+         AS revenue
+FROM keyed
+WHERE ship_month IN ('1996-02', '{BACKFILL_MONTH}', '1996-04')
+GROUP BY ship_month
+"""
+
+EXT_ORACLES["merge_schema_read"] = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CAST(NULL AS VARCHAR) AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT),
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT priority IS NULL AS is_old_gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(price_cents) AS BIGINT) AS total_cents,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM merged
+GROUP BY 1
+"""
+
+EXT_ORACLES["stream_fanout"] = """
+WITH latest AS (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rk
+  FROM events
+),
+fp AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(event_id) AS BIGINT) AS last_id_sum
+  FROM latest WHERE rk = 1
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       fp.n_users, fp.last_id_sum
+FROM events, fp
+GROUP BY event_type, fp.n_users, fp.last_id_sum
+"""

@@ -82,6 +82,9 @@ QUERIES: dict[str, QueryFn] = {
     "union_schema_drift": CV.union_schema_drift,
     "dynamic_partition_prune": PT.dynamic_partition_prune,
     "embedding_norms_arrow": SIM.embedding_norms_arrow,
+    "dynamic_partition_overwrite": PT.dynamic_partition_overwrite,
+    "merge_schema_read": CV.merge_schema_read,
+    "stream_fanout": ST.stream_fanout,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

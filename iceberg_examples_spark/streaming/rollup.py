@@ -522,3 +522,124 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(rollup, "append")
+
+
+def _fanout_commit(metrics_t, latest_t, batch_df: DataFrame, epoch_id: int) -> None:
+    """The per-epoch two-sink commit of :func:`stream_fanout`
+    (module-level so the retry idempotence is unit-testable: committing
+    the same epoch twice must leave both sinks identical —
+    tests/test_streaming_semantics.py)."""
+    from pyspark.sql import Window
+
+    from iceberg_examples_spark.operators.mutations import merge_upsert
+
+    batch_df.persist()
+    try:
+        # sink A: idempotent epoch append (dedup by batchId — Structured
+        # Streaming guarantees at-least-once foreachBatch invocation)
+        if metrics_t.exists():
+            seen = {
+                r["epoch_id"]
+                for r in metrics_t.read()
+                .select("epoch_id")
+                .distinct()
+                .collect()
+            }
+            if epoch_id in seen:
+                return  # retried epoch: already committed
+        counts = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.expr("cast(round(value * 100) as bigint)")
+                ).alias("value_cents"),
+            )
+            .withColumn("epoch_id", F.lit(epoch_id).cast("bigint"))
+        )
+        if metrics_t.exists():
+            metrics_t.append(counts)
+        else:
+            metrics_t.create(counts)
+        # sink B: monotonic merge of latest-per-user — idempotent by
+        # construction (re-merging the same batch is a no-op)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp_ntz").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+            )
+        )
+        if not latest_t.exists():
+            latest_t.create(latest)
+        else:
+            newer = (F.col("s.last_ts") > F.col("t.last_ts")) | (
+                (F.col("s.last_ts") == F.col("t.last_ts"))
+                & (F.col("s.last_event_id") >= F.col("t.last_event_id"))
+            )
+            latest_t.overwrite(
+                merge_upsert(latest_t.read(), latest, ["user_id"], newer)
+            )
+    finally:
+        batch_df.unpersist()
+
+
+def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One stream, TWO exactly-once sinks per micro-batch — the
+    foreachBatch fanout pattern (metrics table + latest-state table from
+    a single ingestion stream, consistent with each other because both
+    writes happen inside one epoch's commit function):
+
+    - sink A (metrics): the batch's per-type counts/value APPENDED with
+      the epoch id as a column; the epoch-id guard makes the append
+      idempotent — a retried epoch sees its id already committed and
+      skips, the documented foreachBatch exactly-once recipe (Structured
+      Streaming guarantees at-least-once foreachBatch invocation; the
+      SINK must dedup by batchId).
+    - sink B (latest state): per-user argmax by (ts, event_id) MERGEd
+      under a monotonic guard — idempotent by construction (re-merging
+      the same batch is a no-op), the stream_cdc_merge discipline.
+
+    Both sinks are snapshot-committing LocalTables (the Iceberg layer),
+    so each epoch is an atomic commit per sink and a failure between the
+    two sinks re-runs the epoch: A skips via the guard, B re-merges
+    no-op. Output: per-type totals across all epochs joined with the
+    latest-state fingerprint — the oracle recomputes both sides
+    relationally from the raw events (epoch boundaries are invisible in
+    the final state, which is the point)."""
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+
+    metrics_t = LocalTable(
+        spark, scratch_dir(sf_dir, "fanout_metrics", fresh=True)
+    )
+    latest_t = LocalTable(
+        spark, scratch_dir(sf_dir, "fanout_latest", fresh=True)
+    )
+
+    def commit(batch_df: DataFrame, epoch_id: int) -> None:
+        _fanout_commit(metrics_t, latest_t, batch_df, epoch_id)
+
+    ev = _events_stream(spark, sf_dir)
+    q = ev.writeStream.outputMode("append").foreachBatch(commit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    totals = (
+        metrics_t.read()
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )
+    state_fp = latest_t.read().agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("last_event_id").alias("last_id_sum"),
+    )
+    return totals.crossJoin(state_fp)

@@ -40,9 +40,11 @@ def test_window_leads_with_never_attested():
 
 
 def test_attestation_history_parses():
-    """Sanity: the driver files exist and cover most declared queries."""
+    """Sanity: the driver files exist and still parse. An absolute floor
+    (not a ratio): newly declared queries are legitimately unattested
+    until the next driver round, so a ratio check fails exactly when
+    coverage WIDENS mid-round — the wrong incentive. Round 5 attested
+    156 distinct queries; parsing must never recover fewer."""
     latest = latest_green_round()
-    names = set(QUERIES)
-    covered = names & set(latest)
-    # round 4's verdict: 141/149 attested; never shrink below that ratio.
-    assert len(covered) >= 0.9 * len(names)
+    covered = set(QUERIES) & set(latest)
+    assert len(covered) >= 156

@@ -73,3 +73,27 @@ def test_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
     # (end 11:00 > final wm 10:20) and never appears
     assert rows == {(8, 1)}, rows
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_fanout_commit_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying an epoch (Structured Streaming's at-least-once
+    foreachBatch contract) must leave BOTH sinks exactly as after the
+    first commit: sink A dedups by epoch id, sink B's merge guard makes
+    the re-merge a no-op."""
+    from iceberg_examples_spark.catalog import LocalTable, load_table
+    from iceberg_examples_spark.streaming.rollup import _fanout_commit
+
+    metrics_t = LocalTable(spark, str(tmp_path / "m"))
+    latest_t = LocalTable(spark, str(tmp_path / "l"))
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+
+    _fanout_commit(metrics_t, latest_t, b0, 0)
+    _fanout_commit(metrics_t, latest_t, b1, 1)
+    snap = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+    m_before, l_before = snap(metrics_t), snap(latest_t)
+
+    _fanout_commit(metrics_t, latest_t, b1, 1)  # epoch 1 retried
+    assert snap(metrics_t) == m_before, "metrics sink double-counted"
+    assert snap(latest_t) == l_before, "latest sink drifted on retry"
