@@ -332,3 +332,92 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("case when in_vocab is null then token end")
         ).alias("oov_types"),
     )
+
+
+BPE_TOPN = 20
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full iteration of BPE tokenizer training, relationally — the
+    distributed hot loop of fitting a subword vocabulary on a corpus:
+
+    1. word-frequency table (the classical optimization: after one
+       corpus-scale token count, every BPE iteration runs over the
+       VOCABULARY — thousands of rows weighted by count — never the
+       corpus again);
+    2. frequency-weighted adjacent character-pair counts (explode +
+       groupBy of 2-char keys, map-side combined);
+    3. the merge choice: argmax pair, count-desc / pair-asc tie-break
+       (deterministic, as real BPE trainers specify);
+    4. the merge APPLIED — non-overlapping left-to-right, BPE's exact
+       rule, which is precisely the semantics of string ``replace``
+       (both engines replace left-to-right non-overlapping): the merged
+       pair becomes sentinel '_' (impossible in [a-z0-9]+ tokens);
+    5. post-merge pair counts — the next iteration's input.
+
+    Output: the BPE_TOPN post-merge pairs (rendered with the sentinel
+    expanded back to the merged symbol) plus the chosen merge itself as
+    rank-0 rows. A K-merge trainer is a driver loop over exactly this
+    query shape with the growing sentinel alphabet; the per-iteration
+    cost stays O(vocabulary), which is what makes BPE training cheap
+    even on a 100 TB corpus — the corpus is touched once, in step 1."""
+    from iceberg_examples_spark.functions.texthash import tokens_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(tokens_expr("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pair_of = (
+        "transform(sequence(1, length({col}) - 1), "
+        "i -> substring({col}, i, 2))"
+    )
+    pairs1 = (
+        words.filter(F.expr("length(w) >= 2"))
+        .select("n_w", F.explode(F.expr(pair_of.format(col="w"))).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("n_w").alias("cnt"))
+    )
+    top = F.broadcast(
+        pairs1.orderBy(F.desc("cnt"), F.asc("p")).limit(1).select(
+            F.col("p").alias("merge_pair"), F.col("cnt").alias("merge_cnt")
+        )
+    )
+    merged = words.crossJoin(top).select(
+        "n_w",
+        F.expr("replace(w, merge_pair, '_')").alias("w2"),
+        "merge_pair",
+    )
+    pairs2 = (
+        merged.filter(F.expr("length(w2) >= 2"))
+        .select(
+            "n_w",
+            "merge_pair",
+            F.explode(F.expr(pair_of.format(col="w2"))).alias("p"),
+        )
+        .groupBy("merge_pair", "p")
+        .agg(F.sum("n_w").alias("cnt"))
+        .select(
+            "merge_pair",
+            F.expr("replace(p, '_', merge_pair)").alias("pair"),
+            "cnt",
+        )
+    )
+    ranked = (
+        pairs2.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("pair"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("rank") <= BPE_TOPN)
+        .select("rank", "pair", "cnt", "merge_pair")
+    )
+    chosen = top.select(
+        F.lit(0).cast("bigint").alias("rank"),
+        F.col("merge_pair").alias("pair"),
+        F.col("merge_cnt").alias("cnt"),
+        "merge_pair",
+    )
+    return chosen.unionByName(ranked)

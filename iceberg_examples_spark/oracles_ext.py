@@ -2755,3 +2755,49 @@ SELECT event_type,
 FROM events, fp
 GROUP BY event_type, fp.n_users, fp.last_id_sum
 """
+
+from iceberg_examples_spark.operators.llm_quality import BPE_TOPN  # noqa: E402
+
+EXT_ORACLES["bpe_merge_step"] = f"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM (
+    SELECT unnest({_DOC_TOKS}) AS w FROM documents
+  ) GROUP BY w
+),
+pairs1 AS (
+  SELECT p, CAST(sum(n_w) AS BIGINT) AS cnt FROM (
+    SELECT n_w,
+           unnest(list_transform(range(1, length(w)),
+                                 i -> substr(w, CAST(i AS INT), 2))) AS p
+    FROM words WHERE length(w) >= 2
+  ) GROUP BY p
+),
+top AS (
+  SELECT p AS merge_pair, cnt AS merge_cnt
+  FROM pairs1 ORDER BY cnt DESC, p ASC LIMIT 1
+),
+merged AS (
+  SELECT n_w, replace(w, merge_pair, '_') AS w2, merge_pair
+  FROM words, top
+),
+pairs2 AS (
+  SELECT merge_pair, pair, CAST(sum(n_w) AS BIGINT) AS cnt FROM (
+    SELECT n_w, merge_pair,
+           replace(unnest(list_transform(range(1, length(w2)),
+                          i -> substr(w2, CAST(i AS INT), 2))),
+                   '_', merge_pair) AS pair
+    FROM merged WHERE length(w2) >= 2
+  ) GROUP BY merge_pair, pair
+),
+ranked AS (
+  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair ASC) AS BIGINT)
+           AS rank,
+         pair, cnt, merge_pair
+  FROM pairs2
+)
+SELECT CAST(0 AS BIGINT) AS rank, merge_pair AS pair,
+       merge_cnt AS cnt, merge_pair
+FROM top
+UNION ALL
+SELECT rank, pair, cnt, merge_pair FROM ranked WHERE rank <= {BPE_TOPN}
+"""

@@ -85,6 +85,7 @@ QUERIES: dict[str, QueryFn] = {
     "dynamic_partition_overwrite": PT.dynamic_partition_overwrite,
     "merge_schema_read": CV.merge_schema_read,
     "stream_fanout": ST.stream_fanout,
+    "bpe_merge_step": LQ.bpe_merge_step,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
