@@ -85,6 +85,49 @@ def write_partitioned(
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+
+
+def _partitioned_lineitem_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The month-partitioned lineitem fixture as a DURABLE keyed artifact
+    (persisted_index's freshness discipline: keyed on the lineitem file's
+    (mtime, size) + the layout version, built once, atomic-renamed,
+    race-safe). partition_prune and dynamic_partition_prune both read it;
+    before this, each invocation re-wrote ~80 month directories —
+    ~2 s per call of pure fixture cost at sf0.1."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.checkpointing import index_root
+
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"pl-v1:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(index_root(spark), f"part-lineitem-{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build-{uuid.uuid4().hex}"
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        )
+        write_partitioned(
+            with_partition_keys(li, {"ship_month": month("l_shipdate")}),
+            tmp,
+            ["ship_month"],
+        )
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+    return path
+
+
 # ---- declared query -----------------------------------------------------
 
 def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,17 +136,7 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (verify with .explain: PartitionFilters, one partition
     read) — and aggregate. The oracle computes the same aggregate from
     the raw table, proving the partitioned round-trip is lossless."""
-    from iceberg_examples_spark.catalog import scratch_dir
-
-    out = scratch_dir(sf_dir, "partitioned_lineitem")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
-    )
-    write_partitioned(
-        with_partition_keys(li, {"ship_month": month("l_shipdate")}),
-        out,
-        ["ship_month"],
-    )
+    out = _partitioned_lineitem_fixture(spark, sf_dir)
     back = spark.read.parquet(out).filter(F.col("ship_month") == "1996-03")
     return back.groupBy("ship_month").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -299,15 +332,7 @@ def dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dim is DERIVED (distinct months + computed quarter label) so the
     optimizer provably can't constant-fold the month set; the oracle
     replays the same join relationally from the raw table."""
-    out = scratch_dir(sf_dir, "dpp_lineitem")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
-    )
-    write_partitioned(
-        with_partition_keys(li, {"ship_month": month("l_shipdate")}),
-        out,
-        ["ship_month"],
-    )
+    out = _partitioned_lineitem_fixture(spark, sf_dir)
     fact = spark.read.parquet(out)
     dim = (
         load_table(spark, sf_dir, "lineitem")
