@@ -125,6 +125,9 @@ HEADLINE = [
     "stream_late_data",
     "dynamic_partition_prune",
     "embedding_norms_arrow",
+    "dynamic_partition_overwrite",
+    "stream_fanout",
+    "bpe_merge_step",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")
