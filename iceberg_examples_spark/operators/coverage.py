@@ -655,3 +655,34 @@ def merge_schema_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("price_cents").alias("total_cents"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+K_ANON = 5
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the training-data
+    governance gate: before a customer extract ships, every
+    quasi-identifier combination (here nation × market segment) must
+    cover at least K_ANON individuals, else those rows re-identify.
+    Output: one row per ANONYMITY CLASS SIZE BUCKET (the k-distribution)
+    plus the suppression summary the release decision needs — how many
+    classes and rows fall below k. Map-side combinable aggregate over
+    narrow keys; at 100 TB this is one shuffle of the quasi-identifier
+    tuple, and the class-size histogram is how real releases are
+    audited (classes, not rows, are the unit of risk)."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy(
+            F.expr(f"class_size >= {K_ANON}").alias("is_anonymous"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+            F.min("class_size").alias("min_class"),
+            F.max("class_size").alias("max_class"),
+        )
+    )

@@ -2801,3 +2801,20 @@ FROM top
 UNION ALL
 SELECT rank, pair, cnt, merge_pair FROM ranked WHERE rank <= {BPE_TOPN}
 """
+
+from iceberg_examples_spark.operators.coverage import K_ANON  # noqa: E402
+
+EXT_ORACLES["k_anonymity"] = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT class_size >= {K_ANON} AS is_anonymous,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(min(class_size) AS BIGINT) AS min_class,
+       CAST(max(class_size) AS BIGINT) AS max_class
+FROM classes
+GROUP BY 1
+"""

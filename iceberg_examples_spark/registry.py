@@ -86,6 +86,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_schema_read": CV.merge_schema_read,
     "stream_fanout": ST.stream_fanout,
     "bpe_merge_step": LQ.bpe_merge_step,
+    "k_anonymity": CV.k_anonymity,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
