@@ -2818,3 +2818,11 @@ SELECT class_size >= {K_ANON} AS is_anonymous,
 FROM classes
 GROUP BY 1
 """
+
+EXT_ORACLES["stream_incremental_ingest"] = """
+SELECT CAST(1 + (event_id % 2) AS BIGINT) AS run, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events
+GROUP BY 1, 2
+"""

@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_fanout": ST.stream_fanout,
     "bpe_merge_step": LQ.bpe_merge_step,
     "k_anonymity": CV.k_anonymity,
+    "stream_incremental_ingest": ST.stream_incremental_ingest,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

@@ -643,3 +643,77 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("last_event_id").alias("last_id_sum"),
     )
     return totals.crossJoin(state_fp)
+
+
+def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed incremental file ingestion across query RESTARTS —
+    the production landing-zone pattern: a scheduled job starts the same
+    stream (same checkpointLocation) over a growing directory, and each
+    run drains ONLY the files that arrived since the last run (the file
+    source's processed-file log lives in the checkpoint; Trigger.
+    AvailableNow drains what exists, then stops).
+
+    Scenario: run 1 sees the even-id half of the event log; the odd-id
+    file then lands; run 2 — a fresh query instance on the same
+    checkpoint — must process EXACTLY the new file, nothing re-read, no
+    row lost. Each foreachBatch tags its rows with the run number, so
+    the output (per run × event type counts) proves the offset
+    bookkeeping: run 1 rows are exactly the even ids, run 2 exactly the
+    odd ids — which is what the oracle computes relationally. The sink
+    appends to a snapshot-committing LocalTable (exactly-once per epoch,
+    stream_fanout's discipline)."""
+    import os
+
+    from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    root = scratch_dir(sf_dir, "incr_ingest", fresh=True)
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    sink = LocalTable(spark, os.path.join(root, "sink"))
+
+    def land_file(name: str, df: DataFrame) -> None:
+        df.coalesce(1).write.parquet(os.path.join(land, name))
+
+    def drain(run: int) -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(
+            os.path.join(land, "*")
+        )
+
+        def commit(batch_df: DataFrame, epoch_id: int) -> None:
+            counts = batch_df.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").alias("id_sum"),
+            ).select(
+                F.lit(run).cast("bigint").alias("run"),
+                "event_type",
+                "n_events",
+                "id_sum",
+            )
+            if sink.exists():
+                sink.append(counts)
+            else:
+                sink.create(counts)
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(commit)
+            .start()
+        )
+        q.awaitTermination()
+
+    land_file("even", ev.filter(F.col("event_id") % 2 == 0))
+    drain(run=1)
+    land_file("odd", ev.filter(F.col("event_id") % 2 == 1))
+    drain(run=2)
+
+    return (
+        sink.read()
+        .groupBy("run", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("id_sum").alias("id_sum"),
+        )
+    )
