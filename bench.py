@@ -128,6 +128,10 @@ HEADLINE = [
     "dynamic_partition_overwrite",
     "stream_fanout",
     "bpe_merge_step",
+    "mad_outliers",
+    "or_join_union",
+    "stream_incremental_ingest",
+    "k_anonymity",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

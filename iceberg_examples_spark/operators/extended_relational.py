@@ -641,3 +641,81 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"abs(est - n_exact) * 100 <= n_exact * {HLL_REL_ERR_PCT}"
         ).alias("est_in_bound"),
     )
+
+
+MAD_K = 3  # |x - median| > K*MAD flags an outlier (the robust z-score)
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median absolute deviation,
+    the estimator that (unlike mean/stddev) a few extreme values cannot
+    drag. Two exact interpolated percentiles per group — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` bit-for-bit (the
+    `percentiles` discipline) — with the group median broadcast back
+    between passes; the outlier rule |x − med| > K·MAD then evaluates on
+    bit-identical doubles in both engines.
+
+    Plan: two grouped aggregates over narrow keys with a broadcast join
+    between them, one final count pass — three shuffles of |groups|-sized
+    frames plus the scans; at 100 TB the exact-median passes become
+    approx_percentile (see approx_stats for the self-verifying sketch
+    pattern), same plan shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    with_med = orders.join(F.broadcast(med), "o_orderpriority")
+    mad = with_med.groupBy("o_orderpriority").agg(
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        with_med.drop("med")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.expr(
+                    f"case when abs(o_totalprice - med) > {MAD_K} * mad "
+                    "then 1 else 0 end"
+                )
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def or_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OR-predicate join rewrite — a disjunctive equi-join
+    ``ON a.k1 = b.k OR a.k2 = b.k`` cannot hash-join (no single key), so
+    engines fall back to nested-loop/cartesian: O(n·m) and a cluster
+    killer. The standard rewrite executed here: one equi-join PER
+    DISJUNCT (each hash/broadcast-joinable), UNION, then DISTINCT on the
+    output identity to undo double-matches — identical semantics, two
+    shuffled joins instead of n·m comparisons (tests/test_plans.py
+    asserts no nested-loop/cartesian node survives). The oracle runs the
+    literal OR join, so the rewrite is hash-verified against the naive
+    spelling.
+
+    Scenario: lineitems route to a supplier either directly
+    (l_suppkey) or via an alternate routing key (l_orderkey % 100)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey",
+        F.expr("l_orderkey % 100").alias("alt_key"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    direct = li.join(
+        F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"]
+    )
+    alt = li.join(F.broadcast(supp), li["alt_key"] == supp["s_suppkey"])
+    matched = (
+        direct.select("l_orderkey", "l_linenumber", "s_suppkey")
+        .unionByName(alt.select("l_orderkey", "l_linenumber", "s_suppkey"))
+        .distinct()
+    )
+    return matched.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_orderkey").alias("key_sum"),
+    )

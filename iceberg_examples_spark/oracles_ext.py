@@ -2826,3 +2826,42 @@ SELECT CAST(1 + (event_id % 2) AS BIGINT) AS run, event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+from iceberg_examples_spark.operators.extended_relational import (  # noqa: E402
+    MAD_K,
+)
+
+EXT_ORACLES["mad_outliers"] = f"""
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+mad AS (
+  SELECT o.o_orderpriority,
+         quantile_cont(abs(o.o_totalprice - med.med), 0.5) AS mad,
+         any_value(med.med) AS med
+  FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority
+  GROUP BY o.o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       any_value(mad.med) AS med,
+       any_value(mad.mad) AS mad,
+       CAST(sum(CASE WHEN abs(o.o_totalprice - mad.med)
+                          > {MAD_K} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o JOIN mad ON o.o_orderpriority = mad.o_orderpriority
+GROUP BY o.o_orderpriority
+"""
+
+EXT_ORACLES["or_join_union"] = """
+SELECT s_suppkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum
+FROM (
+  SELECT DISTINCT l.l_orderkey, l.l_linenumber, s.s_suppkey
+  FROM lineitem l JOIN supplier s
+    ON l.l_suppkey = s.s_suppkey OR (l.l_orderkey % 100) = s.s_suppkey
+)
+GROUP BY s_suppkey
+"""

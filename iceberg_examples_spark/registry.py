@@ -88,6 +88,8 @@ QUERIES: dict[str, QueryFn] = {
     "bpe_merge_step": LQ.bpe_merge_step,
     "k_anonymity": CV.k_anonymity,
     "stream_incremental_ingest": ST.stream_incremental_ingest,
+    "mad_outliers": XR.mad_outliers,
+    "or_join_union": XR.or_join_union,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

@@ -55,6 +55,10 @@ BROADCAST_EXPECTED = {
     "epoch_shuffle",  # the 32-row offset table must broadcast
 }
 
+# the OR-join rewrite must hash/broadcast-join — a surviving nested-loop
+# or cartesian node means the rewrite regressed to the O(n*m) fallback
+NO_NESTED_LOOP = {"or_join_union"}
+
 # the global-enumeration queries must NOT collapse a window to one
 # partition (the exact anti-pattern their bucket formulation exists to
 # avoid; "Window" + "SinglePartition" adjacency is the plan smell)
@@ -120,6 +124,10 @@ def test_plan_invariants(name, spark, sf_dir):
     if name in SINGLE_GENERATE:
         assert plan.count("Generate") <= 1, (
             f"{name}: input-relation explode leaked into the plan"
+        )
+    if name in NO_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join leaked back in"
         )
     if name in DPP_EXPECTED:
         assert "dynamicpruning" in plan.lower(), (
