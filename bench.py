@@ -132,6 +132,7 @@ HEADLINE = [
     "or_join_union",
     "stream_incremental_ingest",
     "k_anonymity",
+    "multimodal_prep_pipeline",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -471,3 +471,87 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.sum("n_docs").over(w).alias("cum_docs"),
     )
+
+
+MEDIA_MIN_BYTES, MEDIA_MAX_BYTES = 16, 100_000
+
+
+def multimodal_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-manifest capstone: a training record ships
+    only if ALL modalities pass — text quality gate (the shared 4-point
+    heuristic), embedding not a sign-LSH bucket duplicate (keep-min, the
+    embedding_neardup rule), media payload unique by digest AND within
+    byte bounds. The three modality frames join on the record id and the
+    per-language report counts each reject reason separately — the
+    shape every multimodal curation run reports (you fix different
+    pipelines depending on WHICH modality rejects).
+
+    Plan: three map-only flag derivations (quality folds; 12 sign bits;
+    md5 digest) + two keep-min windows over narrow keys (bucket, digest)
+    + two equi-joins on the record id + one aggregate. Each modality
+    stage is the already-verified standalone operator's expression —
+    one definition, shared with its oracle fragment, so the capstone
+    and the parts cannot drift."""
+    from iceberg_examples_spark.operators.text import with_quality_metrics
+    from iceberg_examples_spark.sources.multimodal import build_media_table
+
+    docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
+    text_side = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("quality") >= QUALITY_MIN).alias("q_ok"),
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = " + ".join(
+        f"(case when embedding[{i}] >= 0 then {2 ** i} else 0 end)"
+        for i in range(12)
+    )
+    w_b = Window.partitionBy("bucket")
+    emb_side = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"cast({bucket} as int)").alias("bucket"),
+        )
+        .withColumn("keep_min", F.min("doc_id").over(w_b))
+        .select(
+            "doc_id", (F.col("doc_id") == F.col("keep_min")).alias("e_ok")
+        )
+    )
+
+    media = build_media_table(spark, sf_dir)
+    w_d = Window.partitionBy("digest")
+    media_side = (
+        media.select(
+            F.col("media_id").alias("doc_id"),
+            F.md5("payload").alias("digest"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+        .withColumn("keep_min", F.min("doc_id").over(w_d))
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keep_min")).alias("m_uniq"),
+            F.col("n_bytes")
+            .between(MEDIA_MIN_BYTES, MEDIA_MAX_BYTES)
+            .alias("m_bytes_ok"),
+        )
+    )
+
+    joined = text_side.join(emb_side, "doc_id").join(media_side, "doc_id")
+    ok = "q_ok and e_ok and m_uniq and m_bytes_ok"
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.expr("case when q_ok then 0 else 1 end")).alias(
+            "n_quality_fail"
+        ),
+        F.sum(F.expr("case when e_ok then 0 else 1 end")).alias(
+            "n_embed_dup"
+        ),
+        F.sum(
+            F.expr("case when m_uniq and m_bytes_ok then 0 else 1 end")
+        ).alias("n_media_fail"),
+        F.sum(F.expr(f"case when {ok} then 1 else 0 end")).alias("n_final"),
+        F.sum(F.expr(f"case when {ok} then doc_id else 0 end")).alias(
+            "id_sum_final"
+        ),
+    )

@@ -2865,3 +2865,56 @@ FROM (
 )
 GROUP BY s_suppkey
 """
+
+from iceberg_examples_spark.operators.llm_pipeline import (  # noqa: E402
+    MEDIA_MAX_BYTES,
+    MEDIA_MIN_BYTES,
+    QUALITY_MIN,
+)
+
+EXT_ORACLES["multimodal_prep_pipeline"] = f"""
+WITH t AS (SELECT doc_id, lang, text, {_toks} AS toks FROM documents),
+txt AS (
+  SELECT doc_id, lang, ({_quality}) >= {QUALITY_MIN} AS q_ok FROM t
+),
+eb AS (
+  SELECT vec_id AS doc_id, CAST({_bucket} AS INT) AS bucket
+  FROM embeddings
+),
+emb AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY bucket) AS e_ok
+  FROM eb
+),
+md AS (
+  SELECT doc_id, md5(text) AS digest,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+),
+media AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY digest) AS m_uniq,
+         n_bytes BETWEEN {MEDIA_MIN_BYTES} AND {MEDIA_MAX_BYTES}
+           AS m_bytes_ok
+  FROM md
+),
+j AS (
+  SELECT txt.lang, txt.doc_id, q_ok, e_ok, m_uniq, m_bytes_ok
+  FROM txt JOIN emb ON txt.doc_id = emb.doc_id
+           JOIN media ON txt.doc_id = media.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN q_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_quality_fail,
+       CAST(sum(CASE WHEN e_ok THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_embed_dup,
+       CAST(sum(CASE WHEN m_uniq AND m_bytes_ok THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_media_fail,
+       CAST(sum(CASE WHEN q_ok AND e_ok AND m_uniq AND m_bytes_ok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN q_ok AND e_ok AND m_uniq AND m_bytes_ok
+                THEN doc_id ELSE 0 END) AS BIGINT) AS id_sum_final
+FROM j
+GROUP BY lang
+"""
