@@ -133,6 +133,7 @@ HEADLINE = [
     "stream_incremental_ingest",
     "k_anonymity",
     "multimodal_prep_pipeline",
+    "skyline_pareto",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -719,3 +719,72 @@ def or_join_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_orderkey").alias("key_sum"),
     )
+
+
+SKY_MOD = 10  # orders subset (o_orderkey % SKY_MOD = 0): keeps the
+SKY_BUCKETS = 32  # oracle's quadratic NOT-EXISTS check tractable
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal) query — the multi-criteria shortlist
+    operator (cf. "Integration of Skyline Queries into Spark SQL", EDBT
+    2023, and the classic Börzsönyi et al. formulation): orders that are
+    not DOMINATED — no other order is both cheaper-or-equal AND
+    newer-or-equal with at least one strict. Dims here: minimize
+    o_totalprice (exact cents), maximize o_orderdate.
+
+    Distributed formulation (the paper's local-then-global shape, made
+    declarative): price-RANGE buckets (not hash — dominance only flows
+    from cheaper to costlier), so
+      1. within-bucket dominance = two windows PARTITIONED BY BUCKET
+         (parallel, never a global sort):  max(date) over strictly
+         cheaper rows in-bucket; max(date) over equal-price rows;
+      2. cross-bucket dominance = the per-bucket max-date prefix —
+         a SKY_BUCKETS-row aggregate broadcast back (every row in a
+         lower bucket is strictly cheaper, so prefix-max(date) ≥ my
+         date ⇒ dominated).
+    Each row is checked against O(1) broadcast state + an in-bucket
+    window — no pairwise join anywhere. The oracle runs the literal
+    quadratic NOT EXISTS dominance test on the same subset, so the
+    bucketed plan is verified against the definition itself."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % SKY_MOD == 0
+    )
+    base = orders.select(
+        "o_orderkey",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    # range buckets over the observed price span (two scalar bounds — a
+    # planning-time hop, the quantile_bins_cuts discipline)
+    lo, hi = base.agg(F.min("cents"), F.max("cents")).first()
+    width = max(1, (hi - lo) // SKY_BUCKETS + 1)
+    b = base.withColumn("bucket", F.expr(f"(cents - {lo}) div {width}"))
+
+    w_cheaper = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("bucket", "cents")
+    flagged = b.withColumn(
+        "max_date_cheaper", F.max("odate").over(w_cheaper)
+    ).withColumn("max_date_equal", F.max("odate").over(w_equal))
+
+    per_bucket = b.groupBy("bucket").agg(F.max("odate").alias("bmax"))
+    w_prefix = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = per_bucket.select(
+        "bucket", F.max("bmax").over(w_prefix).alias("prefix_max_date")
+    )
+
+    return (
+        flagged.join(F.broadcast(prefix), "bucket")
+        .filter(
+            "(max_date_cheaper is null or max_date_cheaper < odate) and "
+            "max_date_equal <= odate and "
+            "(prefix_max_date is null or prefix_max_date < odate)"
+        )
+        .select("o_orderkey", "cents", "odate")
+    )

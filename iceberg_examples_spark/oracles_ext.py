@@ -2918,3 +2918,23 @@ SELECT lang,
 FROM j
 GROUP BY lang
 """
+
+from iceberg_examples_spark.operators.extended_relational import (  # noqa: E402
+    SKY_MOD,
+)
+
+EXT_ORACLES["skyline_pareto"] = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderdate AS odate
+  FROM orders WHERE o_orderkey % {SKY_MOD} = 0
+)
+SELECT b.o_orderkey, b.cents, b.odate
+FROM base b
+WHERE NOT EXISTS (
+  SELECT 1 FROM base a
+  WHERE a.cents <= b.cents AND a.odate >= b.odate
+    AND (a.cents < b.cents OR a.odate > b.odate)
+)
+"""

@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "mad_outliers": XR.mad_outliers,
     "or_join_union": XR.or_join_union,
     "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
+    "skyline_pareto": XR.skyline_pareto,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
