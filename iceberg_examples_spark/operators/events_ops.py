@@ -285,3 +285,92 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+TRAJ_BINS = 16
+TRAJ_SCALE = 100  # event values are 2-dp fixed decimals
+
+
+def trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-behavior trajectory similarity (the REPOSE/trajectory-search
+    family, reduced to its relational core): each user's event-value
+    series is resampled onto a fixed time grid (TRAJ_BINS equal slices
+    of the global time span — resampling is what makes trajectories of
+    different lengths comparable and is the standard first step of any
+    distributed trajectory system), then profile distance = summed
+    squared difference of binned means, computed in INTEGER arithmetic:
+    each bin's mean is the truncating fixed-point ``(sum*1000) div n``
+    (deterministic in both engines, no float ever), then d-squared
+    summed. The fixed-point-before-square order is deliberate — cross-
+    multiplying exact rationals first looks more precise but overflows
+    BIGINT at sf0.1 ((s*n)^2 ~ 1.2e19 > 2^63); the 1e-3-cent mean
+    granularity loses nothing measurable and bounds every term below
+    2^51. Empty bins mean 0 (one-empty compares against a 0 baseline). Pairs are
+    bounded (adjacent user ids) — the measure is the point; candidate
+    generation at scale is bucketing/LSH's job, as with fuzzy_match.
+    Plan: one grouped aggregate to (user × bin) cells, one collect to
+    fixed-width profiles, a self-join on adjacent ids, one fold."""
+    ev = load_table(spark, sf_dir, "events")
+    B = TRAJ_BINS
+    cells = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts as timestamp))"
+            ).alias("us"),
+            F.expr(
+                f"cast(round(value * {TRAJ_SCALE}) as bigint)"
+            ).alias("v"),
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.agg(
+                    F.expr(
+                        "unix_micros(cast(min(ts) as timestamp))"
+                    ).alias("lo_us"),
+                    F.expr(
+                        "unix_micros(cast(max(ts) as timestamp)) - "
+                        "unix_micros(cast(min(ts) as timestamp)) + 1"
+                    ).alias("span_us"),
+                )
+            )
+        )
+        .select(
+            "user_id",
+            F.expr(f"cast((us - lo_us) * {B} div span_us as int)").alias(
+                "bin"
+            ),
+            "v",
+        )
+        .groupBy("user_id", "bin")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    prof = cells.groupBy("user_id").agg(
+        F.collect_list(F.struct("bin", "s", "n")).alias("cells")
+    ).select(
+        "user_id",
+        F.expr(
+            f"transform(sequence(0, {B - 1}), b -> coalesce(element_at("
+            "map_from_entries(transform(cells, c -> struct(c.bin, c.s))),"
+            " b), 0L))"
+        ).alias("ss"),
+        F.expr(
+            f"transform(sequence(0, {B - 1}), b -> coalesce(element_at("
+            "map_from_entries(transform(cells, c -> struct(c.bin, c.n))),"
+            " b), 0L))"
+        ).alias("ns"),
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    dist = (
+        f"aggregate(sequence(1, {B}), 0L, (acc, i) -> acc + "
+        "((case when element_at(a.ns, i) = 0 then 0L else element_at(a.ss, i) * 1000 div element_at(a.ns, i) end) - (case when element_at(b.ns, i) = 0 then 0L else element_at(b.ss, i) * 1000 div element_at(b.ns, i) end)) * "
+        "((case when element_at(a.ns, i) = 0 then 0L else element_at(a.ss, i) * 1000 div element_at(a.ns, i) end) - (case when element_at(b.ns, i) = 0 then 0L else element_at(b.ss, i) * 1000 div element_at(b.ns, i) end)))"
+    )
+    return (
+        a.join(b, F.col("b.user_id") == F.col("a.user_id") + 1)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.expr(dist).alias("sq_dist_scaled"),
+        )
+    )

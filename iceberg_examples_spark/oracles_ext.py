@@ -2938,3 +2938,78 @@ WHERE NOT EXISTS (
     AND (a.cents < b.cents OR a.odate > b.odate)
 )
 """
+
+from iceberg_examples_spark.operators.events_ops import (  # noqa: E402
+    TRAJ_BINS,
+    TRAJ_SCALE,
+)
+
+assert TRAJ_BINS == 16 and TRAJ_SCALE == 100  # the generated column set
+
+EXT_ORACLES["trajectory_similarity"] = """
+WITH bounds AS (
+  SELECT epoch_us(min(ts)) AS lo_us,
+         epoch_us(max(ts)) - epoch_us(min(ts)) + 1 AS span_us
+  FROM events
+),
+raw AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - lo_us) * 16 // span_us AS INT) AS bin,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events, bounds
+),
+prof AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN bin = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN bin = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN bin = 2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN bin = 3 THEN v ELSE 0 END) AS BIGINT) AS s3,
+         CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN bin = 4 THEN v ELSE 0 END) AS BIGINT) AS s4,
+         CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(sum(CASE WHEN bin = 5 THEN v ELSE 0 END) AS BIGINT) AS s5,
+         CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+         CAST(sum(CASE WHEN bin = 6 THEN v ELSE 0 END) AS BIGINT) AS s6,
+         CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n6,
+         CAST(sum(CASE WHEN bin = 7 THEN v ELSE 0 END) AS BIGINT) AS s7,
+         CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+         CAST(sum(CASE WHEN bin = 8 THEN v ELSE 0 END) AS BIGINT) AS s8,
+         CAST(sum(CASE WHEN bin = 8 THEN 1 ELSE 0 END) AS BIGINT) AS n8,
+         CAST(sum(CASE WHEN bin = 9 THEN v ELSE 0 END) AS BIGINT) AS s9,
+         CAST(sum(CASE WHEN bin = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n9,
+         CAST(sum(CASE WHEN bin = 10 THEN v ELSE 0 END) AS BIGINT) AS s10,
+         CAST(sum(CASE WHEN bin = 10 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(sum(CASE WHEN bin = 11 THEN v ELSE 0 END) AS BIGINT) AS s11,
+         CAST(sum(CASE WHEN bin = 11 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(sum(CASE WHEN bin = 12 THEN v ELSE 0 END) AS BIGINT) AS s12,
+         CAST(sum(CASE WHEN bin = 12 THEN 1 ELSE 0 END) AS BIGINT) AS n12,
+         CAST(sum(CASE WHEN bin = 13 THEN v ELSE 0 END) AS BIGINT) AS s13,
+         CAST(sum(CASE WHEN bin = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n13,
+         CAST(sum(CASE WHEN bin = 14 THEN v ELSE 0 END) AS BIGINT) AS s14,
+         CAST(sum(CASE WHEN bin = 14 THEN 1 ELSE 0 END) AS BIGINT) AS n14,
+         CAST(sum(CASE WHEN bin = 15 THEN v ELSE 0 END) AS BIGINT) AS s15,
+         CAST(sum(CASE WHEN bin = 15 THEN 1 ELSE 0 END) AS BIGINT) AS n15
+  FROM raw GROUP BY user_id
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       CAST(((CASE WHEN a.n0 = 0 THEN 0 ELSE a.s0 * 1000 // a.n0 END) - (CASE WHEN b.n0 = 0 THEN 0 ELSE b.s0 * 1000 // b.n0 END)) * ((CASE WHEN a.n0 = 0 THEN 0 ELSE a.s0 * 1000 // a.n0 END) - (CASE WHEN b.n0 = 0 THEN 0 ELSE b.s0 * 1000 // b.n0 END)) +
+         ((CASE WHEN a.n1 = 0 THEN 0 ELSE a.s1 * 1000 // a.n1 END) - (CASE WHEN b.n1 = 0 THEN 0 ELSE b.s1 * 1000 // b.n1 END)) * ((CASE WHEN a.n1 = 0 THEN 0 ELSE a.s1 * 1000 // a.n1 END) - (CASE WHEN b.n1 = 0 THEN 0 ELSE b.s1 * 1000 // b.n1 END)) +
+         ((CASE WHEN a.n2 = 0 THEN 0 ELSE a.s2 * 1000 // a.n2 END) - (CASE WHEN b.n2 = 0 THEN 0 ELSE b.s2 * 1000 // b.n2 END)) * ((CASE WHEN a.n2 = 0 THEN 0 ELSE a.s2 * 1000 // a.n2 END) - (CASE WHEN b.n2 = 0 THEN 0 ELSE b.s2 * 1000 // b.n2 END)) +
+         ((CASE WHEN a.n3 = 0 THEN 0 ELSE a.s3 * 1000 // a.n3 END) - (CASE WHEN b.n3 = 0 THEN 0 ELSE b.s3 * 1000 // b.n3 END)) * ((CASE WHEN a.n3 = 0 THEN 0 ELSE a.s3 * 1000 // a.n3 END) - (CASE WHEN b.n3 = 0 THEN 0 ELSE b.s3 * 1000 // b.n3 END)) +
+         ((CASE WHEN a.n4 = 0 THEN 0 ELSE a.s4 * 1000 // a.n4 END) - (CASE WHEN b.n4 = 0 THEN 0 ELSE b.s4 * 1000 // b.n4 END)) * ((CASE WHEN a.n4 = 0 THEN 0 ELSE a.s4 * 1000 // a.n4 END) - (CASE WHEN b.n4 = 0 THEN 0 ELSE b.s4 * 1000 // b.n4 END)) +
+         ((CASE WHEN a.n5 = 0 THEN 0 ELSE a.s5 * 1000 // a.n5 END) - (CASE WHEN b.n5 = 0 THEN 0 ELSE b.s5 * 1000 // b.n5 END)) * ((CASE WHEN a.n5 = 0 THEN 0 ELSE a.s5 * 1000 // a.n5 END) - (CASE WHEN b.n5 = 0 THEN 0 ELSE b.s5 * 1000 // b.n5 END)) +
+         ((CASE WHEN a.n6 = 0 THEN 0 ELSE a.s6 * 1000 // a.n6 END) - (CASE WHEN b.n6 = 0 THEN 0 ELSE b.s6 * 1000 // b.n6 END)) * ((CASE WHEN a.n6 = 0 THEN 0 ELSE a.s6 * 1000 // a.n6 END) - (CASE WHEN b.n6 = 0 THEN 0 ELSE b.s6 * 1000 // b.n6 END)) +
+         ((CASE WHEN a.n7 = 0 THEN 0 ELSE a.s7 * 1000 // a.n7 END) - (CASE WHEN b.n7 = 0 THEN 0 ELSE b.s7 * 1000 // b.n7 END)) * ((CASE WHEN a.n7 = 0 THEN 0 ELSE a.s7 * 1000 // a.n7 END) - (CASE WHEN b.n7 = 0 THEN 0 ELSE b.s7 * 1000 // b.n7 END)) +
+         ((CASE WHEN a.n8 = 0 THEN 0 ELSE a.s8 * 1000 // a.n8 END) - (CASE WHEN b.n8 = 0 THEN 0 ELSE b.s8 * 1000 // b.n8 END)) * ((CASE WHEN a.n8 = 0 THEN 0 ELSE a.s8 * 1000 // a.n8 END) - (CASE WHEN b.n8 = 0 THEN 0 ELSE b.s8 * 1000 // b.n8 END)) +
+         ((CASE WHEN a.n9 = 0 THEN 0 ELSE a.s9 * 1000 // a.n9 END) - (CASE WHEN b.n9 = 0 THEN 0 ELSE b.s9 * 1000 // b.n9 END)) * ((CASE WHEN a.n9 = 0 THEN 0 ELSE a.s9 * 1000 // a.n9 END) - (CASE WHEN b.n9 = 0 THEN 0 ELSE b.s9 * 1000 // b.n9 END)) +
+         ((CASE WHEN a.n10 = 0 THEN 0 ELSE a.s10 * 1000 // a.n10 END) - (CASE WHEN b.n10 = 0 THEN 0 ELSE b.s10 * 1000 // b.n10 END)) * ((CASE WHEN a.n10 = 0 THEN 0 ELSE a.s10 * 1000 // a.n10 END) - (CASE WHEN b.n10 = 0 THEN 0 ELSE b.s10 * 1000 // b.n10 END)) +
+         ((CASE WHEN a.n11 = 0 THEN 0 ELSE a.s11 * 1000 // a.n11 END) - (CASE WHEN b.n11 = 0 THEN 0 ELSE b.s11 * 1000 // b.n11 END)) * ((CASE WHEN a.n11 = 0 THEN 0 ELSE a.s11 * 1000 // a.n11 END) - (CASE WHEN b.n11 = 0 THEN 0 ELSE b.s11 * 1000 // b.n11 END)) +
+         ((CASE WHEN a.n12 = 0 THEN 0 ELSE a.s12 * 1000 // a.n12 END) - (CASE WHEN b.n12 = 0 THEN 0 ELSE b.s12 * 1000 // b.n12 END)) * ((CASE WHEN a.n12 = 0 THEN 0 ELSE a.s12 * 1000 // a.n12 END) - (CASE WHEN b.n12 = 0 THEN 0 ELSE b.s12 * 1000 // b.n12 END)) +
+         ((CASE WHEN a.n13 = 0 THEN 0 ELSE a.s13 * 1000 // a.n13 END) - (CASE WHEN b.n13 = 0 THEN 0 ELSE b.s13 * 1000 // b.n13 END)) * ((CASE WHEN a.n13 = 0 THEN 0 ELSE a.s13 * 1000 // a.n13 END) - (CASE WHEN b.n13 = 0 THEN 0 ELSE b.s13 * 1000 // b.n13 END)) +
+         ((CASE WHEN a.n14 = 0 THEN 0 ELSE a.s14 * 1000 // a.n14 END) - (CASE WHEN b.n14 = 0 THEN 0 ELSE b.s14 * 1000 // b.n14 END)) * ((CASE WHEN a.n14 = 0 THEN 0 ELSE a.s14 * 1000 // a.n14 END) - (CASE WHEN b.n14 = 0 THEN 0 ELSE b.s14 * 1000 // b.n14 END)) +
+         ((CASE WHEN a.n15 = 0 THEN 0 ELSE a.s15 * 1000 // a.n15 END) - (CASE WHEN b.n15 = 0 THEN 0 ELSE b.s15 * 1000 // b.n15 END)) * ((CASE WHEN a.n15 = 0 THEN 0 ELSE a.s15 * 1000 // a.n15 END) - (CASE WHEN b.n15 = 0 THEN 0 ELSE b.s15 * 1000 // b.n15 END)) AS BIGINT) AS sq_dist_scaled
+FROM prof a JOIN prof b ON b.user_id = a.user_id + 1
+"""

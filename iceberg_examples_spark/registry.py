@@ -92,6 +92,7 @@ QUERIES: dict[str, QueryFn] = {
     "or_join_union": XR.or_join_union,
     "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
     "skyline_pareto": XR.skyline_pareto,
+    "trajectory_similarity": E.trajectory_similarity,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
