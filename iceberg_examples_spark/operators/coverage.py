@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
@@ -684,5 +684,51 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("class_size").alias("n_rows"),
             F.min("class_size").alias("min_class"),
             F.max("class_size").alias("max_class"),
+        )
+    )
+
+
+AGG_TOP_NAMES = 5
+
+
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation — report/export cells
+    ("first five customers per nation, alphabetical, comma-joined").
+    collect_list alone is shuffle-order-nondeterministic, the classic
+    flaky-report bug; sorting INSIDE the aggregate expression
+    (array_sort before slice/join) pins the result on any partitioning.
+    The oracle's ORDER BY-qualified list aggregation must agree
+    byte-for-byte."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.expr(
+            f"array_join(slice(array_sort(collect_list(c_name)), 1, "
+            f"{AGG_TOP_NAMES}), ',')"
+        ).alias("first_names"),
+    )
+
+
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent market segment
+    per nation, ties broken alphabetically. Built as count + window
+    argmax rather than the engine's ``mode()`` aggregate, whose tie
+    behavior is expressly non-deterministic in both engines — the same
+    reason rand() sampling is banned here: a report that changes between
+    identical runs is a defect, not a statistic."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("cnt"), F.asc("c_mktsegment")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("modal_segment"),
+            "cnt",
         )
     )

@@ -663,3 +663,47 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+CONTAIN_N = 40
+CONTAIN_TOKENS = 8
+
+
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A∩B| / |A| (Broder's second
+    resemblance measure): detects SUB-document inclusion — quotes,
+    excerpts, boilerplate wrappers — which symmetric Jaccard misses (a
+    short doc embedded in a long one has tiny Jaccard but containment
+    ≈ 1). Planted fixture: the first CONTAIN_TOKENS tokens of each low
+    doc_id re-enter as a sub-document; its word-bigram shingles are by
+    construction a subset of the original's, so the query must report
+    full containment one way and partial the other. Output stays exact
+    integers (|A∩B|, |A|, |B|) — the ratio is the consumer's one float.
+
+    Bounded planted pairs exercise the measure; at scale candidates come
+    from the SAME banded-LSH machinery as Jaccard (containment's MinHash
+    estimator just normalizes differently), so no new join shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < CONTAIN_N
+    )
+    toks = tokens_expr("text")
+    sub = docs.select(
+        "doc_id",
+        F.expr(
+            f"concat_ws(' ', slice({toks}, 1, {CONTAIN_TOKENS}))"
+        ).alias("text"),
+    )
+    sh = word_bigram_shingles(tokens_expr("text"))
+    full_sh = docs.select("doc_id", F.expr(sh).alias("sh_full"))
+    sub_sh = sub.select("doc_id", F.expr(sh).alias("sh_sub"))
+    return (
+        full_sh.join(sub_sh, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(size(array_intersect(sh_sub, sh_full)) as bigint)"
+            ).alias("n_common"),
+            F.expr("cast(size(sh_sub) as bigint)").alias("n_sub"),
+            F.expr("cast(size(sh_full) as bigint)").alias("n_full"),
+        )
+    )

@@ -409,3 +409,28 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
         ).alias("revenue"),
     )
+
+
+def partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level statistics harvest — the min/max/count table that
+    powers file skipping and query planning (Iceberg keeps exactly this
+    per data file in its manifests; engines prune with it before any
+    scan). Computed here per partition of the month-partitioned fixture:
+    key bounds, row count, exact revenue. One aggregate over the
+    partitioned read (partition column comes free from the directory
+    name — no data column read for the grouping key), and the oracle
+    recomputes the same stats from the raw table, proving the
+    partitioned layout preserves content."""
+    out = _partitioned_lineitem_fixture(spark, sf_dir)
+    return (
+        spark.read.parquet(out)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+            F.expr(
+                money_sum_sql("l_extendedprice * (1 - l_discount)", scale=10000)
+            ).alias("revenue"),
+        )
+    )

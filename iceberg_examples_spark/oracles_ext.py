@@ -3013,3 +3013,66 @@ SELECT a.user_id AS user_a, b.user_id AS user_b,
          ((CASE WHEN a.n15 = 0 THEN 0 ELSE a.s15 * 1000 // a.n15 END) - (CASE WHEN b.n15 = 0 THEN 0 ELSE b.s15 * 1000 // b.n15 END)) * ((CASE WHEN a.n15 = 0 THEN 0 ELSE a.s15 * 1000 // a.n15 END) - (CASE WHEN b.n15 = 0 THEN 0 ELSE b.s15 * 1000 // b.n15 END)) AS BIGINT) AS sq_dist_scaled
 FROM prof a JOIN prof b ON b.user_id = a.user_id + 1
 """
+
+from iceberg_examples_spark.operators.coverage import (  # noqa: E402
+    AGG_TOP_NAMES,
+)
+from iceberg_examples_spark.operators.dedup import (  # noqa: E402
+    CONTAIN_N,
+    CONTAIN_TOKENS,
+)
+
+_duck_sh = "list_distinct(list_transform(range(1, greatest(len({t}) - 1, 1) + 1), i -> {t}[CAST(i AS INT)] || ' ' || coalesce({t}[CAST(i AS INT) + 1], {t}[CAST(i AS INT)])))"
+
+EXT_ORACLES["minhash_containment"] = f"""
+WITH d AS (
+  SELECT doc_id, {_DOC_TOKS} AS tk FROM documents
+  WHERE doc_id < {CONTAIN_N}
+),
+full_sh AS (
+  SELECT doc_id, {_duck_sh.format(t='tk')} AS sh_full FROM d
+),
+subd AS (SELECT doc_id, tk[1:{CONTAIN_TOKENS}] AS tk FROM d),
+sub_sh AS (
+  SELECT doc_id, {_duck_sh.format(t='tk')} AS sh_sub FROM subd
+)
+SELECT f.doc_id,
+       CAST(len(list_intersect(s.sh_sub, f.sh_full)) AS BIGINT)
+         AS n_common,
+       CAST(len(s.sh_sub) AS BIGINT) AS n_sub,
+       CAST(len(f.sh_full) AS BIGINT) AS n_full
+FROM full_sh f JOIN sub_sh s ON f.doc_id = s.doc_id
+"""
+
+EXT_ORACLES["partition_stats"] = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key,
+       {money_sum_sql('l_extendedprice * (1 - l_discount)', scale=10000)}
+         AS revenue
+FROM lineitem
+GROUP BY 1
+"""
+
+EXT_ORACLES["ordered_string_agg"] = f"""
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       array_to_string(
+         (list(c_name ORDER BY c_name))[1:{AGG_TOP_NAMES}], ','
+       ) AS first_names
+FROM customer
+GROUP BY c_nationkey
+"""
+
+EXT_ORACLES["mode_per_group"] = """
+SELECT c_nationkey, modal_segment, cnt FROM (
+  SELECT c_nationkey, c_mktsegment AS modal_segment,
+         CAST(count(*) AS BIGINT) AS cnt,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY count(*) DESC, c_mktsegment ASC
+         ) AS rk
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+) WHERE rk = 1
+"""

@@ -93,6 +93,10 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
     "skyline_pareto": XR.skyline_pareto,
     "trajectory_similarity": E.trajectory_similarity,
+    "minhash_containment": D.minhash_containment,
+    "partition_stats": PT.partition_stats,
+    "ordered_string_agg": CV.ordered_string_agg,
+    "mode_per_group": CV.mode_per_group,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
