@@ -376,16 +376,28 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-backfill table restricted to the backfilled month and its two
     calendar neighbors — proving the target month changed AND the
     neighbors kept their original bytes. The oracle computes the
-    expected post-state relationally."""
-    out = scratch_dir(sf_dir, "backfill_lineitem", fresh=True)
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
-    )
-    keyed = with_partition_keys(li, {"ship_month": month("l_shipdate")})
-    write_partitioned(keyed, out, ["ship_month"])
+    expected post-state relationally.
 
-    corrected = keyed.filter(F.col("ship_month") == BACKFILL_MONTH).withColumn(
-        "l_discount", F.expr("round(l_discount + 0.10, 2)")
+    The mutable table starts as a FILESYSTEM COPY of the shared
+    partitioned fixture (this query overwrites a partition, so it can't
+    read the shared artifact in place; copying ~80 small directories
+    locally costs ~0.1 s vs ~0.8 s to re-write them through Spark —
+    the corrected frame is then read straight off the copy, the real
+    read-correct-rewrite backfill shape)."""
+    import shutil
+
+    out = scratch_dir(sf_dir, "backfill_lineitem", fresh=True)
+    src = _partitioned_lineitem_fixture(spark, sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.copytree(src, out)
+
+    # corrected rows are READ FROM THE SHARED ARTIFACT (same bytes as the
+    # copy) — reading the copy itself would be a self-overwrite, which
+    # Spark's file sink rejects
+    corrected = (
+        spark.read.parquet(src)
+        .filter(F.col("ship_month") == BACKFILL_MONTH)
+        .withColumn("l_discount", F.expr("round(l_discount + 0.10, 2)"))
     )
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
