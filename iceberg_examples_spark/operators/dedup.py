@@ -707,3 +707,21 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(size(sh_full) as bigint)").alias("n_full"),
         )
     )
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup QUALITY report:
+    how much of the corpus sits in clusters of what size (a heavy tail
+    of large clusters means template spam; all-singletons means the
+    threshold is too strict). One aggregate over the connected-components
+    labeling: component → cluster size → (size, #clusters,
+    representative-id sum) — the fingerprint ties the histogram to WHICH
+    clusters, not just how many."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("component").alias("rep_sum"),
+    )

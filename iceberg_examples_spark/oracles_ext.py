@@ -3076,3 +3076,14 @@ SELECT c_nationkey, modal_segment, cnt FROM (
   FROM customer GROUP BY c_nationkey, c_mktsegment
 ) WHERE rk = 1
 """
+
+EXT_ORACLES["dedup_cluster_sizes"] = f"""
+WITH sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM ({EXT_ORACLES['dedup_components']}) GROUP BY component
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(component) AS BIGINT) AS rep_sum
+FROM sizes GROUP BY cluster_size
+"""

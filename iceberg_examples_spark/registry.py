@@ -97,6 +97,7 @@ QUERIES: dict[str, QueryFn] = {
     "partition_stats": PT.partition_stats,
     "ordered_string_agg": CV.ordered_string_agg,
     "mode_per_group": CV.mode_per_group,
+    "dedup_cluster_sizes": D.dedup_cluster_sizes,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

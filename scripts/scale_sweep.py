@@ -1,0 +1,93 @@
+"""Scaling evidence: time representative queries at sf0.01 and sf0.1
+(10× the relational/event tables; 10× documents, 4× embeddings between
+the two points) and report time-growth vs data-growth.
+
+The honest reading at these toy sizes: time ratios far below the data
+ratio mean FIXED COSTS (job scheduling, codegen, py4j) dominate — i.e.
+the engine has throughput headroom, and the per-row work visible at
+sf0.1 is the quantity that extrapolates. A time ratio ABOVE the data
+ratio would flag a super-linear formulation (the thing the plan tests
+exist to prevent). Run: ``python scripts/scale_sweep.py`` — prints one
+JSON line per query plus a markdown block for DESIGN.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from iceberg_examples_spark.registry import QUERIES  # noqa: E402
+from iceberg_examples_spark.session import get_spark  # noqa: E402
+
+SMALL, LARGE = "/root/testdata/sf0.01", "/root/testdata/sf0.1"
+RUNS = 3
+
+# (query, table whose growth drives it, small→large data ratio)
+SWEEP = [
+    ("tpch_q1", "lineitem", 10),
+    ("agg_sum_by_key", "lineitem", 10),
+    ("tpch_q3", "lineitem+orders", 10),
+    ("dedup_latest", "events", 10),
+    ("window_hourly", "events", 10),
+    ("funnel_stages", "events", 10),
+    ("dedup_exact", "documents", 10),
+    ("dedup_minhash_lsh", "documents", 10),
+    ("llm_prep_pipeline", "documents", 10),
+    ("epoch_shuffle", "documents", 10),
+    ("kmeans_large", "embeddings", 4),
+    ("embedding_stats", "embeddings", 4),
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-sweep")
+    for name, _, _ in SWEEP:  # warmup at the tiny sf
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
+    results = []
+    for name, table, ratio in SWEEP:
+        med = {}
+        for sf_dir in (SMALL, LARGE):
+            runs = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            med[sf_dir] = statistics.median(runs)
+        r = {
+            "query": name,
+            "driver_table": table,
+            "data_ratio": ratio,
+            "t_small": round(med[SMALL], 3),
+            "t_large": round(med[LARGE], 3),
+            "time_ratio": round(med[LARGE] / med[SMALL], 2),
+        }
+        results.append(r)
+        print(json.dumps(r))
+
+    print("\n--- DESIGN.md block ---\n")
+    print("| query | driver table | data × | t(sf0.01) | t(sf0.1) | time × |")
+    print("|---|---|---|---|---|---|")
+    for r in results:
+        print(
+            f"| {r['query']} | {r['driver_table']} | {r['data_ratio']}× "
+            f"| {r['t_small']} s | {r['t_large']} s | {r['time_ratio']}× |"
+        )
+    sup = [r["query"] for r in results if r["time_ratio"] > r["data_ratio"]]
+    print(
+        f"\nsuper-linear (time× > data×): {sup or 'none'} — "
+        "anything listed needs a formulation review."
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
