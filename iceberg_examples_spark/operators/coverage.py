@@ -732,3 +732,48 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+def nested_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data round trip (the Dremel shape: repeated records inside
+    a row): lineitems are NESTED into their order as an
+    ``array<struct>`` column — the denormalized layout columnar formats
+    serve directly — then re-exploded and aggregated; matching the flat
+    relational aggregate proves collect→nest→unnest loses nothing.
+    Output per order-priority: orders, nested item count, exact item
+    revenue recomputed FROM THE NESTED COLUMN (inline explode), plus the
+    max per-order item count (the fan-out statistic that sizes repeated
+    fields). The nesting aggregate sorts items in-array by linenumber so
+    the structure is deterministic, not shuffle-ordered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 10000) "
+            "as bigint)"
+        ).alias("rev_fp"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(l_linenumber, rev_fp)), "
+                "(a, b) -> case when a.l_linenumber < b.l_linenumber "
+                "then -1 when a.l_linenumber > b.l_linenumber then 1 "
+                "else 0 end)"
+            ).alias("items")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return nested.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("size(items)")).alias("n_items"),
+        F.max(F.expr("size(items)")).alias("max_items_per_order"),
+        F.expr(
+            "cast(sum(aggregate(items, 0L, (acc, x) -> acc + x.rev_fp)) "
+            "as double) / 10000.0"
+        ).alias("revenue"),
+    )

@@ -3087,3 +3087,29 @@ SELECT cluster_size,
        CAST(sum(component) AS BIGINT) AS rep_sum
 FROM sizes GROUP BY cluster_size
 """
+
+EXT_ORACLES["nested_rollup"] = f"""
+WITH nested AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS BIGINT) AS rev_fp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(n.n_items) AS BIGINT) AS n_items,
+       CAST(max(n.n_items) AS BIGINT) AS max_items_per_order,
+       CAST(CAST(sum(n.rev_fp) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM nested n JOIN orders o ON n.l_orderkey = o.o_orderkey
+GROUP BY o_orderpriority
+"""
+
+EXT_ORACLES["csv_corrupt_records"] = """
+SELECT CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_good,
+       CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corrupt,
+       CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 0 ELSE n_nationkey END)
+            AS BIGINT) AS key_sum
+FROM nation
+"""

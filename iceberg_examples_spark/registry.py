@@ -98,6 +98,8 @@ QUERIES: dict[str, QueryFn] = {
     "ordered_string_agg": CV.ordered_string_agg,
     "mode_per_group": CV.mode_per_group,
     "dedup_cluster_sizes": D.dedup_cluster_sizes,
+    "nested_rollup": CV.nested_rollup,
+    "csv_corrupt_records": JS.csv_corrupt_records,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

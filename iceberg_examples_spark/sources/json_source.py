@@ -92,3 +92,51 @@ def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("case when _bad is null then n_nationkey end")
         ).alias("good_key_sum"),
     )
+
+
+def csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV twin of :func:`json_corrupt_records` — PERMISSIVE-mode
+    parsing with ``columnNameOfCorruptRecord``: malformed rows (every
+    5th line carries a non-numeric key and a dangling quote) are
+    CAPTURED, not dropped and not job-failing. CSV needs this guard even
+    more than JSON: a stray delimiter silently SHIFTS columns in naive
+    parsers, which is data corruption, not an error. Same `% 5` planted
+    rule, so the oracle pins good/corrupt counts and the parsed key sum.
+
+    Mechanics note: from_csv surfaces the corrupt column only when it is
+    declared in the schema; malformed numerics parse to NULL with the
+    raw line preserved in the corrupt column."""
+    from iceberg_examples_spark.catalog import load_table
+
+    nat = load_table(spark, sf_dir, "nation")
+    lines = nat.select(
+        F.expr(
+            "concat(cast(n_nationkey as string), ',', n_name, ',', "
+            "cast(n_regionkey as string))"
+        ).alias("c"),
+        "n_nationkey",
+    )
+    dirty = lines.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 0,
+            F.expr("concat('X', c, '\"')"),
+        )
+        .otherwise(F.col("c"))
+        .alias("c")
+    )
+    parsed = dirty.select(
+        F.expr(
+            "from_csv(c, 'k int, name string, rk int, _corrupt_record "
+            "string', map('mode', 'PERMISSIVE', "
+            "'columnNameOfCorruptRecord', '_corrupt_record'))"
+        ).alias("r")
+    )
+    return parsed.agg(
+        F.sum(
+            F.expr("case when r._corrupt_record is null then 1 else 0 end")
+        ).alias("n_good"),
+        F.sum(
+            F.expr("case when r._corrupt_record is not null then 1 else 0 end")
+        ).alias("n_corrupt"),
+        F.sum(F.expr("coalesce(r.k, 0)")).alias("key_sum"),
+    )
