@@ -374,3 +374,36 @@ def trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dist).alias("sq_dist_scaled"),
         )
     )
+
+
+def rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame — per-user rolling 24-hour activity
+    (count + exact value sum over ``RANGE INTERVAL 24 HOURS PRECEDING``):
+    the time-series frame that row-count frames cannot express (rows/day
+    varies per user). Spark's RANGE frame over an event-time ORDER BY
+    matches DuckDB's interval RANGE exactly when the boundary arithmetic
+    is integer microseconds — the frame is [ts − 24h, ts], both ends
+    inclusive, and value sums stay scaled BIGINT.
+
+    Plan: one shuffle by user, per-user ordered frame scan — the
+    standard streaming-compatible shape (the watermarer's batch twin);
+    at 100 TB the partition key is the entity, never a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    day_us = 24 * 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-day_us, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum("cents").over(w).alias("cents_24h"),
+    )

@@ -788,3 +788,28 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "cents", "odate")
     )
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank normalization (quantile transform) — the feature-
+    preprocessing step that maps a skewed column onto [0, 1] by its
+    empirical CDF: percent_rank within each order-priority group.
+    percent_rank = (rank − 1) / (n − 1) is a single exact integer
+    division per row — bit-identical across engines, unlike z-scores
+    (mean/std float sums). Ties share a rank (both engines use
+    rank(), not row_number, inside percent_rank), so equal prices map
+    to equal quantiles — the property that makes the transform stable
+    under resorting.
+
+    Plan: one shuffle by the group key, per-group sort — bounded
+    partitions (the per-priority slices), never a global order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.expr("cast(round(o_totalprice * 100) as bigint)")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("cents"),
+        F.percent_rank().over(w).alias("q"),
+    )

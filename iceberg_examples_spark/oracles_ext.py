@@ -3113,3 +3113,25 @@ SELECT CAST(sum(CASE WHEN n_nationkey % 5 = 0 THEN 0 ELSE 1 END)
             AS BIGINT) AS key_sum
 FROM nation
 """
+
+EXT_ORACLES["rolling_24h"] = """
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS cents_24h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+EXT_ORACLES["quantile_normalize"] = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       percent_rank() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+       ) AS q
+FROM orders
+"""

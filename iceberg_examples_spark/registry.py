@@ -100,6 +100,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cluster_sizes": D.dedup_cluster_sizes,
     "nested_rollup": CV.nested_rollup,
     "csv_corrupt_records": JS.csv_corrupt_records,
+    "rolling_24h": E.rolling_24h,
+    "quantile_normalize": XR.quantile_normalize,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
