@@ -146,36 +146,83 @@ def partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_tables_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """The two bucketed table LAYOUTS as durable keyed artifacts (same
+    freshness discipline as _partitioned_lineitem_fixture): the bucketed
+    write — the one-time shuffle that bucketing exists to amortize — runs
+    once per input state; every later invocation (and every later
+    SESSION: the vanilla driver included) re-registers external tables
+    over the existing files with a CREATE TABLE ... CLUSTERED BY ...
+    LOCATION DDL, which is metadata-only. This is precisely bucketing's
+    production contract: the layout outlives the session that wrote it."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.checkpointing import index_root
+
+    paths = {}
+    for tbl, cols, key in (
+        ("lineitem", ["l_orderkey", "l_quantity"], "l_orderkey"),
+        ("orders", ["o_orderkey", "o_orderstatus", "o_totalprice"], "o_orderkey"),
+    ):
+        src = os.path.join(sf_dir, f"{tbl}.parquet")
+        st = os.stat(src)
+        k = hashlib.md5(
+            f"bkt-v1:8:{key}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(index_root(spark), f"bkt-{tbl}-{k}")
+        if not os.path.exists(os.path.join(path, "_LAYOUT_OK")):
+            tmp = f"{path}.build-{uuid.uuid4().hex}"
+            tmp_name = f"ies_bkt_build_{uuid.uuid4().hex[:8]}"
+            df = load_table(spark, sf_dir, tbl).select(*cols)
+            df.write.bucketBy(8, key).sortBy(key).option(
+                "path", tmp
+            ).mode("overwrite").saveAsTable(tmp_name)
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # external: files stay
+            open(os.path.join(tmp, "_LAYOUT_OK"), "w").close()
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # concurrent winner
+        paths[tbl] = path
+    return paths["lineitem"], paths["orders"]
+
+
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket co-location end-to-end — the 100 TB join strategy for
-    recurring fact-fact joins: both tables are written ``bucketBy`` the
-    join key into the SAME bucket count (+ in-bucket sort), so the join
-    plans as a SortMergeJoin with NO Exchange on either side — the
-    shuffle was paid once at write time and amortizes over every
-    subsequent join (Iceberg's bucket partition transform serves the
-    same role; the engine test asserts the no-Exchange plan). Tables are
-    registered with pid-unique names at an explicit scratch path, so
-    concurrent processes and the vanilla driver session never collide or
-    write into the working directory. The oracle recomputes the joined
-    aggregate from the raw tables, proving bucketed placement is
-    content-neutral."""
-    import shutil
-
+    recurring fact-fact joins: both tables are bucketed by the join key
+    into the SAME bucket count (+ in-bucket sort), so the join plans as
+    a SortMergeJoin with NO Exchange on either side — the shuffle was
+    paid once at write time and amortizes over every subsequent join
+    (Iceberg's bucket partition transform serves the same role; the
+    engine test asserts the no-Exchange plan). Since round 6 the
+    amortization is REAL, not simulated: the bucketed layout is a
+    durable artifact (see _bucketed_tables_fixture) and each invocation
+    only runs the metadata-only external CREATE TABLE + the join.
+    Tables are registered with pid-unique names so concurrent processes
+    and the vanilla driver session never collide. The oracle recomputes
+    the joined aggregate from the raw tables, proving bucketed placement
+    is content-neutral."""
+    lpath, opath = _bucketed_tables_fixture(spark, sf_dir)
     pid = os.getpid()
     lname, oname = f"ies_bkt_lineitem_{pid}", f"ies_bkt_orders_{pid}"
-    lpath = scratch_dir(sf_dir, "bkt_lineitem", fresh=True)
-    opath = scratch_dir(sf_dir, "bkt_orders", fresh=True)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
     try:
-        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
-            "path", lpath
-        ).mode("overwrite").saveAsTable(lname)
-        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
-            "path", opath
-        ).mode("overwrite").saveAsTable(oname)
+        spark.sql(f"DROP TABLE IF EXISTS {lname}")
+        spark.sql(f"DROP TABLE IF EXISTS {oname}")
+        spark.sql(
+            f"CREATE TABLE {lname} (l_orderkey BIGINT, l_quantity DOUBLE) "
+            "USING PARQUET CLUSTERED BY (l_orderkey) "
+            "SORTED BY (l_orderkey) INTO 8 BUCKETS "
+            f"LOCATION '{lpath}'"
+        )
+        spark.sql(
+            f"CREATE TABLE {oname} (o_orderkey BIGINT, "
+            "o_orderstatus STRING, o_totalprice DOUBLE) "
+            "USING PARQUET CLUSTERED BY (o_orderkey) "
+            "SORTED BY (o_orderkey) INTO 8 BUCKETS "
+            f"LOCATION '{opath}'"
+        )
         # hint("merge"): at toy scale the planner would broadcast the small
         # side, hiding the point — force the SortMergeJoin that bucket
         # co-location makes Exchange-free (at 100 TB SMJ is what the
@@ -187,17 +234,13 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             F.expr(money_sum_sql("l_quantity", scale=100)).alias("sum_qty"),
         )
-        # materialize the (3-row) result so the bucketed tables, their
-        # catalog entries, and the RAM-backed scratch copies can be
-        # reclaimed before returning — a query must not leak two table
-        # copies per invocation for the lifetime of the process
+        # materialize the (3-row) result so the catalog entries can be
+        # dropped before returning (external tables: files untouched)
         rows = result.collect()
         return spark.createDataFrame(rows, result.schema)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lname}")
         spark.sql(f"DROP TABLE IF EXISTS {oname}")
-        shutil.rmtree(lpath, ignore_errors=True)
-        shutil.rmtree(opath, ignore_errors=True)
 
 
 def _zorder_scaled_keys_spark(li: DataFrame) -> tuple[str, str]:
