@@ -292,3 +292,50 @@ def merge_upsert_scale_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total"),
     )
+
+
+def merge_sql_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 via SQL-TEXT EXECUTION: the reference's literal MERGE statement
+    (IcebergSQLMerge.java:29-46 — the same text the golden suite pins
+    byte-equivalent via compile_merge_explicit) parsed, validated
+    against Spark's own parser, and EXECUTED against a snapshot-
+    committing LocalTable by the connector-less MERGE executor
+    (sql_merge.execute_merge). Where merge_upsert verifies the algebraic
+    path, this query verifies the full SQL path: text → parse →
+    clause semantics → snapshot commit — the closest an offline
+    environment gets to the Iceberg executor hop, and hash-checked
+    against the identical closed-form oracle."""
+    import os
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+    from iceberg_examples_spark.sources.iceberg_compat import (
+        compile_merge_explicit,
+    )
+    from iceberg_examples_spark.sql_merge import execute_merge
+
+    root = scratch_dir(sf_dir, "merge_sql_exec", fresh=True)
+    table = LocalTable(spark, os.path.join(root, f"t-{uuid.uuid4().hex[:8]}"))
+    table.create(a1_target(spark))
+    src = (
+        "(SELECT 3 as customer_id, "
+        "'customer_c-insert(with merge sql)' as name, "
+        "'lastname-3-insert(with merge sql)' as lastname "
+        "UNION ALL "
+        "SELECT 2 as customer_id, "
+        "'customer_b-updated(with merge sql)' as name, "
+        "'lastname-2-updated(with merge sql)' as lastname)"
+    )
+    stmt = compile_merge_explicit(
+        "default.test_table",
+        src,
+        keys=["customer_id"],
+        update_cols=["name", "lastname"],
+        insert_cols=["customer_id", "name", "lastname"],
+    )
+    execute_merge(spark, stmt, {"default.test_table": table})
+    rows = table.read().collect()
+    out = spark.createDataFrame(rows, table.read().schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -3135,3 +3135,24 @@ SELECT o_orderkey, o_orderpriority,
        ) AS q
 FROM orders
 """
+
+# merge_sql_exec: the SQL-text execution path of M1 — identical final
+# state to merge_upsert's algebraic path, same closed-form oracle text.
+EXT_ORACLES["merge_sql_exec"] = """
+WITH t(customer_id, name, lastname) AS (
+  VALUES (1, 'customer_a', 'lastname-1'),
+         (2, 'customer_b', 'lastname-2')
+), s(customer_id, name, lastname) AS (
+  VALUES (3, 'customer_c-insert(with merge sql)', 'lastname-3-insert(with merge sql)'),
+         (2, 'customer_b-updated(with merge sql)', 'lastname-2-updated(with merge sql)')
+), final AS (
+  SELECT t.customer_id,
+         CASE WHEN s.customer_id IS NOT NULL THEN s.name ELSE t.name END AS name,
+         CASE WHEN s.customer_id IS NOT NULL THEN s.lastname ELSE t.lastname END AS lastname
+  FROM t LEFT JOIN s ON t.customer_id = s.customer_id
+  UNION ALL
+  SELECT s.* FROM s
+  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.customer_id = s.customer_id)
+)
+SELECT CAST(customer_id AS BIGINT) AS customer_id, name, lastname FROM final
+"""

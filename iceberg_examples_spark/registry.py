@@ -102,6 +102,7 @@ QUERIES: dict[str, QueryFn] = {
     "csv_corrupt_records": JS.csv_corrupt_records,
     "rolling_24h": E.rolling_24h,
     "quantile_normalize": XR.quantile_normalize,
+    "merge_sql_exec": RS.merge_sql_exec_query,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,

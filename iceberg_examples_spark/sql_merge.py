@@ -1,0 +1,345 @@
+"""Connector-less ``MERGE INTO`` execution.
+
+The reference's core operation is SQL MERGE against an Iceberg catalog
+(`IcebergSQLMerge.java:29-92`, `IcebergSCD2.java:51-68`,
+`IcebergSQLMergeAsDeleteInsert.java:30-50`). The Iceberg runtime jar is
+unavailable offline (DESIGN.md), so rounds 1-5 verified the SEMANTICS via
+DataFrame-algebra mutations and the SQL TEXT via golden tests. This
+module closes the remaining gap that is closable without the jar: it
+EXECUTES the reference's literal MERGE statements — parse, validate
+against Spark's own parser, then run against a snapshot-committing
+:class:`~iceberg_examples_spark.catalog.LocalTable`.
+
+Grammar: the restricted MERGE subset the reference uses (and the golden
+tests pin) —
+
+    MERGE INTO <table> <t-alias>
+    USING (<subquery>) <s-alias> | USING <name> <s-alias>
+    ON <condition>
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET a = e, ...]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+
+Every statement is additionally round-tripped through Spark's SQL parser
+(``parsePlan`` must yield a MergeIntoTable node), so this executor can
+never accept text the real engine would reject.
+
+Execution semantics (Iceberg/Spark MERGE):
+- a target row with MORE than one matching source row is a cardinality
+  violation → raise (the engines' MERGE_CARDINALITY_VIOLATION);
+- clauses apply in declaration order: the first satisfied WHEN MATCHED
+  clause wins per row; unmatched target rows pass through unchanged;
+- ``UPDATE SET *`` / ``INSERT *`` assign all shared columns by name;
+- the result replaces the table in one snapshot commit (overwrite) —
+  the same observable contract as Iceberg's copy-on-write MERGE.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_examples_spark.catalog import LocalTable
+
+
+@dataclass
+class MatchedClause:
+    action: str  # "update" | "delete"
+    condition: str | None = None
+    assignments: dict[str, str] | None = None  # col -> expr ("*" handled)
+    star: bool = False
+
+
+@dataclass
+class MergeSpec:
+    target: str
+    t_alias: str
+    source_sql: str  # subquery text OR a bare relation name
+    source_is_subquery: bool
+    s_alias: str
+    on: str
+    matched: list[MatchedClause] = field(default_factory=list)
+    insert_star: bool = False
+    insert_cols: list[str] | None = None
+    insert_values: list[str] | None = None
+    has_insert: bool = False
+
+
+_HEAD_RE = re.compile(
+    r"MERGE\s+INTO\s+(?P<target>[\w.]+)\s+(?P<talias>\w+)\s+USING\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAIL_RE = re.compile(
+    r"\s*(?P<salias>\w+)\s+ON\s+(?P<on>.*?)\s*(?=WHEN\s)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _balanced_paren_span(text: str, start: int) -> int:
+    """Index just past the ')' closing the '(' at ``start`` (quotes
+    respected)."""
+    depth, i, quote = 0, start, None
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in MERGE source")
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.*?|DELETE|"
+    r"INSERT\s*\*|INSERT\s*\(.*?\)\s*VALUES\s*\(.*?\))\s*"
+    r"(?=WHEN\s|;|\Z)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_merge(sql: str) -> MergeSpec:
+    """Parse a restricted-grammar MERGE statement (see module doc)."""
+    text = sql.strip()
+    h = _HEAD_RE.search(text)
+    if not h:
+        raise ValueError("not a recognizable MERGE statement")
+    pos = h.end()
+    if text[pos] == "(":
+        end = _balanced_paren_span(text, pos)
+        source_sql, is_subq = text[pos + 1 : end - 1].strip(), True
+        pos = end
+    else:
+        rm = re.match(r"[\w.]+", text[pos:])
+        source_sql, is_subq = rm.group(0), False
+        pos += rm.end()
+    tm = _TAIL_RE.match(text, pos)
+    if not tm:
+        raise ValueError("no ON clause / WHEN clauses found")
+    spec = MergeSpec(
+        target=h.group("target"),
+        t_alias=h.group("talias"),
+        source_sql=source_sql,
+        source_is_subquery=is_subq,
+        s_alias=tm.group("salias"),
+        on=tm.group("on").strip(),
+    )
+    for w in _WHEN_RE.finditer(text, tm.end()):
+        action = re.sub(r"\s+", " ", w.group("action").strip())
+        if w.group("not"):
+            up = action.upper()
+            if not up.startswith("INSERT"):
+                raise ValueError("NOT MATCHED supports INSERT only")
+            if up.replace(" ", "") == "INSERT*":
+                spec.insert_star = True
+            else:
+                im = re.match(
+                    r"INSERT\s*\((?P<cols>.*?)\)\s*VALUES\s*\((?P<vals>.*)\)",
+                    action,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not im:
+                    raise ValueError(f"bad INSERT clause: {action!r}")
+                spec.insert_cols = [
+                    c.strip() for c in im.group("cols").split(",")
+                ]
+                spec.insert_values = _split_top_level(im.group("vals"))
+            spec.has_insert = True
+        else:
+            cond = w.group("cond")
+            cond = cond.strip() if cond else None
+            up = action.upper()
+            if up == "DELETE":
+                spec.matched.append(MatchedClause("delete", cond))
+            elif up.replace(" ", "") == "UPDATESET*":
+                spec.matched.append(
+                    MatchedClause("update", cond, star=True)
+                )
+            elif up.startswith("UPDATE SET"):
+                assigns = {}
+                for part in _split_top_level(action[len("UPDATE SET"):]):
+                    lhs, rhs = part.split("=", 1)
+                    col = lhs.strip().split(".")[-1]
+                    assigns[col] = rhs.strip()
+                spec.matched.append(
+                    MatchedClause("update", cond, assignments=assigns)
+                )
+            else:
+                raise ValueError(f"unsupported MATCHED action: {action!r}")
+    if not spec.matched and not spec.has_insert:
+        raise ValueError("MERGE with no WHEN clauses")
+    return spec
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses/quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def spark_validates(spark: SparkSession, sql: str) -> bool:
+    """True iff Spark's own SQL parser accepts the text as a MERGE
+    (malformed text raises ParseException inside the JVM → False)."""
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(
+            sql.strip().rstrip(";")
+        )
+    except Exception:
+        return False
+    return "MergeIntoTable" in plan.getClass().getName()
+
+
+def execute_merge(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LocalTable],
+    name_map: dict[str, str] | None = None,
+) -> None:
+    """Parse + validate + execute ``sql`` against ``tables[target]``.
+
+    ``name_map`` rewrites qualified relation names inside the SOURCE
+    subquery to registered temp-view names (temp views cannot carry
+    catalog qualifiers like ``default.x`` — the reference's names are
+    preserved in the statement text and mapped at execution time)."""
+    if not spark_validates(spark, sql):
+        raise ValueError("Spark's parser rejected the MERGE text")
+    spec = parse_merge(sql)
+    table = tables[spec.target]
+
+    src_sql = spec.source_sql
+    for qualified, view in (name_map or {}).items():
+        src_sql = re.sub(
+            rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, src_sql
+        )
+    if spec.source_is_subquery:
+        src = spark.sql(src_sql)
+    else:
+        src = spark.table(src_sql)
+
+    t, s = spec.t_alias, spec.s_alias
+    tgt = table.read().withColumn("__tid", F.monotonically_increasing_id())
+    tcols = [c for c in tgt.columns if c != "__tid"]
+    # source-side match marker: NULL-safe (a legitimately-NULL source
+    # column must not read as "no match")
+    src_marked = src.withColumn("__smark", F.lit(1))
+    joined = tgt.alias(t).join(
+        src_marked.alias(s), F.expr(spec.on), "left"
+    )
+
+    # cardinality check: >1 source row per target row is a violation
+    dup = (
+        joined.groupBy("__tid")
+        .agg(F.count(F.col(f"{s}.__smark")).alias("k"))
+        .filter(F.col("k") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError("MERGE cardinality violation: target row matched "
+                         "more than one source row")
+
+    matched = F.col(f"{s}.__smark").isNotNull()
+
+    def clause_pred(c: MatchedClause):
+        p = matched
+        if c.condition:
+            p = p & F.expr(c.condition)
+        return p
+
+    # survive-DELETE filter: drop rows where the FIRST satisfied clause
+    # is a delete
+    keep = F.lit(True)
+    prior = F.lit(False)
+    for c in spec.matched:
+        pred = clause_pred(c) & ~prior
+        if c.action == "delete":
+            keep = keep & ~pred
+        prior = prior | clause_pred(c)
+
+    # column values: first satisfied UPDATE clause wins
+    out_cols = []
+    for col in tcols:
+        expr_col = F.col(f"{t}.{col}")
+        prior = F.lit(False)
+        for c in spec.matched:
+            if c.action != "update":
+                prior = prior | clause_pred(c)
+                continue
+            if c.star:
+                rhs = (
+                    F.col(f"{s}.{col}")
+                    if col in src.columns
+                    else F.col(f"{t}.{col}")
+                )
+            else:
+                rhs = (
+                    F.expr(c.assignments[col])
+                    if col in c.assignments
+                    else F.col(f"{t}.{col}")
+                )
+            expr_col = F.when(
+                clause_pred(c) & ~prior, rhs
+            ).otherwise(expr_col)
+            prior = prior | clause_pred(c)
+        out_cols.append(expr_col.alias(col))
+    updated = joined.filter(keep).select(*out_cols)
+
+    result = updated
+    if spec.has_insert:
+        anti = src.alias(s).join(
+            table.read().alias(t), F.expr(spec.on), "left_anti"
+        )
+        if spec.insert_star:
+            ins = anti.select(
+                *[
+                    (
+                        F.col(f"{s}.{c}")
+                        if c in src.columns
+                        else F.lit(None).cast(dict(table.read().dtypes)[c])
+                    ).alias(c)
+                    for c in tcols
+                ]
+            )
+        else:
+            exprs = dict(zip(spec.insert_cols, spec.insert_values))
+            ins = anti.select(
+                *[
+                    (
+                        F.expr(exprs[c]) if c in exprs else F.lit(None)
+                    ).cast(dict(table.read().dtypes)[c]).alias(c)
+                    for c in tcols
+                ]
+            )
+        result = updated.unionByName(ins)
+    table.overwrite(result)
