@@ -343,3 +343,95 @@ def execute_merge(
             )
         result = updated.unionByName(ins)
     table.overwrite(result)
+
+
+_DELETE_RE = re.compile(
+    r"^DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<pred>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ADD_COL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ADD\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+(?P<dtype>\w+);?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+DROP\s+COLUMN\s+"
+    r"(?P<col>\w+);?\s*$",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s+(?P<rows>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<target>[\w.]+)\s*\((?P<cols>.*)\)\s*"
+    r"USING\s+iceberg\s*(?:PARTITIONED\s+BY.*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def execute_statement(
+    spark: SparkSession,
+    sql: str,
+    tables: dict[str, LocalTable],
+    name_map: dict[str, str] | None = None,
+) -> None:
+    """Execute one statement of the reference's SQL surface against
+    LocalTables: CREATE TABLE (schema → empty snapshot), INSERT INTO\n    ... VALUES (append commit), MERGE INTO
+    (see :func:`execute_merge`), DELETE FROM ... WHERE (anti-filter
+    overwrite — Iceberg copy-on-write DELETE's observable contract),
+    ALTER TABLE ADD/DROP COLUMN (schema evolution as a commit). The
+    reference's demo classes are exactly sequences of these statements,
+    so a whole class replays end-to-end
+    (tests/test_sql_merge.py::test_reference_delete_class_replays)."""
+    text = sql.strip()
+    up = text.upper()
+    if up.startswith("MERGE"):
+        return execute_merge(spark, text, tables, name_map)
+    m = _DELETE_RE.match(text)
+    if m:
+        t = tables[m.group("target")]
+        t.overwrite(t.read().filter(~F.expr(m.group("pred"))))
+        return
+    m = _ADD_COL_RE.match(text)
+    if m:
+        t = tables[m.group("target")]
+        t.overwrite(
+            t.read().withColumn(
+                m.group("col"),
+                F.lit(None).cast(m.group("dtype").lower()),
+            )
+        )
+        return
+    m = _DROP_COL_RE.match(text)
+    if m:
+        t = tables[m.group("target")]
+        t.overwrite(t.read().drop(m.group("col")))
+        return
+    m = _INSERT_RE.match(text)
+    if m:
+        t = tables[m.group("target")]
+        cols = t.read().columns
+        df = spark.sql(
+            f"SELECT * FROM (VALUES {m.group('rows')})"
+        ).toDF(*cols)
+        casted = df.select(
+            *[
+                F.col(c).cast(dt)
+                for c, dt in t.read().dtypes
+            ]
+        )
+        t.append(casted)
+        return
+    m = _CREATE_RE.match(text)
+    if m:
+        fields = []
+        for part in _split_top_level(m.group("cols")):
+            toks = part.split()
+            fields.append(f"{toks[0]} {toks[1]}")  # COMMENTs dropped
+        t = tables[m.group("target")]
+        t.create(
+            spark.createDataFrame([], ", ".join(fields))
+        )
+        return
+    raise ValueError(f"unsupported statement: {text[:60]!r}")

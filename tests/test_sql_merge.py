@@ -166,3 +166,36 @@ def test_rejects_what_spark_rejects(spark):
     assert not spark_validates(spark, "MERGE INTO t USING s ON WHEN")
     with pytest.raises(ValueError):
         parse_merge("SELECT 1")
+
+
+def test_reference_delete_class_replays(spark, tmp_path):
+    """IcebergSQLDelete.java end-to-end from statement TEXT: CREATE →
+    INSERT seed rows → DELETE WHERE → DROP COLUMN, all through
+    execute_statement — the reference class as a replayable script."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"default.test_table": t}
+    stmts = [
+        """CREATE TABLE default.test_table (
+               customer_id bigint COMMENT 'unique id',
+               name string,
+               lastname string
+           ) USING iceberg""",
+        "INSERT INTO default.test_table VALUES "
+        "(1, 'customer_a-V3', 'lastname-a'), "
+        "(2, 'customer_b', 'lastname-b'), "
+        "(3, 'customer_c', 'lastname-c')",
+        IC.compile_delete(
+            "default.test_table", "customer_id=1 AND name='customer_a-V3'"
+        ),
+        IC.compile_drop_column("default.test_table", "lastname"),
+    ]
+    for stmt in stmts:
+        execute_statement(spark, stmt, tables)
+    assert rows(t.read()) == sorted(
+        [(2, "customer_b"), (3, "customer_c")]
+    )
+    # one snapshot per statement (create=v0 .. drop-column=v3) — time
+    # travel over the script's history, the lakehouse contract
+    assert t.current_version == 3
