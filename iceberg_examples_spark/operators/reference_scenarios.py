@@ -339,3 +339,95 @@ def merge_sql_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, table.read().schema)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def sql_script_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IcebergSQLDelete.java replayed from STATEMENT TEXT under the
+    driver gate: CREATE → INSERT VALUES → DELETE WHERE → DROP COLUMN
+    through sql_merge.execute_statement, one snapshot per statement.
+    Output: the final table rows plus the snapshot version each row's
+    state reflects — so the oracle pins both the end state AND that the
+    script produced exactly four commits (v0..v3)."""
+    import os
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+    from iceberg_examples_spark.sources.iceberg_compat import (
+        compile_delete,
+        compile_drop_column,
+    )
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    root = scratch_dir(sf_dir, "sql_script_replay", fresh=True)
+    table = LocalTable(spark, os.path.join(root, f"t-{uuid.uuid4().hex[:8]}"))
+    tables = {"default.test_table": table}
+    stmts = [
+        """CREATE TABLE default.test_table (
+               customer_id bigint COMMENT 'unique id',
+               name string,
+               lastname string
+           ) USING iceberg""",
+        "INSERT INTO default.test_table VALUES "
+        "(1, 'customer_a-V3', 'lastname-a'), "
+        "(2, 'customer_b', 'lastname-b'), "
+        "(3, 'customer_c', 'lastname-c')",
+        compile_delete(
+            "default.test_table", "customer_id=1 AND name='customer_a-V3'"
+        ),
+        compile_drop_column("default.test_table", "lastname"),
+    ]
+    for stmt in stmts:
+        execute_statement(spark, stmt, tables)
+    version = table.current_version
+    rows = table.read().collect()
+    out = spark.createDataFrame(
+        [(r["customer_id"], r["name"], version) for r in rows],
+        "customer_id long, name string, final_version long",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def scd2_sql_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 via SQL-TEXT EXECUTION: the reference's verbatim SCD2 MERGE
+    (IcebergSCD2.java:51-68 — the golden-pinned statement produced by
+    compile_scd2_merge: nested subquery source with a self-join against
+    the target) executed by the connector-less MERGE executor; the final
+    dimension state must hash against the same closed-form oracle that
+    verifies the algebraic scd2 path (scd2_final)."""
+    import os
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+    from iceberg_examples_spark.sources.iceberg_compat import (
+        compile_scd2_merge,
+    )
+    from iceberg_examples_spark.sql_merge import execute_merge
+
+    root = scratch_dir(sf_dir, "scd2_sql_exec", fresh=True)
+    tag = uuid.uuid4().hex[:8]
+    table = LocalTable(spark, os.path.join(root, f"t-{tag}"))
+    table.create(a3_dim(spark))
+    a3_staging(spark).createOrReplaceTempView(f"scd2_stg_{tag}")
+    table.read().createOrReplaceTempView(f"scd2_tgt_{tag}")
+    stmt = compile_scd2_merge(
+        "default.scd2_table",
+        "default.stg_scd2_table",
+        key="customer_id",
+        attr_cols=["name"],
+    )
+    execute_merge(
+        spark,
+        stmt,
+        {"default.scd2_table": table},
+        name_map={
+            "default.stg_scd2_table": f"scd2_stg_{tag}",
+            "default.scd2_table": f"scd2_tgt_{tag}",
+        },
+    )
+    rows = table.read().collect()
+    out = spark.createDataFrame(rows, table.read().schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -3156,3 +3156,44 @@ WITH t(customer_id, name, lastname) AS (
 )
 SELECT CAST(customer_id AS BIGINT) AS customer_id, name, lastname FROM final
 """
+
+# scd2_sql_exec: the SQL-text execution path of M4 — identical final
+# dimension state to scd2_final's algebraic path, same closed form.
+EXT_ORACLES["scd2_sql_exec"] = """
+WITH dim(customer_id, name, curr, effective_date, end_date) AS (
+  VALUES (1, 'customer_a-V1', false, DATE '2020-01-01', DATE '2020-01-12'),
+         (1, 'customer_a-V2', true,  DATE '2020-01-12', DATE '9999-12-31'),
+         (2, 'customer_b-V1', true,  DATE '2020-01-01', DATE '9999-12-31')
+), stg(customer_id, name, effective_date) AS (
+  VALUES (1, 'customer_a-V3', DATE '2020-02-15'),
+         (2, 'customer_b-V2', DATE '2020-02-15'),
+         (3, 'customer_c-V1', DATE '2020-02-15')
+), src AS (
+  SELECT customer_id, name, effective_date, DATE '9999-12-31' AS end_date FROM stg
+  UNION ALL
+  SELECT t.customer_id, t.name, t.effective_date, s.effective_date
+  FROM stg s JOIN dim t ON s.customer_id = t.customer_id AND t.curr
+), final AS (
+  SELECT t.customer_id, t.name,
+         CASE WHEN s.customer_id IS NOT NULL THEN false ELSE t.curr END AS curr,
+         t.effective_date,
+         CASE WHEN s.customer_id IS NOT NULL THEN s.end_date ELSE t.end_date END AS end_date
+  FROM dim t LEFT JOIN src s
+    ON t.customer_id = s.customer_id AND t.effective_date = s.effective_date
+  UNION ALL
+  SELECT s.customer_id, s.name, true, s.effective_date, s.end_date
+  FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM dim t
+                    WHERE t.customer_id = s.customer_id
+                      AND t.effective_date = s.effective_date)
+)
+SELECT CAST(customer_id AS BIGINT) AS customer_id, name,
+       curr AS "current", effective_date, end_date
+FROM final
+"""
+
+EXT_ORACLES["sql_script_replay"] = """
+SELECT CAST(customer_id AS BIGINT) AS customer_id, name,
+       CAST(3 AS BIGINT) AS final_version
+FROM (VALUES (2, 'customer_b'), (3, 'customer_c')) v(customer_id, name)
+"""

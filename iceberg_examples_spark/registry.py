@@ -103,6 +103,8 @@ QUERIES: dict[str, QueryFn] = {
     "rolling_24h": E.rolling_24h,
     "quantile_normalize": XR.quantile_normalize,
     "merge_sql_exec": RS.merge_sql_exec_query,
+    "scd2_sql_exec": RS.scd2_sql_exec_query,
+    "sql_script_replay": RS.sql_script_replay_query,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
