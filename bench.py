@@ -134,6 +134,9 @@ HEADLINE = [
     "k_anonymity",
     "multimodal_prep_pipeline",
     "skyline_pareto",
+    "merge_sql_exec",
+    "scd2_sql_exec",
+    "sql_script_replay",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

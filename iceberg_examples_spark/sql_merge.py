@@ -208,16 +208,22 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
-def spark_validates(spark: SparkSession, sql: str) -> bool:
-    """True iff Spark's own SQL parser accepts the text as a MERGE
-    (malformed text raises ParseException inside the JVM → False)."""
+def spark_validates(
+    spark: SparkSession, sql: str, expect: str = "MergeIntoTable"
+) -> bool:
+    """True iff Spark's own SQL parser accepts the text AND yields the
+    expected plan node class (malformed text raises ParseException
+    inside the JVM → False). Every statement class this module executes
+    is gated this way, so the executor can never accept text the real
+    engine would reject — nor mis-classify one statement kind as
+    another."""
     try:
         plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(
             sql.strip().rstrip(";")
         )
     except Exception:
         return False
-    return "MergeIntoTable" in plan.getClass().getName()
+    return expect in plan.getClass().getName()
 
 
 def execute_merge(
@@ -390,11 +396,15 @@ def execute_statement(
         return execute_merge(spark, text, tables, name_map)
     m = _DELETE_RE.match(text)
     if m:
+        if not spark_validates(spark, text, "DeleteFromTable"):
+            raise ValueError("Spark's parser rejected the DELETE text")
         t = tables[m.group("target")]
         t.overwrite(t.read().filter(~F.expr(m.group("pred"))))
         return
     m = _ADD_COL_RE.match(text)
     if m:
+        if not spark_validates(spark, text, "AddColumns"):
+            raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
         t.overwrite(
             t.read().withColumn(
@@ -405,11 +415,15 @@ def execute_statement(
         return
     m = _DROP_COL_RE.match(text)
     if m:
+        if not spark_validates(spark, text, "DropColumns"):
+            raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
         t.overwrite(t.read().drop(m.group("col")))
         return
     m = _INSERT_RE.match(text)
     if m:
+        if not spark_validates(spark, text, "InsertIntoStatement"):
+            raise ValueError("Spark's parser rejected the INSERT text")
         t = tables[m.group("target")]
         cols = t.read().columns
         df = spark.sql(
@@ -425,6 +439,8 @@ def execute_statement(
         return
     m = _CREATE_RE.match(text)
     if m:
+        if not spark_validates(spark, text, "CreateTable"):
+            raise ValueError("Spark's parser rejected the CREATE text")
         fields = []
         for part in _split_top_level(m.group("cols")):
             toks = part.split()
