@@ -3197,3 +3197,8 @@ SELECT CAST(customer_id AS BIGINT) AS customer_id, name,
        CAST(3 AS BIGINT) AS final_version
 FROM (VALUES (2, 'customer_b'), (3, 'customer_c')) v(customer_id, name)
 """
+
+# stream_curation_ingest: curation_steady_state's exact semantics with
+# streaming micro-batch delivery — by construction the same answer, so
+# the same oracle verifies both (one source of truth, zero duplication).
+EXT_ORACLES["stream_curation_ingest"] = EXT_ORACLES["curation_steady_state"]

@@ -717,3 +717,109 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("id_sum").alias("id_sum"),
         )
     )
+
+
+def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation ingestion — curation_steady_state's EXACT
+    semantics (same fixture, same epoch contents, same report) with the
+    epochs delivered as Structured Streaming micro-batches instead of a
+    driver loop: one file per trigger (mtime-ordered), and each
+    foreachBatch commit runs the index steady-state verbs — probe the
+    CurationIndex, drop verified near-dups, append the ACCEPTED rows'
+    own index entries — so epoch 2's planted near-copies of epoch-1 docs
+    are caught only if epoch 1's commit actually maintained the index.
+    The report lands in a snapshot-committing table per epoch (the
+    stream_fanout discipline) and the DuckDB oracle is literally
+    curation_steady_state's — same semantics, streaming delivery, one
+    oracle."""
+    import os
+    import shutil
+
+    from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
+    from iceberg_examples_spark.checkpointing import stage
+    from iceberg_examples_spark.operators.curation_index import CurationIndex
+    from iceberg_examples_spark.operators.dedup import minhash_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 4 == 2) & (F.col("doc_id") < 80))
+        .select(
+            (F.col("doc_id") + 3000001).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    base = docs.filter(F.col("doc_id") % 4 < 2)
+    epochs = [
+        docs.filter(F.col("doc_id") % 4 == 2),
+        docs.filter(F.col("doc_id") % 4 == 3).unionByName(planted),
+    ]
+
+    root = scratch_dir(sf_dir, "stream_curation", fresh=True)
+    land = os.path.join(root, "landing")
+    for i, e in enumerate(epochs):
+        path = os.path.join(land, f"epoch-{i}")
+        e.coalesce(1).write.parquet(path)
+        for name in os.listdir(path):
+            os.utime(
+                os.path.join(path, name), ns=(1_000_000_000 * (i + 1),) * 2
+            )
+
+    idx = CurationIndex(spark, os.path.join(root, "idx"))
+    idx.build(base)
+    report_t = LocalTable(spark, os.path.join(root, "report"))
+
+    def commit(batch_df, epoch_id: int) -> None:
+        batch_idx = stage(
+            minhash_index(batch_df, wide=False, keep=("text",)),
+            f"scur-batch{epoch_id}",
+        )
+        nd = (
+            idx.probe_indexed(batch_idx)
+            .select(F.col("batch_doc").alias("doc_id"))
+            .distinct()
+        )
+        accepted = stage(
+            batch_idx.join(nd, "doc_id", "left_anti"),
+            f"scur-acc{epoch_id}",
+        )
+        idx.append_indexed(accepted)
+        row = (
+            batch_df.agg(
+                (F.lit(epoch_id) + 1).cast("bigint").alias("epoch"),
+                F.count(F.lit(1)).alias("n_batch"),
+            )
+            .crossJoin(
+                accepted.agg(
+                    F.count(F.lit(1)).alias("n_accepted"),
+                    F.sum("doc_id").alias("id_sum"),
+                )
+            )
+            .selectExpr(
+                "epoch",
+                "n_batch",
+                "n_batch - n_accepted as n_neardup",
+                "n_accepted",
+                "id_sum",
+            )
+        )
+        if report_t.exists():
+            report_t.append(row)
+        else:
+            report_t.create(row)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(land, "epoch-*"))
+    )
+    q = stream.writeStream.outputMode("append").foreachBatch(commit).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = report_t.read().collect()
+    out = spark.createDataFrame(rows, report_t.read().schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
