@@ -137,6 +137,7 @@ HEADLINE = [
     "merge_sql_exec",
     "scd2_sql_exec",
     "sql_script_replay",
+    "stream_curation_ingest",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")
