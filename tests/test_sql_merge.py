@@ -199,3 +199,65 @@ def test_reference_delete_class_replays(spark, tmp_path):
     # one snapshot per statement (create=v0 .. drop-column=v3) — time
     # travel over the script's history, the lakehouse contract
     assert t.current_version == 3
+
+
+def test_update_assignment_can_reference_target(spark, tmp_path):
+    """Assignments mixing both sides (t.v + s.v) evaluate in the joined
+    row context."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    spark.createDataFrame(
+        [(1, 5)], "k long, v long"
+    ).createOrReplaceTempView("mix_src")
+    stmt = (
+        "MERGE INTO default.t t USING mix_src s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = t.v + s.v;"
+    )
+    execute_statement(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == sorted([(1, 15), (2, 20)])
+
+
+def test_not_matched_only_merge_appends(spark, tmp_path):
+    """A MERGE with only WHEN NOT MATCHED leaves matched targets
+    untouched and appends the rest (the append-dedup idiom)."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    spark.createDataFrame(
+        [(1, "dup"), (2, "new")], "k long, v string"
+    ).createOrReplaceTempView("nm_src")
+    stmt = (
+        "MERGE INTO default.t t USING nm_src s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);"
+    )
+    execute_statement(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == sorted([(1, "a"), (2, "new")])
+
+
+def test_name_map_respects_word_boundaries(spark, tmp_path):
+    """Mapping default.t must not rewrite default.t2 inside the source
+    subquery."""
+    from iceberg_examples_spark.sql_merge import execute_merge
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    spark.createDataFrame(
+        [(2, "b")], "k long, v string"
+    ).createOrReplaceTempView("view_t2")
+    stmt = (
+        "MERGE INTO default.t t "
+        "USING (SELECT k, v FROM default.t2) s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);"
+    )
+    execute_merge(
+        spark,
+        stmt,
+        {"default.t": t},
+        # default.t maps to something bogus; default.t2 to the real view —
+        # a prefix-greedy rewrite would corrupt default.t2 first
+        name_map={"default.t": "does_not_exist", "default.t2": "view_t2"},
+    )
+    assert rows(t.read()) == sorted([(1, "a"), (2, "b")])
