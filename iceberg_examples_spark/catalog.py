@@ -390,6 +390,40 @@ class LocalTable:
             df = self.read().unionByName(df, allowMissingColumns=True)
         return self._commit(df, "append", None)
 
+    def rollback(self, version: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: move ``current`` back to an
+        EXISTING snapshot — metadata-only (no data rewritten, the bad
+        snapshot stays in history for forensics until expiry), published
+        under the same CAS as every commit. The rollback itself is
+        recorded as a new snapshot entry whose data path IS the old
+        snapshot's (parent = the abandoned head), so the history shows
+        what happened — exactly Iceberg's observable contract, where
+        rollback writes new metadata.json pointing at the old snapshot."""
+        meta, read_version = self._read_meta_versioned()
+        snaps = {s["version"]: s for s in meta["snapshots"]}
+        if version not in snaps or snaps[version].get("staged"):
+            raise FileNotFoundError(
+                f"no published snapshot {version} to roll back to"
+            )
+        import time
+
+        target = snaps[version]
+        new_version = self._next_snapshot_version(meta)
+        meta["snapshots"].append(
+            {
+                "version": new_version,
+                "parent": meta["current"],
+                "operation": f"rollback-to-{version}",
+                "path": target["path"],
+                "schema": target["schema"],
+                "partition_by": target.get("partition_by", []),
+                "committed_at": time.time(),
+            }
+        )
+        meta["current"] = new_version
+        self._publish_meta(meta, read_version + 1)
+        return new_version
+
     def read(self, version: int | str | None = None) -> DataFrame:
         """Read current, time-travel to a snapshot version, or read a
         named ref (``read("my-tag")`` — Iceberg ``VERSION AS OF 'ref'``)."""
@@ -794,6 +828,14 @@ class LocalTable:
             {"version": s["version"], "operation": s["operation"]} for s in expired
         ]
         self._publish_meta(new_meta, read_version + 1)
+        # Iceberg's expire rule deletes FILES no surviving snapshot
+        # references, not snapshots' files blindly — a rollback entry
+        # shares its data path with the snapshot it restored, so the dir
+        # must survive if ANY retained snapshot still points at it.
+        kept_paths = {snap["path"] for snap in new_meta["snapshots"]}
         for s in expired:
-            shutil.rmtree(os.path.join(self.root, s["path"]), ignore_errors=True)
+            if s["path"] not in kept_paths:
+                shutil.rmtree(
+                    os.path.join(self.root, s["path"]), ignore_errors=True
+                )
         return len(expired)

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import LocalTable, load_table, scratch_dir
+from iceberg_examples_spark.functions.exact import money_sum_sql
 
 
 def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,4 +309,48 @@ def table_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_snapshots", F.lit(len(table.snapshots())).cast("bigint")
         )
         .withColumn("n_expired", F.lit(n_expired).cast("bigint"))
+    )
+
+
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``rollback_to_snapshot`` end-to-end: a good batch commits,
+    a corrupted batch (negative prices) lands on top, the audit catches
+    it, and the table rolls back — METADATA-ONLY: no data rewritten, the
+    bad snapshot stays in history for forensics (time travel still
+    reaches it until expiry), and the rollback is itself a recorded
+    commit whose parent is the abandoned head. Output: the per-priority
+    aggregate of the restored state plus the version bookkeeping
+    (current advanced to the rollback commit; three snapshots exist) —
+    so the oracle pins both the restored CONTENT and the history shape.
+    A later expiry follows the unreferenced-files rule: the restored
+    snapshot's data dir is shared with the rollback entry and survives
+    (tests/test_table_lifecycle_properties.py)."""
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    good = orders.filter(F.col("o_orderkey") % 2 == 0)
+    bad = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice", F.expr("-o_totalprice")
+    )
+    t = LocalTable(spark, scratch_dir(sf_dir, "rollback_demo", fresh=True))
+    t.create(good)
+    t.append(bad)
+    n_bad = t.read().filter(F.col("o_totalprice") < 0).count()
+    if n_bad == 0:  # the audit that motivates the rollback
+        raise RuntimeError("fixture corruption missing")
+    rb_version = t.rollback(0)
+    n_snaps = len(t.snapshots())
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                "total_price"
+            ),
+        )
+        .withColumn("final_version", F.lit(rb_version).cast("bigint"))
+        .withColumn("n_snapshots", F.lit(n_snaps).cast("bigint"))
     )

@@ -3202,3 +3202,13 @@ FROM (VALUES (2, 'customer_b'), (3, 'customer_c')) v(customer_id, name)
 # streaming micro-batch delivery — by construction the same answer, so
 # the same oracle verifies both (one source of truth, zero duplication).
 EXT_ORACLES["stream_curation_ingest"] = EXT_ORACLES["curation_steady_state"]
+
+EXT_ORACLES["snapshot_rollback"] = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price,
+       CAST(2 AS BIGINT) AS final_version,
+       CAST(3 AS BIGINT) AS n_snapshots
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+"""

@@ -285,3 +285,28 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
         for n, (_ty, rv) in m.refs.items():
             assert t.resolve_ref(n) == rv
             assert sorted(r.id for r in t.read(n).collect()) == m.rows(rv)
+
+
+def test_rollback_then_expire_keeps_shared_data(spark, tmp_path):
+    """rollback_to_snapshot semantics: current moves back metadata-only;
+    the rollback entry SHARES the restored snapshot's data dir, so a
+    later expiry that drops the original snapshot must NOT delete the
+    dir any surviving snapshot still references (Iceberg's
+    unreferenced-files-only expire rule)."""
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "good")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "bad")], "k long, v string"))
+    assert sorted(r["v"] for r in t.read().collect()) == ["bad", "good"]
+    rb = t.rollback(0)
+    # current content is v0's again; the bad snapshot stays in history
+    assert [r["v"] for r in t.read().collect()] == ["good"]
+    assert {s["version"] for s in t.snapshots()} == {0, 1, rb}
+    # time travel still reaches the bad snapshot until expiry
+    assert sorted(r["v"] for r in t.read(1).collect()) == ["bad", "good"]
+    # expire everything but the rollback head: snapshot 0 shares its
+    # data dir with the rollback entry and must survive ON DISK
+    n = t.expire_snapshots(keep_last=1)
+    assert n >= 1
+    assert [r["v"] for r in t.read().collect()] == ["good"]
