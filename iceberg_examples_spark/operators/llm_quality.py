@@ -490,3 +490,39 @@ def fit_bpe(spark: SparkSession, sf_dir: str, k: int) -> list[str]:
             f"bpe-merge-{step}",
         )
     return merges
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health report — the one-page dashboard a curation run
+    opens with, per language: document and token volume, quality-gate
+    pass count (the shared 4-point heuristic), content uniqueness
+    (distinct texts — exact-dup pressure), and vocabulary size (distinct
+    tokens — diversity). Every column is an exact integer; every
+    expression is the already-verified standalone operator's fragment,
+    so the report and the operators cannot drift.
+
+    Plan: the tokens materialize once; volume/quality/uniqueness are one
+    grouped aggregate over the corpus scan; vocabulary size is the one
+    genuinely separate shape (distinct over exploded tokens — at 100 TB
+    this is the HLL sketch's job, see hll_distinct; exact here because
+    the oracle must cross engines)."""
+    from iceberg_examples_spark.operators.llm_pipeline import QUALITY_MIN
+    from iceberg_examples_spark.operators.text import with_quality_metrics
+
+    docs = with_quality_metrics(load_table(spark, sf_dir, "documents"))
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.expr(f"case when quality >= {QUALITY_MIN} then 1 else 0 end")
+        ).alias("n_quality_pass"),
+        F.count_distinct("text").alias("n_distinct_texts"),
+    )
+    vocab = (
+        docs.select(
+            "lang", F.explode(F.expr(tokens_expr("text"))).alias("tok")
+        )
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").alias("vocab_size"))
+    )
+    return base.join(vocab, "lang")

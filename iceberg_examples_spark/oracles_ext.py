@@ -3212,3 +3212,23 @@ SELECT o_orderpriority,
 FROM orders WHERE o_orderkey % 2 = 0
 GROUP BY o_orderpriority
 """
+
+EXT_ORACLES["corpus_report"] = f"""
+WITH t AS (SELECT doc_id, lang, text, {_toks} AS toks FROM documents),
+base AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN ({_quality}) >= {QUALITY_MIN}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+         CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+  FROM t GROUP BY lang
+),
+vocab AS (
+  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+  FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY lang
+)
+SELECT base.lang, n_docs, total_tokens, n_quality_pass,
+       n_distinct_texts, vocab_size
+FROM base JOIN vocab ON base.lang = vocab.lang
+"""

@@ -107,6 +107,7 @@ QUERIES: dict[str, QueryFn] = {
     "sql_script_replay": RS.sql_script_replay_query,
     "stream_curation_ingest": ST.stream_curation_ingest,
     "snapshot_rollback": MT.snapshot_rollback,
+    "corpus_report": LQ.corpus_report,
     # ----- latest green driver row: round 2 -----
     "pq_codes": CL.pq_codes,
     "pq_adc_topk": CL.pq_adc_topk,
