@@ -138,6 +138,8 @@ HEADLINE = [
     "scd2_sql_exec",
     "sql_script_replay",
     "stream_curation_ingest",
+    "snapshot_rollback",
+    "corpus_report",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")
