@@ -261,3 +261,35 @@ def test_name_map_respects_word_boundaries(spark, tmp_path):
         name_map={"default.t": "does_not_exist", "default.t2": "view_t2"},
     )
     assert rows(t.read()) == sorted([(1, "a"), (2, "b")])
+
+
+def test_parse_roundtrips_compiled_statements(spark):
+    """Property-ish: every merge the compiler can emit must parse back
+    to the spec that generated it (keys/aliases/clauses), across a grid
+    of key and column shapes."""
+    from iceberg_examples_spark.sql_merge import parse_merge
+
+    for keys in (["k"], ["k1", "k2"]):
+        for update_cols in (["v"], ["v", "w"]):
+            stmt = IC.compile_merge_explicit(
+                "db.tgt",
+                "(SELECT 1 as k, 1 as k1, 1 as k2, 'x' as v, 'y' as w)",
+                keys=keys,
+                update_cols=update_cols,
+                insert_cols=keys + update_cols,
+            )
+            assert spark_validates(spark, stmt), stmt
+            spec = parse_merge(stmt)
+            assert spec.target == "db.tgt"
+            assert [c for c in spec.matched if c.action == "update"]
+            upd = spec.matched[0]
+            assert set(upd.assignments) == set(update_cols)
+            assert spec.insert_cols == keys + update_cols
+            # ON covers every key
+            for k in keys:
+                assert f"s.{k} = t.{k}" in spec.on
+
+    star = IC.compile_merge_star("db.tgt", "srcview", ["k"])
+    spec = parse_merge(star)
+    assert spec.matched[0].star and spec.insert_star
+    assert not spec.source_is_subquery and spec.source_sql == "srcview"
