@@ -63,58 +63,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- never driver-attested (round-6 additions): always first -----
-    "epoch_shuffle": LP.epoch_shuffle,
-    "domain_cap_sample": LP.domain_cap_sample,
-    "length_buckets": LP.length_buckets,
-    "embedding_stats": SIM.embedding_stats,
-    "intra_doc_dedup": D.intra_doc_dedup,
-    "hll_distinct": XR.hll_distinct,
-    "observed_metrics": CV.observed_metrics,
-    "sql_pipe_query": CV.sql_pipe_query,
-    "funnel_stages": E.funnel_stages,
-    "cohort_retention": E.cohort_retention,
-    "triangle_count": GR.triangle_count,
-    "stream_late_data": ST.stream_late_data,
-    "bfs_levels": GR.bfs_levels,
-    "fuzzy_match": D.fuzzy_match,
-    "null_safe_join": CV.null_safe_join,
-    "union_schema_drift": CV.union_schema_drift,
-    "dynamic_partition_prune": PT.dynamic_partition_prune,
-    "embedding_norms_arrow": SIM.embedding_norms_arrow,
-    "dynamic_partition_overwrite": PT.dynamic_partition_overwrite,
-    "merge_schema_read": CV.merge_schema_read,
-    "stream_fanout": ST.stream_fanout,
-    "bpe_merge_step": LQ.bpe_merge_step,
-    "k_anonymity": CV.k_anonymity,
-    "stream_incremental_ingest": ST.stream_incremental_ingest,
-    "mad_outliers": XR.mad_outliers,
-    "or_join_union": XR.or_join_union,
-    "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
-    "skyline_pareto": XR.skyline_pareto,
-    "trajectory_similarity": E.trajectory_similarity,
-    "minhash_containment": D.minhash_containment,
-    "partition_stats": PT.partition_stats,
-    "ordered_string_agg": CV.ordered_string_agg,
-    "mode_per_group": CV.mode_per_group,
-    "dedup_cluster_sizes": D.dedup_cluster_sizes,
-    "nested_rollup": CV.nested_rollup,
-    "csv_corrupt_records": JS.csv_corrupt_records,
-    "rolling_24h": E.rolling_24h,
-    "quantile_normalize": XR.quantile_normalize,
-    "merge_sql_exec": RS.merge_sql_exec_query,
-    "scd2_sql_exec": RS.scd2_sql_exec_query,
-    "sql_script_replay": RS.sql_script_replay_query,
-    "stream_curation_ingest": ST.stream_curation_ingest,
-    "snapshot_rollback": MT.snapshot_rollback,
-    "corpus_report": LQ.corpus_report,
     # ----- latest green driver row: round 2 -----
-    "pq_codes": CL.pq_codes,
-    "pq_adc_topk": CL.pq_adc_topk,
-    "embedding_neardup": SIM.embedding_neardup,
-    "multimodal_meta": MM.multimodal_meta,
-    "collect_sets": XR.collect_sets,
-    "dedup_latest": E.dedup_latest,
     "sessionize": E.sessionize,
     "session_window_agg": E.session_window_agg,
     "window_hourly": E.window_hourly,
@@ -160,13 +109,13 @@ QUERIES: dict[str, QueryFn] = {
     "snapshot_history": MT.snapshot_history,
     "changelog_feed": MT.changelog_feed,
     "pii_scrub": SC.pii_scrub,
-    # ----- end of the 50-entry driver correctness window -----
     "paragraph_dedup": SC.paragraph_dedup,
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
     "wap_pattern": MT.wap_pattern,
     "stream_cdc_merge": ST.stream_cdc_merge,
     "multimodal_audio": MM.multimodal_audio,
+    # ----- end of the 50-entry driver correctness window -----
     # ----- latest green driver row: round 4 -----
     "scan_full": R.scan_full,
     "project_literals": R.project_literals,
@@ -269,6 +218,57 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_clusters": CL.kmeans_clusters,
     "kmeans_large": CL.kmeans_large,
     "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    # ----- latest green driver row: round 6 -----
+    "epoch_shuffle": LP.epoch_shuffle,
+    "domain_cap_sample": LP.domain_cap_sample,
+    "length_buckets": LP.length_buckets,
+    "embedding_stats": SIM.embedding_stats,
+    "intra_doc_dedup": D.intra_doc_dedup,
+    "hll_distinct": XR.hll_distinct,
+    "observed_metrics": CV.observed_metrics,
+    "sql_pipe_query": CV.sql_pipe_query,
+    "funnel_stages": E.funnel_stages,
+    "cohort_retention": E.cohort_retention,
+    "triangle_count": GR.triangle_count,
+    "stream_late_data": ST.stream_late_data,
+    "bfs_levels": GR.bfs_levels,
+    "fuzzy_match": D.fuzzy_match,
+    "null_safe_join": CV.null_safe_join,
+    "union_schema_drift": CV.union_schema_drift,
+    "dynamic_partition_prune": PT.dynamic_partition_prune,
+    "embedding_norms_arrow": SIM.embedding_norms_arrow,
+    "dynamic_partition_overwrite": PT.dynamic_partition_overwrite,
+    "merge_schema_read": CV.merge_schema_read,
+    "stream_fanout": ST.stream_fanout,
+    "bpe_merge_step": LQ.bpe_merge_step,
+    "k_anonymity": CV.k_anonymity,
+    "stream_incremental_ingest": ST.stream_incremental_ingest,
+    "mad_outliers": XR.mad_outliers,
+    "or_join_union": XR.or_join_union,
+    "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
+    "skyline_pareto": XR.skyline_pareto,
+    "trajectory_similarity": E.trajectory_similarity,
+    "minhash_containment": D.minhash_containment,
+    "partition_stats": PT.partition_stats,
+    "ordered_string_agg": CV.ordered_string_agg,
+    "mode_per_group": CV.mode_per_group,
+    "dedup_cluster_sizes": D.dedup_cluster_sizes,
+    "nested_rollup": CV.nested_rollup,
+    "csv_corrupt_records": JS.csv_corrupt_records,
+    "rolling_24h": E.rolling_24h,
+    "quantile_normalize": XR.quantile_normalize,
+    "merge_sql_exec": RS.merge_sql_exec_query,
+    "scd2_sql_exec": RS.scd2_sql_exec_query,
+    "sql_script_replay": RS.sql_script_replay_query,
+    "stream_curation_ingest": ST.stream_curation_ingest,
+    "snapshot_rollback": MT.snapshot_rollback,
+    "corpus_report": LQ.corpus_report,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
+    "embedding_neardup": SIM.embedding_neardup,
+    "multimodal_meta": MM.multimodal_meta,
+    "collect_sets": XR.collect_sets,
+    "dedup_latest": E.dedup_latest,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
