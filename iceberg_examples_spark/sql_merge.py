@@ -263,24 +263,33 @@ def execute_merge(
         src_marked.alias(s), F.expr(spec.on), "left"
     )
 
-    # cardinality check: >1 source row per target row is a violation
-    dup = (
-        joined.groupBy("__tid")
-        .agg(F.count(F.col(f"{s}.__smark")).alias("k"))
-        .filter(F.col("k") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise ValueError("MERGE cardinality violation: target row matched "
-                         "more than one source row")
+    # cardinality check: >1 source row per target row is a violation —
+    # but only when WHEN MATCHED clauses exist (Spark/Iceberg raise
+    # MERGE_CARDINALITY_VIOLATION only then; an insert-only merge with
+    # duplicate matches is legal and simply inserts nothing for them)
+    if spec.matched:
+        dup = (
+            joined.groupBy("__tid")
+            .agg(F.count(F.col(f"{s}.__smark")).alias("k"))
+            .filter(F.col("k") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                "MERGE cardinality violation: target row matched "
+                "more than one source row"
+            )
 
     matched = F.col(f"{s}.__smark").isNotNull()
 
     def clause_pred(c: MatchedClause):
+        # a clause condition that evaluates to NULL means "not
+        # satisfied" (three-valued logic): coalesce to FALSE so NULL
+        # can't poison the keep/prior accumulators below
         p = matched
         if c.condition:
-            p = p & F.expr(c.condition)
+            p = F.coalesce(p & F.expr(c.condition), F.lit(False))
         return p
 
     # survive-DELETE filter: drop rows where the FIRST satisfied clause
@@ -319,7 +328,14 @@ def execute_merge(
             ).otherwise(expr_col)
             prior = prior | clause_pred(c)
         out_cols.append(expr_col.alias(col))
-    updated = joined.filter(keep).select(*out_cols)
+    if spec.matched:
+        updated = joined.filter(keep).select(*out_cols)
+    else:
+        # insert-only merge: target rows pass through untouched — and
+        # NOT via the join, whose fan-out would duplicate a target row
+        # matched by several source rows (legal here, no cardinality
+        # check ran)
+        updated = table.read()
 
     result = updated
     if spec.has_insert:
@@ -399,7 +415,14 @@ def execute_statement(
         if not spark_validates(spark, text, "DeleteFromTable"):
             raise ValueError("Spark's parser rejected the DELETE text")
         t = tables[m.group("target")]
-        t.overwrite(t.read().filter(~F.expr(m.group("pred"))))
+        # DELETE removes rows where the predicate is TRUE; rows where it
+        # evaluates to NULL are KEPT (three-valued logic) — coalesce the
+        # predicate to FALSE before negating
+        t.overwrite(
+            t.read().filter(
+                ~F.coalesce(F.expr(m.group("pred")), F.lit(False))
+            )
+        )
         return
     m = _ADD_COL_RE.match(text)
     if m:

@@ -536,31 +536,35 @@ def _fanout_commit(metrics_t, latest_t, batch_df: DataFrame, epoch_id: int) -> N
     batch_df.persist()
     try:
         # sink A: idempotent epoch append (dedup by batchId — Structured
-        # Streaming guarantees at-least-once foreachBatch invocation)
+        # Streaming guarantees at-least-once foreachBatch invocation).
+        # The epoch-id guard protects ONLY this append; sink B below must
+        # still run on a retry, because a crash between A's append and
+        # B's merge would otherwise leave B permanently missing the batch
+        # (the merge is idempotent, so re-running it is always safe).
+        already = False
         if metrics_t.exists():
-            seen = {
+            already = epoch_id in {
                 r["epoch_id"]
                 for r in metrics_t.read()
                 .select("epoch_id")
                 .distinct()
                 .collect()
             }
-            if epoch_id in seen:
-                return  # retried epoch: already committed
-        counts = (
-            batch_df.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(
-                    F.expr("cast(round(value * 100) as bigint)")
-                ).alias("value_cents"),
+        if not already:
+            counts = (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(
+                        F.expr("cast(round(value * 100) as bigint)")
+                    ).alias("value_cents"),
+                )
+                .withColumn("epoch_id", F.lit(epoch_id).cast("bigint"))
             )
-            .withColumn("epoch_id", F.lit(epoch_id).cast("bigint"))
-        )
-        if metrics_t.exists():
-            metrics_t.append(counts)
-        else:
-            metrics_t.create(counts)
+            if metrics_t.exists():
+                metrics_t.append(counts)
+            else:
+                metrics_t.create(counts)
         # sink B: monotonic merge of latest-per-user — idempotent by
         # construction (re-merging the same batch is a no-op)
         w = Window.partitionBy("user_id").orderBy(

@@ -293,3 +293,82 @@ def test_parse_roundtrips_compiled_statements(spark):
     spec = parse_merge(star)
     assert spec.matched[0].star and spec.insert_star
     assert not spec.source_is_subquery and spec.source_sql == "srcview"
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """DELETE FROM t WHERE pred removes only rows where pred is TRUE;
+    a row where the predicate evaluates to NULL (x > 5 with x NULL) is
+    KEPT — SQL three-valued logic, the Spark/Iceberg DELETE contract."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 3), (3, None)], "k long, x long"
+        )
+    )
+    execute_statement(
+        spark, "DELETE FROM default.t WHERE x > 5;", {"default.t": t}
+    )
+    assert rows(t.read()) == sorted([(2, 3), (3, None)])
+
+
+def test_matched_clause_null_condition_is_not_satisfied(spark, tmp_path):
+    """A WHEN MATCHED clause condition that evaluates to NULL counts as
+    NOT satisfied: the row must not be deleted by a NULL-condition
+    DELETE clause, and a later unconditional clause must still fire
+    (NULL must not poison the first-satisfied-clause accumulator)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "old", None), (2, "old", 10)], "k long, v string, ts long"
+        )
+    )
+    spark.createDataFrame(
+        [(1, "upd", 5), (2, "upd", 5)], "k long, v string, ts long"
+    ).createOrReplaceTempView("nullcond_src")
+    stmt = (
+        "MERGE INTO default.t t USING nullcond_src s ON s.k = t.k "
+        "WHEN MATCHED AND s.ts > t.ts THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v;"
+    )
+    execute_merge(spark, stmt, {"default.t": t})
+    # k=1: s.ts > t.ts is NULL -> delete NOT satisfied, update fires;
+    # k=2: 5 > 10 false -> delete not satisfied, update fires
+    assert rows(t.read()) == sorted([(1, "upd", None), (2, "upd", 10)])
+
+
+def test_null_update_condition_leaves_row_unchanged(spark, tmp_path):
+    """With ONLY a conditional UPDATE clause, a NULL condition leaves
+    the matched row exactly as it was (kept, not updated)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "old", None)], "k long, v string, ts long"
+        )
+    )
+    spark.createDataFrame(
+        [(1, "upd", 5)], "k long, v string, ts long"
+    ).createOrReplaceTempView("nullupd_src")
+    stmt = (
+        "MERGE INTO default.t t USING nullupd_src s ON s.k = t.k "
+        "WHEN MATCHED AND s.ts > t.ts THEN UPDATE SET t.v = s.v;"
+    )
+    execute_merge(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == [(1, "old", None)]
+
+
+def test_insert_only_merge_tolerates_duplicate_matches(spark, tmp_path):
+    """Spark/Iceberg raise MERGE_CARDINALITY_VIOLATION only when WHEN
+    MATCHED clauses exist; an insert-only merge with duplicate source
+    matches is legal (matched duplicates insert nothing)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k long, v string"
+    ).createOrReplaceTempView("insonly_src")
+    stmt = (
+        "MERGE INTO default.t t USING insonly_src s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);"
+    )
+    execute_merge(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == sorted([(1, "a"), (2, "z")])

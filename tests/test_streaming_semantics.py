@@ -97,3 +97,53 @@ def test_fanout_commit_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
     _fanout_commit(metrics_t, latest_t, b1, 1)  # epoch 1 retried
     assert snap(metrics_t) == m_before, "metrics sink double-counted"
     assert snap(latest_t) == l_before, "latest sink drifted on retry"
+
+def test_fanout_commit_retry_after_partial_commit_applies_sink_b(
+    spark, sf_dir, tmp_path
+):
+    """Crash-between-sinks recovery: if an epoch's metrics append (sink
+    A) committed but the latest-state merge (sink B) did not, the
+    retried epoch must still apply the batch to sink B — the epoch-id
+    guard may skip ONLY the append, never the idempotent merge."""
+    from iceberg_examples_spark.catalog import LocalTable
+    from iceberg_examples_spark.catalog import load_table
+    from iceberg_examples_spark.streaming.rollup import _fanout_commit
+
+    metrics_t = LocalTable(spark, str(tmp_path / "m"))
+    latest_t = LocalTable(spark, str(tmp_path / "l"))
+    ev = load_table(spark, sf_dir, "events")
+    b0 = ev.filter("event_id % 2 = 0")
+    b1 = ev.filter("event_id % 2 = 1")
+    snap = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+
+    _fanout_commit(metrics_t, latest_t, b0, 0)
+    l_after_b0 = snap(latest_t)
+
+    # simulate the crash: sink A commits epoch 1's metrics, sink B never
+    # sees the batch
+    from pyspark.sql import functions as F
+
+    counts1 = (
+        b1.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.expr("cast(round(value * 100) as bigint)")
+            ).alias("value_cents"),
+        )
+        .withColumn("epoch_id", F.lit(1).cast("bigint"))
+    )
+    metrics_t.append(counts1)
+    m_after_partial = snap(metrics_t)
+
+    _fanout_commit(metrics_t, latest_t, b1, 1)  # the retry
+    assert snap(metrics_t) == m_after_partial, "metrics double-counted"
+    assert snap(latest_t) != l_after_b0, "sink B never applied epoch 1"
+
+    # and a full commit of the same shape on fresh tables agrees with
+    # the recovered state
+    m2 = LocalTable(spark, str(tmp_path / "m2"))
+    l2 = LocalTable(spark, str(tmp_path / "l2"))
+    _fanout_commit(m2, l2, b0, 0)
+    _fanout_commit(m2, l2, b1, 1)
+    assert snap(latest_t) == snap(l2)
