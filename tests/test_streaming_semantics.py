@@ -147,3 +147,56 @@ def test_fanout_commit_retry_after_partial_commit_applies_sink_b(
     _fanout_commit(m2, l2, b0, 0)
     _fanout_commit(m2, l2, b1, 1)
     assert snap(latest_t) == snap(l2)
+
+def test_stream_curation_one_signature_pass_per_epoch(
+    spark, sf_dir, monkeypatch
+):
+    """The streaming curation commit must run the batch's Arrow
+    signature pass EXACTLY once per epoch: minhash_index is constructed
+    once, staged to parquet, and probe/append/report all consume the
+    staged copy. Re-deriving it per verb would run the Arrow stage 2-3x
+    per epoch (measured 5.0 -> 3.5 s on the batch twin). Pinned two
+    ways: construction count, and the staged frame's physical plan being
+    a parquet scan with no MapInPandas/ArrowEvalPython node left to
+    re-execute downstream."""
+    from iceberg_examples_spark import checkpointing
+    from iceberg_examples_spark.operators import dedup
+    from iceberg_examples_spark.streaming import rollup
+
+    calls = []
+    real_mh = dedup.minhash_index
+
+    def counting_mh(corpus, wide=True, keep=()):
+        calls.append(1)
+        return real_mh(corpus, wide=wide, keep=keep)
+
+    staged_plans = []
+    real_stage = checkpointing.stage
+
+    def spying_stage(df, label="stage"):
+        out = real_stage(df, label)
+        if label.startswith("scur-batch"):
+            staged_plans.append(
+                out._jdf.queryExecution().executedPlan().toString()
+            )
+        return out
+
+    # warm the durable artifacts (landing fixture + base index) so the
+    # counted run measures the steady state, not the one-off cold build
+    rollup.stream_curation_ingest(spark, sf_dir).count()
+
+    monkeypatch.setattr(dedup, "minhash_index", counting_mh)
+    monkeypatch.setattr(checkpointing, "stage", spying_stage)
+
+    out = rollup.stream_curation_ingest(spark, sf_dir)
+    assert out.count() == 2  # two epochs reported
+
+    # one signature construction per epoch (the base index is an
+    # artifact-cached build, warmed above)
+    assert len(calls) == 2, f"signature pass constructed {len(calls)}x"
+    assert len(staged_plans) == 2
+    for plan in staged_plans:
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+        # materialized either way stage() runs: parquet staging dir, or
+        # the localCheckpoint fallback (ExistingRDD scan)
+        assert "parquet" in plan.lower() or "existingrdd" in plan.lower()
