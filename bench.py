@@ -235,20 +235,29 @@ def main() -> None:
     canary_jobs_sec = round(min(canary_jobs() for _ in range(3)), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "canary_sec": canary_sec,
-                "canary_jobs_sec": canary_jobs_sec,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_median": medians,
+            "canary_sec": canary_sec,
+            "canary_jobs_sec": canary_jobs_sec,
+            "sf": sf,
+        }
     )
+    print(line)
+    # The driver records only the last 2,000 chars of stdout, which
+    # truncates the per-query block (round 6 lost the TPC-H numbers and
+    # forced a judge re-time). Persist the COMPLETE line in-repo too,
+    # overwritten each run, so every round's full artifact is committed.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCHFULL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
     spark.stop()
 
 
