@@ -257,114 +257,125 @@ def execute_merge(
     tgt = table.read().withColumn("__tid", F.monotonically_increasing_id())
     tcols = [c for c in tgt.columns if c != "__tid"]
     # source-side match marker: NULL-safe (a legitimately-NULL source
-    # column must not read as "no match")
+    # column must not read as "no match"). The source is MATERIALIZED
+    # once (MEMORY_AND_DISK) because up to three actions consume it —
+    # the cardinality-check job, the matched-rows overwrite, and the
+    # insert anti-join; an SCD2-shaped source (subquery self-joining
+    # the target) re-evaluated per action tripled the scenario's fixed
+    # cost, and at scale engines' MERGE implementations likewise
+    # materialize the source side before the target rewrite.
+    src = src.persist()
     src_marked = src.withColumn("__smark", F.lit(1))
     joined = tgt.alias(t).join(
         src_marked.alias(s), F.expr(spec.on), "left"
-    )
+    ).persist()
 
-    # cardinality check: >1 source row per target row is a violation —
-    # but only when WHEN MATCHED clauses exist (Spark/Iceberg raise
-    # MERGE_CARDINALITY_VIOLATION only then; an insert-only merge with
-    # duplicate matches is legal and simply inserts nothing for them)
-    if spec.matched:
-        dup = (
-            joined.groupBy("__tid")
-            .agg(F.count(F.col(f"{s}.__smark")).alias("k"))
-            .filter(F.col("k") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            raise ValueError(
-                "MERGE cardinality violation: target row matched "
-                "more than one source row"
+    try:
+        # cardinality check: >1 source row per target row is a violation —
+        # but only when WHEN MATCHED clauses exist (Spark/Iceberg raise
+        # MERGE_CARDINALITY_VIOLATION only then; an insert-only merge with
+        # duplicate matches is legal and simply inserts nothing for them)
+        if spec.matched:
+            dup = (
+                joined.groupBy("__tid")
+                .agg(F.count(F.col(f"{s}.__smark")).alias("k"))
+                .filter(F.col("k") > 1)
+                .limit(1)
+                .count()
             )
+            if dup:
+                raise ValueError(
+                    "MERGE cardinality violation: target row matched "
+                    "more than one source row"
+                )
 
-    matched = F.col(f"{s}.__smark").isNotNull()
+        matched = F.col(f"{s}.__smark").isNotNull()
 
-    def clause_pred(c: MatchedClause):
-        # a clause condition that evaluates to NULL means "not
-        # satisfied" (three-valued logic): coalesce to FALSE so NULL
-        # can't poison the keep/prior accumulators below
-        p = matched
-        if c.condition:
-            p = F.coalesce(p & F.expr(c.condition), F.lit(False))
-        return p
+        def clause_pred(c: MatchedClause):
+            # a clause condition that evaluates to NULL means "not
+            # satisfied" (three-valued logic): coalesce to FALSE so NULL
+            # can't poison the keep/prior accumulators below
+            p = matched
+            if c.condition:
+                p = F.coalesce(p & F.expr(c.condition), F.lit(False))
+            return p
 
-    # survive-DELETE filter: drop rows where the FIRST satisfied clause
-    # is a delete
-    keep = F.lit(True)
-    prior = F.lit(False)
-    for c in spec.matched:
-        pred = clause_pred(c) & ~prior
-        if c.action == "delete":
-            keep = keep & ~pred
-        prior = prior | clause_pred(c)
-
-    # column values: first satisfied UPDATE clause wins
-    out_cols = []
-    for col in tcols:
-        expr_col = F.col(f"{t}.{col}")
+        # survive-DELETE filter: drop rows where the FIRST satisfied clause
+        # is a delete
+        keep = F.lit(True)
         prior = F.lit(False)
         for c in spec.matched:
-            if c.action != "update":
+            pred = clause_pred(c) & ~prior
+            if c.action == "delete":
+                keep = keep & ~pred
+            prior = prior | clause_pred(c)
+
+        # column values: first satisfied UPDATE clause wins
+        out_cols = []
+        for col in tcols:
+            expr_col = F.col(f"{t}.{col}")
+            prior = F.lit(False)
+            for c in spec.matched:
+                if c.action != "update":
+                    prior = prior | clause_pred(c)
+                    continue
+                if c.star:
+                    rhs = (
+                        F.col(f"{s}.{col}")
+                        if col in src.columns
+                        else F.col(f"{t}.{col}")
+                    )
+                else:
+                    rhs = (
+                        F.expr(c.assignments[col])
+                        if col in c.assignments
+                        else F.col(f"{t}.{col}")
+                    )
+                expr_col = F.when(
+                    clause_pred(c) & ~prior, rhs
+                ).otherwise(expr_col)
                 prior = prior | clause_pred(c)
-                continue
-            if c.star:
-                rhs = (
-                    F.col(f"{s}.{col}")
-                    if col in src.columns
-                    else F.col(f"{t}.{col}")
+            out_cols.append(expr_col.alias(col))
+        if spec.matched:
+            updated = joined.filter(keep).select(*out_cols)
+        else:
+            # insert-only merge: target rows pass through untouched — and
+            # NOT via the join, whose fan-out would duplicate a target row
+            # matched by several source rows (legal here, no cardinality
+            # check ran)
+            updated = table.read()
+
+        result = updated
+        if spec.has_insert:
+            anti = src.alias(s).join(
+                table.read().alias(t), F.expr(spec.on), "left_anti"
+            )
+            if spec.insert_star:
+                ins = anti.select(
+                    *[
+                        (
+                            F.col(f"{s}.{c}")
+                            if c in src.columns
+                            else F.lit(None).cast(dict(table.read().dtypes)[c])
+                        ).alias(c)
+                        for c in tcols
+                    ]
                 )
             else:
-                rhs = (
-                    F.expr(c.assignments[col])
-                    if col in c.assignments
-                    else F.col(f"{t}.{col}")
+                exprs = dict(zip(spec.insert_cols, spec.insert_values))
+                ins = anti.select(
+                    *[
+                        (
+                            F.expr(exprs[c]) if c in exprs else F.lit(None)
+                        ).cast(dict(table.read().dtypes)[c]).alias(c)
+                        for c in tcols
+                    ]
                 )
-            expr_col = F.when(
-                clause_pred(c) & ~prior, rhs
-            ).otherwise(expr_col)
-            prior = prior | clause_pred(c)
-        out_cols.append(expr_col.alias(col))
-    if spec.matched:
-        updated = joined.filter(keep).select(*out_cols)
-    else:
-        # insert-only merge: target rows pass through untouched — and
-        # NOT via the join, whose fan-out would duplicate a target row
-        # matched by several source rows (legal here, no cardinality
-        # check ran)
-        updated = table.read()
-
-    result = updated
-    if spec.has_insert:
-        anti = src.alias(s).join(
-            table.read().alias(t), F.expr(spec.on), "left_anti"
-        )
-        if spec.insert_star:
-            ins = anti.select(
-                *[
-                    (
-                        F.col(f"{s}.{c}")
-                        if c in src.columns
-                        else F.lit(None).cast(dict(table.read().dtypes)[c])
-                    ).alias(c)
-                    for c in tcols
-                ]
-            )
-        else:
-            exprs = dict(zip(spec.insert_cols, spec.insert_values))
-            ins = anti.select(
-                *[
-                    (
-                        F.expr(exprs[c]) if c in exprs else F.lit(None)
-                    ).cast(dict(table.read().dtypes)[c]).alias(c)
-                    for c in tcols
-                ]
-            )
-        result = updated.unionByName(ins)
-    table.overwrite(result)
+            result = updated.unionByName(ins)
+        table.overwrite(result)
+    finally:
+        joined.unpersist()
+        src.unpersist()
 
 
 _DELETE_RE = re.compile(
