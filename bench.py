@@ -234,6 +234,28 @@ def main() -> None:
     canary_jobs()  # warm
     canary_jobs_sec = round(min(canary_jobs() for _ in range(3)), 4)
 
+    # Third canary: Python-worker / Arrow round-trip cost. The Arrow-staged
+    # queries (simhash/minhash signatures, mapInArrow norms, multimodal
+    # decode) carry a cost axis neither JVM canary sees — Python worker
+    # spawn/reuse and Arrow (de)serialization. Round 7 observed every
+    # Arrow-stage query drift +0.05-0.3 s on a box whose TWO JVM canaries
+    # said faster-or-flat; this canary brackets that axis explicitly.
+    def canary_arrow() -> float:
+        import pandas as _pd
+
+        def _ident(it):
+            for batch in it:
+                yield _pd.DataFrame({"v": batch["id"] * 2})
+
+        t0 = time.perf_counter()
+        spark.range(2_000_000).mapInPandas(
+            _ident, "v bigint"
+        ).selectExpr("sum(v)").collect()
+        return time.perf_counter() - t0
+
+    canary_arrow()  # warm (worker pool spin-up is the one-off)
+    canary_arrow_sec = round(min(canary_arrow() for _ in range(3)), 4)
+
     total = round(sum(timings.values()), 4)
     line = json.dumps(
         {
@@ -244,6 +266,7 @@ def main() -> None:
             "queries_median": medians,
             "canary_sec": canary_sec,
             "canary_jobs_sec": canary_jobs_sec,
+            "canary_arrow_sec": canary_arrow_sec,
             "sf": sf,
         }
     )
