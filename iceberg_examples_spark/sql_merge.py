@@ -18,7 +18,8 @@ tests pin) —
     ON <condition>
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET a = e, ...]
     [WHEN MATCHED [AND <cond>] THEN DELETE]
-    [WHEN NOT MATCHED THEN INSERT * | INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED [BY TARGET] THEN INSERT * | INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET a = e, ... | DELETE]
 
 Every statement is additionally round-tripped through Spark's SQL parser
 (``parsePlan`` must yield a MergeIntoTable node), so this executor can
@@ -62,6 +63,9 @@ class MergeSpec:
     s_alias: str
     on: str
     matched: list[MatchedClause] = field(default_factory=list)
+    # WHEN NOT MATCHED BY SOURCE clauses: target rows with NO source
+    # match; conditions/assignments reference target columns only
+    by_source: list[MatchedClause] = field(default_factory=list)
     insert_star: bool = False
     insert_cols: list[str] | None = None
     insert_values: list[str] | None = None
@@ -98,7 +102,9 @@ def _balanced_paren_span(text: str, start: int) -> int:
         i += 1
     raise ValueError("unbalanced parentheses in MERGE source")
 _WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET))?"
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.*?|DELETE|"
     r"INSERT\s*\*|INSERT\s*\(.*?\)\s*VALUES\s*\(.*?\))\s*"
     r"(?=WHEN\s|;|\Z)",
@@ -132,12 +138,38 @@ def parse_merge(sql: str) -> MergeSpec:
         s_alias=tm.group("salias"),
         on=tm.group("on").strip(),
     )
+    def _matched_clause(action: str, cond: str | None) -> MatchedClause:
+        up = action.upper()
+        if up == "DELETE":
+            return MatchedClause("delete", cond)
+        if up.replace(" ", "") == "UPDATESET*":
+            return MatchedClause("update", cond, star=True)
+        if up.startswith("UPDATE SET"):
+            assigns = {}
+            for part in _split_top_level(action[len("UPDATE SET"):]):
+                lhs, rhs = part.split("=", 1)
+                col = lhs.strip().split(".")[-1]
+                assigns[col] = rhs.strip()
+            return MatchedClause("update", cond, assignments=assigns)
+        raise ValueError(f"unsupported MATCHED action: {action!r}")
+
     for w in _WHEN_RE.finditer(text, tm.end()):
         action = re.sub(r"\s+", " ", w.group("action").strip())
+        by = (w.group("by") or "").upper()
+        if w.group("not") and by == "SOURCE":
+            cond = w.group("cond")
+            clause = _matched_clause(action, cond.strip() if cond else None)
+            if clause.star:
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE requires explicit "
+                    "assignments (no source row to expand * from)"
+                )
+            spec.by_source.append(clause)
+            continue
         if w.group("not"):
             up = action.upper()
             if not up.startswith("INSERT"):
-                raise ValueError("NOT MATCHED supports INSERT only")
+                raise ValueError("NOT MATCHED [BY TARGET] supports INSERT only")
             if up.replace(" ", "") == "INSERT*":
                 spec.insert_star = True
             else:
@@ -155,26 +187,10 @@ def parse_merge(sql: str) -> MergeSpec:
             spec.has_insert = True
         else:
             cond = w.group("cond")
-            cond = cond.strip() if cond else None
-            up = action.upper()
-            if up == "DELETE":
-                spec.matched.append(MatchedClause("delete", cond))
-            elif up.replace(" ", "") == "UPDATESET*":
-                spec.matched.append(
-                    MatchedClause("update", cond, star=True)
-                )
-            elif up.startswith("UPDATE SET"):
-                assigns = {}
-                for part in _split_top_level(action[len("UPDATE SET"):]):
-                    lhs, rhs = part.split("=", 1)
-                    col = lhs.strip().split(".")[-1]
-                    assigns[col] = rhs.strip()
-                spec.matched.append(
-                    MatchedClause("update", cond, assignments=assigns)
-                )
-            else:
-                raise ValueError(f"unsupported MATCHED action: {action!r}")
-    if not spec.matched and not spec.has_insert:
+            spec.matched.append(
+                _matched_clause(action, cond.strip() if cond else None)
+            )
+    if not spec.matched and not spec.has_insert and not spec.by_source:
         raise ValueError("MERGE with no WHEN clauses")
     return spec
 
@@ -290,34 +306,43 @@ def execute_merge(
                 )
 
         matched = F.col(f"{s}.__smark").isNotNull()
+        unmatched = F.col(f"{s}.__smark").isNull()
 
-        def clause_pred(c: MatchedClause):
+        def clause_pred(c: MatchedClause, base=matched):
             # a clause condition that evaluates to NULL means "not
             # satisfied" (three-valued logic): coalesce to FALSE so NULL
             # can't poison the keep/prior accumulators below
-            p = matched
+            p = base
             if c.condition:
                 p = F.coalesce(p & F.expr(c.condition), F.lit(False))
             return p
 
+        # (clause, match-predicate-base) in evaluation order: MATCHED
+        # clauses act on matched rows, NOT MATCHED BY SOURCE clauses on
+        # unmatched target rows — disjoint sets, so one keep filter and
+        # one when-chain per column serve both groups
+        all_clauses = [(c, matched) for c in spec.matched] + [
+            (c, unmatched) for c in spec.by_source
+        ]
+
         # survive-DELETE filter: drop rows where the FIRST satisfied clause
-        # is a delete
+        # (within its group) is a delete
         keep = F.lit(True)
         prior = F.lit(False)
-        for c in spec.matched:
-            pred = clause_pred(c) & ~prior
+        for c, base in all_clauses:
+            pred = clause_pred(c, base) & ~prior
             if c.action == "delete":
                 keep = keep & ~pred
-            prior = prior | clause_pred(c)
+            prior = prior | clause_pred(c, base)
 
         # column values: first satisfied UPDATE clause wins
         out_cols = []
         for col in tcols:
             expr_col = F.col(f"{t}.{col}")
             prior = F.lit(False)
-            for c in spec.matched:
+            for c, base in all_clauses:
                 if c.action != "update":
-                    prior = prior | clause_pred(c)
+                    prior = prior | clause_pred(c, base)
                     continue
                 if c.star:
                     rhs = (
@@ -332,12 +357,22 @@ def execute_merge(
                         else F.col(f"{t}.{col}")
                     )
                 expr_col = F.when(
-                    clause_pred(c) & ~prior, rhs
+                    clause_pred(c, base) & ~prior, rhs
                 ).otherwise(expr_col)
-                prior = prior | clause_pred(c)
+                prior = prior | clause_pred(c, base)
             out_cols.append(expr_col.alias(col))
         if spec.matched:
             updated = joined.filter(keep).select(*out_cols)
+        elif spec.by_source:
+            # no MATCHED clauses ran the cardinality check, so a target
+            # row matched by several source rows fans out in the join —
+            # with no matched clause its copies are identical (unchanged
+            # target columns), so dedup by the target-row id is exact
+            updated = (
+                joined.dropDuplicates(["__tid"])
+                .filter(keep)
+                .select(*out_cols)
+            )
         else:
             # insert-only merge: target rows pass through untouched — and
             # NOT via the join, whose fan-out would duplicate a target row

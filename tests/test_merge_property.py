@@ -3,8 +3,9 @@
 Hypothesis generates small target/source tables (with NULLs in both the
 value and the guard column) and a random WHEN-clause list from the
 grammar the reference exercises — conditional/unconditional UPDATE and
-DELETE (first-satisfied-clause-wins, in declaration order) plus an
-optional NOT MATCHED INSERT — and compares sql_merge.execute_merge's
+DELETE (first-satisfied-clause-wins, in declaration order), an optional
+NOT MATCHED INSERT, and NOT MATCHED BY SOURCE UPDATE/DELETE clauses
+(target rows absent from the source) — and compares execute_merge's
 final table state against a pure-Python reference interpreter that
 implements the SQL contract directly:
 
@@ -50,15 +51,41 @@ clause_strategy = st.lists(
     max_size=3,
 )
 
+# WHEN NOT MATCHED BY SOURCE clauses: act on target rows with no source
+# match; conditions reference the target only ("t.ts > 1")
+by_source_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["update", "delete"]),
+        st.booleans(),  # conditional on t.ts > 1?
+    ),
+    min_size=0,
+    max_size=2,
+)
 
-def interpret(target, source, clauses, has_insert):
+
+def interpret(target, source, clauses, has_insert, by_source=()):
     """The pure-Python reference semantics."""
     src_by_key = {r[0]: r for r in source}
     out = []
     for trow in target:
         srow = src_by_key.get(trow[0])
         if srow is None:
-            out.append(trow)
+            fired = None
+            for action, conditional in by_source:
+                sat = (
+                    trow[2] is not None and trow[2] > 1
+                    if conditional
+                    else True
+                )
+                if sat:
+                    fired = action
+                    break
+            if fired == "delete":
+                continue
+            if fired == "update":
+                out.append((trow[0], "stale", trow[2]))
+            else:
+                out.append(trow)
             continue
         fired = None
         for action, conditional in clauses:
@@ -82,7 +109,7 @@ def interpret(target, source, clauses, has_insert):
     return sorted(out, key=lambda r: (r[0], str(r[1]), str(r[2])))
 
 
-def build_stmt(clauses, has_insert):
+def build_stmt(clauses, has_insert, by_source=()):
     parts = ["MERGE INTO default.t t USING prop_src s ON s.k = t.k"]
     for action, conditional in clauses:
         cond = " AND s.ts > t.ts" if conditional else ""
@@ -96,6 +123,14 @@ def build_stmt(clauses, has_insert):
         parts.append(
             "WHEN NOT MATCHED THEN INSERT (k, v, ts) VALUES (s.k, s.v, s.ts)"
         )
+    for action, conditional in by_source:
+        cond = " AND t.ts > 1" if conditional else ""
+        if action == "delete":
+            parts.append(f"WHEN NOT MATCHED BY SOURCE{cond} THEN DELETE")
+        else:
+            parts.append(
+                f"WHEN NOT MATCHED BY SOURCE{cond} THEN UPDATE SET t.v = 'stale'"
+            )
     return " ".join(parts) + ";"
 
 
@@ -109,17 +144,22 @@ def build_stmt(clauses, has_insert):
     source=table_strategy([3, 4, 5, 6]),
     clauses=clause_strategy,
     has_insert=st.booleans(),
+    by_source=by_source_strategy,
 )
 def test_merge_executor_matches_reference_interpreter(
-    spark, tmp_path_factory, target, source, clauses, has_insert
+    spark, tmp_path_factory, target, source, clauses, has_insert, by_source
 ):
-    if not clauses and not has_insert:
+    if not clauses and not has_insert and not by_source:
         return  # Spark's parser rejects a MERGE with no action clause
-    # Spark's parser enforces NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION:
-    # every non-last MATCHED clause must carry a condition
+    # Spark's parser enforces the only-last-clause-may-omit-condition
+    # rule per clause group (MATCHED and NOT MATCHED BY SOURCE alike)
     clauses = [
         (action, True if i < len(clauses) - 1 else conditional)
         for i, (action, conditional) in enumerate(clauses)
+    ]
+    by_source = [
+        (action, True if i < len(by_source) - 1 else conditional)
+        for i, (action, conditional) in enumerate(by_source)
     ]
     schema = "k long, v string, ts long"
     t = LocalTable(
@@ -130,10 +170,10 @@ def test_merge_executor_matches_reference_interpreter(
         "prop_src"
     )
     execute_merge(
-        spark, build_stmt(clauses, has_insert), {"default.t": t}
+        spark, build_stmt(clauses, has_insert, by_source), {"default.t": t}
     )
     got = sorted(
         (tuple(r) for r in t.read().collect()),
         key=lambda r: (r[0], str(r[1]), str(r[2])),
     )
-    assert got == interpret(target, source, clauses, has_insert)
+    assert got == interpret(target, source, clauses, has_insert, by_source)

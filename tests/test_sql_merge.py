@@ -372,3 +372,79 @@ def test_insert_only_merge_tolerates_duplicate_matches(spark, tmp_path):
     )
     execute_merge(spark, stmt, {"default.t": t})
     assert rows(t.read()) == sorted([(1, "a"), (2, "z")])
+
+def test_not_matched_by_source_delete(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: target rows absent from
+    the source vanish (the full-sync MERGE shape); matched rows update."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+    )
+    spark.createDataFrame(
+        [(2, "b2"), (4, "d")], "k long, v string"
+    ).createOrReplaceTempView("bys_src")
+    stmt = (
+        "MERGE INTO default.t t USING bys_src s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v) "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE;"
+    )
+    execute_merge(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == sorted([(2, "b2"), (4, "d")])
+
+
+def test_not_matched_by_source_conditional_update(spark, tmp_path):
+    """BY SOURCE conditional UPDATE: only unmatched target rows whose
+    condition is TRUE change; NULL-evaluating conditions keep the row
+    unchanged (three-valued logic, same rule as MATCHED clauses)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 5), (2, "b", None), (3, "c", 0)],
+            "k long, v string, ts long",
+        )
+    )
+    spark.createDataFrame(
+        [(3, "c3", 9)], "k long, v string, ts long"
+    ).createOrReplaceTempView("bys_cond_src")
+    stmt = (
+        "MERGE INTO default.t t USING bys_cond_src s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v, t.ts = s.ts "
+        "WHEN NOT MATCHED BY SOURCE AND t.ts > 1 THEN "
+        "UPDATE SET t.v = 'stale';"
+    )
+    execute_merge(spark, stmt, {"default.t": t})
+    # k=1: unmatched, ts=5>1 -> 'stale'; k=2: NULL ts -> unchanged;
+    # k=3: matched -> updated from source
+    assert rows(t.read()) == sorted(
+        [(1, "stale", 5), (2, "b", None), (3, "c3", 9)]
+    )
+
+
+def test_by_source_only_merge_tolerates_duplicate_matches(spark, tmp_path):
+    """With ONLY by-source clauses no cardinality check runs (matched
+    rows aren't touched); a target row matched by two source rows must
+    still appear exactly once, unchanged."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (9, "z")], "k long, v string")
+    )
+    spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    ).createOrReplaceTempView("bys_dup_src")
+    stmt = (
+        "MERGE INTO default.t t USING bys_dup_src s ON s.k = t.k "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE;"
+    )
+    execute_merge(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == [(1, "a")]
+
+
+def test_by_source_star_update_rejected(spark):
+    with pytest.raises(ValueError, match="explicit"):
+        parse_merge(
+            "MERGE INTO default.t t USING src s ON s.k = t.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *;"
+        )
