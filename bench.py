@@ -136,6 +136,7 @@ HEADLINE = [
     "skyline_pareto",
     "merge_sql_exec",
     "scd2_sql_exec",
+    "merge_by_source_exec",
     "sql_script_replay",
     "stream_curation_ingest",
     "snapshot_rollback",

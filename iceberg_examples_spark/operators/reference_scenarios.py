@@ -431,3 +431,57 @@ def scd2_sql_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, table.read().schema)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def merge_by_source_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-SYNC MERGE shape through the SQL-text executor: WHEN
+    MATCHED update + WHEN NOT MATCHED insert + WHEN NOT MATCHED BY
+    SOURCE conditional-delete/update — the one MERGE clause family the
+    reference's statements don't exercise but Spark's grammar (and any
+    Iceberg user mirroring a dimension from a feed) does. Target =
+    customers with c_custkey%10 < 5; source = custkey%10 in [3,7] with
+    upper-cased names; rows matched update, new source rows insert,
+    target rows that left the feed are deleted when custkey%3=0 and
+    marked 'retired:' otherwise. Unlike the 2-6-row reference fixtures
+    this runs at sf scale, so the by-source branch is exercised on
+    thousands of rows, and the oracle recomputes the final state as a
+    three-way UNION in DuckDB."""
+    import os
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+    from iceberg_examples_spark.operators.relational import load_table
+    from iceberg_examples_spark.sql_merge import execute_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    target = cust.filter(F.col("c_custkey") % 10 < 5).select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.col("c_name").alias("v"),
+    )
+    tag = uuid.uuid4().hex[:8]
+    cust.filter(
+        (F.col("c_custkey") % 10 >= 3) & (F.col("c_custkey") % 10 <= 7)
+    ).select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.upper(F.col("c_name")).alias("v"),
+    ).createOrReplaceTempView(f"bysrc_feed_{tag}")
+
+    root = scratch_dir(sf_dir, "merge_by_source_exec", fresh=True)
+    table = LocalTable(spark, os.path.join(root, f"t-{tag}"))
+    table.create(target)
+    stmt = (
+        f"MERGE INTO default.sync_table t USING bysrc_feed_{tag} s "
+        "ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v) "
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 3 = 0 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN "
+        "UPDATE SET t.v = concat('retired:', t.v);"
+    )
+    execute_merge(spark, stmt, {"default.sync_table": table})
+    out = table.read()
+    rows = out.collect()
+    res = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return res

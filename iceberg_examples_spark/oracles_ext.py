@@ -3232,3 +3232,24 @@ SELECT base.lang, n_docs, total_tokens, n_quality_pass,
        n_distinct_texts, vocab_size
 FROM base JOIN vocab ON base.lang = vocab.lang
 """
+
+# merge_by_source_exec: the full-sync MERGE (matched update + not-matched
+# insert + by-source conditional delete/update) as a three-way UNION of
+# the disjoint row fates.
+EXT_ORACLES["merge_by_source_exec"] = """
+WITH t AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS v
+  FROM customer WHERE c_custkey % 10 < 5
+), s AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, upper(c_name) AS v
+  FROM customer WHERE c_custkey % 10 BETWEEN 3 AND 7
+), final AS (
+  SELECT t.k, s.v FROM t JOIN s ON t.k = s.k
+  UNION ALL
+  SELECT s.k, s.v FROM s WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.k = s.k)
+  UNION ALL
+  SELECT t.k, 'retired:' || t.v AS v FROM t
+  WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = t.k) AND t.k % 3 <> 0
+)
+SELECT k, v FROM final
+"""

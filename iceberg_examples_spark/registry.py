@@ -63,6 +63,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
+    # ----- never driver-attested (round-7 addition): always first -----
+    "merge_by_source_exec": RS.merge_by_source_exec_query,
     # ----- latest green driver row: round 2 -----
     "sessionize": E.sessionize,
     "session_window_agg": E.session_window_agg,
