@@ -431,6 +431,10 @@ _INSERT_RE = re.compile(
     r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+VALUES\s+(?P<rows>.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_SELECT_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+(?P<select>SELECT\s+.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?P<target>[\w.]+)\s*\((?P<cols>.*)\)\s*"
     r"USING\s+iceberg\s*(?:PARTITIONED\s+BY.*)?;?\s*$",
@@ -445,7 +449,10 @@ def execute_statement(
     name_map: dict[str, str] | None = None,
 ) -> None:
     """Execute one statement of the reference's SQL surface against
-    LocalTables: CREATE TABLE (schema → empty snapshot), INSERT INTO\n    ... VALUES (append commit), MERGE INTO
+    LocalTables: CREATE TABLE (schema → empty snapshot), INSERT INTO
+    ... VALUES and INSERT INTO ... SELECT — the reference's
+    literal-select insert shape, IcebergSQLMerge.java:23-24,
+    IcebergSCD2.java:26-44 — (append commits), MERGE INTO
     (see :func:`execute_merge`), DELETE FROM ... WHERE (anti-filter
     overwrite — Iceberg copy-on-write DELETE's observable contract),
     ALTER TABLE ADD/DROP COLUMN (schema evolution as a commit). The
@@ -503,6 +510,22 @@ def execute_statement(
                 F.col(c).cast(dt)
                 for c, dt in t.read().dtypes
             ]
+        )
+        t.append(casted)
+        return
+    m = _INSERT_SELECT_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "InsertIntoStatement"):
+            raise ValueError("Spark's parser rejected the INSERT text")
+        t = tables[m.group("target")]
+        sel = m.group("select")
+        for qualified, view in (name_map or {}).items():
+            sel = re.sub(
+                rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, sel
+            )
+        df = spark.sql(sel).toDF(*t.read().columns)
+        casted = df.select(
+            *[F.col(c).cast(dt) for c, dt in t.read().dtypes]
         )
         t.append(casted)
         return

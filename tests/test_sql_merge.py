@@ -448,3 +448,75 @@ def test_by_source_star_update_rejected(spark):
             "MERGE INTO default.t t USING src s ON s.k = t.k "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *;"
         )
+
+def test_reference_scd2_class_replays_from_text(spark, tmp_path):
+    """The WHOLE IcebergSCD2.java script (IcebergSCD2.java:18-68)
+    replayed from literal statement text: two CREATEs, six
+    INSERT INTO ... select statements (the reference's literal-select
+    insert shape, now supported by execute_statement), then the
+    golden-pinned SCD2 MERGE — final dimension state must equal the
+    hand-derived SCD2 semantics."""
+    import datetime
+
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    scd2 = LocalTable(spark, str(tmp_path / "scd2"))
+    stg = LocalTable(spark, str(tmp_path / "stg"))
+    tables = {
+        "default.scd2_table": scd2,
+        "default.stg_scd2_table": stg,
+    }
+    stmts = [
+        "CREATE TABLE default.scd2_table ("
+        "    customer_id bigint COMMENT 'unique id',"
+        "    name string ,"
+        "    current boolean,"
+        "    effective_date date,"
+        "    end_date date"
+        ") USING iceberg",
+        "INSERT INTO default.scd2_table "
+        "select 1, 'customer_a-V1', false, to_date('2020-01-01', 'yyyy-MM-dd'), to_date('2020-01-12', 'yyyy-MM-dd');",
+        "INSERT INTO default.scd2_table "
+        "select 1, 'customer_a-V2', true, to_date('2020-01-12', 'yyyy-MM-dd'), to_date('9999-12-31', 'yyyy-MM-dd');",
+        "INSERT INTO default.scd2_table "
+        "select 2, 'customer_b-V1', true, to_date('2020-01-01', 'yyyy-MM-dd'), to_date('9999-12-31', 'yyyy-MM-dd');",
+        "CREATE TABLE default.stg_scd2_table ("
+        "    customer_id bigint COMMENT 'unique id',"
+        "    name string ,"
+        "    effective_date date"
+        ") USING iceberg",
+        "INSERT INTO default.stg_scd2_table "
+        "select 1, 'customer_a-V3', to_date('2020-02-15', 'yyyy-MM-dd');",
+        "INSERT INTO default.stg_scd2_table "
+        "select 2, 'customer_b-V2', to_date('2020-02-15', 'yyyy-MM-dd');",
+        "INSERT INTO default.stg_scd2_table "
+        "select 3, 'customer_c-V1', to_date('2020-02-15', 'yyyy-MM-dd');",
+    ]
+    for s in stmts:
+        execute_statement(spark, s, tables)
+
+    scd2.read().createOrReplaceTempView("replay_scd2_tgt")
+    stg.read().createOrReplaceTempView("replay_scd2_stg")
+    execute_statement(
+        spark,
+        REF_SCD2_MERGE,
+        tables,
+        name_map={
+            "default.stg_scd2_table": "replay_scd2_stg",
+            "default.scd2_table": "replay_scd2_tgt",
+        },
+    )
+    d = datetime.date.fromisoformat
+    assert rows(scd2.read()) == sorted(
+        [
+            (1, "customer_a-V1", False, d("2020-01-01"), d("2020-01-12")),
+            (1, "customer_a-V2", False, d("2020-01-12"), d("2020-02-15")),
+            (1, "customer_a-V3", True, d("2020-02-15"), d("9999-12-31")),
+            (2, "customer_b-V1", False, d("2020-01-01"), d("2020-02-15")),
+            (2, "customer_b-V2", True, d("2020-02-15"), d("9999-12-31")),
+            (3, "customer_c-V1", True, d("2020-02-15"), d("9999-12-31")),
+        ]
+    )
+    # one snapshot per statement: 1 create + 3 inserts + the merge
+    assert scd2.current_version == 4
+    assert stg.current_version == 3
