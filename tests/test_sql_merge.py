@@ -520,3 +520,119 @@ def test_reference_scd2_class_replays_from_text(spark, tmp_path):
     # one snapshot per statement: 1 create + 3 inserts + the merge
     assert scd2.current_version == 4
     assert stg.current_version == 3
+
+def test_reference_sqlmerge_class_replays_from_text(spark, tmp_path):
+    """The WHOLE IcebergSQLMerge.java script (IcebergSQLMerge.java:17-92)
+    replayed from literal statement text: CREATE, two INSERT ... selects,
+    the explicit-columns MERGE, the star MERGE with an EXTRA source
+    column before ADD COLUMN (extra ignored), ALTER TABLE ADD COLUMN,
+    the same star MERGE again (now matching rows 4/5 and populating the
+    new column), and the star MERGE with FEWER source columns (absent
+    target column null-filled on insert)."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"default.test_table": t}
+    merge1 = (
+        "MERGE INTO default.test_table t USING ( "
+        "SELECT 3 as customer_id, 'customer_c-insert(with merge sql)' as name, 'lastname-3-insert(with merge sql)' as lastname "
+        "UNION ALL "
+        "SELECT 2 as customer_id, 'customer_b-updated(with merge sql)' as name, 'lastname-2-updated(with merge sql)' as lastname "
+        ") s ON s.customer_id = t.customer_id "
+        "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.lastname = s.lastname "
+        "WHEN NOT MATCHED THEN INSERT(customer_id, name, lastname) "
+        "VALUES(s.customer_id, s.name, s.lastname);"
+    )
+    mergev2 = (
+        "MERGE INTO default.test_table t USING ( "
+        "SELECT 4 as customer_id, 'customer_c-insert(with merge *)' as name, 'lastname-3-insert(with merge *)' as lastname, 'a@b.com' as email "
+        "UNION ALL "
+        "SELECT 5 as customer_id, 'customer_b-updated(with merge *)' as name, 'lastname-2-updated(with merge *)' as lastname, 'b@c.com' as email "
+        ") s ON s.customer_id = t.customer_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *;"
+    )
+    mergev3 = (
+        "MERGE INTO default.test_table t USING ( "
+        "SELECT 6 as customer_id, 'customer_c-insert(with merge *)' as name, 'a@b.com' as email "
+        "UNION ALL "
+        "SELECT 7 as customer_id, 'customer_b-updated(with merge *)' as name, 'b@c.com' as email "
+        ") s ON s.customer_id = t.customer_id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *;"
+    )
+    stmts = [
+        "CREATE TABLE default.test_table ("
+        "    customer_id bigint COMMENT 'unique id',"
+        "    name string, "
+        "    lastname string "
+        ") USING iceberg",
+        "INSERT INTO default.test_table select 1, 'customer_a', 'lastname-1';",
+        "INSERT INTO default.test_table select 2, 'customer_b', 'lastname-2';",
+        merge1,
+        mergev2,
+        "ALTER TABLE default.test_table ADD COLUMN email string",
+        mergev2,
+        mergev3,
+    ]
+    for s in stmts:
+        execute_statement(spark, s, tables)
+    assert rows(t.read()) == sorted(
+        [
+            (1, "customer_a", "lastname-1", None),
+            (2, "customer_b-updated(with merge sql)",
+             "lastname-2-updated(with merge sql)", None),
+            (3, "customer_c-insert(with merge sql)",
+             "lastname-3-insert(with merge sql)", None),
+            (4, "customer_c-insert(with merge *)",
+             "lastname-3-insert(with merge *)", "a@b.com"),
+            (5, "customer_b-updated(with merge *)",
+             "lastname-2-updated(with merge *)", "b@c.com"),
+            (6, "customer_c-insert(with merge *)", None, "a@b.com"),
+            (7, "customer_b-updated(with merge *)", None, "b@c.com"),
+        ]
+    )
+    assert t.current_version == 7  # one snapshot per statement
+
+
+def test_reference_cdc_class_replays_from_text(spark, tmp_path):
+    """IcebergSQLMergeAsDeleteInsert.java:17-50 replayed from text: the
+    conditional CDC guard leaves stale rows (t.ts >= s.ts) untouched."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"default.test_table": t}
+    merge = (
+        "MERGE INTO default.test_table t USING ( "
+        "SELECT 1 as customer_id, 'customer_c-insert(with merge sql)' as name, 1 as record_change_timestamp "
+        "UNION ALL "
+        "SELECT 2 as customer_id, 'customer_b-updated(with merge sql)' as name, 2 as record_change_timestamp "
+        "UNION ALL "
+        "SELECT 3 as customer_id, 'customer_b-updated(with merge sql)' as name, 2 as record_change_timestamp "
+        ") s ON s.customer_id = t.customer_id "
+        "WHEN MATCHED and t.record_change_timestamp < s.record_change_timestamp "
+        "THEN UPDATE SET t.name = s.name, t.record_change_timestamp = s.record_change_timestamp "
+        "WHEN NOT MATCHED THEN INSERT(customer_id, name, record_change_timestamp) "
+        "VALUES(s.customer_id, s.name, s.record_change_timestamp);"
+    )
+    stmts = [
+        "CREATE TABLE default.test_table ("
+        "    customer_id bigint COMMENT 'unique id',"
+        "    name string, "
+        "    record_change_timestamp integer "
+        ") USING iceberg",
+        "INSERT INTO default.test_table select 1, 'customer_a', 1;",
+        "INSERT INTO default.test_table select 2, 'customer_b', 1;",
+        "INSERT INTO default.test_table select 3, 'customer_b', 2;",
+        merge,
+    ]
+    for s in stmts:
+        execute_statement(spark, s, tables)
+    assert rows(t.read()) == sorted(
+        [
+            (1, "customer_a", 1),
+            (2, "customer_b-updated(with merge sql)", 2),
+            (3, "customer_b", 2),
+        ]
+    )
+    assert t.current_version == 4
