@@ -42,6 +42,10 @@ SWEEP = [
     ("epoch_shuffle", "documents", 10),
     ("kmeans_large", "embeddings", 4),
     ("embedding_stats", "embeddings", 4),
+    # round-7 additions: the sf-scaled full-sync MERGE (by-source
+    # clauses on thousands of rows) and the Arrow-axis watch item
+    ("merge_by_source_exec", "customer", 10),
+    ("dedup_simhash", "documents", 10),
 ]
 
 
