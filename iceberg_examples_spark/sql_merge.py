@@ -435,6 +435,11 @@ _INSERT_SELECT_RE = re.compile(
     r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+(?P<select>SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_UPDATE_RE = re.compile(
+    r"^UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<assigns>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?P<target>[\w.]+)\s*\((?P<cols>.*)\)\s*"
     r"USING\s+iceberg\s*(?:PARTITIONED\s+BY.*)?;?\s*$",
@@ -452,7 +457,9 @@ def execute_statement(
     LocalTables: CREATE TABLE (schema → empty snapshot), INSERT INTO
     ... VALUES and INSERT INTO ... SELECT — the reference's
     literal-select insert shape, IcebergSQLMerge.java:23-24,
-    IcebergSCD2.java:26-44 — (append commits), MERGE INTO
+    IcebergSCD2.java:26-44 — (append commits), UPDATE ... SET ... WHERE
+    (conditional rewrite commit; NULL predicates keep rows, like
+    DELETE), MERGE INTO
     (see :func:`execute_merge`), DELETE FROM ... WHERE (anti-filter
     overwrite — Iceberg copy-on-write DELETE's observable contract),
     ALTER TABLE ADD/DROP COLUMN (schema evolution as a commit). The
@@ -512,6 +519,41 @@ def execute_statement(
             ]
         )
         t.append(casted)
+        return
+    m = _UPDATE_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "UpdateTable"):
+            raise ValueError("Spark's parser rejected the UPDATE text")
+        t = tables[m.group("target")]
+        # rows where the predicate is TRUE take the assignments; FALSE
+        # and NULL rows keep their values (three-valued logic, the same
+        # rule as DELETE above); no WHERE = all rows
+        pred = (
+            F.coalesce(F.expr(m.group("pred")), F.lit(False))
+            if m.group("pred")
+            else F.lit(True)
+        )
+        assigns = {}
+        for part in _split_top_level(m.group("assigns")):
+            lhs, rhs = part.split("=", 1)
+            assigns[lhs.strip().split(".")[-1]] = rhs.strip()
+        dtypes = dict(t.read().dtypes)
+        unknown = set(assigns) - set(dtypes)
+        if unknown:
+            raise ValueError(f"UPDATE sets unknown columns: {unknown}")
+        t.overwrite(
+            t.read().select(
+                *[
+                    (
+                        F.when(pred, F.expr(assigns[c]).cast(dtypes[c]))
+                        .otherwise(F.col(c))
+                        if c in assigns
+                        else F.col(c)
+                    ).alias(c)
+                    for c in t.read().columns
+                ]
+            )
+        )
         return
     m = _INSERT_SELECT_RE.match(text)
     if m:

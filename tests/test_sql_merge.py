@@ -636,3 +636,50 @@ def test_reference_cdc_class_replays_from_text(spark, tmp_path):
         ]
     )
     assert t.current_version == 4
+
+def test_update_statement_executes(spark, tmp_path):
+    """UPDATE t SET ... WHERE pred: TRUE rows rewritten (expressions may
+    reference the row's own prior values), FALSE and NULL-evaluating
+    rows untouched; one snapshot commit."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 3), (3, "c", None)],
+            "k long, v string, ts long",
+        )
+    )
+    v0 = t.current_version
+    execute_statement(
+        spark,
+        "UPDATE default.t SET v = concat(v, '-hot'), ts = ts + 1 "
+        "WHERE ts > 5;",
+        {"default.t": t},
+    )
+    assert rows(t.read()) == sorted(
+        [(1, "a-hot", 11), (2, "b", 3), (3, "c", None)]
+    )
+    assert t.current_version == v0 + 1
+
+
+def test_update_statement_without_where_hits_all_rows(spark, tmp_path):
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    execute_statement(
+        spark, "UPDATE default.t SET v = upper(v);", {"default.t": t}
+    )
+    assert rows(t.read()) == sorted([(1, "A"), (2, "B")])
+
+
+def test_update_statement_rejects_unknown_column(spark, tmp_path):
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="unknown columns"):
+        execute_statement(
+            spark, "UPDATE default.t SET nope = 1;", {"default.t": t}
+        )
