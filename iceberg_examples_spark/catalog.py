@@ -245,6 +245,14 @@ class LocalTable:
     def exists(self) -> bool:
         return self.current_version >= 0
 
+    def drop(self) -> None:
+        """DROP TABLE: remove the table root — data, metadata, refs.
+        Iceberg's PURGE semantics; the catalog entry (the caller's
+        ``tables`` mapping) is the caller's to remove."""
+        import shutil
+
+        shutil.rmtree(self.root, ignore_errors=True)
+
     def _snap_path(self, version: int, meta: dict | None = None) -> str:
         """Data dir of a committed snapshot, from its metadata entry."""
         meta = self._read_meta() if meta is None else meta

@@ -435,6 +435,17 @@ _INSERT_SELECT_RE = re.compile(
     r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+(?P<select>SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CTAS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?P<target>[\w.]+)\s+USING\s+iceberg\s+AS\s+"
+    r"(?P<select>SELECT\s+.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TRUNCATE_RE = re.compile(
+    r"^TRUNCATE\s+TABLE\s+(?P<target>[\w.]+);?\s*$", re.IGNORECASE
+)
+_DROP_TABLE_RE = re.compile(
+    r"^DROP\s+TABLE\s+(?P<target>[\w.]+);?\s*$", re.IGNORECASE
+)
 _UPDATE_RE = re.compile(
     r"^UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<assigns>.+?)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?;?\s*$",
@@ -583,5 +594,29 @@ def execute_statement(
         t.create(
             spark.createDataFrame([], ", ".join(fields))
         )
+        return
+    m = _CTAS_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "CreateTableAsSelect"):
+            raise ValueError("Spark's parser rejected the CTAS text")
+        sel = m.group("select")
+        for qualified, view in (name_map or {}).items():
+            sel = re.sub(
+                rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, sel
+            )
+        tables[m.group("target")].create(spark.sql(sel))
+        return
+    m = _TRUNCATE_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "TruncateTable"):
+            raise ValueError("Spark's parser rejected the TRUNCATE text")
+        t = tables[m.group("target")]
+        t.overwrite(t.read().limit(0))
+        return
+    m = _DROP_TABLE_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "DropTable"):
+            raise ValueError("Spark's parser rejected the DROP text")
+        tables.pop(m.group("target")).drop()
         return
     raise ValueError(f"unsupported statement: {text[:60]!r}")

@@ -683,3 +683,35 @@ def test_update_statement_rejects_unknown_column(spark, tmp_path):
         execute_statement(
             spark, "UPDATE default.t SET nope = 1;", {"default.t": t}
         )
+
+def test_ctas_truncate_drop_statements(spark, tmp_path):
+    """CREATE TABLE ... AS SELECT materializes the query as snapshot v0;
+    TRUNCATE TABLE commits an empty snapshot (schema kept, history
+    intact); DROP TABLE removes the table root (PURGE semantics)."""
+    import os
+
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"default.t": t}
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).createOrReplaceTempView("ctas_src")
+
+    execute_statement(
+        spark,
+        "CREATE TABLE default.t USING iceberg AS "
+        "SELECT k, upper(v) AS v FROM ctas_src WHERE k < 3;",
+        tables,
+    )
+    assert rows(t.read()) == sorted([(1, "A"), (2, "B")])
+
+    execute_statement(spark, "TRUNCATE TABLE default.t;", tables)
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "v"]
+    assert t.current_version == 1  # truncate is a commit, not a reset
+
+    root = t.root
+    execute_statement(spark, "DROP TABLE default.t;", tables)
+    assert "default.t" not in tables
+    assert not os.path.exists(root)
