@@ -435,6 +435,16 @@ _INSERT_SELECT_RE = re.compile(
     r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+(?P<select>SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_RENAME_COL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+TO\s+(?P<new>\w+);?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+ALTER\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+TYPE\s+(?P<dtype>\w+);?\s*$",
+    re.IGNORECASE,
+)
 _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?P<target>[\w.]+)\s+USING\s+iceberg\s+AS\s+"
     r"(?P<select>SELECT\s+.+?);?\s*$",
@@ -513,6 +523,37 @@ def execute_statement(
             raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
         t.overwrite(t.read().drop(m.group("col")))
+        return
+    m = _RENAME_COL_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "RenameColumn"):
+            raise ValueError("Spark's parser rejected the ALTER text")
+        t = tables[m.group("target")]
+        t.overwrite(
+            t.read().withColumnRenamed(m.group("col"), m.group("new"))
+        )
+        return
+    m = _ALTER_TYPE_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "AlterColumns"):
+            raise ValueError("Spark's parser rejected the ALTER text")
+        t = tables[m.group("target")]
+        col, new = m.group("col"), m.group("dtype").lower()
+        old = dict(t.read().dtypes)[col]
+        # Iceberg permits only lossless type promotion (int -> bigint,
+        # float -> double); anything else is rejected, as the real
+        # catalog would
+        widen = {("int", "bigint"), ("float", "double")}
+        canon = {"integer": "int", "long": "bigint"}
+        o, n = canon.get(old, old), canon.get(new, new)
+        if o != n and (o, n) not in widen:
+            raise ValueError(
+                f"cannot evolve column {col}: {old} -> {new} is not a "
+                "lossless Iceberg type promotion"
+            )
+        t.overwrite(
+            t.read().withColumn(col, F.col(col).cast(new))
+        )
         return
     m = _INSERT_RE.match(text)
     if m:

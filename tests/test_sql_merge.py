@@ -715,3 +715,29 @@ def test_ctas_truncate_drop_statements(spark, tmp_path):
     execute_statement(spark, "DROP TABLE default.t;", tables)
     assert "default.t" not in tables
     assert not os.path.exists(root)
+
+def test_rename_and_widen_column_statements(spark, tmp_path):
+    """ALTER TABLE RENAME COLUMN and ALTER COLUMN TYPE: renames commit
+    a snapshot; type changes are allowed only for Iceberg's lossless
+    promotions (int->bigint, float->double) and rejected otherwise."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"default.t": t}
+    t.create(
+        spark.createDataFrame([(1, "a", 2)], "k int, v string, n int")
+    )
+    execute_statement(
+        spark, "ALTER TABLE default.t RENAME COLUMN v TO label;", tables
+    )
+    assert t.read().columns == ["k", "label", "n"]
+    execute_statement(
+        spark, "ALTER TABLE default.t ALTER COLUMN n TYPE bigint;", tables
+    )
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    assert rows(t.read()) == [(1, "a", 2)]
+    with pytest.raises(ValueError, match="lossless"):
+        execute_statement(
+            spark, "ALTER TABLE default.t ALTER COLUMN label TYPE int;",
+            tables,
+        )
