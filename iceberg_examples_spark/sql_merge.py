@@ -478,9 +478,11 @@ def execute_statement(
     LocalTables: CREATE TABLE (schema → empty snapshot), INSERT INTO
     ... VALUES and INSERT INTO ... SELECT — the reference's
     literal-select insert shape, IcebergSQLMerge.java:23-24,
-    IcebergSCD2.java:26-44 — (append commits), UPDATE ... SET ... WHERE
-    (conditional rewrite commit; NULL predicates keep rows, like
-    DELETE), MERGE INTO
+    IcebergSCD2.java:26-44 — (append commits), CREATE TABLE ... AS
+    SELECT, UPDATE ... SET ... WHERE (conditional rewrite commit; NULL
+    predicates keep rows, like DELETE), TRUNCATE TABLE (empty-snapshot
+    commit), DROP TABLE (PURGE), ALTER ... RENAME COLUMN / ALTER COLUMN
+    TYPE (lossless promotions only), MERGE INTO
     (see :func:`execute_merge`), DELETE FROM ... WHERE (anti-filter
     overwrite — Iceberg copy-on-write DELETE's observable contract),
     ALTER TABLE ADD/DROP COLUMN (schema evolution as a commit). The
