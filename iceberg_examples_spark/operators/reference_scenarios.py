@@ -485,3 +485,52 @@ def merge_by_source_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(rows, out.schema)
     shutil.rmtree(root, ignore_errors=True)
     return res
+
+
+def sql_lifecycle_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table LIFECYCLE verbs the round-7 statement executor added,
+    replayed as one script at sf scale: CTAS from the customer table,
+    a predicated UPDATE, RENAME COLUMN, a lossless ALTER COLUMN TYPE
+    widening (int -> bigint), and a predicated DELETE — one snapshot per
+    statement (final_version pins the commit count), final state
+    hash-checked against a DuckDB oracle that recomputes every step
+    relationally. Extends sql_script_replay (the verbatim
+    IcebergSQLDelete class) to the full Iceberg DML/DDL verb set."""
+    import os
+    import shutil
+    import uuid
+
+    from iceberg_examples_spark.catalog import LocalTable, scratch_dir
+    from iceberg_examples_spark.operators.relational import load_table
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    tag = uuid.uuid4().hex[:8]
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        f"lc_customer_{tag}"
+    )
+    root = scratch_dir(sf_dir, "sql_lifecycle_replay", fresh=True)
+    table = LocalTable(spark, os.path.join(root, f"t-{tag}"))
+    tables = {"default.lc_table": table}
+    stmts = [
+        "CREATE TABLE default.lc_table USING iceberg AS "
+        "SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS v, "
+        "CAST(c_nationkey AS INT) AS n "
+        f"FROM customer WHERE c_custkey % 7 < 5;",
+        "UPDATE default.lc_table SET v = concat(v, ':flagged') "
+        "WHERE n > 12;",
+        "ALTER TABLE default.lc_table RENAME COLUMN v TO label;",
+        "ALTER TABLE default.lc_table ALTER COLUMN n TYPE bigint;",
+        "DELETE FROM default.lc_table WHERE k % 3 = 0;",
+    ]
+    for stmt in stmts:
+        execute_statement(
+            spark, stmt, tables, name_map={"customer": f"lc_customer_{tag}"}
+        )
+    version = table.current_version
+    out = table.read().withColumn(
+        "final_version", F.lit(version).cast("bigint")
+    )
+    rows = out.collect()
+    res = spark.createDataFrame(rows, out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return res

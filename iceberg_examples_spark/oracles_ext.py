@@ -3253,3 +3253,21 @@ WITH t AS (
 )
 SELECT k, v FROM final
 """
+
+# sql_lifecycle_replay: CTAS -> UPDATE -> RENAME -> widen -> DELETE,
+# every step recomputed relationally; final_version pins one snapshot
+# per statement (v0..v4).
+EXT_ORACLES["sql_lifecycle_replay"] = """
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS k, c_name AS v,
+         CAST(c_nationkey AS INT) AS n
+  FROM customer WHERE c_custkey % 7 < 5
+), upd AS (
+  SELECT k,
+         CASE WHEN n > 12 THEN v || ':flagged' ELSE v END AS label,
+         CAST(n AS BIGINT) AS n
+  FROM base
+)
+SELECT k, label, n, CAST(4 AS BIGINT) AS final_version
+FROM upd WHERE k % 3 <> 0
+"""

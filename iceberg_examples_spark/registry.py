@@ -63,8 +63,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- never driver-attested (round-7 addition): always first -----
+    # ----- never driver-attested (round-7 additions): always first -----
     "merge_by_source_exec": RS.merge_by_source_exec_query,
+    "sql_lifecycle_replay": RS.sql_lifecycle_replay_query,
     # ----- latest green driver row: round 2 -----
     "sessionize": E.sessionize,
     "session_window_agg": E.session_window_agg,
