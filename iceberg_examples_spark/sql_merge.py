@@ -435,6 +435,37 @@ _INSERT_SELECT_RE = re.compile(
     r"^INSERT\s+INTO\s+(?P<target>[\w.]+)\s+(?P<select>SELECT\s+.+?);?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CALL_RE = re.compile(
+    r"^CALL\s+(?:[\w]+\.)?system\.(?P<proc>\w+)\s*\((?P<args>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_call_args(raw: str) -> tuple[list, dict]:
+    """Iceberg procedure arguments: positional and/or named
+    (``name => value``); values are string/number literals."""
+    pos, named = [], {}
+    for part in _split_top_level(raw):
+        part = part.strip()
+        if not part:
+            continue
+        if "=>" in part:
+            name, val = part.split("=>", 1)
+            named[name.strip().lower()] = _call_literal(val.strip())
+        else:
+            pos.append(_call_literal(part))
+    return pos, named
+
+
+def _call_literal(tok: str):
+    if tok[:1] in "'\"":
+        return tok[1:-1]
+    try:
+        return int(tok)
+    except ValueError:
+        return tok  # e.g. TIMESTAMP '...' — passed through verbatim
+
+
 _RENAME_COL_RE = re.compile(
     r"^ALTER\s+TABLE\s+(?P<target>[\w.]+)\s+RENAME\s+COLUMN\s+"
     r"(?P<col>\w+)\s+TO\s+(?P<new>\w+);?\s*$",
@@ -525,6 +556,42 @@ def execute_statement(
             raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
         t.overwrite(t.read().drop(m.group("col")))
+        return
+    m = _CALL_RE.match(text)
+    if m:
+        if not spark_validates(spark, text, "Call"):
+            raise ValueError("Spark's parser rejected the CALL text")
+        proc = m.group("proc").lower()
+        pos, named = _parse_call_args(m.group("args"))
+        tname = named.pop("table", None) or (pos.pop(0) if pos else None)
+        if tname is None:
+            raise ValueError(f"CALL {proc}: missing table argument")
+        t = tables[tname]
+        # dispatch to the LocalTable maintenance surface — the engine's
+        # analogues of Iceberg's stored procedures (catalog.py)
+        if proc == "rollback_to_snapshot":
+            t.rollback(named.pop("snapshot_id", None) or pos.pop(0))
+        elif proc == "rewrite_data_files":
+            t.compact()
+        elif proc == "expire_snapshots":
+            keep = named.pop("retain_last", None) or (
+                pos.pop(0) if pos else 2
+            )
+            t.expire_snapshots(keep_last=keep)
+        elif proc == "remove_orphan_files":
+            # Iceberg's older_than is a timestamp; 0-second grace keeps
+            # the call deterministic in tests (dirs qualify immediately)
+            t.remove_orphans(older_than_s=0 if named or pos else None)
+        elif proc == "fast_forward":
+            # fast_forward(table, 'main', branch) / fast_forward(table, branch)
+            branch = named.pop("to", None) or pos.pop(-1)
+            if pos and str(pos[0]).lower() != "main" and "branch" not in named:
+                raise ValueError(
+                    "fast_forward: only main can be fast-forwarded"
+                )
+            t.fast_forward(branch)
+        else:
+            raise ValueError(f"unsupported procedure: {proc}")
         return
     m = _RENAME_COL_RE.match(text)
     if m:

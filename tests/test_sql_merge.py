@@ -741,3 +741,58 @@ def test_rename_and_widen_column_statements(spark, tmp_path):
             spark, "ALTER TABLE default.t ALTER COLUMN label TYPE int;",
             tables,
         )
+
+def test_call_procedures_execute(spark, tmp_path):
+    """CALL system.* dispatches to the LocalTable maintenance surface:
+    rollback_to_snapshot (metadata-only restore), rewrite_data_files
+    (compaction), expire_snapshots (retention), fast_forward (branch
+    publish) — positional and name => value argument styles."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"db.t": t}
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert t.read().count() == 3
+
+    execute_statement(
+        spark,
+        "CALL spark_catalog.system.rollback_to_snapshot('db.t', 1);",
+        tables,
+    )
+    assert t.read().count() == 2  # back to snapshot 1's state
+
+    execute_statement(
+        spark, "CALL system.rewrite_data_files(table => 'db.t');", tables
+    )
+    assert t.read().count() == 2  # data unchanged, layout rewritten
+
+    execute_statement(
+        spark,
+        "CALL system.expire_snapshots(table => 'db.t', retain_last => 2);",
+        tables,
+    )
+    data_snaps = [s for s in t.snapshots() if not s.get("staged")]
+    assert len(data_snaps) <= 2
+    assert t.read().count() == 2  # current snapshot always survives
+
+    t.create_branch("audit")
+    t.append_to_branch(
+        "audit", spark.createDataFrame([(9, "z")], "k long, v string")
+    )
+    execute_statement(
+        spark, "CALL system.fast_forward('db.t', 'main', 'audit');", tables
+    )
+    assert t.read().count() == 3  # branch head landed on main
+
+
+def test_call_unknown_procedure_rejected(spark, tmp_path):
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="unsupported procedure"):
+        execute_statement(
+            spark, "CALL system.cherrypick_snapshot('db.t', 5);", {"db.t": t}
+        )
