@@ -138,6 +138,7 @@ HEADLINE = [
     "scd2_sql_exec",
     "merge_by_source_exec",
     "sql_script_replay",
+    "sql_lifecycle_replay",
     "stream_curation_ingest",
     "snapshot_rollback",
     "corpus_report",

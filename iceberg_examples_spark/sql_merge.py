@@ -513,7 +513,9 @@ def execute_statement(
     SELECT, UPDATE ... SET ... WHERE (conditional rewrite commit; NULL
     predicates keep rows, like DELETE), TRUNCATE TABLE (empty-snapshot
     commit), DROP TABLE (PURGE), ALTER ... RENAME COLUMN / ALTER COLUMN
-    TYPE (lossless promotions only), MERGE INTO
+    TYPE (lossless promotions only), CALL system.* maintenance
+    procedures (rollback_to_snapshot / rewrite_data_files /
+    expire_snapshots / remove_orphan_files / fast_forward), MERGE INTO
     (see :func:`execute_merge`), DELETE FROM ... WHERE (anti-filter
     overwrite — Iceberg copy-on-write DELETE's observable contract),
     ALTER TABLE ADD/DROP COLUMN (schema evolution as a commit). The
