@@ -22,13 +22,77 @@ exactly-once sinks. Tests drive everything with the memory sink +
 
 from __future__ import annotations
 
+import math
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_examples_spark.catalog import load_table
 from iceberg_examples_spark.functions.exact import money_sum_sql
+
+_SHUFFLE_KEY = "spark.sql.shuffle.partitions"
+# One state partition per this many bytes of streaming input. Smaller than
+# the 128 MiB scan-split default on purpose: state rows are narrower than
+# their source rows, and each extra state partition costs a task + a state
+# store commit EVERY micro-batch, so the crossover to "more partitions" sits
+# higher than it does for a one-shot batch scan.
+_STATE_PARTITION_TARGET_BYTES = 32 << 20
+
+
+def _tree_bytes(*paths: str) -> int:
+    """Total on-disk bytes under the given files/directories (0 for paths
+    that don't exist yet — callers may pass a landing dir pre-creation)."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+@contextmanager
+def sized_state_partitions(spark: SparkSession, *paths: str):
+    """Scope ``spark.sql.shuffle.partitions`` to the streaming input volume
+    for the duration of one streaming run.
+
+    Stateful streaming is the one plan shape AQE cannot right-size: the
+    state-store partition count is frozen from this conf when a NEW
+    checkpoint runs its first batch, and every micro-batch thereafter pays
+    one task + one state-store commit PER PARTITION regardless of row
+    volume. (An EXISTING checkpoint keeps the count it was created with —
+    Spark reads it back from the checkpoint metadata — so entering this
+    scope around a durable-checkpoint restart is a no-op, by design.)
+    Batch plans inside the same scope are unaffected in practice: AQE
+    still coalesces their post-shuffle partitions by size.
+
+    Sizing rule: one state partition per ~32 MiB of input, clamped to
+    [4, session default]. The clamp means the scope can only ever REDUCE
+    the count below the operator's configured default — at cluster scale
+    (input ≫ default × 32 MiB) it resolves to the session default and is
+    a no-op; raising parallelism for 100 TB inputs is the session
+    owner's knob, not this helper's. The conf is restored on exit
+    (exception-safe) so batch queries in the same session keep their
+    configured parallelism."""
+    default = int(spark.conf.get(_SHUFFLE_KEY))
+    n = max(
+        4,
+        min(
+            default,
+            math.ceil(_tree_bytes(*paths) / _STATE_PARTITION_TARGET_BYTES),
+        ),
+    )
+    spark.conf.set(_SHUFFLE_KEY, str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set(_SHUFFLE_KEY, str(default))
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,7 +172,8 @@ def stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table equals the batch rollup — which is exactly what the
     DuckDB oracle checks (same SQL as window_hourly)."""
     agg = _hourly_rollup(_events_stream(spark, sf_dir))
-    return _run_to_memory(agg, "complete")
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        return _run_to_memory(agg, "complete")
 
 
 def stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +182,8 @@ def stream_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever, the streaming answer to exact dedup)."""
     ev = _events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
-    out = _run_to_memory(deduped, "append")
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        out = _run_to_memory(deduped, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
 
 
@@ -175,7 +241,8 @@ def stream_sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(result, "append")
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        return _run_to_memory(result, "append")
 
 
 def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,11 +262,16 @@ def stream_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
         table.overwrite(batch_df)
 
-    q = agg.writeStream.outputMode("complete").foreachBatch(commit).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(commit)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return table.read()
 
 
@@ -233,11 +305,16 @@ def stream_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def commit(batch_df: DataFrame, epoch_id: int) -> None:
         table.overwrite_branch("audit", batch_df)
 
-    q = agg.writeStream.outputMode("complete").foreachBatch(commit).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(commit)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     if table.read().count() != 0:  # the audit: main must be untouched
         raise RuntimeError("branch rows leaked into main before publish")
@@ -337,7 +414,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "complete")
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        return _run_to_memory(agg, "complete")
 
 
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,7 +470,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
         ).alias("delay_us"),
     )
-    return _run_to_memory(joined, "append")
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        return _run_to_memory(joined, "append")
 
 
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +493,8 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr(money_sum_sql("value", scale=100)).alias("sum_value"),
     )
-    return _run_to_memory(agg, "complete")
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+        return _run_to_memory(agg, "complete")
 
 
 LATE_DELAY = "3 days"
@@ -521,7 +601,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return _run_to_memory(rollup, "append")
+    with sized_state_partitions(spark, root):
+        return _run_to_memory(rollup, "append")
 
 
 def _fanout_commit(metrics_t, latest_t, batch_df: DataFrame, epoch_id: int) -> None:

@@ -200,3 +200,45 @@ def test_stream_curation_one_signature_pass_per_epoch(
         # materialized either way stage() runs: parquet staging dir, or
         # the localCheckpoint fallback (ExistingRDD scan)
         assert "parquet" in plan.lower() or "existingrdd" in plan.lower()
+
+
+def test_sized_state_partitions_scopes_clamps_and_restores(
+    spark, sf_dir, tmp_path
+):
+    """Contract of the streaming state-partition sizer: (a) tiny inputs
+    clamp to the floor of 4; (b) huge inputs clamp to the SESSION DEFAULT
+    (the scope may only ever reduce, never raise, parallelism); (c) the
+    conf is restored on exit, including via an exception."""
+    from iceberg_examples_spark.streaming.rollup import (
+        _SHUFFLE_KEY,
+        sized_state_partitions,
+    )
+
+    before = spark.conf.get(_SHUFFLE_KEY)
+
+    # (a) sf0.001 events is a few KB: floor clamp
+    with sized_state_partitions(spark, f"{sf_dir}/events.parquet") as n:
+        assert n == 4
+        assert spark.conf.get(_SHUFFLE_KEY) == "4"
+    assert spark.conf.get(_SHUFFLE_KEY) == before
+
+    # (b) a sparse 1 GiB file (no real disk) would ask for 32 partitions;
+    # with the session default pinned to 6 the scope must stay at 6
+    big = tmp_path / "big.bin"
+    with open(big, "wb") as f:
+        f.truncate(1 << 30)
+    spark.conf.set(_SHUFFLE_KEY, "6")
+    try:
+        with sized_state_partitions(spark, str(big)) as n:
+            assert n == 6
+        assert spark.conf.get(_SHUFFLE_KEY) == "6"
+    finally:
+        spark.conf.set(_SHUFFLE_KEY, before)
+
+    # (c) exception-safe restore
+    try:
+        with sized_state_partitions(spark, f"{sf_dir}/events.parquet"):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(_SHUFFLE_KEY) == before
