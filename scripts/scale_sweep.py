@@ -46,6 +46,11 @@ SWEEP = [
     # clauses on thousands of rows) and the Arrow-axis watch item
     ("merge_by_source_exec", "customer", 10),
     ("dedup_simhash", "documents", 10),
+    # round-7 addition: the heaviest stateful streaming scenario — with
+    # state partitions sized to input (streaming/rollup.py
+    # sized_state_partitions), its cost should be micro-batch fixed
+    # machinery, near-flat under 10× events
+    ("stream_late_data", "events", 10),
 ]
 
 
