@@ -180,8 +180,12 @@ def parse_merge(sql: str) -> MergeSpec:
                 )
                 if not im:
                     raise ValueError(f"bad INSERT clause: {action!r}")
+                # insert columns are TARGET columns — strip any qualifier
+                # so `INSERT (t.id, ...)` can't silently miss the match
+                # against unqualified target names (→ NULL fill) below
                 spec.insert_cols = [
-                    c.strip() for c in im.group("cols").split(",")
+                    c.strip().split(".")[-1]
+                    for c in im.group("cols").split(",")
                 ]
                 spec.insert_values = _split_top_level(im.group("vals"))
             spec.has_insert = True
@@ -414,7 +418,8 @@ def execute_merge(
 
 
 _DELETE_RE = re.compile(
-    r"^DELETE\s+FROM\s+(?P<target>[\w.]+)\s+WHERE\s+(?P<pred>.+?);?\s*$",
+    r"^DELETE\s+FROM\s+(?P<target>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_COL_RE = re.compile(
@@ -485,7 +490,9 @@ _TRUNCATE_RE = re.compile(
     r"^TRUNCATE\s+TABLE\s+(?P<target>[\w.]+);?\s*$", re.IGNORECASE
 )
 _DROP_TABLE_RE = re.compile(
-    r"^DROP\s+TABLE\s+(?P<target>[\w.]+);?\s*$", re.IGNORECASE
+    r"^DROP\s+TABLE\s+(?:(?P<ifexists>IF\s+EXISTS)\s+)?"
+    r"(?P<target>[\w.]+)(?:\s+PURGE)?;?\s*$",
+    re.IGNORECASE,
 )
 _UPDATE_RE = re.compile(
     r"^UPDATE\s+(?P<target>[\w.]+)\s+SET\s+(?P<assigns>.+?)"
@@ -516,8 +523,9 @@ def execute_statement(
     TYPE (lossless promotions only), CALL system.* maintenance
     procedures (rollback_to_snapshot / rewrite_data_files /
     expire_snapshots / remove_orphan_files / fast_forward), MERGE INTO
-    (see :func:`execute_merge`), DELETE FROM ... WHERE (anti-filter
-    overwrite — Iceberg copy-on-write DELETE's observable contract),
+    (see :func:`execute_merge`), DELETE FROM [WHERE] (anti-filter
+    overwrite — Iceberg copy-on-write DELETE's observable contract;
+    no WHERE deletes all rows), DROP TABLE [IF EXISTS] [PURGE],
     ALTER TABLE ADD/DROP COLUMN (schema evolution as a commit). The
     reference's demo classes are exactly sequences of these statements,
     so a whole class replays end-to-end
@@ -533,12 +541,16 @@ def execute_statement(
         t = tables[m.group("target")]
         # DELETE removes rows where the predicate is TRUE; rows where it
         # evaluates to NULL are KEPT (three-valued logic) — coalesce the
-        # predicate to FALSE before negating
-        t.overwrite(
-            t.read().filter(
-                ~F.coalesce(F.expr(m.group("pred")), F.lit(False))
+        # predicate to FALSE before negating. No WHERE deletes all rows
+        # (schema-preserving empty snapshot, like TRUNCATE).
+        if m.group("pred") is None:
+            t.overwrite(t.read().limit(0))
+        else:
+            t.overwrite(
+                t.read().filter(
+                    ~F.coalesce(F.expr(m.group("pred")), F.lit(False))
+                )
             )
-        )
         return
     m = _ADD_COL_RE.match(text)
     if m:
@@ -700,8 +712,15 @@ def execute_statement(
             raise ValueError("Spark's parser rejected the CREATE text")
         fields = []
         for part in _split_top_level(m.group("cols")):
-            toks = part.split()
-            fields.append(f"{toks[0]} {toks[1]}")  # COMMENTs dropped
+            # strip COMMENT '...' and NOT NULL (constraints are catalog
+            # metadata, not schema shape), keep the FULL type text so
+            # parameterized types survive — decimal(10, 2), array<int>
+            part = re.sub(
+                r"\s+COMMENT\s+'(?:[^'])*'", "", part, flags=re.IGNORECASE
+            )
+            part = re.sub(r"\s+NOT\s+NULL\b", "", part, flags=re.IGNORECASE)
+            toks = part.split(None, 1)
+            fields.append(f"{toks[0]} {toks[1].strip()}")
         t = tables[m.group("target")]
         t.create(
             spark.createDataFrame([], ", ".join(fields))
@@ -729,6 +748,8 @@ def execute_statement(
     if m:
         if not spark_validates(spark, text, "DropTable"):
             raise ValueError("Spark's parser rejected the DROP text")
+        if m.group("ifexists") and m.group("target") not in tables:
+            return
         tables.pop(m.group("target")).drop()
         return
     raise ValueError(f"unsupported statement: {text[:60]!r}")

@@ -109,7 +109,7 @@ def interpret(target, source, clauses, has_insert, by_source=()):
     return sorted(out, key=lambda r: (r[0], str(r[1]), str(r[2])))
 
 
-def build_stmt(clauses, has_insert, by_source=()):
+def build_stmt(clauses, has_insert, by_source=(), qualify_insert=False):
     parts = ["MERGE INTO default.t t USING prop_src s ON s.k = t.k"]
     for action, conditional in clauses:
         cond = " AND s.ts > t.ts" if conditional else ""
@@ -120,8 +120,11 @@ def build_stmt(clauses, has_insert, by_source=()):
                 f"WHEN MATCHED{cond} THEN UPDATE SET t.v = s.v, t.ts = s.ts"
             )
     if has_insert:
+        # Spark accepts both unqualified and target-qualified insert-
+        # clause columns; both must bind to the target columns
+        cols = "t.k, t.v, t.ts" if qualify_insert else "k, v, ts"
         parts.append(
-            "WHEN NOT MATCHED THEN INSERT (k, v, ts) VALUES (s.k, s.v, s.ts)"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES (s.k, s.v, s.ts)"
         )
     for action, conditional in by_source:
         cond = " AND t.ts > 1" if conditional else ""
@@ -145,9 +148,17 @@ def build_stmt(clauses, has_insert, by_source=()):
     clauses=clause_strategy,
     has_insert=st.booleans(),
     by_source=by_source_strategy,
+    qualify_insert=st.booleans(),
 )
 def test_merge_executor_matches_reference_interpreter(
-    spark, tmp_path_factory, target, source, clauses, has_insert, by_source
+    spark,
+    tmp_path_factory,
+    target,
+    source,
+    clauses,
+    has_insert,
+    by_source,
+    qualify_insert,
 ):
     if not clauses and not has_insert and not by_source:
         return  # Spark's parser rejects a MERGE with no action clause
@@ -170,7 +181,9 @@ def test_merge_executor_matches_reference_interpreter(
         "prop_src"
     )
     execute_merge(
-        spark, build_stmt(clauses, has_insert, by_source), {"default.t": t}
+        spark,
+        build_stmt(clauses, has_insert, by_source, qualify_insert),
+        {"default.t": t},
     )
     got = sorted(
         (tuple(r) for r in t.read().collect()),

@@ -796,3 +796,77 @@ def test_call_unknown_procedure_rejected(spark, tmp_path):
         execute_statement(
             spark, "CALL system.cherrypick_snapshot('db.t', 5);", {"db.t": t}
         )
+
+
+def test_delete_without_where_empties_table(spark, tmp_path):
+    """DELETE FROM t with no WHERE deletes every row — valid Iceberg/
+    Spark SQL — leaving a schema-preserving empty snapshot (and the
+    prior snapshot intact for rollback, like TRUNCATE)."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, 10), (2, 3)], "k long, x long"))
+    execute_statement(spark, "DELETE FROM default.t;", {"default.t": t})
+    assert t.read().count() == 0
+    assert t.read().columns == ["k", "x"]
+    assert len(t.snapshots()) >= 2  # the delete is a commit, not a drop
+
+
+def test_drop_table_purge_and_if_exists(spark, tmp_path):
+    """DROP TABLE accepts the PURGE modifier; DROP TABLE IF EXISTS on an
+    unregistered name is a no-op instead of a KeyError."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    tables = {"default.t": t}
+    execute_statement(spark, "DROP TABLE default.t PURGE;", tables)
+    assert "default.t" not in tables and not t.exists()
+    # IF EXISTS on a missing table: silently nothing
+    execute_statement(spark, "DROP TABLE IF EXISTS default.ghost;", tables)
+    # plain DROP on a missing table still fails loudly
+    with pytest.raises(KeyError):
+        execute_statement(spark, "DROP TABLE default.ghost;", tables)
+
+
+def test_create_table_parameterized_types_and_constraints(spark, tmp_path):
+    """CREATE TABLE column parsing keeps the FULL type text — a
+    parameterized type with an internal comma/space (decimal(10, 2))
+    must survive — and strips NOT NULL / COMMENT without eating the
+    type."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    execute_statement(
+        spark,
+        "CREATE TABLE default.t ("
+        "id bigint NOT NULL COMMENT 'pk', "
+        "price decimal(10, 2), "
+        "tags array<string> COMMENT 'labels') USING iceberg;",
+        {"default.t": t},
+    )
+    assert dict(t.read().dtypes) == {
+        "id": "bigint",
+        "price": "decimal(10,2)",
+        "tags": "array<string>",
+    }
+
+
+def test_merge_insert_clause_qualified_columns(spark, tmp_path):
+    """INSERT (t.k, t.v) VALUES (...) — qualified insert-clause columns
+    must bind to the target columns, not silently miss the name match
+    and NULL-fill."""
+    from iceberg_examples_spark.sql_merge import execute_merge
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    spark.createDataFrame(
+        [(2, "b")], "k long, v string"
+    ).createOrReplaceTempView("qins_src")
+    execute_merge(
+        spark,
+        "MERGE INTO default.t t USING qins_src s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT (t.k, t.v) VALUES (s.k, s.v);",
+        {"default.t": t},
+    )
+    assert rows(t.read()) == sorted([(1, "a"), (2, "b")])
