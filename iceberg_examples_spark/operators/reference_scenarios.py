@@ -480,9 +480,12 @@ def merge_by_source_exec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UPDATE SET t.v = concat('retired:', t.v);"
     )
     execute_merge(spark, stmt, {"default.sync_table": table})
-    out = table.read()
-    rows = out.collect()
-    res = spark.createDataFrame(rows, out.schema)
+    # materialize JVM-side (staged parquet) so the scratch table can be
+    # removed — the result is sf-scale (thousands of rows), so it must
+    # NOT round-trip through the driver
+    from iceberg_examples_spark.checkpointing import stage
+
+    res = stage(table.read(), "bysrc-result")
     shutil.rmtree(root, ignore_errors=True)
     return res
 
@@ -530,7 +533,10 @@ def sql_lifecycle_replay_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = table.read().withColumn(
         "final_version", F.lit(version).cast("bigint")
     )
-    rows = out.collect()
-    res = spark.createDataFrame(rows, out.schema)
+    # materialize JVM-side (staged parquet) so the scratch table can be
+    # removed — sf-scale result, no driver round-trip
+    from iceberg_examples_spark.checkpointing import stage
+
+    res = stage(out, "lifecycle-result")
     shutil.rmtree(root, ignore_errors=True)
     return res
