@@ -54,7 +54,15 @@ class CurationIndex:
         self.lsh_dir = os.path.join(root, "lsh")
         self.para_dir = os.path.join(root, "paras")
 
-    def _append(self, df: DataFrame, index_dir: str) -> None:
+    def _append(self, df: DataFrame, index_dir: str, key: str | None = None) -> None:
+        # keyed append: a DETERMINISTIC dir name + overwrite mode makes
+        # the append idempotent — a retried streaming epoch re-writes the
+        # same dir instead of accumulating duplicate entries (the
+        # foreachBatch at-least-once contract; see stream_curation_ingest)
+        if key is not None:
+            out = os.path.join(index_dir, f"k-{key}")
+            df.write.mode("overwrite").parquet(out)
+            return
         seq = len(os.listdir(index_dir)) if os.path.isdir(index_dir) else 0
         out = os.path.join(index_dir, f"c{seq:05d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("error").parquet(out)
@@ -116,14 +124,20 @@ class CurationIndex:
         )
         self._append(_para_hashes(accepted), self.para_dir)
 
-    def append_indexed(self, accepted_idx: DataFrame) -> None:
+    def append_indexed(
+        self, accepted_idx: DataFrame, key: str | None = None
+    ) -> None:
         """append_batch from PRECOMPUTED index rows (must carry ``text``
         for the paragraph hashes) — no second signature pass; see
-        probe_indexed."""
+        probe_indexed. ``key`` makes the append idempotent (deterministic
+        overwrite target) for at-least-once streaming epochs."""
         self._append(
-            accepted_idx.select(*self._lsh_cols(accepted_idx)), self.lsh_dir
+            accepted_idx.select(*self._lsh_cols(accepted_idx)),
+            self.lsh_dir,
+            key=key,
         )
         self._append(
             _para_hashes(accepted_idx.select("doc_id", "text")),
             self.para_dir,
+            key=key,
         )

@@ -330,7 +330,11 @@ def lsh_index_probe(batch_index: DataFrame, base_index: DataFrame) -> DataFrame:
             "base_doc",
             f"{agree} as n_agree",
         )
-        .where(f"n_agree >= {MINHASH_EST_AGREE}")
+        # a document is not a near-dup of ITSELF: drop identity pairs, so
+        # a probe whose batch already has entries in the index (a retried
+        # foreachBatch epoch re-probing after its own append committed)
+        # converges instead of rejecting every batch doc against itself
+        .where(f"batch_doc != base_doc AND n_agree >= {MINHASH_EST_AGREE}")
         .distinct()
     )
 

@@ -730,6 +730,37 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(state_fp)
 
 
+def _ingest_commit(sink, run: int, batch_df: DataFrame, epoch_id: int) -> None:
+    """The per-epoch sink append of :func:`stream_incremental_ingest`
+    (module-level so the retry idempotence is unit-testable). At-least-
+    once foreachBatch: dedup by epoch id before the append (the
+    stream_fanout discipline) — epoch ids are monotonic across RUNS of
+    the same checkpoint, so the id alone is the idempotence key."""
+    if sink.exists() and epoch_id in {
+        r["epoch_id"]
+        for r in sink.read().select("epoch_id").distinct().collect()
+    }:
+        return
+    counts = (
+        batch_df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .select(
+            F.lit(run).cast("bigint").alias("run"),
+            "event_type",
+            "n_events",
+            "id_sum",
+            F.lit(epoch_id).cast("bigint").alias("epoch_id"),
+        )
+    )
+    if sink.exists():
+        sink.append(counts)
+    else:
+        sink.create(counts)
+
+
 def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed incremental file ingestion across query RESTARTS —
     the production landing-zone pattern: a scheduled job starts the same
@@ -766,19 +797,7 @@ def stream_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def commit(batch_df: DataFrame, epoch_id: int) -> None:
-            counts = batch_df.groupBy("event_type").agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum("event_id").alias("id_sum"),
-            ).select(
-                F.lit(run).cast("bigint").alias("run"),
-                "event_type",
-                "n_events",
-                "id_sum",
-            )
-            if sink.exists():
-                sink.append(counts)
-            else:
-                sink.create(counts)
+            _ingest_commit(sink, run, batch_df, epoch_id)
 
         q = (
             stream.writeStream.outputMode("append")
@@ -896,6 +915,19 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     report_t = LocalTable(spark, os.path.join(root, "report"))
 
     def commit(batch_df, epoch_id: int) -> None:
+        # at-least-once foreachBatch: the report row is the epoch's
+        # commit marker — a fully-committed epoch retried skips outright;
+        # a retry that crashed BETWEEN the index append and the report
+        # re-runs the whole epoch and converges, because the index append
+        # below is epoch-keyed (deterministic overwrite target, no
+        # duplicate entries) and lsh_index_probe excludes identity pairs
+        # (the batch re-probing its own already-appended entries does not
+        # reject itself)
+        if report_t.exists() and (epoch_id + 1) in {
+            r["epoch"]
+            for r in report_t.read().select("epoch").distinct().collect()
+        }:
+            return
         batch_idx = stage(
             minhash_index(batch_df, wide=False, keep=("text",)),
             f"scur-batch{epoch_id}",
@@ -909,7 +941,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_idx.join(nd, "doc_id", "left_anti"),
             f"scur-acc{epoch_id}",
         )
-        idx.append_indexed(accepted)
+        idx.append_indexed(accepted, key=f"e{epoch_id}")
         row = (
             batch_df.agg(
                 (F.lit(epoch_id) + 1).cast("bigint").alias("epoch"),

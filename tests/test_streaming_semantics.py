@@ -242,3 +242,62 @@ def test_sized_state_partitions_scopes_clamps_and_restores(
     except RuntimeError:
         pass
     assert spark.conf.get(_SHUFFLE_KEY) == before
+
+
+def test_ingest_commit_epoch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """stream_incremental_ingest's sink append deduplicates by epoch id:
+    re-delivering a committed epoch (foreachBatch is at-least-once) must
+    leave the sink unchanged, while a NEW epoch still appends."""
+    from iceberg_examples_spark.catalog import LocalTable
+    from iceberg_examples_spark.streaming.rollup import _ingest_commit
+
+    sink = LocalTable(spark, str(tmp_path / "sink"))
+    batch = spark.createDataFrame(
+        [(1, "click", 10.0), (2, "view", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    _ingest_commit(sink, 1, batch, epoch_id=0)
+    first = sorted(map(tuple, sink.read().collect()))
+    _ingest_commit(sink, 1, batch, epoch_id=0)  # retried epoch: no-op
+    assert sorted(map(tuple, sink.read().collect())) == first
+    _ingest_commit(sink, 2, batch, epoch_id=1)  # new epoch: appends
+    assert sink.read().count() == 2 * len(first)
+
+
+def test_keyed_index_append_is_idempotent_and_probe_converges(
+    spark, sf_dir, tmp_path
+):
+    """The curation-epoch retry contract: (a) append_indexed with the
+    same key overwrites in place (no duplicate index entries); (b) a
+    batch re-probing an index that already contains its OWN entries is
+    not rejected against itself (identity pairs are excluded), so a
+    retried epoch computes the same accepted set."""
+    from iceberg_examples_spark.catalog import load_table
+    from iceberg_examples_spark.operators.curation_index import CurationIndex
+    from iceberg_examples_spark.operators.dedup import minhash_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 < 2)
+    batch = docs.filter(F.col("doc_id") % 4 == 2).limit(40)
+
+    idx = CurationIndex(spark, str(tmp_path / "idx"))
+    idx.build(base)
+    batch_idx = minhash_index(batch, wide=False, keep=("text",)).cache()
+
+    nd_before = {
+        r["batch_doc"]
+        for r in idx.probe_indexed(batch_idx).select("batch_doc").collect()
+    }
+    idx.append_indexed(batch_idx, key="e0")
+    size_once = idx._read(idx.lsh_dir).count()
+    idx.append_indexed(batch_idx, key="e0")  # retried append: overwrite
+    assert idx._read(idx.lsh_dir).count() == size_once
+
+    # re-probe after the batch's own entries landed: identity pairs are
+    # excluded, so the near-dup verdict per batch doc is unchanged
+    nd_after = {
+        r["batch_doc"]
+        for r in idx.probe_indexed(batch_idx).select("batch_doc").collect()
+    }
+    assert nd_before == nd_after
+    batch_idx.unpersist()
