@@ -142,6 +142,12 @@ HEADLINE = [
     "stream_curation_ingest",
     "snapshot_rollback",
     "corpus_report",
+    # round-7 late additions: the two heaviest stateful streaming
+    # scenarios, benched now that state partitions are sized to input
+    # (streaming/rollup.py sized_state_partitions) — tracked per round
+    # so a regression in the stateful-streaming path is visible
+    "stream_session_window",
+    "stream_stream_join",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")
@@ -258,6 +264,28 @@ def main() -> None:
     canary_arrow()  # warm (worker pool spin-up is the one-off)
     canary_arrow_sec = round(min(canary_arrow() for _ in range(3)), 4)
 
+    # Fourth canary: parquet-scan + shuffle round-trip on REAL testdata —
+    # the axis the three synthetic canaries miss. Round 7 observed a
+    # cluster of sub-second document/event queries drift 1.5-2× between
+    # runs while all three synthetic canaries read flat-or-faster: the
+    # variance lives in the scan→shuffle→small-agg path (file listing,
+    # page-cache state, shuffle spill files), which spark.range-based
+    # canaries never touch. Fixed shape: scan documents.parquet, hash the
+    # text, one shuffle into a 32-group agg.
+    def canary_scan() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .selectExpr("crc32(text) % 32 as g", "length(text) as l")
+            .groupBy("g")
+            .sum("l")
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    canary_scan()  # warm
+    canary_scan_sec = round(min(canary_scan() for _ in range(3)), 4)
+
     total = round(sum(timings.values()), 4)
     line = json.dumps(
         {
@@ -269,6 +297,7 @@ def main() -> None:
             "canary_sec": canary_sec,
             "canary_jobs_sec": canary_jobs_sec,
             "canary_arrow_sec": canary_arrow_sec,
+            "canary_scan_sec": canary_scan_sec,
             "sf": sf,
         }
     )
