@@ -28,12 +28,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join == NOT EXISTS: customers with no orders — the same
-    primitive the equality-delete upsert rides on (mutations.upsert_by_key)."""
+    """LEFT ANTI join == NOT EXISTS: customers with no HIGH-VALUE order
+    (totalprice > 300k) — the same primitive the equality-delete upsert
+    rides on (mutations.upsert_by_key). The build-side filter keeps the
+    result non-trivially non-empty at every test SF (plain
+    customers-without-orders is EMPTY at sf0.001/sf0.01, which made the
+    driver attestation a rows=0 match — no evidence at all)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_nationkey")
 
 

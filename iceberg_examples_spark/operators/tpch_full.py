@@ -433,9 +433,18 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-shaped global-sales-opportunity (phone prefix absent; the
     customer segment is c_custkey % 10): customers in segments 1-7 with
-    above-average positive balance and NO orders at all. Scalar-subquery
-    average broadcast into the filter; NOT EXISTS as an anti-join on
-    custkey. Exact sum/avg of balances via 2-dp integer scaling."""
+    above-average positive balance and no HIGH-VALUE order
+    (totalprice > 300k). Scalar-subquery average broadcast into the
+    filter; NOT EXISTS as an anti-join on custkey. Exact sum/avg of
+    balances via 2-dp integer scaling.
+
+    The anti side is filtered because the synthetic testdata gives EVERY
+    customer at least one order (official TPC-H guarantees a third
+    order-less) — the official NOT-EXISTS-any-order predicate returned 0
+    rows at every test SF, making the driver attestation a rows=0 match.
+    Q22's selection literals are substitution parameters in the spec;
+    this keeps every plan feature (scalar subquery, broadcast, anti
+    join, agg) with a non-trivial result."""
     cust = load_table(spark, sf_dir, "customer").withColumn(
         "cntryseg", (F.col("c_custkey") % 10).cast("int")
     )
@@ -443,7 +452,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = in_seg.filter(F.col("c_acctbal") > 0.0).agg(
         F.expr(money_avg_sql("c_acctbal", scale=100)).alias("avg_bal")
     )
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
     return (
         in_seg.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("avg_bal"))

@@ -629,7 +629,9 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
 EXT_ORACLES["join_anti"] = """
 SELECT c_custkey, c_name, c_nationkey
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
 """
 
 EXT_ORACLES["join_outer"] = """
@@ -1203,7 +1205,8 @@ SELECT cntryseg, count(*) AS numcust,
        {money_sum_sql('c_acctbal', scale=100)} AS totacctbal
 FROM seg, ab
 WHERE c_acctbal > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY cntryseg
 """
 
