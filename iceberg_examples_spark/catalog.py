@@ -308,6 +308,7 @@ class LocalTable:
         parent: int | None = None,
         move_ref: str | None = None,
         expect_head: int | None = None,
+        expect_current: int | None = None,
     ) -> int:
         # Metadata-file versions advance on every publish (data commits,
         # staged commits, AND expiry); snapshot versions are minted by
@@ -320,6 +321,20 @@ class LocalTable:
 
         meta, read_version = self._read_meta_versioned()
         meta_version = read_version + 1
+        if expect_current is not None and meta["current"] != expect_current:
+            # Serializable-derivation guard: the caller computed ``df``
+            # FROM a read of snapshot ``expect_current`` (append's union,
+            # compact's rewrite, a MERGE's join). The metadata CAS alone
+            # only protects THIS function's read→publish window — a
+            # commit that landed between the caller's base read and here
+            # would be silently erased by publishing data derived from
+            # the stale base (a lost update, caught by the threaded
+            # append-storm test). Surface the conflict; the caller
+            # re-reads and retries, exactly like losing the CAS.
+            raise CommitConflictError(
+                f"table advanced to {meta['current']} since the operation "
+                f"read snapshot {expect_current}; re-read and retry"
+            )
         if move_ref is not None:
             # re-validate against the SAME read the CAS publish is built
             # on: if the branch moved (or was dropped) since the caller
@@ -386,17 +401,33 @@ class LocalTable:
     def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         return self._commit(df, "create", partition_by)
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Replace table contents (copy-on-write commit)."""
-        return self._commit(df, "overwrite", partition_by)
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        expect_current: int | None = None,
+    ) -> int:
+        """Replace table contents (copy-on-write commit). Pass
+        ``expect_current`` when ``df`` was DERIVED from a read of that
+        snapshot (a MERGE/UPDATE/DELETE rewrite): the commit then raises
+        :class:`CommitConflictError` if the table advanced past it,
+        instead of silently erasing the concurrent commit."""
+        return self._commit(
+            df, "overwrite", partition_by, expect_current=expect_current
+        )
 
     def append(self, df: DataFrame) -> int:
         """Append = previous snapshot ∪ new rows, committed as a new
         immutable snapshot (the ``newAppend().appendFile().commit()``
-        observable semantics)."""
-        if self.exists():
-            df = self.read().unionByName(df, allowMissingColumns=True)
-        return self._commit(df, "append", None)
+        observable semantics). The union is pinned to the snapshot read
+        HERE and the commit carries ``expect_current`` — a concurrent
+        commit between this read and the publish raises
+        CommitConflictError (retryable) rather than being erased by the
+        stale union (lost update)."""
+        base = self.current_version
+        if base >= 0:
+            df = self.read(base).unionByName(df, allowMissingColumns=True)
+        return self._commit(df, "append", None, expect_current=base if base >= 0 else None)
 
     def rollback(self, version: int) -> int:
         """Iceberg ``rollback_to_snapshot``: move ``current`` back to an
@@ -490,9 +521,12 @@ class LocalTable:
     def compact(self, target_files: int = 1) -> int:
         """Small-file compaction: rewrite the current snapshot into
         ``target_files`` files as a new snapshot (Iceberg
-        rewrite_data_files analogue). Data is unchanged — only layout."""
-        df = self.read().coalesce(target_files)
-        return self._commit(df, "compact", None)
+        rewrite_data_files analogue). Data is unchanged — only layout.
+        Pinned + expect_current like append: losing a concurrent commit
+        raises instead of reverting it to the compacted old state."""
+        base = self.current_version
+        df = self.read(base).coalesce(target_files)
+        return self._commit(df, "compact", None, expect_current=base)
 
     # ---- write-audit-publish (WAP) --------------------------------------
     def stage(self, df: DataFrame, operation: str = "wap-append") -> int:

@@ -274,7 +274,15 @@ def execute_merge(
         src = spark.table(src_sql)
 
     t, s = spec.t_alias, spec.s_alias
-    tgt = table.read().withColumn("__tid", F.monotonically_increasing_id())
+    # pin the whole merge to ONE base snapshot and commit with
+    # expect_current: a concurrent commit between this read and the
+    # overwrite raises CommitConflictError instead of being erased by a
+    # rewrite derived from the stale base (serializable MERGE — the
+    # Iceberg conflict-detection contract)
+    base_v = table.current_version
+    tgt = table.read(base_v).withColumn(
+        "__tid", F.monotonically_increasing_id()
+    )
     tcols = [c for c in tgt.columns if c != "__tid"]
     # source-side match marker: NULL-safe (a legitimately-NULL source
     # column must not read as "no match"). The source is MATERIALIZED
@@ -382,12 +390,12 @@ def execute_merge(
             # NOT via the join, whose fan-out would duplicate a target row
             # matched by several source rows (legal here, no cardinality
             # check ran)
-            updated = table.read()
+            updated = table.read(base_v)
 
         result = updated
         if spec.has_insert:
             anti = src.alias(s).join(
-                table.read().alias(t), F.expr(spec.on), "left_anti"
+                table.read(base_v).alias(t), F.expr(spec.on), "left_anti"
             )
             if spec.insert_star:
                 ins = anti.select(
@@ -395,7 +403,7 @@ def execute_merge(
                         (
                             F.col(f"{s}.{c}")
                             if c in src.columns
-                            else F.lit(None).cast(dict(table.read().dtypes)[c])
+                            else F.lit(None).cast(dict(table.read(base_v).dtypes)[c])
                         ).alias(c)
                         for c in tcols
                     ]
@@ -406,12 +414,12 @@ def execute_merge(
                     *[
                         (
                             F.expr(exprs[c]) if c in exprs else F.lit(None)
-                        ).cast(dict(table.read().dtypes)[c]).alias(c)
+                        ).cast(dict(table.read(base_v).dtypes)[c]).alias(c)
                         for c in tcols
                     ]
                 )
             result = updated.unionByName(ins)
-        table.overwrite(result)
+        table.overwrite(result, expect_current=base_v)
     finally:
         joined.unpersist()
         src.unpersist()
@@ -542,14 +550,17 @@ def execute_statement(
         # DELETE removes rows where the predicate is TRUE; rows where it
         # evaluates to NULL are KEPT (three-valued logic) — coalesce the
         # predicate to FALSE before negating. No WHERE deletes all rows
-        # (schema-preserving empty snapshot, like TRUNCATE).
+        # (schema-preserving empty snapshot, like TRUNCATE). Pinned to
+        # one base snapshot + expect_current: see execute_merge.
+        base = t.current_version
         if m.group("pred") is None:
-            t.overwrite(t.read().limit(0))
+            t.overwrite(t.read(base).limit(0), expect_current=base)
         else:
             t.overwrite(
-                t.read().filter(
+                t.read(base).filter(
                     ~F.coalesce(F.expr(m.group("pred")), F.lit(False))
-                )
+                ),
+                expect_current=base,
             )
         return
     m = _ADD_COL_RE.match(text)
@@ -557,11 +568,13 @@ def execute_statement(
         if not spark_validates(spark, text, "AddColumns"):
             raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
+        base = t.current_version
         t.overwrite(
-            t.read().withColumn(
+            t.read(base).withColumn(
                 m.group("col"),
                 F.lit(None).cast(m.group("dtype").lower()),
-            )
+            ),
+            expect_current=base,
         )
         return
     m = _DROP_COL_RE.match(text)
@@ -569,7 +582,8 @@ def execute_statement(
         if not spark_validates(spark, text, "DropColumns"):
             raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
-        t.overwrite(t.read().drop(m.group("col")))
+        base = t.current_version
+        t.overwrite(t.read(base).drop(m.group("col")), expect_current=base)
         return
     m = _CALL_RE.match(text)
     if m:
@@ -612,8 +626,10 @@ def execute_statement(
         if not spark_validates(spark, text, "RenameColumn"):
             raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
+        base = t.current_version
         t.overwrite(
-            t.read().withColumnRenamed(m.group("col"), m.group("new"))
+            t.read(base).withColumnRenamed(m.group("col"), m.group("new")),
+            expect_current=base,
         )
         return
     m = _ALTER_TYPE_RE.match(text)
@@ -621,8 +637,9 @@ def execute_statement(
         if not spark_validates(spark, text, "AlterColumns"):
             raise ValueError("Spark's parser rejected the ALTER text")
         t = tables[m.group("target")]
+        base = t.current_version
         col, new = m.group("col"), m.group("dtype").lower()
-        old = dict(t.read().dtypes)[col]
+        old = dict(t.read(base).dtypes)[col]
         # Iceberg permits only lossless type promotion (int -> bigint,
         # float -> double); anything else is rejected, as the real
         # catalog would
@@ -635,7 +652,8 @@ def execute_statement(
                 "lossless Iceberg type promotion"
             )
         t.overwrite(
-            t.read().withColumn(col, F.col(col).cast(new))
+            t.read(base).withColumn(col, F.col(col).cast(new)),
+            expect_current=base,
         )
         return
     m = _INSERT_RE.match(text)
@@ -672,12 +690,13 @@ def execute_statement(
         for part in _split_top_level(m.group("assigns")):
             lhs, rhs = part.split("=", 1)
             assigns[lhs.strip().split(".")[-1]] = rhs.strip()
-        dtypes = dict(t.read().dtypes)
+        base = t.current_version
+        dtypes = dict(t.read(base).dtypes)
         unknown = set(assigns) - set(dtypes)
         if unknown:
             raise ValueError(f"UPDATE sets unknown columns: {unknown}")
         t.overwrite(
-            t.read().select(
+            t.read(base).select(
                 *[
                     (
                         F.when(pred, F.expr(assigns[c]).cast(dtypes[c]))
@@ -685,9 +704,10 @@ def execute_statement(
                         if c in assigns
                         else F.col(c)
                     ).alias(c)
-                    for c in t.read().columns
+                    for c in t.read(base).columns
                 ]
-            )
+            ),
+            expect_current=base,
         )
         return
     m = _INSERT_SELECT_RE.match(text)
@@ -742,7 +762,8 @@ def execute_statement(
         if not spark_validates(spark, text, "TruncateTable"):
             raise ValueError("Spark's parser rejected the TRUNCATE text")
         t = tables[m.group("target")]
-        t.overwrite(t.read().limit(0))
+        base = t.current_version
+        t.overwrite(t.read(base).limit(0), expect_current=base)
         return
     m = _DROP_TABLE_RE.match(text)
     if m:
