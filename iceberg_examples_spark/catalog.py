@@ -479,13 +479,41 @@ class LocalTable:
             raise FileNotFoundError(f"table {self.root} has no snapshots")
         return self.spark.read.parquet(self._snap_path(v, meta))
 
+    @staticmethod
+    def _align_for_diff(a: DataFrame, b: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Project both frames onto the UNION of their columns (sorted,
+        missing ones null-filled with the type from the frame that has
+        them) so exceptAll can diff across a schema-evolution boundary —
+        ADD/DROP/RENAME COLUMN are first-class commits here, and a
+        changelog scan spanning one must not crash. A row whose only
+        difference is a column the other snapshot lacks shows as
+        delete+insert, which is the honest answer."""
+        from pyspark.sql import functions as F
+
+        types = {**dict(b.dtypes), **dict(a.dtypes)}
+        cols = sorted(types)
+
+        def fill(df: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(c) if c in have else F.lit(None).cast(types[c]).alias(c)
+                    for c in cols
+                ]
+            )
+
+        return fill(a), fill(b)
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read: rows present in ``to_version`` but not in
         ``from_version`` (Iceberg incremental-scan analogue; appended rows
         for append-only history, net-new rows across overwrites). Bag
-        semantics via exceptAll so duplicate appended rows are kept."""
-        newer = self.read(to_version)
-        older = self.read(from_version)
+        semantics via exceptAll so duplicate appended rows are kept.
+        Schema-evolution-safe: snapshots are aligned on the column union
+        before the diff (see :meth:`_align_for_diff`)."""
+        newer, older = self._align_for_diff(
+            self.read(to_version), self.read(from_version)
+        )
         return newer.exceptAll(older)
 
     def change_feed(
@@ -513,9 +541,12 @@ class LocalTable:
         inserts = self.changes(from_version, to_version).withColumn(
             "_change_type", F.lit("insert")
         )
-        deletes = self.read(from_version).exceptAll(
-            self.read(to_version)
-        ).withColumn("_change_type", F.lit("delete"))
+        older, newer = self._align_for_diff(
+            self.read(from_version), self.read(to_version)
+        )
+        deletes = older.exceptAll(newer).withColumn(
+            "_change_type", F.lit("delete")
+        )
         return inserts.unionByName(deletes)
 
     def compact(self, target_files: int = 1) -> int:

@@ -1206,3 +1206,34 @@ def test_localtable_threaded_append_storm_loses_no_update(spark, tmp_path):
     assert got == list(range(9))  # 0 (create) + 1..8, each exactly once
     assert t0.current_version == 8  # one version per append, none lost
     assert [f for f in os.listdir(root) if f.endswith(".json.tmp")] == []
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """A changelog scan spanning an ADD COLUMN commit must not crash on
+    the exceptAll schema mismatch: snapshots align on the column union
+    (missing columns null-filled), and a row whose only difference is
+    the new column reads as delete+insert — the honest changelog."""
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_cfse"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    from pyspark.sql import functions as F
+
+    t.overwrite(
+        t.read()
+        .withColumn("extra", (F.col("k") * 10).cast("long"))
+        .filter(F.col("k") != 2)  # also delete k=2
+    )
+    feed = t.change_feed(0, 1)
+    rows = {
+        (r["k"], r["v"], r["extra"], r["_change_type"])
+        for r in feed.collect()
+    }
+    assert rows == {
+        (1, "a", None, "delete"),   # old shape of k=1
+        (1, "a", 10, "insert"),     # new shape of k=1
+        (2, "b", None, "delete"),   # dropped row
+    }
+    # incremental read (changes) across the same boundary: inserts only
+    got = {(r["k"], r["extra"]) for r in t.changes(0, 1).collect()}
+    assert got == {(1, 10)}
