@@ -560,15 +560,31 @@ class LocalTable:
         return self._commit(df, "compact", None, expect_current=base)
 
     # ---- write-audit-publish (WAP) --------------------------------------
-    def stage(self, df: DataFrame, operation: str = "wap-append") -> int:
+    def stage(
+        self,
+        df: DataFrame,
+        operation: str = "wap-append",
+        expect_current: int | None = None,
+    ) -> int:
         """Write-Audit-Publish step 1: commit DATA and a snapshot entry
         WITHOUT advancing ``current`` — readers keep seeing the old table
         while the staged snapshot is audited (Iceberg's
         ``spark.wap.branch`` / cherry-pick workflow). Returns the staged
         snapshot version, readable via ``read(version)`` for audit.
         Same write+CAS path as every data commit (``_commit``), just
-        without the current-pointer advance."""
-        return self._commit(df, operation, None, staged=True)
+        without the current-pointer advance.
+
+        Pass ``expect_current`` = the snapshot version ``df`` was DERIVED
+        from whenever other writers may be active: the staged entry's
+        recorded parent otherwise comes from _commit's FRESH metadata
+        read, so a data commit landing between the caller's base read and
+        the stage would make :meth:`publish`'s current==parent check pass
+        against a parent the staged data never saw — fast-forwarding to a
+        state that silently lacks the concurrent commit's rows (the
+        lost-update interleaving the threaded WAP storm test caught)."""
+        return self._commit(
+            df, operation, None, staged=True, expect_current=expect_current
+        )
 
     def publish(self, version: int) -> None:
         """WAP step 3: fast-forward ``current`` to an audited staged

@@ -251,13 +251,23 @@ def wap_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = table.read(version)
         return staged.filter(F.col("c_custkey").isNull()).count() == 0
 
-    v_bad = table.stage(table.read().unionByName(bad))
+    # pin the stage to the base it derives from (expect_current): in a
+    # multi-writer deployment publish's parent check is only sound when
+    # the staged entry's parent IS the derivation base — see
+    # catalog.LocalTable.stage
+    base_v = table.current_version
+    v_bad = table.stage(
+        table.read(base_v).unionByName(bad), expect_current=base_v
+    )
     n_rejected = 0
     if not audit_ok(v_bad):
         table.drop_staged(v_bad)
         n_rejected += 1
 
-    v_good = table.stage(table.read().unionByName(good))
+    base_v = table.current_version
+    v_good = table.stage(
+        table.read(base_v).unionByName(good), expect_current=base_v
+    )
     assert audit_ok(v_good)
     table.publish(v_good)
 

@@ -1237,3 +1237,130 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     # incremental read (changes) across the same boundary: inserts only
     got = {(r["k"], r["extra"]) for r in t.changes(0, 1).collect()}
     assert got == {(1, 10)}
+
+
+def test_threaded_wap_publish_vs_append_loses_no_update(spark, tmp_path):
+    """WAP stage/publish racing a data committer under REAL threads:
+    publish() validates the staged snapshot's parent against current, so
+    a publish whose base went stale must conflict and re-stage — no
+    successful publish may erase a committed append. Final state = every
+    appended row plus every successfully-published row."""
+    import threading
+
+    from iceberg_examples_spark.catalog import CommitConflictError, LocalTable
+
+    root = str(tmp_path / "tbl_wapstorm")
+    t = LocalTable(spark, root)
+    t.create(spark.createDataFrame([(0,)], "id long"))
+    errors, published = [], []
+
+    def appender() -> None:
+        try:
+            h = LocalTable(spark, root)
+            for i in range(1, 5):
+                df = spark.createDataFrame([(100 + i,)], "id long")
+                for _ in range(64):
+                    try:
+                        h.append(df)
+                        break
+                    except CommitConflictError:
+                        continue
+                else:
+                    errors.append(f"append {i} exhausted retries")
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    def wap_writer() -> None:
+        try:
+            h = LocalTable(spark, root)
+            for i in range(1, 4):
+                row = 200 + i
+                for _ in range(64):
+                    # stage() and drop_staged() can themselves lose the
+                    # metadata CAS to the racing appender — every step of
+                    # the cycle is retryable, so retry the whole cycle
+                    try:
+                        base_v = h.current_version
+                        staged_df = h.read(base_v).unionByName(
+                            spark.createDataFrame([(row,)], "id long")
+                        )
+                        # expect_current pins the staged entry's
+                        # parent to the derivation base — without it a
+                        # concurrent append between the base read and the
+                        # stage slips UNDER publish's parent check and is
+                        # erased (the lost update this test caught)
+                        v = h.stage(staged_df, expect_current=base_v)
+                    except CommitConflictError:
+                        continue
+                    try:
+                        h.publish(v)
+                        published.append(row)
+                        break
+                    except CommitConflictError:
+                        # stale base: abandon the staged snapshot (best
+                        # effort — the drop may also lose a CAS; expiry
+                        # would reclaim it in production) and re-stage
+                        for _ in range(8):
+                            try:
+                                h.drop_staged(v)
+                                break
+                            except CommitConflictError:
+                                continue
+                        continue
+                else:
+                    errors.append(f"wap {i} exhausted retries")
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    th = [threading.Thread(target=appender), threading.Thread(target=wap_writer)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+
+    assert errors == []
+    got = sorted(r["id"] for r in t.read().collect())
+    expect = sorted([0, 101, 102, 103, 104] + published)
+    assert got == expect  # nothing lost, nothing phantom
+
+
+def test_threaded_branch_append_race_loses_no_update(spark, tmp_path):
+    """Two branch writers racing append_to_branch on one branch: the
+    move_ref CAS must serialize them — the final branch content holds
+    every row from both writers exactly once, and main is untouched."""
+    import threading
+
+    from iceberg_examples_spark.catalog import CommitConflictError, LocalTable
+
+    root = str(tmp_path / "tbl_brstorm")
+    t = LocalTable(spark, root)
+    t.create(spark.createDataFrame([(0,)], "id long"))
+    t.create_branch("audit")
+    errors = []
+
+    def writer(base: int) -> None:
+        try:
+            h = LocalTable(spark, root)
+            for i in range(1, 4):
+                df = spark.createDataFrame([(base + i,)], "id long")
+                for _ in range(64):
+                    try:
+                        h.append_to_branch("audit", df)
+                        break
+                    except CommitConflictError:
+                        continue
+                else:
+                    errors.append(f"branch append {base + i} exhausted")
+        except Exception as e:  # pragma: no cover
+            errors.append(repr(e))
+
+    th = [threading.Thread(target=writer, args=(b,)) for b in (300, 400)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+
+    assert errors == []
+    got = sorted(r["id"] for r in t.read("audit").collect())
+    assert got == [0, 301, 302, 303, 401, 402, 403]
+    assert sorted(r["id"] for r in t.read().collect()) == [0]  # main untouched
