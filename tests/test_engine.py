@@ -1364,3 +1364,57 @@ def test_threaded_branch_append_race_loses_no_update(spark, tmp_path):
     got = sorted(r["id"] for r in t.read("audit").collect())
     assert got == [0, 301, 302, 303, 401, 402, 403]
     assert sorted(r["id"] for r in t.read().collect()) == [0]  # main untouched
+
+
+def test_multiprocess_metadata_cas_is_gapless(tmp_path):
+    """The os.link metadata CAS across real PROCESSES (not threads): four
+    workers race to publish versions into one table root; the version
+    sequence must come out gapless with exactly one winner per version —
+    the cross-process half of the optimistic-concurrency claim, testable
+    without Spark because the CAS is pure filesystem."""
+    import json
+    import multiprocessing as mp
+    import os
+
+    from iceberg_examples_spark.catalog import CommitConflictError, LocalTable
+
+    root = str(tmp_path / "tbl_mp")
+    os.makedirs(root, exist_ok=True)
+
+    def worker(wid: int, wins_q) -> None:
+        t = LocalTable.__new__(LocalTable)  # no spark needed for the CAS
+        t.spark, t.root = None, root
+        wins = 0
+        for i in range(25):
+            meta, read_v = t._read_meta_versioned()
+            meta.setdefault("snapshots", [])
+            meta["payload"] = [wid, i]
+            meta["current"] = read_v + 1
+            try:
+                t._publish_meta(meta, read_v + 1)
+                wins += 1
+            except CommitConflictError:
+                continue
+        wins_q.put((wid, wins))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(w, q)) for w in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    assert all(p.exitcode == 0 for p in procs)
+
+    t = LocalTable.__new__(LocalTable)
+    t.spark, t.root = None, root
+    versions = t._meta_versions()
+    # gapless: every version 0..max published exactly once (os.link
+    # guarantees single-winner; gaplessness shows no version skipped)
+    assert versions == list(range(len(versions)))
+    total_wins = sum(q.get()[1] for _ in range(4))
+    assert total_wins == len(versions)  # one winner per version
+    # every surviving file is complete JSON (no torn writes visible)
+    for v in versions:
+        with open(t._meta_path(v)) as f:
+            json.load(f)
