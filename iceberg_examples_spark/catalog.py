@@ -818,9 +818,21 @@ class LocalTable:
         referenced = {s["path"] for s in meta["snapshots"]}
         removed = 0
         for name in os.listdir(self.root):
+            path = os.path.join(self.root, name)
+            # a publisher killed hard (SIGKILL skips the finally-unlink)
+            # leaves its mkstemp .json.tmp behind; metadata reads ignore
+            # them, but they are orphans too — same grace period applies
+            # (an IN-FLIGHT publisher's tmp must survive the sweep)
+            if name.endswith(".json.tmp"):
+                try:
+                    if os.path.getmtime(path) <= cutoff:
+                        os.unlink(path)
+                        removed += 1
+                except OSError:
+                    pass
+                continue
             if not name.startswith("snap-") or name in referenced:
                 continue
-            path = os.path.join(self.root, name)
             try:
                 if os.path.getmtime(path) > cutoff:
                     continue

@@ -1418,3 +1418,28 @@ def test_multiprocess_metadata_cas_is_gapless(tmp_path):
     for v in versions:
         with open(t._meta_path(v)) as f:
             json.load(f)
+
+
+def test_remove_orphans_sweeps_crashed_publisher_tmp(spark, tmp_path):
+    """A publisher killed between mkstemp and link (SIGKILL skips the
+    finally-unlink) leaves a .json.tmp; metadata reads ignore it, and
+    remove_orphans reclaims it under the same grace period as data-dir
+    orphans — a FRESH tmp (in-flight publisher) survives the sweep."""
+    import os
+    import time
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_tmp"))
+    t.create(spark.createDataFrame([(1,)], "id long"))
+    stale = os.path.join(t.root, "tmpabc123.json.tmp")
+    open(stale, "w").write("{}")
+    old = time.time() - 10
+    os.utime(stale, (old, old))
+    fresh = os.path.join(t.root, "tmpdef456.json.tmp")
+    open(fresh, "w").write("{}")
+
+    assert t.remove_orphans(older_than_s=5) == 1
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # grace period protects in-flight publish
+    assert t.read().count() == 1  # table untouched
