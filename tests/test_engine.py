@@ -1443,3 +1443,71 @@ def test_remove_orphans_sweeps_crashed_publisher_tmp(spark, tmp_path):
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # grace period protects in-flight publish
     assert t.read().count() == 1  # table untouched
+
+
+def test_asof_join_formulation_matches_brute_force(spark):
+    """Independent-model check of the as-of tie semantics: the windowed
+    carry-forward formulation must agree with a brute-force 'latest
+    (ts, event_id) click with ts <= purchase ts, same user' reference on
+    random data with HEAVY ts ties (the fixture-based oracle can't
+    stress ties this hard)."""
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(7)
+    rows, eid = [], 0
+    for _ in range(150):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                random.randint(1, 5),
+                random.randint(0, 15),  # coarse ts → many exact ties
+                float(random.randint(1, 100)),
+                random.choice(["click", "purchase", "view"]),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tsn long, value double, event_type string"
+    ).withColumn(
+        "ts", F.timestamp_micros(F.col("tsn") * 1_000_000).cast("timestamp_ntz")
+    )
+
+    left = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("is_right"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("long").alias("click_tsn"),
+    )
+    right = df.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("is_right"),
+        F.col("value").alias("click_value"),
+        F.col("tsn").alias("click_tsn"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_right").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    got = {
+        r["event_id"]: (r["cv"], r["ctn"])
+        for r in left.unionByName(right)
+        .select(
+            "event_id", "is_right",
+            F.last("click_value", ignorenulls=True).over(w).alias("cv"),
+            F.last("click_tsn", ignorenulls=True).over(w).alias("ctn"),
+        )
+        .filter(F.col("is_right") == 0)
+        .collect()
+    }
+
+    clicks = [r for r in rows if r[4] == "click"]
+    for e, u, t, _v, ty in rows:
+        if ty != "purchase":
+            continue
+        cand = [(ct, ce, cv) for (ce, cu, ct, cv, _) in clicks if cu == u and ct <= t]
+        exp = (None, None)
+        if cand:
+            ct, _ce, cv = max(cand)  # latest (ts, event_id) wins
+            exp = (cv, ct)
+        assert got[e] == exp, f"purchase {e}: got {got[e]}, expected {exp}"
