@@ -1511,3 +1511,61 @@ def test_asof_join_formulation_matches_brute_force(spark):
             ct, _ce, cv = max(cand)  # latest (ts, event_id) wins
             exp = (cv, ct)
         assert got[e] == exp, f"purchase {e}: got {got[e]}, expected {exp}"
+
+
+def test_sessionize_boundary_matches_brute_force(spark):
+    """Independent-model check of the session-gap boundary: a new session
+    starts only when the inter-event gap STRICTLY exceeds 30 minutes — an
+    exact-30:00 gap continues the session. Random data is drawn so exact
+    1800 s gaps are common (the sf fixtures rarely produce them), and the
+    lag+cumsum formulation must agree with a brute-force splitter."""
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(3)
+    gap_s, gap_us = 1800, 1800 * 1_000_000
+    rows, eid = [], 0
+    for _ in range(120):
+        eid += 1
+        t = random.choice([0, 1799, 1800, 1801, 3600, 5400, 7200, 9000])
+        t += random.randint(0, 2) * 1800
+        rows.append((eid, random.randint(1, 4), t))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tsn long"
+    ).withColumn(
+        "ts", F.timestamp_micros(F.col("tsn") * 1_000_000).cast("timestamp_ntz")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    sid = (
+        df.withColumn("ns", (us - F.lag(us, 1).over(w) > gap_us).cast("int"))
+        .withColumn("ns", F.coalesce(F.col("ns"), F.lit(1)))
+        .withColumn(
+            "seq", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    got = sorted(
+        (r["user_id"], r["s"], r["e"], r["n"])
+        for r in sid.groupBy("user_id", "seq")
+        .agg(
+            F.min("tsn").alias("s"),
+            F.max("tsn").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+
+    exp, byu = [], {}
+    for e, u, t in rows:
+        byu.setdefault(u, []).append((t, e))
+    for u, evs in byu.items():
+        evs.sort()
+        cur = [evs[0]]
+        for t, e in evs[1:]:
+            if t - cur[-1][0] > gap_s:  # STRICT: ==1800 continues
+                exp.append((u, cur[0][0], cur[-1][0], len(cur)))
+                cur = []
+            cur.append((t, e))
+        exp.append((u, cur[0][0], cur[-1][0], len(cur)))
+    assert got == sorted(exp)
