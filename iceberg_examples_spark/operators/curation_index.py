@@ -67,7 +67,22 @@ class CurationIndex:
         out = os.path.join(index_dir, f"c{seq:05d}-{uuid.uuid4().hex[:8]}")
         df.write.mode("error").parquet(out)
 
-    def _read(self, index_dir: str) -> DataFrame:
+    def _read(
+        self, index_dir: str, exclude_key: str | None = None
+    ) -> DataFrame:
+        """Read the whole index store; ``exclude_key`` skips one keyed
+        append directory — a RETRIED epoch probes the index as it stood
+        before its own (possibly already-committed) append, so it
+        converges to the first attempt's accept set without the probe
+        having to mask identity pairs globally (which would silently
+        re-accept a doc_id re-ingested in a LATER epoch — ADVICE r7)."""
+        if exclude_key is not None:
+            parts = [
+                os.path.join(index_dir, d)
+                for d in sorted(os.listdir(index_dir))
+                if d != f"k-{exclude_key}"
+            ]
+            return self.spark.read.parquet(*parts)
         return self.spark.read.parquet(os.path.join(index_dir, "*"))
 
     # -- the O(corpus) step, once --------------------------------------
@@ -77,23 +92,30 @@ class CurationIndex:
         self._append(_para_hashes(corpus), self.para_dir)
 
     # -- O(batch) per incoming batch ------------------------------------
-    def probe(self, batch: DataFrame) -> DataFrame:
+    def probe(
+        self, batch: DataFrame, exclude_key: str | None = None
+    ) -> DataFrame:
         """(batch_doc, base_doc, n_agree) near-dup links of a batch
         (doc_id, text) against everything indexed so far."""
         return self.probe_indexed(
-            minhash_index(batch.select("doc_id", "text"), wide=False)
+            minhash_index(batch.select("doc_id", "text"), wide=False),
+            exclude_key=exclude_key,
         )
 
-    def probe_indexed(self, batch_idx: DataFrame) -> DataFrame:
+    def probe_indexed(
+        self, batch_idx: DataFrame, exclude_key: str | None = None
+    ) -> DataFrame:
         """Probe with the batch's PRECOMPUTED index rows. A steady-state
         caller materializes the batch's signature pass once (it needs the
         same rows again for append_indexed and the accept report);
         re-deriving them per verb would run the batch's Arrow stage 2-3×
         per epoch — measured 5.0 → 3.5 s median on the two-epoch
-        steady-state query at sf0.1."""
+        steady-state query at sf0.1. ``exclude_key``: a retried epoch
+        passes its own append key so re-probing its already-committed
+        entries converges (see _read)."""
         return lsh_index_probe(
             batch_idx.select(*self._lsh_cols(batch_idx)),
-            self._read(self.lsh_dir),
+            self._read(self.lsh_dir, exclude_key=exclude_key),
         )
 
     @staticmethod

@@ -330,11 +330,14 @@ def lsh_index_probe(batch_index: DataFrame, base_index: DataFrame) -> DataFrame:
             "base_doc",
             f"{agree} as n_agree",
         )
-        # a document is not a near-dup of ITSELF: drop identity pairs, so
-        # a probe whose batch already has entries in the index (a retried
-        # foreachBatch epoch re-probing after its own append committed)
-        # converges instead of rejecting every batch doc against itself
-        .where(f"batch_doc != base_doc AND n_agree >= {MINHASH_EST_AGREE}")
+        # NO identity-pair exclusion here: a batch doc whose doc_id is
+        # already indexed IS a near-dup (exact re-ingestion must be
+        # flagged, not silently re-accepted — ADVICE r7). The one caller
+        # that legitimately re-probes its own entries (a retried
+        # foreachBatch epoch) excludes its own epoch-keyed append from
+        # the probed index instead (CurationIndex.probe_indexed
+        # exclude_key), which converges without masking re-ingestion.
+        .where(f"n_agree >= {MINHASH_EST_AGREE}")
         .distinct()
     )
 

@@ -70,6 +70,9 @@ class MergeSpec:
     insert_cols: list[str] | None = None
     insert_values: list[str] | None = None
     has_insert: bool = False
+    # WHEN NOT MATCHED AND <cond> THEN INSERT — filters the insert
+    # anti-join (may reference source columns only, per Spark's analyzer)
+    insert_condition: str | None = None
 
 
 _HEAD_RE = re.compile(
@@ -164,12 +167,40 @@ def parse_merge(sql: str) -> MergeSpec:
                     "NOT MATCHED BY SOURCE UPDATE requires explicit "
                     "assignments (no source row to expand * from)"
                 )
+            # Spark's analyzer rejects BY SOURCE clauses that reference
+            # source columns (there is no source row); silently evaluating
+            # them against all-NULL source values would diverge from the
+            # engine being mirrored — reject source-alias-qualified tokens
+            src_ref = re.compile(
+                rf"(?<![\w.]){re.escape(spec.s_alias)}\.\w", re.IGNORECASE
+            )
+            exprs = list((clause.assignments or {}).values())
+            if clause.condition:
+                exprs.append(clause.condition)
+            for e in exprs:
+                if src_ref.search(e):
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE clause references source "
+                        f"alias {spec.s_alias!r}: {e!r} (Spark's analyzer "
+                        "rejects source-column references here)"
+                    )
             spec.by_source.append(clause)
             continue
         if w.group("not"):
             up = action.upper()
             if not up.startswith("INSERT"):
                 raise ValueError("NOT MATCHED [BY TARGET] supports INSERT only")
+            if spec.has_insert:
+                # Spark evaluates multiple NOT MATCHED clauses
+                # first-match-wins; this restricted grammar supports one —
+                # overwriting the first clause silently would execute the
+                # statement with wrong results (ADVICE r7)
+                raise ValueError(
+                    "multiple WHEN NOT MATCHED ... INSERT clauses are not "
+                    "supported by this restricted grammar"
+                )
+            cond = w.group("cond")
+            spec.insert_condition = cond.strip() if cond else None
             if up.replace(" ", "") == "INSERT*":
                 spec.insert_star = True
             else:
@@ -397,6 +428,15 @@ def execute_merge(
             anti = src.alias(s).join(
                 table.read(base_v).alias(t), F.expr(spec.on), "left_anti"
             )
+            if spec.insert_condition:
+                # WHEN NOT MATCHED AND <cond>: NULL-evaluating rows are
+                # not satisfied (three-valued logic, same rule as the
+                # matched-clause conditions above)
+                anti = anti.filter(
+                    F.coalesce(
+                        F.expr(spec.insert_condition), F.lit(False)
+                    )
+                )
             if spec.insert_star:
                 ins = anti.select(
                     *[
@@ -591,33 +631,58 @@ def execute_statement(
             raise ValueError("Spark's parser rejected the CALL text")
         proc = m.group("proc").lower()
         pos, named = _parse_call_args(m.group("args"))
-        tname = named.pop("table", None) or (pos.pop(0) if pos else None)
+        # argument dispatch tests named args against None explicitly and
+        # validates positional-list length before popping: truthiness
+        # dispatch broke the legitimate `snapshot_id => 0` (the create
+        # snapshot IS version 0) with IndexError (ADVICE r7)
+        tname = named.pop("table", None)
+        if tname is None and pos:
+            tname = pos.pop(0)
         if tname is None:
             raise ValueError(f"CALL {proc}: missing table argument")
         t = tables[tname]
         # dispatch to the LocalTable maintenance surface — the engine's
         # analogues of Iceberg's stored procedures (catalog.py)
         if proc == "rollback_to_snapshot":
-            t.rollback(named.pop("snapshot_id", None) or pos.pop(0))
+            sid = named.pop("snapshot_id", None)
+            if sid is None:
+                if not pos:
+                    raise ValueError(
+                        "CALL rollback_to_snapshot: missing argument "
+                        "'snapshot_id'"
+                    )
+                sid = pos.pop(0)
+            t.rollback(sid)
         elif proc == "rewrite_data_files":
             t.compact()
         elif proc == "expire_snapshots":
-            keep = named.pop("retain_last", None) or (
-                pos.pop(0) if pos else 2
-            )
+            keep = named.pop("retain_last", None)
+            if keep is None:
+                keep = pos.pop(0) if pos else 2
             t.expire_snapshots(keep_last=keep)
         elif proc == "remove_orphan_files":
             # Iceberg's older_than is a timestamp; 0-second grace keeps
             # the call deterministic in tests (dirs qualify immediately)
             t.remove_orphans(older_than_s=0 if named or pos else None)
         elif proc == "fast_forward":
-            # fast_forward(table, 'main', branch) / fast_forward(table, branch)
-            branch = named.pop("to", None) or pos.pop(-1)
-            if pos and str(pos[0]).lower() != "main" and "branch" not in named:
+            # fast_forward(table, branch, to): move `branch` (only main
+            # here) to the head of `to`; the short positional form
+            # fast_forward(table, to) implies branch = main
+            to = named.pop("to", None)
+            moved = named.pop("branch", None)
+            if to is None:
+                if not pos:
+                    raise ValueError(
+                        "CALL fast_forward: missing argument 'to'"
+                    )
+                to = pos.pop(-1)
+            if moved is None and pos:
+                moved = pos.pop(0)
+            if moved is not None and str(moved).lower() != "main":
                 raise ValueError(
                     "fast_forward: only main can be fast-forwarded"
                 )
-            t.fast_forward(branch)
+            t.fast_forward(to)
         else:
             raise ValueError(f"unsupported procedure: {proc}")
         return

@@ -920,9 +920,11 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a retry that crashed BETWEEN the index append and the report
         # re-runs the whole epoch and converges, because the index append
         # below is epoch-keyed (deterministic overwrite target, no
-        # duplicate entries) and lsh_index_probe excludes identity pairs
-        # (the batch re-probing its own already-appended entries does not
-        # reject itself)
+        # duplicate entries) and the probe EXCLUDES this epoch's own
+        # keyed append (exclude_key) — the batch never probes its own
+        # already-committed entries, while a doc_id re-ingested in a
+        # LATER epoch still hits the earlier epoch's entry and is
+        # rejected (ADVICE r7)
         if report_t.exists() and (epoch_id + 1) in {
             r["epoch"]
             for r in report_t.read().select("epoch").distinct().collect()
@@ -933,7 +935,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"scur-batch{epoch_id}",
         )
         nd = (
-            idx.probe_indexed(batch_idx)
+            idx.probe_indexed(batch_idx, exclude_key=f"e{epoch_id}")
             .select(F.col("batch_doc").alias("doc_id"))
             .distinct()
         )

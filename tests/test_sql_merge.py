@@ -870,3 +870,111 @@ def test_merge_insert_clause_qualified_columns(spark, tmp_path):
         {"default.t": t},
     )
     assert rows(t.read()) == sorted([(1, "a"), (2, "b")])
+
+def test_conditional_insert_clause_honored(spark, tmp_path):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT: only unmatched source
+    rows satisfying the condition insert; NULL-evaluating conditions are
+    not satisfied (three-valued logic). Pre-r8 the parser silently
+    DISCARDED the condition and inserted every unmatched row (ADVICE r7,
+    medium)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a", 5)], "k long, v string, q long"))
+    spark.createDataFrame(
+        [(2, "b", 10), (3, "c", 1), (4, "d", None)],
+        "k long, v string, q long",
+    ).createOrReplaceTempView("condins_src")
+    stmt = (
+        "MERGE INTO default.t t USING condins_src s ON s.k = t.k "
+        "WHEN NOT MATCHED AND s.q > 5 THEN "
+        "INSERT (k, v, q) VALUES (s.k, s.v, s.q);"
+    )
+    assert spark_validates(spark, stmt)  # real engines accept this text
+    execute_merge(spark, stmt, {"default.t": t})
+    # k=2: q=10>5 inserts; k=3: q=1 fails; k=4: NULL q not satisfied
+    assert rows(t.read()) == sorted([(1, "a", 5), (2, "b", 10)])
+
+
+def test_conditional_insert_star_honored(spark, tmp_path):
+    """The condition applies to INSERT * exactly as to the explicit
+    column form."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    spark.createDataFrame(
+        [(2, "keep"), (3, "drop")], "k long, v string"
+    ).createOrReplaceTempView("condins_star_src")
+    execute_merge(
+        spark,
+        "MERGE INTO default.t t USING condins_star_src s ON s.k = t.k "
+        "WHEN NOT MATCHED AND s.v = 'keep' THEN INSERT *;",
+        {"default.t": t},
+    )
+    assert rows(t.read()) == sorted([(1, "a"), (2, "keep")])
+
+
+def test_second_insert_clause_rejected(spark):
+    """Spark evaluates multiple NOT MATCHED clauses first-match-wins;
+    the restricted grammar supports one — a second clause must raise,
+    not silently overwrite the first (ADVICE r7)."""
+    with pytest.raises(ValueError, match="multiple WHEN NOT MATCHED"):
+        parse_merge(
+            "MERGE INTO default.t t USING src s ON s.k = t.k "
+            "WHEN NOT MATCHED AND s.q > 5 THEN INSERT (k) VALUES (s.k) "
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k + 100);"
+        )
+
+
+def test_by_source_referencing_source_alias_rejected(spark):
+    """Spark's analyzer rejects NOT MATCHED BY SOURCE clauses that
+    reference source columns (there is no source row); evaluating them
+    against all-NULL source values would silently diverge (ADVICE r7)."""
+    with pytest.raises(ValueError, match="references source"):
+        parse_merge(
+            "MERGE INTO default.t t USING src s ON s.k = t.k "
+            "WHEN NOT MATCHED BY SOURCE AND s.q > 1 THEN DELETE;"
+        )
+    with pytest.raises(ValueError, match="references source"):
+        parse_merge(
+            "MERGE INTO default.t t USING src s ON s.k = t.k "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.v = s.v;"
+        )
+
+
+def test_call_zero_valued_and_missing_args(spark, tmp_path):
+    """CALL argument dispatch must treat 0 / missing explicitly, not by
+    truthiness: snapshot_id => 0 is the legitimate create snapshot, and
+    incomplete argument lists raise a clear error instead of IndexError
+    (ADVICE r7)."""
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "t"))
+    tables = {"db.t": t}
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    execute_statement(
+        spark,
+        "CALL system.rollback_to_snapshot(table => 'db.t', snapshot_id => 0);",
+        tables,
+    )
+    assert t.read().count() == 1  # back to the create snapshot
+
+    with pytest.raises(ValueError, match="missing argument 'snapshot_id'"):
+        execute_statement(
+            spark, "CALL system.rollback_to_snapshot('db.t');", tables
+        )
+    with pytest.raises(ValueError, match="missing argument 'to'"):
+        execute_statement(
+            spark,
+            "CALL system.fast_forward(table => 'db.t', branch => 'main');",
+            tables,
+        )
+    # named to => form works without positionals
+    t.create_branch("audit")
+    t.append_to_branch(
+        "audit", spark.createDataFrame([(9, "z")], "k long, v string")
+    )
+    execute_statement(
+        spark,
+        "CALL system.fast_forward(table => 'db.t', branch => 'main', to => 'audit');",
+        tables,
+    )
+    assert t.read().count() == 2  # rollback state + audit head

@@ -269,9 +269,11 @@ def test_keyed_index_append_is_idempotent_and_probe_converges(
 ):
     """The curation-epoch retry contract: (a) append_indexed with the
     same key overwrites in place (no duplicate index entries); (b) a
-    batch re-probing an index that already contains its OWN entries is
-    not rejected against itself (identity pairs are excluded), so a
-    retried epoch computes the same accepted set."""
+    retried epoch probes with exclude_key=<its own append key>, so its
+    already-committed entries are invisible to the re-probe and the
+    accepted set converges; (c) WITHOUT exclude_key the same re-probe
+    rejects every batch doc against its own entry — exact re-ingestion
+    in a later epoch is flagged, not silently re-accepted (ADVICE r7)."""
     from iceberg_examples_spark.catalog import load_table
     from iceberg_examples_spark.operators.curation_index import CurationIndex
     from iceberg_examples_spark.operators.dedup import minhash_index
@@ -293,11 +295,24 @@ def test_keyed_index_append_is_idempotent_and_probe_converges(
     idx.append_indexed(batch_idx, key="e0")  # retried append: overwrite
     assert idx._read(idx.lsh_dir).count() == size_once
 
-    # re-probe after the batch's own entries landed: identity pairs are
-    # excluded, so the near-dup verdict per batch doc is unchanged
+    # retried-epoch re-probe: with exclude_key the epoch's own committed
+    # entries are invisible, so the near-dup verdict per batch doc is
+    # unchanged — the retry computes the same accepted set
     nd_after = {
+        r["batch_doc"]
+        for r in idx.probe_indexed(batch_idx, exclude_key="e0")
+        .select("batch_doc")
+        .collect()
+    }
+    assert nd_before == nd_after
+
+    # and WITHOUT exclude_key the probe sees the batch's own entries:
+    # every batch doc is flagged against itself — a later epoch
+    # re-ingesting the same doc_id is rejected, never re-appended
+    nd_plain = {
         r["batch_doc"]
         for r in idx.probe_indexed(batch_idx).select("batch_doc").collect()
     }
-    assert nd_before == nd_after
+    batch_ids = {r["doc_id"] for r in batch_idx.select("doc_id").collect()}
+    assert nd_plain == batch_ids
     batch_idx.unpersist()
