@@ -115,10 +115,63 @@ _WHEN_RE = re.compile(
 )
 
 
+def _norm_ws(s: str) -> str:
+    """Collapse whitespace runs to one space OUTSIDE quoted literals
+    (the keyword checks below need 'UPDATE  SET' → 'UPDATE SET', but a
+    literal's internal spacing is data and must survive)."""
+    out: list[str] = []
+    quote = None
+    prev_space = False
+    for ch in s:
+        if quote:
+            out.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            out.append(ch)
+            prev_space = False
+        elif ch.isspace():
+            if not prev_space:
+                out.append(" ")
+            prev_space = True
+        else:
+            out.append(ch)
+            prev_space = False
+    return "".join(out).strip()
+
+
+def _mask_quotes(text: str) -> str:
+    """Same-length copy with quoted-literal CONTENTS replaced by '_'
+    (the quote characters themselves survive). Keyword-boundary regexes
+    run on the mask — a literal like ``'WHEN HOT'`` can no longer
+    terminate the ON clause or a WHEN condition early — while the actual
+    substrings are sliced from the original text by span (the mask is
+    index-identical by construction)."""
+    out = list(text)
+    quote = None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+            else:
+                out[i] = "_"
+        elif ch in "'\"":
+            quote = ch
+    return "".join(out)
+
+
 def parse_merge(sql: str) -> MergeSpec:
-    """Parse a restricted-grammar MERGE statement (see module doc)."""
+    """Parse a restricted-grammar MERGE statement (see module doc).
+
+    All boundary-finding regexes run against a quote-masked copy of the
+    text (see _mask_quotes): a string literal containing WHEN/THEN/ON —
+    text Spark happily accepts — must not shift clause boundaries and
+    execute with silently wrong results (the round-7 ADVICE bug class)."""
     text = sql.strip()
-    h = _HEAD_RE.search(text)
+    masked = _mask_quotes(text)
+    h = _HEAD_RE.search(masked)
     if not h:
         raise ValueError("not a recognizable MERGE statement")
     pos = h.end()
@@ -130,7 +183,7 @@ def parse_merge(sql: str) -> MergeSpec:
         rm = re.match(r"[\w.]+", text[pos:])
         source_sql, is_subq = rm.group(0), False
         pos += rm.end()
-    tm = _TAIL_RE.match(text, pos)
+    tm = _TAIL_RE.match(masked, pos)
     if not tm:
         raise ValueError("no ON clause / WHEN clauses found")
     spec = MergeSpec(
@@ -139,7 +192,7 @@ def parse_merge(sql: str) -> MergeSpec:
         source_sql=source_sql,
         source_is_subquery=is_subq,
         s_alias=tm.group("salias"),
-        on=tm.group("on").strip(),
+        on=text[tm.start("on") : tm.end("on")].strip(),
     )
     def _matched_clause(action: str, cond: str | None) -> MatchedClause:
         up = action.upper()
@@ -156,11 +209,18 @@ def parse_merge(sql: str) -> MergeSpec:
             return MatchedClause("update", cond, assignments=assigns)
         raise ValueError(f"unsupported MATCHED action: {action!r}")
 
-    for w in _WHEN_RE.finditer(text, tm.end()):
-        action = re.sub(r"\s+", " ", w.group("action").strip())
+    def _slice(m: re.Match, group: str) -> str | None:
+        return (
+            text[m.start(group) : m.end(group)]
+            if m.group(group) is not None
+            else None
+        )
+
+    for w in _WHEN_RE.finditer(masked, tm.end()):
+        action = _norm_ws(_slice(w, "action"))
         by = (w.group("by") or "").upper()
         if w.group("not") and by == "SOURCE":
-            cond = w.group("cond")
+            cond = _slice(w, "cond")
             clause = _matched_clause(action, cond.strip() if cond else None)
             if clause.star:
                 raise ValueError(
@@ -199,14 +259,16 @@ def parse_merge(sql: str) -> MergeSpec:
                     "multiple WHEN NOT MATCHED ... INSERT clauses are not "
                     "supported by this restricted grammar"
                 )
-            cond = w.group("cond")
+            cond = _slice(w, "cond")
             spec.insert_condition = cond.strip() if cond else None
             if up.replace(" ", "") == "INSERT*":
                 spec.insert_star = True
             else:
+                # boundary-find on the masked action (quoted parens must
+                # not terminate the VALUES list), slice from the original
                 im = re.match(
                     r"INSERT\s*\((?P<cols>.*?)\)\s*VALUES\s*\((?P<vals>.*)\)",
-                    action,
+                    _mask_quotes(action),
                     re.IGNORECASE | re.DOTALL,
                 )
                 if not im:
@@ -218,10 +280,12 @@ def parse_merge(sql: str) -> MergeSpec:
                     c.strip().split(".")[-1]
                     for c in im.group("cols").split(",")
                 ]
-                spec.insert_values = _split_top_level(im.group("vals"))
+                spec.insert_values = _split_top_level(
+                    action[im.start("vals") : im.end("vals")]
+                )
             spec.has_insert = True
         else:
-            cond = w.group("cond")
+            cond = _slice(w, "cond")
             spec.matched.append(
                 _matched_clause(action, cond.strip() if cond else None)
             )
@@ -579,10 +643,23 @@ def execute_statement(
     so a whole class replays end-to-end
     (tests/test_sql_merge.py::test_reference_delete_class_replays)."""
     text = sql.strip()
+    # every statement RE matches against the quote-masked text (keyword
+    # boundaries — WHERE/VALUES/AS SELECT — must not be shifted by a
+    # string literal containing them: the parse_merge bug class); groups
+    # that can CONTAIN literals are sliced from the original by span
+    masked = _mask_quotes(text)
+
+    def _g(m: re.Match, group: str) -> str | None:
+        return (
+            text[m.start(group) : m.end(group)]
+            if m.group(group) is not None
+            else None
+        )
+
     up = text.upper()
     if up.startswith("MERGE"):
         return execute_merge(spark, text, tables, name_map)
-    m = _DELETE_RE.match(text)
+    m = _DELETE_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "DeleteFromTable"):
             raise ValueError("Spark's parser rejected the DELETE text")
@@ -598,12 +675,12 @@ def execute_statement(
         else:
             t.overwrite(
                 t.read(base).filter(
-                    ~F.coalesce(F.expr(m.group("pred")), F.lit(False))
+                    ~F.coalesce(F.expr(_g(m, "pred")), F.lit(False))
                 ),
                 expect_current=base,
             )
         return
-    m = _ADD_COL_RE.match(text)
+    m = _ADD_COL_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "AddColumns"):
             raise ValueError("Spark's parser rejected the ALTER text")
@@ -617,7 +694,7 @@ def execute_statement(
             expect_current=base,
         )
         return
-    m = _DROP_COL_RE.match(text)
+    m = _DROP_COL_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "DropColumns"):
             raise ValueError("Spark's parser rejected the ALTER text")
@@ -625,12 +702,12 @@ def execute_statement(
         base = t.current_version
         t.overwrite(t.read(base).drop(m.group("col")), expect_current=base)
         return
-    m = _CALL_RE.match(text)
+    m = _CALL_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "Call"):
             raise ValueError("Spark's parser rejected the CALL text")
         proc = m.group("proc").lower()
-        pos, named = _parse_call_args(m.group("args"))
+        pos, named = _parse_call_args(_g(m, "args"))
         # argument dispatch tests named args against None explicitly and
         # validates positional-list length before popping: truthiness
         # dispatch broke the legitimate `snapshot_id => 0` (the create
@@ -686,7 +763,7 @@ def execute_statement(
         else:
             raise ValueError(f"unsupported procedure: {proc}")
         return
-    m = _RENAME_COL_RE.match(text)
+    m = _RENAME_COL_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "RenameColumn"):
             raise ValueError("Spark's parser rejected the ALTER text")
@@ -697,7 +774,7 @@ def execute_statement(
             expect_current=base,
         )
         return
-    m = _ALTER_TYPE_RE.match(text)
+    m = _ALTER_TYPE_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "AlterColumns"):
             raise ValueError("Spark's parser rejected the ALTER text")
@@ -721,14 +798,14 @@ def execute_statement(
             expect_current=base,
         )
         return
-    m = _INSERT_RE.match(text)
+    m = _INSERT_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "InsertIntoStatement"):
             raise ValueError("Spark's parser rejected the INSERT text")
         t = tables[m.group("target")]
         cols = t.read().columns
         df = spark.sql(
-            f"SELECT * FROM (VALUES {m.group('rows')})"
+            f"SELECT * FROM (VALUES {_g(m, 'rows')})"
         ).toDF(*cols)
         casted = df.select(
             *[
@@ -738,7 +815,7 @@ def execute_statement(
         )
         t.append(casted)
         return
-    m = _UPDATE_RE.match(text)
+    m = _UPDATE_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "UpdateTable"):
             raise ValueError("Spark's parser rejected the UPDATE text")
@@ -747,12 +824,12 @@ def execute_statement(
         # and NULL rows keep their values (three-valued logic, the same
         # rule as DELETE above); no WHERE = all rows
         pred = (
-            F.coalesce(F.expr(m.group("pred")), F.lit(False))
+            F.coalesce(F.expr(_g(m, "pred")), F.lit(False))
             if m.group("pred")
             else F.lit(True)
         )
         assigns = {}
-        for part in _split_top_level(m.group("assigns")):
+        for part in _split_top_level(_g(m, "assigns")):
             lhs, rhs = part.split("=", 1)
             assigns[lhs.strip().split(".")[-1]] = rhs.strip()
         base = t.current_version
@@ -775,12 +852,12 @@ def execute_statement(
             expect_current=base,
         )
         return
-    m = _INSERT_SELECT_RE.match(text)
+    m = _INSERT_SELECT_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "InsertIntoStatement"):
             raise ValueError("Spark's parser rejected the INSERT text")
         t = tables[m.group("target")]
-        sel = m.group("select")
+        sel = _g(m, "select")
         for qualified, view in (name_map or {}).items():
             sel = re.sub(
                 rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, sel
@@ -791,12 +868,12 @@ def execute_statement(
         )
         t.append(casted)
         return
-    m = _CREATE_RE.match(text)
+    m = _CREATE_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "CreateTable"):
             raise ValueError("Spark's parser rejected the CREATE text")
         fields = []
-        for part in _split_top_level(m.group("cols")):
+        for part in _split_top_level(_g(m, "cols")):
             # strip COMMENT '...' and NOT NULL (constraints are catalog
             # metadata, not schema shape), keep the FULL type text so
             # parameterized types survive — decimal(10, 2), array<int>
@@ -811,18 +888,18 @@ def execute_statement(
             spark.createDataFrame([], ", ".join(fields))
         )
         return
-    m = _CTAS_RE.match(text)
+    m = _CTAS_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "CreateTableAsSelect"):
             raise ValueError("Spark's parser rejected the CTAS text")
-        sel = m.group("select")
+        sel = _g(m, "select")
         for qualified, view in (name_map or {}).items():
             sel = re.sub(
                 rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, sel
             )
         tables[m.group("target")].create(spark.sql(sel))
         return
-    m = _TRUNCATE_RE.match(text)
+    m = _TRUNCATE_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "TruncateTable"):
             raise ValueError("Spark's parser rejected the TRUNCATE text")
@@ -830,7 +907,7 @@ def execute_statement(
         base = t.current_version
         t.overwrite(t.read(base).limit(0), expect_current=base)
         return
-    m = _DROP_TABLE_RE.match(text)
+    m = _DROP_TABLE_RE.match(masked)
     if m:
         if not spark_validates(spark, text, "DropTable"):
             raise ValueError("Spark's parser rejected the DROP text")

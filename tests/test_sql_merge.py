@@ -978,3 +978,80 @@ def test_call_zero_valued_and_missing_args(spark, tmp_path):
         tables,
     )
     assert t.read().count() == 2  # rollback state + audit head
+
+def test_keywords_inside_string_literals_do_not_shift_boundaries(
+    spark, tmp_path
+):
+    """A string literal containing WHEN/THEN/WHERE/VALUES — text Spark
+    accepts — must not terminate a clause early and execute with
+    silently wrong results. Boundary regexes run on a quote-masked copy;
+    substrings are sliced from the original (round-8 hardening of the
+    ADVICE r7 bug class)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "WHEN HOT", "a"), (2, "cold", "b")],
+            "k long, tag string, v string",
+        )
+    )
+    spark.createDataFrame(
+        [(1, "up"), (2, "up2"), (3, "new")], "k long, v string"
+    ).createOrReplaceTempView("kw_src")
+
+    # literal 'WHEN HOT' inside the ON condition
+    stmt = (
+        "MERGE INTO default.t t USING kw_src s "
+        "ON s.k = t.k AND t.tag = 'WHEN HOT' "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED AND s.v = 'x THEN y' THEN "
+        "INSERT (k, tag, v) VALUES (s.k, 'a) WHEN b', s.v);"
+    )
+    assert spark_validates(spark, stmt)
+    execute_merge(spark, stmt, {"default.t": t})
+    # only k=1 matched (tag gate); insert condition matched nobody
+    assert rows(t.read()) == sorted(
+        [(1, "WHEN HOT", "up"), (2, "cold", "b")]
+    )
+
+    # UPDATE statement: ' WHERE ' inside the assignment literal
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    execute_statement(
+        spark,
+        "UPDATE default.t SET v = 'a WHERE b' WHERE k = 1;",
+        {"default.t": t},
+    )
+    assert sorted(r["v"] for r in t.read().collect()) == ["a WHERE b", "b"]
+
+    # DELETE: quoted semicolon + keyword in the predicate literal
+    execute_statement(
+        spark,
+        "DELETE FROM default.t WHERE v = 'a WHERE b';",
+        {"default.t": t},
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [2]
+
+    # INSERT VALUES: literal containing 'VALUES' and parens
+    execute_statement(
+        spark,
+        "INSERT INTO default.t VALUES (9, 'x', 'a VALUES (b)');",
+        {"default.t": t},
+    )
+    assert sorted(r["k"] for r in t.read().collect()) == [2, 9]
+
+
+def test_literal_internal_whitespace_survives_normalization(spark, tmp_path):
+    """Action normalization collapses whitespace OUTSIDE literals only:
+    an inserted value keeps its double space."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    spark.createDataFrame([(2, "b")], "k long, v string").createOrReplaceTempView(
+        "ws_src"
+    )
+    execute_merge(
+        spark,
+        "MERGE INTO default.t t USING ws_src s ON s.k = t.k "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'two  spaces');",
+        {"default.t": t},
+    )
+    assert rows(t.read()) == sorted([(1, "a"), (2, "two  spaces")])
