@@ -142,6 +142,21 @@ def _norm_ws(s: str) -> str:
     return "".join(out).strip()
 
 
+def _sub_outside_quotes(pattern: str, repl: str, s: str) -> str:
+    """re.sub that never rewrites inside a string literal: match
+    positions come from the quote-masked copy, replacement splices the
+    original. A relation name appearing inside a literal (``WHERE note =
+    'see default.x'``) is data, not a reference to rewrite."""
+    masked = _mask_quotes(s)
+    out, last = [], 0
+    for m in re.finditer(pattern, masked):
+        out.append(s[last : m.start()])
+        out.append(repl)
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
 def _mask_quotes(text: str) -> str:
     """Same-length copy with quoted-literal CONTENTS replaced by '_'
     (the quote characters themselves survive). Keyword-boundary regexes
@@ -360,7 +375,7 @@ def execute_merge(
 
     src_sql = spec.source_sql
     for qualified, view in (name_map or {}).items():
-        src_sql = re.sub(
+        src_sql = _sub_outside_quotes(
             rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, src_sql
         )
     if spec.source_is_subquery:
@@ -566,8 +581,9 @@ def _parse_call_args(raw: str) -> tuple[list, dict]:
         part = part.strip()
         if not part:
             continue
-        if "=>" in part:
-            name, val = part.split("=>", 1)
+        arrow = _mask_quotes(part).find("=>")  # a quoted '=>' is data
+        if arrow >= 0:
+            name, val = part[:arrow], part[arrow + 2 :]
             named[name.strip().lower()] = _call_literal(val.strip())
         else:
             pos.append(_call_literal(part))
@@ -859,7 +875,7 @@ def execute_statement(
         t = tables[m.group("target")]
         sel = _g(m, "select")
         for qualified, view in (name_map or {}).items():
-            sel = re.sub(
+            sel = _sub_outside_quotes(
                 rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, sel
             )
         df = spark.sql(sel).toDF(*t.read().columns)
@@ -894,7 +910,7 @@ def execute_statement(
             raise ValueError("Spark's parser rejected the CTAS text")
         sel = _g(m, "select")
         for qualified, view in (name_map or {}).items():
-            sel = re.sub(
+            sel = _sub_outside_quotes(
                 rf"(?<![\w.]){re.escape(qualified)}(?![\w.])", view, sel
             )
         tables[m.group("target")].create(spark.sql(sel))

@@ -1055,3 +1055,38 @@ def test_literal_internal_whitespace_survives_normalization(spark, tmp_path):
         {"default.t": t},
     )
     assert rows(t.read()) == sorted([(1, "a"), (2, "two  spaces")])
+
+def test_name_map_never_rewrites_inside_literals(spark, tmp_path):
+    """name_map rewrites qualified relation names in the source subquery
+    — but a name appearing inside a string literal is data and must
+    survive verbatim."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "x")], "k long, v string"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).createOrReplaceTempView("nm_src")
+    execute_merge(
+        spark,
+        "MERGE INTO default.t t USING "
+        "(SELECT k, 'from default.nm_src' AS v FROM default.nm_src) s "
+        "ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);",
+        {"default.t": t},
+        name_map={"default.nm_src": "nm_src"},
+    )
+    # the literal kept the ORIGINAL qualified name; the relation resolved
+    # through the mapped view
+    assert rows(t.read()) == sorted(
+        [(1, "from default.nm_src"), (2, "from default.nm_src")]
+    )
+
+
+def test_call_arg_quoted_arrow_is_positional(spark):
+    """A string literal containing '=>' is a positional value, not a
+    named argument."""
+    from iceberg_examples_spark.sql_merge import _parse_call_args
+
+    pos, named = _parse_call_args("'db.t', 'a=>b', retain_last => 3")
+    assert pos == ["db.t", "a=>b"]
+    assert named == {"retain_last": 3}
