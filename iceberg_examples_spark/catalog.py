@@ -423,9 +423,24 @@ class LocalTable:
         HERE and the commit carries ``expect_current`` — a concurrent
         commit between this read and the publish raises
         CommitConflictError (retryable) rather than being erased by the
-        stale union (lost update)."""
+        stale union (lost update).
+
+        Schema contract (Iceberg's write validation): a frame carrying a
+        column the table does NOT have is rejected — a typo'd column
+        name must not silently widen the schema mid-append (evolution is
+        an explicit ALTER/overwrite, never a write side effect). A frame
+        MISSING table columns null-fills them (the optional-column write
+        Iceberg permits via name mapping)."""
         base = self.current_version
         if base >= 0:
+            tcols = self.read(base).columns
+            extra = [c for c in df.columns if c not in tcols]
+            if extra:
+                raise ValueError(
+                    f"append schema mismatch: column(s) {extra} not in "
+                    f"table schema {tcols}; evolve the schema explicitly "
+                    "(ALTER TABLE / overwrite) before appending"
+                )
             df = self.read(base).unionByName(df, allowMissingColumns=True)
         return self._commit(df, "append", None, expect_current=base if base >= 0 else None)
 
@@ -710,8 +725,16 @@ class LocalTable:
         moved to it in the same CAS publish. ``current`` is untouched —
         main's readers never see branch-only rows (Iceberg's
         write-to-branch semantics). The snapshot is marked staged so
-        default expiry never reclaims a live branch's history."""
+        default expiry never reclaims a live branch's history. Same
+        schema contract as append: unknown columns are rejected."""
         head = self._branch_head(name)
+        hcols = self.read(head).columns
+        extra = [c for c in df.columns if c not in hcols]
+        if extra:
+            raise ValueError(
+                f"branch-append schema mismatch: column(s) {extra} not "
+                f"in branch schema {hcols}; evolve the schema explicitly"
+            )
         data = self.read(head).unionByName(df, allowMissingColumns=True)
         return self._commit(
             data, "branch-append", None, staged=True, parent=head,

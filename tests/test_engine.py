@@ -1569,3 +1569,29 @@ def test_sessionize_boundary_matches_brute_force(spark):
             cur.append((t, e))
         exp.append((u, cur[0][0], cur[-1][0], len(cur)))
     assert got == sorted(exp)
+
+
+def test_append_rejects_unknown_columns(spark, tmp_path):
+    """Iceberg's write validation: an append carrying a column the table
+    doesn't have is rejected — a typo'd name must not silently widen the
+    schema as a write side effect. Missing columns still null-fill (the
+    optional-column write)."""
+    import pytest as _pytest
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_schema_guard"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.append(spark.createDataFrame([(2, "b")], "k long, w string"))
+    assert t.current_version == 0  # nothing committed
+    t.append(spark.createDataFrame([(2,)], "k long"))  # missing v: fills
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read().collect()
+    ) == [(1, "a"), (2, None)]
+
+    t.create_branch("b1")
+    with _pytest.raises(ValueError, match="not in branch schema"):
+        t.append_to_branch(
+            "b1", spark.createDataFrame([(3, "x")], "k long, zz string")
+        )
