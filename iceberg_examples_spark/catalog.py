@@ -398,7 +398,22 @@ class LocalTable:
         return version
 
     # ---- public API -----------------------------------------------------
-    def create(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def create(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        replace: bool = False,
+    ) -> int:
+        """CREATE TABLE: refuses an existing table (the engines'
+        TABLE_ALREADY_EXISTS — a silent re-create replaced schema AND
+        contents in one call, round-8 audit). ``replace=True`` is the
+        explicit CREATE OR REPLACE spelling."""
+        if not replace and self.exists():
+            raise ValueError(
+                f"table {self.root} already exists (version "
+                f"{self.current_version}); use replace=True for "
+                "CREATE OR REPLACE semantics"
+            )
         return self._commit(df, "create", partition_by)
 
     def overwrite(

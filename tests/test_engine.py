@@ -1595,3 +1595,22 @@ def test_append_rejects_unknown_columns(spark, tmp_path):
         t.append_to_branch(
             "b1", spark.createDataFrame([(3, "x")], "k long, zz string")
         )
+
+
+def test_create_rejects_existing_table(spark, tmp_path):
+    """CREATE on an existing table raises (TABLE_ALREADY_EXISTS); a
+    silent re-create replaced schema and contents in one call.
+    replace=True is the explicit CREATE OR REPLACE spelling."""
+    import pytest as _pytest
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_create_guard"))
+    t.create(spark.createDataFrame([(1,)], "k long"))
+    with _pytest.raises(ValueError, match="already exists"):
+        t.create(spark.createDataFrame([(9, "x")], "a long, b string"))
+    assert t.read().columns == ["k"]  # untouched
+    t.create(
+        spark.createDataFrame([(9, "x")], "a long, b string"), replace=True
+    )
+    assert t.read().columns == ["a", "b"]
