@@ -351,6 +351,25 @@ class LocalTable:
                     f"branch {move_ref!r} moved or was dropped since its "
                     f"head ({expected}) was read; re-read and retry"
                 )
+        if partition_by is None:
+            # Inherit the derivation-base snapshot's partition spec: a
+            # partitioned table must stay partitioned through append /
+            # overwrite / compact / DML rewrites (round-8 audit: one
+            # append silently flattened the layout, losing partition
+            # pruning for every later read — at scale the whole point of
+            # the spec). Explicit specs still win (partition evolution
+            # passes the new one; ``[]`` is the explicit unpartitioned
+            # spelling). Columns no longer in the frame drop out of the
+            # inherited spec (schema evolution may remove a partition
+            # column; the engines require spec evolution first — the
+            # tolerant subset keeps the remaining layout).
+            basis = parent if parent is not None else meta["current"]
+            bsnap = next(
+                (s for s in meta["snapshots"] if s["version"] == basis),
+                None,
+            )
+            inherited = (bsnap or {}).get("partition_by") or []
+            partition_by = [c for c in inherited if c in df.columns] or None
         version = self._next_snapshot_version(meta)
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
         # committers never write into each other's files; the metadata CAS

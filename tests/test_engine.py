@@ -1614,3 +1614,41 @@ def test_create_rejects_existing_table(spark, tmp_path):
         spark.createDataFrame([(9, "x")], "a long, b string"), replace=True
     )
     assert t.read().columns == ["a", "b"]
+
+
+def test_partition_spec_survives_data_commits(spark, tmp_path):
+    """A partitioned table stays partitioned through append, DML
+    rewrite (overwrite), and compaction — losing the spec silently on
+    the first append would forfeit partition pruning for every later
+    read. Explicit specs still win; a dropped partition column shrinks
+    the inherited spec instead of crashing the write."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_pspec"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, p string"
+        ),
+        partition_by=["p"],
+    )
+    t.append(spark.createDataFrame([(3, "a")], "k long, p string"))
+    t.overwrite(t.read().filter(_F.col("k") != 2))  # DML-shaped rewrite
+    t.compact()
+    for s in t.snapshots():
+        assert s["partition_by"] == ["p"], s
+    # the physical layout is really partitioned: hive-style p= dirs
+    snap_dir = _os.path.join(t.root, t.snapshots()[-1]["path"])
+    assert any(n.startswith("p=") for n in _os.listdir(snap_dir))
+    # dropping the partition column shrinks the spec, not the write
+    t.overwrite(t.read().drop("p"))
+    assert t.snapshots()[-1]["partition_by"] == []
+    # explicit new spec (partition evolution) still wins
+    t.overwrite(
+        t.read().withColumn("b", (_F.col("k") % 2).cast("long")),
+        partition_by=["b"],
+    )
+    assert t.snapshots()[-1]["partition_by"] == ["b"]
