@@ -133,3 +133,34 @@ def test_plan_invariants(name, spark, sf_dir):
         assert "dynamicpruning" in plan.lower(), (
             f"{name}: no dynamic partition pruning subquery in the plan"
         )
+
+
+def test_localtable_partition_pruning_survives_append(spark, tmp_path):
+    """The read-path benefit the round-8 partition-spec fix exists for:
+    after an append, a filter on the partition column still reaches the
+    scan as a PartitionFilter (directory pruning), not a post-scan
+    DataFilter. Before the fix the appended snapshot was written
+    unpartitioned and the filter could only prune row groups."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_prune"))
+    t.create(
+        spark.createDataFrame(
+            [(i, f"p{i % 3}") for i in range(30)], "k long, p string"
+        ),
+        partition_by=["p"],
+    )
+    t.append(spark.createDataFrame([(99, "p1")], "k long, p string"))
+    plan = (
+        t.read()
+        .filter(F.col("p") == "p1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "= p1" in m.group(0), plan[:2000]
