@@ -2,7 +2,8 @@
 Python model.
 
 Hypothesis drives random operation sequences (append / overwrite / stage /
-publish / drop_staged / compact / expire_snapshots / remove_orphans) and
+publish / drop_staged / compact / rollback / expire_snapshots /
+remove_orphans, plus tag/branch refs and branch writes) and
 after every step asserts that the real table's visible contents, current
 version, and snapshot log agree with a ~30-line pure-Python model of the
 intended semantics. This is the same independent-model discipline as
@@ -76,6 +77,15 @@ class Model:
         )
         self.current = max(self.snaps.keys())
 
+    def rollback(self, v: int) -> int:
+        """Metadata-only restore: a NEW data snapshot whose rows are the
+        target's (the engine shares the data dir; rows are what the
+        model checks)."""
+        nv = self._next_version()
+        self.snaps[nv] = (list(self.snaps[v][0]), False)
+        self.current = nv
+        return nv
+
     def expire(self, keep_last: int) -> int:
         # staged snapshots are pending work — never expired; retention
         # applies to the data lineage only, and ref-pinned snapshots
@@ -99,6 +109,7 @@ OPS = st.lists(
         st.tuples(st.just("publish"), st.just([])),
         st.tuples(st.just("drop_staged"), st.just([])),
         st.tuples(st.just("compact"), st.just([])),
+        st.tuples(st.just("rollback"), st.just([])),
         st.tuples(st.just("expire"), st.just([])),
         st.tuples(st.just("orphans"), st.just([])),
         st.tuples(st.just("tag"), st.sampled_from(["r1", "r2"])),
@@ -182,6 +193,18 @@ def test_lifecycle_matches_model(spark, tmp_path_factory, ops):
         elif op == "compact":
             t.compact(target_files=1)
             m.compact()
+        elif op == "rollback":
+            # roll back to the OLDEST surviving non-current data snapshot
+            # (deterministic pick); rollback to current is not a state
+            # change worth modeling
+            data = sorted(v for v, (_, s) in m.snaps.items() if not s)
+            targets = [v for v in data if v != m.current]
+            if not targets:
+                continue
+            v = targets[0]
+            v_real = t.rollback(v)
+            v_model = m.rollback(v)
+            assert v_real == v_model
         elif op == "expire":
             # no skips: staged snapshots are retained by both sides, and
             # current is always the max data snapshot, so expiry is legal
