@@ -208,19 +208,29 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one aggregation per stage over (user, type)-filtered events,
     each joined back user-keyed — k tiny hash joins on user_id for a
     k-stage funnel, each stage's frame only shrinking. No window over
-    the full log, no per-user event arrays materialized."""
+    the full log, no per-user event arrays materialized. s1 and s2 are
+    STAGED (each has two consumers: the next stage's join and its own
+    count/lag row) — unstaged, Catalyst re-derived each from a fresh
+    events scan per branch, reading the log ~5× instead of 3×; at scale
+    the events re-scans are the dominant cost while the staged frames
+    are user-sized (measured neutral at sf0.1, where the saved scans
+    and the two materialization jobs cancel)."""
+    from iceberg_examples_spark.checkpointing import stage
+
     ev = load_table(spark, sf_dir, "events")
-    s1 = (
+    s1 = stage(
         ev.filter(F.col("event_type") == FUNNEL[0])
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1")),
+        "funnel-s1",
     )
-    s2 = (
+    s2 = stage(
         ev.filter(F.col("event_type") == FUNNEL[1])
         .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id", "t1")
-        .agg(F.min("ts").alias("t2"))
+        .agg(F.min("ts").alias("t2")),
+        "funnel-s2",
     )
     s3 = (
         ev.filter(F.col("event_type") == FUNNEL[2])
