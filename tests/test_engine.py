@@ -1652,3 +1652,37 @@ def test_partition_spec_survives_data_commits(spark, tmp_path):
         partition_by=["b"],
     )
     assert t.snapshots()[-1]["partition_by"] == ["b"]
+
+
+def test_partitioned_statement_executor_paths(spark, tmp_path):
+    """The SQL-executor write verbs preserve the partition layout:
+    INSERT (append path) keeps the spec and lands rows in the right
+    dirs; UPDATE on the partition column re-lands the row under its new
+    value; a DELETE that empties one partition leaves no stale dir (the
+    rewrite snapshot contains only live partitions)."""
+    import os as _os
+
+    from iceberg_examples_spark.catalog import LocalTable
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "tbl_pexec"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string"),
+        partition_by=["p"],
+    )
+    tables = {"default.t": t}
+
+    def dirs():
+        d = _os.path.join(t.root, t.snapshots()[-1]["path"])
+        return sorted(x for x in _os.listdir(d) if x.startswith("p="))
+
+    execute_statement(spark, "INSERT INTO default.t VALUES (3, 'a');", tables)
+    assert t.snapshots()[-1]["partition_by"] == ["p"]
+    assert dirs() == ["p=a", "p=b"]
+    execute_statement(
+        spark, "UPDATE default.t SET p = 'c' WHERE k = 2;", tables
+    )
+    assert dirs() == ["p=a", "p=c"]
+    execute_statement(spark, "DELETE FROM default.t WHERE p = 'c';", tables)
+    assert dirs() == ["p=a"]  # emptied partition leaves no stale dir
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
