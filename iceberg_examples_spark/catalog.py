@@ -351,7 +351,10 @@ class LocalTable:
                     f"branch {move_ref!r} moved or was dropped since its "
                     f"head ({expected}) was read; re-read and retry"
                 )
-        if partition_by is None:
+        if partition_by is None and operation != "create":
+            # (a CREATE [OR REPLACE] defines its own layout: no spec
+            # given means unpartitioned, never the replaced table's —
+            # the engines' CREATE OR REPLACE contract)
             # Inherit the derivation-base snapshot's partition spec: a
             # partitioned table must stay partitioned through append /
             # overwrite / compact / DML rewrites (round-8 audit: one
@@ -467,15 +470,19 @@ class LocalTable:
         Iceberg permits via name mapping)."""
         base = self.current_version
         if base >= 0:
-            tcols = self.read(base).columns
-            extra = [c for c in df.columns if c not in tcols]
+            base_df = self.read(base)
+            # case-INSENSITIVE membership: the unionByName this guards
+            # resolves names case-insensitively (spark.sql.caseSensitive
+            # defaults false), as does Iceberg's write resolution
+            tlower = {c.lower() for c in base_df.columns}
+            extra = [c for c in df.columns if c.lower() not in tlower]
             if extra:
                 raise ValueError(
                     f"append schema mismatch: column(s) {extra} not in "
-                    f"table schema {tcols}; evolve the schema explicitly "
-                    "(ALTER TABLE / overwrite) before appending"
+                    f"table schema {base_df.columns}; evolve the schema "
+                    "explicitly (ALTER TABLE / overwrite) before appending"
                 )
-            df = self.read(base).unionByName(df, allowMissingColumns=True)
+            df = base_df.unionByName(df, allowMissingColumns=True)
         return self._commit(df, "append", None, expect_current=base if base >= 0 else None)
 
     def rollback(self, version: int) -> int:
@@ -762,14 +769,16 @@ class LocalTable:
         default expiry never reclaims a live branch's history. Same
         schema contract as append: unknown columns are rejected."""
         head = self._branch_head(name)
-        hcols = self.read(head).columns
-        extra = [c for c in df.columns if c not in hcols]
+        head_df = self.read(head)
+        hlower = {c.lower() for c in head_df.columns}
+        extra = [c for c in df.columns if c.lower() not in hlower]
         if extra:
             raise ValueError(
                 f"branch-append schema mismatch: column(s) {extra} not "
-                f"in branch schema {hcols}; evolve the schema explicitly"
+                f"in branch schema {head_df.columns}; evolve the schema "
+                "explicitly"
             )
-        data = self.read(head).unionByName(df, allowMissingColumns=True)
+        data = head_df.unionByName(df, allowMissingColumns=True)
         return self._commit(
             data, "branch-append", None, staged=True, parent=head,
             move_ref=name,

@@ -86,23 +86,18 @@ _TAIL_RE = re.compile(
 
 
 def _balanced_paren_span(text: str, start: int) -> int:
-    """Index just past the ')' closing the '(' at ``start`` (quotes
-    respected)."""
-    depth, i, quote = 0, start, None
-    while i < len(text):
-        ch = text[i]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch == "(":
+    """Index just past the ')' closing the '(' at ``start`` (quotes —
+    including escaped quotes — respected via the shared mask)."""
+    masked = _mask_quotes(text)
+    depth = 0
+    for i in range(start, len(masked)):
+        ch = masked[i]
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
                 return i + 1
-        i += 1
     raise ValueError("unbalanced parentheses in MERGE source")
 _WHEN_RE = re.compile(
     r"WHEN\s+(?P<not>NOT\s+)?MATCHED"
@@ -118,19 +113,14 @@ _WHEN_RE = re.compile(
 def _norm_ws(s: str) -> str:
     """Collapse whitespace runs to one space OUTSIDE quoted literals
     (the keyword checks below need 'UPDATE  SET' → 'UPDATE SET', but a
-    literal's internal spacing is data and must survive)."""
+    literal's internal spacing is data and must survive). Quote state
+    comes from the shared mask — ONE owner of the quoting rules."""
+    masked = _mask_quotes(s)
     out: list[str] = []
-    quote = None
     prev_space = False
-    for ch in s:
-        if quote:
-            out.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-            out.append(ch)
+    for ch, mch in zip(s, masked):
+        if mch == "_" and ch != "_":
+            out.append(ch)  # inside a literal: verbatim
             prev_space = False
         elif ch.isspace():
             if not prev_space:
@@ -163,17 +153,35 @@ def _mask_quotes(text: str) -> str:
     run on the mask — a literal like ``'WHEN HOT'`` can no longer
     terminate the ON clause or a WHEN condition early — while the actual
     substrings are sliced from the original text by span (the mask is
-    index-identical by construction)."""
+    index-identical by construction).
+
+    This is the ONE owner of the quoting rules: _norm_ws,
+    _balanced_paren_span, _split_top_level, and _sub_outside_quotes all
+    derive their quote state from this mask, so an escape-rule fix lands
+    in exactly one scanner. Escapes handled as Spark's lexer does
+    (default non-ANSI mode): ``\\x`` inside a literal escapes the next
+    character (so ``'can\\'t'`` stays one literal), and ``''`` doubling
+    reads as close-then-reopen — which masks the doubled quote pair's
+    interior either way, keeping boundaries right."""
     out = list(text)
     quote = None
-    for i, ch in enumerate(text):
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                out[i] = "_"
+                out[i + 1] = "_"
+                i += 2
+                continue
             if ch == quote:
                 quote = None
             else:
                 out[i] = "_"
         elif ch in "'\"":
             quote = ch
+        i += 1
     return "".join(out)
 
 
@@ -253,7 +261,9 @@ def parse_merge(sql: str) -> MergeSpec:
             if clause.condition:
                 exprs.append(clause.condition)
             for e in exprs:
-                if src_ref.search(e):
+                # search the MASK: an s-alias token inside a string
+                # literal is data, not a source-column reference
+                if src_ref.search(_mask_quotes(e)):
                     raise ValueError(
                         "NOT MATCHED BY SOURCE clause references source "
                         f"alias {spec.s_alias!r}: {e!r} (Spark's analyzer "
@@ -310,28 +320,20 @@ def parse_merge(sql: str) -> MergeSpec:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas outside parentheses/quotes."""
-    parts, depth, buf, quote = [], 0, [], None
-    for ch in s:
-        if quote:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-            buf.append(ch)
-        elif ch == "(":
+    """Split on commas outside parentheses/quotes (quote state from the
+    shared mask — see _mask_quotes)."""
+    masked = _mask_quotes(s)
+    parts, depth, buf = [], 0, []
+    for ch, mch in zip(s, masked):
+        if mch == "(":
             depth += 1
-            buf.append(ch)
-        elif ch == ")":
+        elif mch == ")":
             depth -= 1
-            buf.append(ch)
-        elif ch == "," and depth == 0:
+        elif mch == "," and depth == 0:
             parts.append("".join(buf).strip())
             buf = []
-        else:
-            buf.append(ch)
+            continue
+        buf.append(ch)
     tail = "".join(buf).strip()
     if tail:
         parts.append(tail)

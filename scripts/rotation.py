@@ -58,7 +58,16 @@ def _tracked_artifacts(repo: str) -> list[str]:
             text=True,
             check=True,
         ).stdout
-        paths = [os.path.join(repo, line) for line in out.splitlines() if line]
+        paths = [
+            p
+            for line in out.splitlines()
+            if line
+            # tracked-but-deleted: git ls-files still lists an entry a
+            # developer removed from the worktree (e.g. to regenerate
+            # it) — reading it would crash; a missing file contributes
+            # no attestations either way
+            if os.path.exists(p := os.path.join(repo, line))
+        ]
         if paths:
             return sorted(paths)
     except (OSError, subprocess.CalledProcessError):

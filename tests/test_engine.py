@@ -1686,3 +1686,35 @@ def test_partitioned_statement_executor_paths(spark, tmp_path):
     execute_statement(spark, "DELETE FROM default.t WHERE p = 'c';", tables)
     assert dirs() == ["p=a"]  # emptied partition leaves no stale dir
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
+
+
+def test_create_replace_does_not_inherit_old_partition_spec(spark, tmp_path):
+    """CREATE OR REPLACE defines its own layout: no spec given means
+    unpartitioned, never the replaced table's spec (code-review r8)."""
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_cor"))
+    t.create(
+        spark.createDataFrame([(1, "a")], "k long, p string"),
+        partition_by=["p"],
+    )
+    t.create(
+        spark.createDataFrame([(2, "b")], "k long, p string"), replace=True
+    )
+    assert t.snapshots()[-1]["partition_by"] == []
+
+
+def test_append_column_check_is_case_insensitive(spark, tmp_path):
+    """The unknown-column guard must match unionByName's resolution
+    (case-insensitive under Spark's default): a differently-cased
+    column appends fine; a genuinely unknown one still raises."""
+    import pytest as _pytest
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_ci"))
+    t.create(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "K long, V string"))
+    assert t.read().count() == 2
+    with _pytest.raises(ValueError, match="not in table schema"):
+        t.append(spark.createDataFrame([(3, "c")], "k long, w string"))

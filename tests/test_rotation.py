@@ -85,3 +85,30 @@ def test_attestation_history_parses():
     latest = latest_green_round()
     covered = set(QUERIES) & set(latest)
     assert len(covered) >= 156
+
+
+def test_tracked_but_deleted_artifact_is_skipped(tmp_path):
+    """git ls-files lists a tracked entry even after the file is removed
+    from the worktree; the rotation input must skip it, not crash."""
+    import shutil
+    import subprocess
+
+    from scripts.rotation import _tracked_artifacts, latest_green_round
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "-C", str(repo), "init", "-q"], check=True)
+    for n in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        shutil.copy(os.path.join(REPO, n), repo / n)
+    subprocess.run(
+        ["git", "-C", str(repo), "add", "-A"], check=True
+    )
+    subprocess.run(
+        ["git", "-C", str(repo), "-c", "user.email=t@t", "-c",
+         "user.name=t", "commit", "-qm", "x"],
+        check=True,
+    )
+    (repo / "CORRECTNESS_r02.json").unlink()  # tracked but deleted
+    paths = _tracked_artifacts(str(repo))
+    assert [os.path.basename(p) for p in paths] == ["CORRECTNESS_r01.json"]
+    assert latest_green_round(str(repo))  # parses without crashing

@@ -1090,3 +1090,33 @@ def test_call_arg_quoted_arrow_is_positional(spark):
     pos, named = _parse_call_args("'db.t', 'a=>b', retain_last => 3")
     assert pos == ["db.t", "a=>b"]
     assert named == {"retain_last": 3}
+
+def test_escaped_quote_inside_literal(spark, tmp_path):
+    r"""Spark's lexer (default non-ANSI mode) accepts backslash-escaped
+    quotes inside literals; the masking scanners must not flip quote
+    state on them (code-review r8: 'can\'t' used to unbalance the mask
+    and reject a Spark-valid statement)."""
+    t = LocalTable(spark, str(tmp_path / "t"))
+    t.create(spark.createDataFrame([(1, "x")], "k long, v string"))
+    spark.createDataFrame(
+        [(1, "up"), (2, "new")], "k long, v string"
+    ).createOrReplaceTempView("esc_src")
+    stmt = (
+        "MERGE INTO default.t t USING esc_src s ON s.k = t.k "
+        "WHEN MATCHED AND t.v != 'can\\'t' THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, 'it\\'s');"
+    )
+    assert spark_validates(spark, stmt)
+    execute_merge(spark, stmt, {"default.t": t})
+    assert rows(t.read()) == sorted([(1, "up"), (2, "it's")])
+
+
+def test_by_source_alias_inside_literal_not_rejected(spark, tmp_path):
+    """An s-alias token INSIDE a string literal is data, not a source
+    reference — the rejection must scan the quote mask (code-review r8:
+    t.tag = 's.old' was falsely rejected)."""
+    spec = parse_merge(
+        "MERGE INTO default.t t USING src s ON s.k = t.k "
+        "WHEN NOT MATCHED BY SOURCE AND t.tag = 's.old' THEN DELETE;"
+    )
+    assert spec.by_source[0].condition == "t.tag = 's.old'"
