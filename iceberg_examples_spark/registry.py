@@ -63,59 +63,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- latest green driver row: round 3 -----
-    "stream_cdc_merge": ST.stream_cdc_merge,
-    "multimodal_audio": MM.multimodal_audio,
     # ----- latest green driver row: round 4 -----
-    "scan_full": R.scan_full,
-    "project_literals": R.project_literals,
-    "filter_conj": R.filter_conj,
-    "join_inner": R.join_inner,
-    "union_all": R.union_all,
-    "sort_multi": R.sort_multi,
-    "topk": R.topk,
-    "agg_sum_by_key": R.agg_sum_by_key,
-    "agg_count_distinct": R.agg_count_distinct,
-    "tpch_q3": R.tpch_q3,
-    "tpch_q4": R.tpch_q4,
-    "tpch_q5": R.tpch_q5,
-    "tpch_q6": R.tpch_q6,
-    "tpch_q7": R.tpch_q7,
-    "tpch_q10": R.tpch_q10,
-    "tpch_q12": R.tpch_q12,
-    "tpch_q14": R.tpch_q14,
-    "tpch_q15": R.tpch_q15,
-    "tpch_q18": R.tpch_q18,
-    "tpch_q19": R.tpch_q19,
-    "tpch_q1": TF.tpch_q1,
-    "tpch_q2": TF.tpch_q2,
-    "tpch_q8": TF.tpch_q8,
-    "tpch_q9": TF.tpch_q9,
-    "tpch_q11": TF.tpch_q11,
-    "tpch_q13": TF.tpch_q13,
-    "tpch_q16": TF.tpch_q16,
-    "tpch_q17": TF.tpch_q17,
-    "tpch_q20": TF.tpch_q20,
-    "tpch_q21": TF.tpch_q21,
-    "tpch_q22": TF.tpch_q22,
-    "upsert_by_key": RS.upsert_by_key_query,
-    "merge_upsert_scale": RS.merge_upsert_scale_query,
-    "zorder_cells": PT.zorder_cells,
-    "bloom_prune_join": PT.bloom_prune_join,
-    "llm_prep_pipeline": LP.llm_prep_pipeline,
-    "dedup_minhash_lsh": D.minhash_lsh,
-    "dedup_components": D.dedup_components,
-    "approx_stats": XR.approx_stats,
-    "curation_pipeline": SC.curation_pipeline,
-    "curation_incremental": SC.curation_incremental,
-    "sequence_packing": LP.sequence_packing,
-    "multimodal_features": MM.multimodal_features,
-    "knn_cosine_ivf": SIM.knn_cosine_ivf,
-    "stream_sessionize": ST.stream_sessionize_stateful,
-    "stream_session_window": ST.stream_session_window,
-    "xml_roundtrip": CV.xml_roundtrip,
-    "binary_files_ingest": MM.binary_files_ingest,
-    # ----- end of the 50-entry driver correctness window -----
     "jsonl_shard_export": LP.jsonl_shard_export,
     "mixture_temperature": LP.mixture_temperature,
     # ----- latest green driver row: round 5 -----
@@ -167,6 +115,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": D.ngram_jaccard,
     "knn_cosine": SIM.knn_cosine,
     "kmeans_clusters": CL.kmeans_clusters,
+    # ----- end of the 50-entry driver correctness window -----
     "kmeans_large": CL.kmeans_large,
     "knn_kmeans_ivf": CL.knn_kmeans_ivf,
     # ----- latest green driver row: round 6 -----
@@ -271,6 +220,57 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
     "wap_pattern": MT.wap_pattern,
+    # ----- latest green driver row: round 8 -----
+    "stream_cdc_merge": ST.stream_cdc_merge,
+    "multimodal_audio": MM.multimodal_audio,
+    "scan_full": R.scan_full,
+    "project_literals": R.project_literals,
+    "filter_conj": R.filter_conj,
+    "join_inner": R.join_inner,
+    "union_all": R.union_all,
+    "sort_multi": R.sort_multi,
+    "topk": R.topk,
+    "agg_sum_by_key": R.agg_sum_by_key,
+    "agg_count_distinct": R.agg_count_distinct,
+    "tpch_q3": R.tpch_q3,
+    "tpch_q4": R.tpch_q4,
+    "tpch_q5": R.tpch_q5,
+    "tpch_q6": R.tpch_q6,
+    "tpch_q7": R.tpch_q7,
+    "tpch_q10": R.tpch_q10,
+    "tpch_q12": R.tpch_q12,
+    "tpch_q14": R.tpch_q14,
+    "tpch_q15": R.tpch_q15,
+    "tpch_q18": R.tpch_q18,
+    "tpch_q19": R.tpch_q19,
+    "tpch_q1": TF.tpch_q1,
+    "tpch_q2": TF.tpch_q2,
+    "tpch_q8": TF.tpch_q8,
+    "tpch_q9": TF.tpch_q9,
+    "tpch_q11": TF.tpch_q11,
+    "tpch_q13": TF.tpch_q13,
+    "tpch_q16": TF.tpch_q16,
+    "tpch_q17": TF.tpch_q17,
+    "tpch_q20": TF.tpch_q20,
+    "tpch_q21": TF.tpch_q21,
+    "tpch_q22": TF.tpch_q22,
+    "upsert_by_key": RS.upsert_by_key_query,
+    "merge_upsert_scale": RS.merge_upsert_scale_query,
+    "zorder_cells": PT.zorder_cells,
+    "bloom_prune_join": PT.bloom_prune_join,
+    "llm_prep_pipeline": LP.llm_prep_pipeline,
+    "dedup_minhash_lsh": D.minhash_lsh,
+    "dedup_components": D.dedup_components,
+    "approx_stats": XR.approx_stats,
+    "curation_pipeline": SC.curation_pipeline,
+    "curation_incremental": SC.curation_incremental,
+    "sequence_packing": LP.sequence_packing,
+    "multimodal_features": MM.multimodal_features,
+    "knn_cosine_ivf": SIM.knn_cosine_ivf,
+    "stream_sessionize": ST.stream_sessionize_stateful,
+    "stream_session_window": ST.stream_session_window,
+    "xml_roundtrip": CV.xml_roundtrip,
+    "binary_files_ingest": MM.binary_files_ingest,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
