@@ -372,7 +372,15 @@ class LocalTable:
                 None,
             )
             inherited = (bsnap or {}).get("partition_by") or []
-            partition_by = [c for c in inherited if c in df.columns] or None
+            # Case-insensitive match, mapped back to the frame's actual
+            # spelling: append/unionByName resolve names case-insensitively
+            # (Spark's default), so a frame carrying the partition column in
+            # different case must keep the layout, not silently flatten it
+            # (round-8 ADVICE).
+            by_fold = {c.lower(): c for c in df.columns}
+            partition_by = [
+                by_fold[c.lower()] for c in inherited if c.lower() in by_fold
+            ] or None
         version = self._next_snapshot_version(meta)
         # Unique (token-suffixed) data dir per commit ATTEMPT, so two racing
         # committers never write into each other's files; the metadata CAS

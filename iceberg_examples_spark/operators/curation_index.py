@@ -82,6 +82,14 @@ class CurationIndex:
                 for d in sorted(os.listdir(index_dir))
                 if d != f"k-{exclude_key}"
             ]
+            if not parts:
+                # the index holds ONLY the excluded epoch's own append
+                # (first epoch retried): the view "as it stood before this
+                # epoch" is legitimately empty — borrow the excluded dir's
+                # schema rather than calling read.parquet() with no paths,
+                # which raises a confusing TypeError (round-8 ADVICE)
+                own = os.path.join(index_dir, f"k-{exclude_key}")
+                return self.spark.read.parquet(own).limit(0)
             return self.spark.read.parquet(*parts)
         return self.spark.read.parquet(os.path.join(index_dir, "*"))
 

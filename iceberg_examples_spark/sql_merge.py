@@ -158,11 +158,24 @@ def _mask_quotes(text: str) -> str:
     This is the ONE owner of the quoting rules: _norm_ws,
     _balanced_paren_span, _split_top_level, and _sub_outside_quotes all
     derive their quote state from this mask, so an escape-rule fix lands
-    in exactly one scanner. Escapes handled as Spark's lexer does
-    (default non-ANSI mode): ``\\x`` inside a literal escapes the next
-    character (so ``'can\\'t'`` stays one literal), and ``''`` doubling
-    reads as close-then-reopen — which masks the doubled quote pair's
-    interior either way, keeping boundaries right."""
+    in exactly one scanner. Escapes handled as Spark's lexer does:
+    ``\\x`` inside a literal consumes the next character (so
+    ``'can\\'t'`` stays one literal), and ``''`` doubling reads as
+    close-then-reopen — which masks the doubled quote pair's interior
+    either way, keeping boundaries right.
+
+    Lexer-mode note (round-8 ADVICE, resolved by probe): the boundary
+    rule is the same under EVERY Spark string-literal mode.
+    ``spark.sql.parser.escapedStringLiterals=true`` (and ANSI mode)
+    change only how the literal's VALUE is unescaped after tokenization
+    — the ANTLR STRING rule always consumes ``\\<char>`` inside a
+    literal, so token spans never move (verified on this Spark: in both
+    modes ``SELECT 'a\\'b'`` is one literal and ``'c:\\'`` is
+    unterminated; pinned by
+    tests/test_sql_merge.py::test_mask_boundaries_match_lexer_in_both_modes).
+    This module never unescapes values — literal spans are sliced from
+    the original text and handed to Spark to evaluate — so no mode knob
+    is needed here."""
     out = list(text)
     quote = None
     i = 0

@@ -68,8 +68,12 @@ def _tracked_artifacts(repo: str) -> list[str]:
             # no attestations either way
             if os.path.exists(p := os.path.join(repo, line))
         ]
-        if paths:
-            return sorted(paths)
+        # git succeeded: its answer is authoritative even when empty
+        # (first round, or every tracked artifact deleted from the
+        # worktree) — falling through to the glob here would silently
+        # reintroduce the untracked-artifact order drift this function
+        # exists to prevent (round-8 ADVICE)
+        return sorted(paths)
     except (OSError, subprocess.CalledProcessError):
         pass
     return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))

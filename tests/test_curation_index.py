@@ -54,6 +54,28 @@ def test_appended_batch_is_probe_visible(spark, tmp_path):
     assert len(lsh_commits) == 2  # build + one batch append
 
 
+def test_probe_excluding_sole_keyed_append_yields_empty(spark, tmp_path):
+    """A retried FIRST epoch: the index holds only that epoch's own keyed
+    append, so excluding it must yield an empty pre-epoch view — not a
+    confusing TypeError from read.parquet() with zero paths (r8 ADVICE)."""
+    from iceberg_examples_spark.operators.dedup import minhash_index
+
+    idx = CurationIndex(spark, str(tmp_path / "curidx3"))
+    batch = _df(spark, BATCH_N)
+    idx.append_indexed(
+        minhash_index(batch, wide=False, keep=("text",)), key="epoch-0"
+    )
+    pre = idx._read(idx.lsh_dir, exclude_key="epoch-0")
+    assert pre.count() == 0
+    # schema borrowed from the excluded dir, so downstream joins still plan
+    assert set(pre.columns) == set(
+        spark.read.parquet(os.path.join(idx.lsh_dir, "k-epoch-0")).columns
+    )
+    # and the probe path itself converges: excluding its own append, the
+    # retried epoch sees no pre-existing near-dups
+    assert idx.probe(batch, exclude_key="epoch-0").count() == 0
+
+
 def test_fresh_paras_sees_appended_paragraphs(spark, tmp_path):
     idx = CurationIndex(spark, str(tmp_path / "curidx2"))
     idx.build(_df(spark, BASE))

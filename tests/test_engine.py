@@ -1688,6 +1688,26 @@ def test_partitioned_statement_executor_paths(spark, tmp_path):
     assert sorted(r["k"] for r in t.read().collect()) == [1, 3]
 
 
+def test_partition_spec_inherited_case_insensitively(spark, tmp_path):
+    """Spec inheritance matches frame columns case-insensitively and maps
+    to the frame's actual spelling: Spark resolves names case-insensitively
+    by default, so a rewrite whose frame re-cases the partition column must
+    keep the layout, not silently flatten it (round-8 ADVICE)."""
+    import os as _os
+
+    from iceberg_examples_spark.catalog import LocalTable
+
+    t = LocalTable(spark, str(tmp_path / "tbl_pcase"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string"),
+        partition_by=["p"],
+    )
+    t.overwrite(t.read().withColumnRenamed("p", "P"))
+    assert t.snapshots()[-1]["partition_by"] == ["P"]
+    snap_dir = _os.path.join(t.root, t.snapshots()[-1]["path"])
+    assert any(n.lower().startswith("p=") for n in _os.listdir(snap_dir))
+
+
 def test_create_replace_does_not_inherit_old_partition_spec(spark, tmp_path):
     """CREATE OR REPLACE defines its own layout: no spec given means
     unpartitioned, never the replaced table's spec (code-review r8)."""

@@ -112,3 +112,24 @@ def test_tracked_but_deleted_artifact_is_skipped(tmp_path):
     paths = _tracked_artifacts(str(repo))
     assert [os.path.basename(p) for p in paths] == ["CORRECTNESS_r01.json"]
     assert latest_green_round(str(repo))  # parses without crashing
+
+
+def test_git_zero_tracked_does_not_fall_back_to_glob(tmp_path):
+    """When git SUCCEEDS but tracks no artifacts (first round, or all
+    tracked artifacts deleted from the worktree), the answer is [] — not
+    the untracked glob, which would reintroduce the order drift the
+    tracked-only rule exists to prevent (round-8 ADVICE)."""
+    import shutil
+    import subprocess
+
+    from scripts.rotation import _tracked_artifacts
+
+    repo = tmp_path / "r"
+    repo.mkdir()
+    subprocess.run(["git", "-C", str(repo), "init", "-q"], check=True)
+    # an artifact exists on disk but is NOT in the index
+    shutil.copy(
+        os.path.join(REPO, "CORRECTNESS_r01.json"),
+        repo / "CORRECTNESS_r01.json",
+    )
+    assert _tracked_artifacts(str(repo)) == []

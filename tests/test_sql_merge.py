@@ -1120,3 +1120,48 @@ def test_by_source_alias_inside_literal_not_rejected(spark, tmp_path):
         "WHEN NOT MATCHED BY SOURCE AND t.tag = 's.old' THEN DELETE;"
     )
     assert spec.by_source[0].condition == "t.tag = 's.old'"
+
+
+def test_mask_boundaries_match_lexer_in_both_modes(spark, tmp_path):
+    r"""Round-8 ADVICE asked whether _mask_quotes diverges from Spark's
+    lexer under spark.sql.parser.escapedStringLiterals=true. Probed:
+    that config (and ANSI mode) changes only how a literal's VALUE is
+    unescaped; the ANTLR STRING rule always consumes \<char> inside a
+    literal, so TOKEN BOUNDARIES never move — which is all the mask
+    models (values are sliced verbatim and evaluated by Spark itself).
+    This test pins the empirical facts the docstring now states; if a
+    future Spark changes the lexer grammar per-mode, it fails loudly."""
+    from iceberg_examples_spark.sql_merge import _mask_quotes
+
+    # 1) Both modes lex 'a\'b' as ONE literal (same token span)...
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert spark.sql(r"SELECT 'a\'b' AS x").count() == 1
+        # ...and both REJECT 'c:\' as unterminated — boundaries identical
+        assert not spark_validates(
+            spark, r"SELECT 'c:\' AS x", "Project"
+        )
+        # 2) the executor still slices correctly under the mode, end to
+        # end: the escaped quote stays inside the predicate literal
+        t = LocalTable(spark, str(tmp_path / "t_escmode"))
+        t.create(
+            spark.createDataFrame(
+                [(1, "a'b"), (2, "a\\'b"), (3, "plain")],
+                "k long, note string",
+            )
+        )
+        from iceberg_examples_spark.sql_merge import execute_statement
+
+        # in escaped mode the literal's VALUE keeps the backslash, so
+        # row 2 (raw a\'b) matches, row 1 (a'b) does not
+        execute_statement(
+            spark, r"DELETE FROM default.t WHERE note = 'a\'b';",
+            {"default.t": t},
+        )
+        assert rows(t.read()) == [(1, "a'b"), (3, "plain")]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    # 3) the mask agrees with that boundary rule in one place, always:
+    # escaped quote does not close the literal; the tail stays unmasked
+    m = _mask_quotes(r"'a\'b' x")
+    assert m.endswith(" x") and m.count("'") == 2
