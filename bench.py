@@ -83,6 +83,8 @@ HEADLINE = [
     "contamination_check",
     # round-4 additions (source/sink format surface)
     "xml_roundtrip",
+    # round-9: pure-Python Avro datasource (spark-avro jar unobtainable)
+    "avro_roundtrip",
     "binary_files_ingest",
     "jsonl_shard_export",
     "mixture_temperature",

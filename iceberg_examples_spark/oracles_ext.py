@@ -744,6 +744,14 @@ SELECT count(*) AS n_rows,
 FROM orders WHERE o_orderstatus = 'F'
 """
 
+EXT_ORACLES["avro_roundtrip"] = f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal
+FROM customer WHERE c_acctbal > 0.0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
 EXT_ORACLES["xml_roundtrip"] = f"""
 SELECT s_nationkey, count(*) AS n_suppliers,
        {money_sum_sql('s_acctbal', scale=100)} AS total_bal

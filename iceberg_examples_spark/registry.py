@@ -31,6 +31,7 @@ from iceberg_examples_spark.operators import scrub as SC
 from iceberg_examples_spark.operators import similarity as SIM
 from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.operators import tpch_full as TF
+from iceberg_examples_spark.sources import avro_source as AV
 from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
 from iceberg_examples_spark.sources import python_datasource as PD
@@ -63,6 +64,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
+    # ----- latest green driver row: never attested -----
+    "avro_roundtrip": AV.avro_roundtrip,
     # ----- latest green driver row: round 4 -----
     "jsonl_shard_export": LP.jsonl_shard_export,
     "mixture_temperature": LP.mixture_temperature,
