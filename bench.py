@@ -85,6 +85,9 @@ HEADLINE = [
     "xml_roundtrip",
     # round-9: pure-Python Avro datasource (spark-avro jar unobtainable)
     "avro_roundtrip",
+    # round-9: native Iceberg v2 layout (write + metadata-tree scan + MOR)
+    "iceberg_native_scan",
+    "iceberg_native_mor",
     "binary_files_ingest",
     "jsonl_shard_export",
     "mixture_temperature",

@@ -752,6 +752,36 @@ FROM customer WHERE c_acctbal > 0.0
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
+EXT_ORACLES["iceberg_native_scan"] = f"""
+SELECT o_orderpriority, count(*) AS n_orders,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+EXT_ORACLES["iceberg_native_mor"] = f"""
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+  WHERE c_custkey % 10 <> 3 AND c_mktsegment <> 'MACHINERY'
+  UNION ALL
+  SELECT CAST(9000000 + i AS BIGINT), 'MACHINERY', 100.0 * i
+  FROM range(1, 6) t(i)
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal
+FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+EXT_ORACLES["iceberg_native_time_travel"] = """
+SELECT 1 AS snapshot_id, count(*) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT 2 AS snapshot_id, count(*) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem WHERE l_linenumber <= 2
+"""
+
 EXT_ORACLES["xml_roundtrip"] = f"""
 SELECT s_nationkey, count(*) AS n_suppliers,
        {money_sum_sql('s_acctbal', scale=100)} AS total_bal

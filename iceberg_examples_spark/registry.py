@@ -32,6 +32,7 @@ from iceberg_examples_spark.operators import similarity as SIM
 from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.operators import tpch_full as TF
 from iceberg_examples_spark.sources import avro_source as AV
+from iceberg_examples_spark.sources import iceberg_native as IN
 from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
 from iceberg_examples_spark.sources import python_datasource as PD
@@ -66,6 +67,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # ----- latest green driver row: never attested -----
     "avro_roundtrip": AV.avro_roundtrip,
+    "iceberg_native_scan": IN.iceberg_native_scan,
+    "iceberg_native_mor": IN.iceberg_native_mor,
+    "iceberg_native_time_travel": IN.iceberg_native_time_travel,
     # ----- latest green driver row: round 4 -----
     "jsonl_shard_export": LP.jsonl_shard_export,
     "mixture_temperature": LP.mixture_temperature,

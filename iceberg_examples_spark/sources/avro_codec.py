@@ -359,6 +359,7 @@ def write_container(
     codec: str = "deflate",
     block_rows: int = 4096,
     sync: bytes = b"\x00" * 8 + b"avrolite",
+    meta: dict[str, bytes] | None = None,
 ) -> bytes:
     """Serialize ``rows`` (dicts for records) into one container file.
 
@@ -366,7 +367,9 @@ def write_container(
     reproducible run-over-run (the spec only requires the 16 bytes be
     consistent within a file; randomness is an anti-feature for tests).
     ``block_rows`` bounds block memory — a 100 TB writer streams blocks,
-    never materializing the file's rows at once."""
+    never materializing the file's rows at once. ``meta`` adds extra
+    file-metadata entries (Iceberg manifests carry ``schema`` /
+    ``partition-spec`` / ``content`` keys alongside avro.schema)."""
     schema_text = schema if isinstance(schema, str) else json.dumps(schema)
     parsed = parse_schema(schema_text)
     out = io.BytesIO()
@@ -377,6 +380,7 @@ def write_container(
         {
             "avro.schema": schema_text.encode("utf-8"),
             "avro.codec": codec.encode("utf-8"),
+            **(meta or {}),
         },
         head,
     )
