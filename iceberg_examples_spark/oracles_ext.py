@@ -772,6 +772,13 @@ SELECT c_mktsegment, count(*) AS n_customers,
 FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
+EXT_ORACLES["iceberg_export_roundtrip"] = f"""
+SELECT count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_users,
+       {money_sum_sql('value', scale=100)} AS total_value
+FROM events WHERE event_type = 'purchase'
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

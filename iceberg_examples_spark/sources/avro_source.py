@@ -394,7 +394,11 @@ def avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    cust.write.format("avrolite").mode("overwrite").save(out)
+    # shard the export: one container file per task = the read side's
+    # parallelism (a single-file Avro export would serialize the decode
+    # on one executor — the exact mistake a real exporter avoids by
+    # targeting a file size)
+    cust.repartition(8).write.format("avrolite").mode("overwrite").save(out)
     back = (
         spark.read.format("avrolite")
         .load(out)

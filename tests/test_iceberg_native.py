@@ -181,3 +181,32 @@ def test_typed_partition_values_roundtrip(spark, tmp_path):
     # manifest stores ints, not strings
     rec = json.loads(t.files_df().collect()[0]["partition"])
     assert isinstance(rec["bucket"], int)
+
+
+def test_export_bridge_preserves_state_and_spec(spark, tmp_path):
+    """export_iceberg materializes the LocalTable's CURRENT snapshot —
+    post-DELETE state, same identity partition spec — and the Iceberg
+    readback equals the LocalTable readback exactly."""
+    from iceberg_examples_spark.catalog import LocalTable
+    from iceberg_examples_spark.sources.iceberg_native import export_iceberg
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = LocalTable(spark, str(tmp_path / "lt"))
+    t.create(
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", float(i)) for i in range(40)],
+            "k long, p string, v double",
+        ),
+        partition_by=["p"],
+    )
+    execute_statement(
+        spark, "DELETE FROM default.t WHERE k < 10;", {"default.t": t}
+    )
+    ice = export_iceberg(t, str(tmp_path / "ice"))
+    local = sorted(tuple(r) for r in t.read().collect())
+    exported = sorted(tuple(r) for r in ice.scan().collect())
+    assert exported == local and len(exported) == 30
+    # spec carried over: partition filter prunes files
+    pa = ice.scan(partition_filter={"p": "a"})
+    assert pa.count() == 15
+    assert len(pa.inputFiles()) < len(ice.scan().inputFiles())
