@@ -12,6 +12,12 @@ installs are permitted), so everything is gated behind
 (operators/mutations.py) are the always-available fallback with identical
 observable semantics — that equivalence is exactly what the declared
 mutation queries hash-verify against the DuckDB oracle.
+
+Since round 9 the FORMAT half no longer waits on the jar:
+:mod:`iceberg_examples_spark.sources.iceberg_native` reads and writes
+the Iceberg v2 table layout (metadata.json + Avro manifests + parquet)
+from the public spec, including merge-on-read delete application —
+see that module for the scan/export surface.
 """
 
 from __future__ import annotations

@@ -383,12 +383,24 @@ class IcebergNativeTable:
                 if s["schema-id"] == meta["current-schema-id"]
             )
             id2name = {f["id"]: f["name"] for f in sch["fields"]}
+            # ONE anti-join per distinct equality-column-set, not per
+            # delete file: files sharing a column set union (each row
+            # tagged with its file's sequence number), so a table with
+            # hundreds of equality-delete files still plans a constant
+            # number of joins
+            by_cols: dict[tuple, list] = {}
             for d in eq_del:
-                eq_cols = [id2name[i] for i in d["equality_ids"]]
-                dels = self.spark.read.parquet(d["path"]).select(
-                    *[F.col(c).alias(f"_eq_{c}") for c in eq_cols]
-                )
-                cond = F.lit(d["seq"]) > df["_ice_seq"]
+                key = tuple(id2name[i] for i in d["equality_ids"])
+                by_cols.setdefault(key, []).append(d)
+            for eq_cols, group in by_cols.items():
+                dels = None
+                for d in group:
+                    part = self.spark.read.parquet(d["path"]).select(
+                        *[F.col(c).alias(f"_eq_{c}") for c in eq_cols],
+                        F.lit(d["seq"]).alias("_del_seq"),
+                    )
+                    dels = part if dels is None else dels.unionByName(part)
+                cond = dels["_del_seq"] > df["_ice_seq"]
                 for c in eq_cols:
                     cond = cond & df[c].eqNullSafe(dels[f"_eq_{c}"])
                 df = df.join(dels, cond, "left_anti")
