@@ -779,6 +779,20 @@ SELECT count(*) AS n_purchases,
 FROM events WHERE event_type = 'purchase'
 """
 
+EXT_ORACLES["iceberg_bucket_prune"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+WHERE c_custkey IN (1, 50, 101) ORDER BY c_custkey
+"""
+
+EXT_ORACLES["iceberg_month_rollup"] = f"""
+SELECT count(*) AS n_orders,
+       min(CAST(o_orderdate AS DATE)) AS first_day,
+       max(CAST(o_orderdate AS DATE)) AS last_day,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -71,6 +71,8 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_native_mor": IN.iceberg_native_mor,
     "iceberg_native_time_travel": IN.iceberg_native_time_travel,
     "iceberg_export_roundtrip": IN.iceberg_export_roundtrip,
+    "iceberg_bucket_prune": IN.iceberg_bucket_prune,
+    "iceberg_month_rollup": IN.iceberg_month_rollup,
     # ----- latest green driver row: round 4 -----
     "jsonl_shard_export": LP.jsonl_shard_export,
     "mixture_temperature": LP.mixture_temperature,

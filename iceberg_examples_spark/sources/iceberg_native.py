@@ -61,6 +61,7 @@ from pyspark.sql.types import (
     LongType,
     StringType,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -89,12 +90,15 @@ def _spark_to_ice_type(dt) -> str:
         return "date"
     if isinstance(dt, TimestampType):
         return "timestamptz"
+    if isinstance(dt, TimestampNTZType):
+        return "timestamp"
     raise ValueError(f"no Iceberg mapping for Spark type {dt}")
 
 
 def _partition_avro_field(name: str, dt, field_id: int) -> dict:
-    """Avro schema node for one identity-transform partition field of
-    the r102 partition record (spec: field-ids 1000+)."""
+    """Avro schema node for one partition field of the r102 partition
+    record (spec: field-ids 1000+); ``dt`` is the transform's RESULT
+    type (long for bucket/temporal, source type for identity/truncate)."""
     if isinstance(dt, LongType):
         t = "long"
     elif isinstance(dt, IntegerType):
@@ -122,6 +126,173 @@ def _partition_value(dt, raw: str):
 
         return (datetime.date.fromisoformat(raw) - _EPOCH_DAY).days
     return raw
+
+
+# ---------------------------------------------------------------------------
+# partition transforms (spec Appendix B; IcebergPartitionedTable.java:31
+# demos identity("name").bucket("age", 5) — the surface this mirrors)
+# ---------------------------------------------------------------------------
+
+_SPEC_ITEM_RE = __import__("re").compile(
+    r"^\s*(?:(bucket|truncate)\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)"
+    r"|(year|month|day)\s*\(\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+
+def parse_spec_item(item: str) -> dict:
+    """One user-facing partition term → canonical spec field dict.
+
+    Accepts ``"col"`` (identity), ``"bucket(col, N)"``,
+    ``"truncate(col, W)"``, ``"year(col)"`` / ``"month(col)"`` /
+    ``"day(col)"``. Field names follow the Java library's convention
+    (``col_bucket``, ``col_trunc``, ``col_month``...)."""
+    m = _SPEC_ITEM_RE.match(item)
+    if not m:
+        raise ValueError(f"unparseable partition term {item!r}")
+    if m.group(1):
+        tf, src, param = m.group(1), m.group(2), int(m.group(3))
+        suffix = "bucket" if tf == "bucket" else "trunc"
+        return {
+            "transform": tf,
+            "source": src,
+            "param": param,
+            "name": f"{src}_{suffix}",
+            "spec_transform": f"{tf}[{param}]",
+        }
+    if m.group(4):
+        tf, src = m.group(4), m.group(5)
+        return {
+            "transform": tf,
+            "source": src,
+            "param": None,
+            "name": f"{src}_{tf}",
+            "spec_transform": tf,
+        }
+    src = m.group(6)
+    return {
+        "transform": "identity",
+        "source": src,
+        "param": None,
+        "name": src,
+        "spec_transform": "identity",
+    }
+
+
+def parse_spec_transform(field: dict, id2name: dict[int, str] | None = None) -> dict:
+    """metadata.json partition-spec field → the same canonical dict
+    (transform strings are the spec's ``bucket[N]`` form there). The
+    source column resolves through ``source-id`` against the schema —
+    the spec's linkage, immune to underscores in column names."""
+    tf = field["transform"]
+    source = (
+        id2name[field["source-id"]]
+        if id2name and field.get("source-id") in id2name
+        else (field["name"] if tf == "identity" else field["name"].rsplit("_", 1)[0])
+    )
+    m = __import__("re").match(r"^(bucket|truncate)\[(\d+)\]$", tf)
+    if m:
+        return {
+            "transform": m.group(1),
+            "param": int(m.group(2)),
+            "name": field["name"],
+            "source": source,
+            "spec_transform": tf,
+        }
+    return {
+        "transform": tf,
+        "param": None,
+        "name": field["name"],
+        "source": source,
+        "spec_transform": tf,
+    }
+
+
+def _bucket_udf(n: int, is_string: bool):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark can't resolve the function-local `pd` — the
+    # docstring-free legacy SCALAR form is the deliberate choice here
+    @pandas_udf("long")
+    def _bucket(s):
+        # numpy-vectorized spec murmur3 for the numeric path; per-row
+        # UTF-8 hashing for strings (variable-length input) — either
+        # way Arrow-batched, never driver-side
+        from iceberg_examples_spark.functions.iceberg_transforms import (
+            bucket_series,
+        )
+
+        mask = s.isna()
+        if is_string:
+            vals = bucket_series(s.fillna("").tolist(), n, is_string=True)
+        else:
+            vals = bucket_series(
+                s.fillna(0).astype("int64").to_numpy(), n
+            )
+        out = pd.Series(vals, index=s.index, dtype="Int64")
+        out[mask] = None
+        return out
+
+    return _bucket
+
+
+def _transform_column(tf: dict, dt) -> "F.Column":
+    """The Spark column computing ``tf`` over its source — identity and
+    truncate/temporal stay whole-stage-codegen expressions; bucket is
+    the Arrow-batched spec-murmur3 UDF (Spark's hash() is murmur3 too,
+    but seed 42 with different byte layouts — NOT bucket-compatible)."""
+    src = tf["source"]
+    if tf["transform"] == "identity":
+        return F.col(src)
+    if tf["transform"] == "bucket":
+        if isinstance(dt, StringType):
+            return _bucket_udf(tf["param"], True)(F.col(src))
+        if isinstance(dt, DateType):
+            return _bucket_udf(tf["param"], False)(
+                F.datediff(F.col(src), F.lit("1970-01-01"))
+            )
+        return _bucket_udf(tf["param"], False)(F.col(src))
+    if tf["transform"] == "truncate":
+        if isinstance(dt, StringType):
+            return F.substring(F.col(src), 1, tf["param"])
+        return F.expr(f"{src} - pmod({src}, {tf['param']})")
+    if tf["transform"] == "year":
+        return F.expr(f"year({src}) - 1970")
+    if tf["transform"] == "month":
+        return F.expr(f"(year({src}) - 1970) * 12 + month({src}) - 1")
+    if tf["transform"] == "day":
+        return F.expr(f"datediff({src}, DATE'1970-01-01')")
+    raise ValueError(f"unknown transform {tf['transform']!r}")
+
+
+def _result_spark_type(tf: dict, src_dt):
+    """The partition FIELD's value type (what dirs/manifests carry)."""
+    if tf["transform"] == "identity":
+        return src_dt
+    if tf["transform"] == "truncate":
+        return src_dt
+    return LongType()  # bucket + temporal results are integers
+
+
+def transform_literal(tf: dict, value):
+    """Driver-side transform of a predicate literal — the planning step
+    that turns ``where={"c_custkey": K}`` into a pruning value on the
+    ``c_custkey_bucket`` partition field."""
+    from iceberg_examples_spark.functions.iceberg_transforms import (
+        bucket_value,
+        temporal_value,
+        truncate_value,
+    )
+
+    if tf["transform"] == "identity":
+        return value
+    if tf["transform"] == "bucket":
+        return bucket_value(value, tf["param"])
+    if tf["transform"] == "truncate":
+        return truncate_value(value, tf["param"])
+    return temporal_value(value, tf["transform"])
 
 
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
@@ -331,8 +502,17 @@ class IcebergNativeTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
+        where: dict | None = None,
     ) -> DataFrame:
         """The table's live rows at a snapshot, deletes applied.
+
+        ``partition_filter`` prunes on PARTITION FIELD values directly;
+        ``where`` is the friendlier form — equality literals on SOURCE
+        columns, transformed driver-side through the partition spec
+        (``where={"c_custkey": K}`` prunes the ``c_custkey_bucket``
+        field by ``bucket_value(K)``, Iceberg's own planning rule) and
+        ALSO applied as a row filter, so correctness never depends on a
+        column being in the spec.
 
         Position deletes: anti-join on (_metadata.file_path,
         _metadata.row_index) — gated on delete-seq >= data-seq.
@@ -340,14 +520,35 @@ class IcebergNativeTable:
         equality columns — gated on delete-seq > data-seq (strict, per
         spec: an equality delete never hits rows committed with it or
         after it)."""
-        meta, data, pos_del, eq_del = self._plan(
-            snapshot_id, as_of_ms, partition_filter
-        )
+        pf = dict(partition_filter or {})
+        if where:
+            meta0 = self._metadata()
+            sch = meta0["schemas"][0]
+            id2name = {f["id"]: f["name"] for f in sch["fields"]}
+            parsed = [
+                parse_spec_transform(f, id2name)
+                for f in meta0["partition-specs"][0]["fields"]
+            ]
+            for col, val in where.items():
+                for tf in parsed:
+                    if tf["source"] == col:
+                        pf[tf["name"]] = transform_literal(tf, val)
+        meta, data, pos_del, eq_del = self._plan(snapshot_id, as_of_ms, pf)
+
+        def residual(frame: DataFrame) -> DataFrame:
+            # the row-level twin of the pruning predicate (Iceberg's
+            # residual evaluation) — pushed to the parquet scan
+            for col, val in (where or {}).items():
+                frame = frame.filter(F.col(col) == F.lit(val))
+            return frame
+
         if not data:
-            return self.spark.createDataFrame([], self._schema_struct(meta))
+            return residual(
+                self.spark.createDataFrame([], self._schema_struct(meta))
+            )
         df = self.spark.read.parquet(*[d["path"] for d in data])
         if not pos_del and not eq_del:
-            return df
+            return residual(df)
         cols = df.columns
         df = df.withColumn(
             "_ice_path", F.col("_metadata.file_path")
@@ -404,7 +605,7 @@ class IcebergNativeTable:
                 for c in eq_cols:
                     cond = cond & df[c].eqNullSafe(dels[f"_eq_{c}"])
                 df = df.join(dels, cond, "left_anti")
-        return df.select(*cols)
+        return residual(df.select(*cols))
 
     # -- metadata tables (mirrors Iceberg's .snapshots/.files/.history) -
 
@@ -466,27 +667,33 @@ class IcebergNativeTable:
     def append(self, df: DataFrame) -> None:
         self._commit(df, operation="append", first=False)
 
-    def _write_data_files(self, df: DataFrame, seq: int, partition_by: list[str]):
+    def _write_data_files(self, df: DataFrame, seq: int, spec: list[dict]):
         """Distributed parquet write into this commit's own directory
         (unique per snapshot — Iceberg's unique-file-name discipline),
         then a driver-side, metadata-only listing of what landed.
-        Partition columns are DUPLICATED into hive dirs (``_p_<col>=``)
-        so the data files keep the full row — Iceberg data files contain
-        partition columns; hive layout drops them — and the dir name
-        still gives the manifest its typed partition value."""
+        Partition VALUES are computed as extra columns (``_p_<field>=``
+        hive dirs — identity/truncate/temporal stay codegen expressions,
+        bucket runs the Arrow-batched spec-murmur3 UDF) so the data
+        files keep the full row — Iceberg data files contain source
+        columns; hive layout drops what it partitions on — and the dir
+        name still gives the manifest its typed partition value."""
         out = os.path.join(self.location, "data", f"seq-{seq:05d}")
         w = df
         writer_cols = []
-        for c in partition_by:
-            w = w.withColumn(f"_p_{c}", F.col(c))
-            writer_cols.append(f"_p_{c}")
+        for tf in spec:
+            src_dt = df.schema[tf["source"]].dataType
+            w = w.withColumn(f"_p_{tf['name']}", _transform_column(tf, src_dt))
+            writer_cols.append(f"_p_{tf['name']}")
         writer = w.write.mode("error")
         if writer_cols:
             writer = writer.partitionBy(*writer_cols)
         writer.parquet(out)
         import pyarrow.parquet as pq
 
-        types = {c: df.schema[c].dataType for c in partition_by}
+        types = {
+            tf["name"]: _result_spark_type(tf, df.schema[tf["source"]].dataType)
+            for tf in spec
+        }
         files = []
         for root, _dirs, names in os.walk(out):
             part = {}
@@ -523,7 +730,7 @@ class IcebergNativeTable:
         if first:
             if os.path.exists(os.path.join(self.meta_dir, "version-hint.text")):
                 raise ValueError(f"Iceberg table already exists at {self.location}")
-            partition_by = partition_by or []
+            parsed_spec = [parse_spec_item(x) for x in (partition_by or [])]
             schema_fields = [
                 {
                     "id": i + 1,
@@ -550,21 +757,21 @@ class IcebergNativeTable:
                         "spec-id": 0,
                         "fields": [
                             {
-                                "name": c,
-                                "transform": "identity",
+                                "name": tf["name"],
+                                "transform": tf["spec_transform"],
                                 "source-id": next(
                                     sf["id"]
                                     for sf in schema_fields
-                                    if sf["name"] == c
+                                    if sf["name"] == tf["source"]
                                 ),
                                 "field-id": 1000 + k,
                             }
-                            for k, c in enumerate(partition_by)
+                            for k, tf in enumerate(parsed_spec)
                         ],
                     }
                 ],
-                "last-partition-id": 1000 + len(partition_by) - 1
-                if partition_by
+                "last-partition-id": 1000 + len(parsed_spec) - 1
+                if parsed_spec
                 else 999,
                 "default-sort-order-id": 0,
                 "sort-orders": [{"order-id": 0, "fields": []}],
@@ -577,22 +784,21 @@ class IcebergNativeTable:
         else:
             meta = self._metadata()
             version = self._current_version()
-            partition_by = [
-                f["name"] for f in meta["partition-specs"][0]["fields"]
-            ]
 
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, monotone
         spec_fields = meta["partition-specs"][0]["fields"]
         sch = meta["schemas"][0]
-        name2type = {
-            f["name"]: f["type"] for f in sch["fields"]
-        }
+        id2name = {f["id"]: f["name"] for f in sch["fields"]}
+        name2type = {f["name"]: f["type"] for f in sch["fields"]}
+        parsed_spec = [parse_spec_transform(pf, id2name) for pf in spec_fields]
         part_avro = [
             _partition_avro_field(
-                pf["name"], _DDL_TO_SPARK[name2type[pf["name"]]], pf["field-id"]
+                pf["name"],
+                _result_spark_type(tf, _DDL_TO_SPARK[name2type[tf["source"]]]),
+                pf["field-id"],
             )
-            for pf in spec_fields
+            for pf, tf in zip(spec_fields, parsed_spec)
         ]
         entry_schema = _manifest_entry_schema(part_avro)
 
@@ -605,7 +811,7 @@ class IcebergNativeTable:
             manifests.extend(self._manifests(prev))
 
         if df is not None:
-            files = self._write_data_files(df, seq, partition_by)
+            files = self._write_data_files(df, seq, parsed_spec)
             entries = [
                 {
                     "status": 1,  # ADDED
@@ -802,6 +1008,7 @@ _ICE_TO_DDL = {
     "string": "string",
     "date": "date",
     "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
 }
 
 _DDL_TO_SPARK = {
@@ -968,4 +1175,62 @@ def iceberg_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.count_distinct("user_id").alias("n_users"),
         F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
+    )
+
+
+def iceberg_bucket_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's partition-spec demo, format-level:
+    ``PartitionSpec.builderFor(schema).identity("name").bucket("age", 5)``
+    (IcebergPartitionedTable.java:31). Customer is laid out by
+    identity(c_mktsegment) + bucket(c_custkey, 8) using the SPEC's
+    murmur3 bucket function (Appendix-B vectors pinned in
+    tests/test_iceberg_transforms.py); three point lookups then prune by
+    transforming the literal — each scan opens only the matching
+    bucket's files. The oracle answers the same lookups from raw
+    parquet, so a hash mismatch (wrong bucket → empty scan) fails
+    loudly, not silently."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_bucket_prune", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, cust, partition_by=["c_mktsegment", "bucket(c_custkey, 8)"]
+    )
+    out = None
+    for k in (1, 50, 101):
+        part = t.scan(where={"c_custkey": k}).select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("c_custkey")
+
+
+def iceberg_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal partition transform: orders laid out by
+    month(o_orderdate); scanning one month value must return ALL AND
+    ONLY that month's rows (a pruning bug is a missing-data bug — the
+    oracle recomputes the month from raw dates, so it would
+    hash-mismatch). Month value = months since 1970-01, the spec's
+    integer encoding."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_month_rollup", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, orders, partition_by=["month(o_orderdate)"]
+    )
+    march_95 = (1995 - 1970) * 12 + 2
+    scan = t.scan(partition_filter={"o_orderdate_month": march_95})
+    return scan.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_day"),
+        F.max("o_orderdate").alias("last_day"),
+        F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total_price"),
     )

@@ -210,3 +210,77 @@ def test_export_bridge_preserves_state_and_spec(spark, tmp_path):
     pa = ice.scan(partition_filter={"p": "a"})
     assert pa.count() == 15
     assert len(pa.inputFiles()) < len(ice.scan().inputFiles())
+
+
+def test_bucket_partition_layout_and_pruning(spark, tmp_path):
+    """bucket(col, N): writer buckets with the SPEC's murmur3 (not
+    Spark's hash()); a point lookup via where= transforms the literal
+    and opens only that bucket's files; every row still found."""
+    from iceberg_examples_spark.functions.iceberg_transforms import bucket_value
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(200)], "age long, name string"
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "tb"), df, partition_by=["bucket(age, 5)"]
+    )
+    meta = t._metadata()
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "bucket[5]"
+    assert meta["partition-specs"][0]["fields"][0]["name"] == "age_bucket"
+    # manifest partition values agree with the spec hash, per file
+    for f in t.files_df().collect():
+        rec = json.loads(f["partition"])
+        assert 0 <= rec["age_bucket"] < 5
+    probe = t.scan(where={"age": 37})
+    assert [r["age"] for r in probe.collect()] == [37]
+    assert len(probe.inputFiles()) < len(t.scan().inputFiles())
+    # the pruned bucket is the spec's bucket of the literal
+    got_dirs = {p.split("_p_age_bucket=")[1].split("/")[0] for p in probe.inputFiles()}
+    assert got_dirs == {str(bucket_value(37, 5))}
+    # null-keyed rows land in the null partition dir and never match
+    t.append(spark.createDataFrame([(None, "nil")], "age long, name string"))
+    assert t.scan(where={"age": 37}).count() == 1
+
+
+def test_month_and_truncate_transforms_roundtrip(spark, tmp_path):
+    import datetime
+
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(1995, 3, 7), "alpha"),
+            (2, datetime.date(1995, 3, 29), "alto"),
+            (3, datetime.date(1995, 4, 1), "beta"),
+        ],
+        "k long, d date, s string",
+    )
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "tm"),
+        df,
+        partition_by=["month(d)", "truncate(s, 2)"],
+    )
+    march = (1995 - 1970) * 12 + 2
+    got = t.scan(partition_filter={"d_month": march})
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    # truncate groups al* together, pruning by prefix value
+    al = t.scan(partition_filter={"s_trunc": "al"})
+    assert sorted(r["k"] for r in al.collect()) == [1, 2]
+    both = t.scan(partition_filter={"d_month": march, "s_trunc": "be"})
+    assert both.count() == 0  # conjunction prunes everything
+
+
+def test_where_is_also_a_row_filter(spark, tmp_path):
+    """where= on a NON-partition column cannot prune but must still
+    filter rows (residual evaluation) — correctness never depends on
+    the spec covering the predicate."""
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(20)], "k long, s string"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "tw"), df)
+    assert t.scan(where={"s": "x"}).count() == 10
+    assert t.scan(where={"k": 7}).collect()[0]["s"] == "x"
