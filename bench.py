@@ -88,6 +88,8 @@ HEADLINE = [
     # round-9: native Iceberg v2 layout (write + metadata-tree scan + MOR)
     "iceberg_native_scan",
     "iceberg_native_mor",
+    "iceberg_bucket_prune",
+    "iceberg_month_rollup",
     "binary_files_ingest",
     "jsonl_shard_export",
     "mixture_temperature",

@@ -684,6 +684,15 @@ class IcebergNativeTable:
             src_dt = df.schema[tf["source"]].dataType
             w = w.withColumn(f"_p_{tf['name']}", _transform_column(tf, src_dt))
             writer_cols.append(f"_p_{tf['name']}")
+        if writer_cols:
+            # hash-distribute by the partition VALUES before the write
+            # (Iceberg's Spark writer's default distribution mode):
+            # without it every task writes every partition value and the
+            # file count explodes as tasks × values — the small-files
+            # problem that kills 100 TB scan planning. Tradeoff: one
+            # shuffle, and a skewed partition value serializes into one
+            # task — the same tradeoff the real writer documents.
+            w = w.repartition(*[F.col(c) for c in writer_cols])
         writer = w.write.mode("error")
         if writer_cols:
             writer = writer.partitionBy(*writer_cols)
