@@ -446,6 +446,22 @@ class IcebergNativeTable:
         return snaps[meta["current-snapshot-id"]]
 
     def _manifests(self, snapshot: dict) -> list[dict]:
+        if "manifest-list" not in snapshot and "manifests" in snapshot:
+            # format-version 1 allowed snapshots to INLINE the manifest
+            # paths instead of pointing at a manifest-list file (the
+            # reference's HadoopTables demo table is a v1 table —
+            # IcebergHadoopTables.java:21 'iceberg_v1table'); synthesize
+            # minimal manifest_file rows: v1 has no sequence numbers
+            # (everything reads as seq 0) and data content only
+            return [
+                {
+                    "manifest_path": p,
+                    "content": 0,
+                    "sequence_number": 0,
+                    "min_sequence_number": 0,
+                }
+                for p in snapshot["manifests"]
+            ]
         with open(_strip_scheme(snapshot["manifest-list"]), "rb") as f:
             _, _, rows = read_container(f.read())
             return list(rows)
@@ -476,7 +492,15 @@ class IcebergNativeTable:
                 if e["status"] == 2:  # DELETED entry: file left the table
                     continue
                 df_ = e["data_file"]
-                seq = e.get("data_sequence_number") or mf["sequence_number"]
+                # v1 manifests carry neither entry- nor list-level
+                # sequence numbers (v1 tolerance: everything reads seq 0,
+                # consistent — v1 has no delete files to order against)
+                seq = (
+                    e.get("data_sequence_number")
+                    or e.get("sequence_number")  # early-v2 entry name
+                    or mf.get("sequence_number")
+                    or 0
+                )
                 rec = {
                     "path": _strip_scheme(df_["file_path"]),
                     "seq": seq,
@@ -484,14 +508,15 @@ class IcebergNativeTable:
                     "record_count": df_["record_count"],
                     "equality_ids": df_.get("equality_ids"),
                 }
-                if df_["content"] == 0:
+                content = df_.get("content", 0)  # absent in v1: data
+                if content == 0:
                     if partition_filter and not all(
                         rec["partition"].get(k) == v
                         for k, v in partition_filter.items()
                     ):
                         continue
                     data.append(rec)
-                elif df_["content"] == 1:
+                elif content == 1:
                     pos_del.append(rec)
                 else:
                     eq_del.append(rec)
@@ -615,7 +640,7 @@ class IcebergNativeTable:
             (
                 s["snapshot-id"],
                 s.get("parent-snapshot-id"),
-                s["sequence-number"],
+                s.get("sequence-number", 0),  # absent in v1 metadata
                 s["timestamp-ms"],
                 s["summary"]["operation"],
             )

@@ -284,3 +284,123 @@ def test_where_is_also_a_row_filter(spark, tmp_path):
     t = IcebergNativeTable.create(spark, str(tmp_path / "tw"), df)
     assert t.scan(where={"s": "x"}).count() == 10
     assert t.scan(where={"k": 7}).collect()[0]["s"] == "x"
+
+
+def test_reads_v1_format_table(spark, tmp_path):
+    """Format-version 1 tolerance: the reference's HadoopTables demo
+    creates a V1 table (IcebergHadoopTables.java:21 'iceberg_v1table').
+    v1 differs in exactly the ways this fixture exercises — snapshots
+    may inline `manifests` (no manifest-list file), manifest entries
+    carry no sequence numbers, data_file has no content/equality_ids —
+    and the reader must scan it anyway."""
+    from iceberg_examples_spark.sources.avro_codec import write_container
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    loc = tmp_path / "v1tbl"
+    (loc / "metadata").mkdir(parents=True)
+    (loc / "data").mkdir()
+    # one parquet data file, written by Spark
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).coalesce(1).write.parquet(str(loc / "data" / "d1"))
+    pq_file = next(
+        p for p in (loc / "data" / "d1").iterdir() if p.suffix == ".parquet"
+    )
+    # v1-shaped manifest: no sequence-number fields, no content
+    v1_entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {"name": "file_format", "type": "string", "field-id": 101},
+                        {
+                            "name": "partition",
+                            "field-id": 102,
+                            "type": {"type": "record", "name": "r102", "fields": []},
+                        },
+                        {"name": "record_count", "type": "long", "field-id": 103},
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+    manifest = loc / "metadata" / "m1.avro"
+    manifest.write_bytes(
+        write_container(
+            v1_entry_schema,
+            iter(
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 99,
+                        "data_file": {
+                            "file_path": str(pq_file),
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": 3,
+                            "file_size_in_bytes": pq_file.stat().st_size,
+                        },
+                    }
+                ]
+            ),
+        )
+    )
+    meta = {
+        "format-version": 1,
+        "location": str(loc),
+        "last-updated-ms": 1,
+        "last-column-id": 2,
+        "schema": {  # v1 singular key; keep schemas too for the reader
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v", "required": False, "type": "string"},
+            ],
+        },
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "v", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-spec": [],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [
+            {
+                "snapshot-id": 99,
+                "timestamp-ms": 1,
+                "summary": {"operation": "append"},
+                "manifests": [str(manifest)],  # v1 inline form
+            }
+        ],
+        "current-snapshot-id": 99,
+        "snapshot-log": [{"timestamp-ms": 1, "snapshot-id": 99}],
+    }
+    (loc / "metadata" / "v1.metadata.json").write_text(json.dumps(meta))
+    (loc / "metadata" / "version-hint.text").write_text("1")
+
+    t = IcebergNativeTable(spark, str(loc))
+    got = sorted(tuple(r) for r in t.scan().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    assert t.snapshots_df().collect()[0]["snapshot_id"] == 99
+    assert t.files_df().collect()[0]["record_count"] == 3
