@@ -692,6 +692,74 @@ class IcebergNativeTable:
     def append(self, df: DataFrame) -> None:
         self._commit(df, operation="append", first=False)
 
+    def compact(self) -> None:
+        """rewrite_data_files at the format level: materialize the
+        current live rows (deletes APPLIED — compaction is how MOR debt
+        gets paid down) into fresh data files and commit a REPLACE
+        snapshot whose manifest list references only them. Earlier
+        snapshots keep their own manifest lists, so time travel across
+        the rewrite still reads the pre-compaction state."""
+        self._commit(self.scan(), operation="replace", first=False, replace=True)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots from the
+        metadata tree (the CALL system.expire_snapshots contract).
+        Returns the expired snapshot ids; physical files become orphans
+        until :meth:`remove_orphan_files` collects them — the same
+        two-step split as the real procedures."""
+        if keep_last < 1:
+            # [-0:] would slice to the WHOLE list; semantically this is
+            # "expire the current snapshot", which is never legal
+            raise ValueError("cannot expire the current snapshot (keep_last >= 1)")
+        meta = self._metadata()
+        version = self._current_version()
+        keep = meta["snapshots"][-keep_last:]
+        expired = [s["snapshot-id"] for s in meta["snapshots"][:-keep_last]]
+        kept_ids = {s["snapshot-id"] for s in keep}
+        if meta["current-snapshot-id"] not in kept_ids:
+            raise ValueError("cannot expire the current snapshot")
+        meta["snapshots"] = keep
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+        ]
+        new_v = version + 1
+        with open(
+            os.path.join(self.meta_dir, f"v{new_v}.metadata.json"), "w"
+        ) as fh:
+            json.dump(meta, fh, indent=1)
+        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+            fh.write(str(new_v))
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data/metadata files no retained snapshot references
+        (driver-side: walks the file LISTS, tiny; unlinks are per-file).
+        Returns the removed paths, parquet data files and manifest/
+        manifest-list avro alike."""
+        meta = self._metadata()
+        live: set[str] = set()
+        for snap in meta["snapshots"]:
+            if "manifest-list" in snap:
+                live.add(_strip_scheme(snap["manifest-list"]))
+            for mf in self._manifests(snap):
+                live.add(_strip_scheme(mf["manifest_path"]))
+                for e in self._entries(mf["manifest_path"]):
+                    live.add(_strip_scheme(e["data_file"]["file_path"]))
+        removed = []
+        data_root = os.path.join(self.location, "data")
+        for root, _dirs, names in os.walk(data_root):
+            for n in names:
+                p = os.path.abspath(os.path.join(root, n))
+                if n.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed.append(p)
+        for n in sorted(os.listdir(self.meta_dir)):
+            p = os.path.abspath(os.path.join(self.meta_dir, n))
+            if n.endswith(".avro") and p not in live:
+                os.unlink(p)
+                removed.append(p)
+        return removed
+
     def _write_data_files(self, df: DataFrame, seq: int, spec: list[dict]):
         """Distributed parquet write into this commit's own directory
         (unique per snapshot — Iceberg's unique-file-name discipline),
@@ -759,6 +827,7 @@ class IcebergNativeTable:
         first: bool,
         partition_by: list[str] | None = None,
         delete_manifest: dict | None = None,
+        replace: bool = False,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -839,8 +908,12 @@ class IcebergNativeTable:
         manifests: list[dict] = []
         # carry forward every prior manifest (append-only table layout):
         # real Iceberg rewrites these lists too; existing entries keep
-        # their original sequence numbers via the explicit field
-        if meta["snapshots"]:
+        # their original sequence numbers via the explicit field.
+        # A REPLACE commit (compaction) starts from an empty list — the
+        # rewritten files simply aren't referenced by the new snapshot;
+        # older snapshots keep their own manifest lists, so time travel
+        # across the rewrite stays intact
+        if meta["snapshots"] and not replace:
             prev = self._snapshot(meta)
             manifests.extend(self._manifests(prev))
 

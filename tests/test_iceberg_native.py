@@ -404,3 +404,71 @@ def test_reads_v1_format_table(spark, tmp_path):
     assert got == [(1, "a"), (2, "b"), (3, "c")]
     assert t.snapshots_df().collect()[0]["snapshot_id"] == 99
     assert t.files_df().collect()[0]["record_count"] == 3
+
+
+def test_compact_pays_down_mor_debt_and_keeps_time_travel(spark, tmp_path):
+    """compact() rewrites live rows (position + equality deletes
+    APPLIED) into a replace snapshot; the new scan plans no delete
+    files, and pre-compaction snapshots still read their own state."""
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O") for i in range(60)], "k long, s string"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "tc"), df)
+    live = t.scan().select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    )
+    t.add_position_deletes(
+        live.filter(F.col("k") % 5 == 0).select("file_path", "pos")
+    )
+    t.add_equality_deletes(spark.createDataFrame([("F",)], "s string"), ["s"])
+    expect = sorted(r["k"] for r in t.scan().collect())
+    t.compact()
+    got = t.scan()
+    assert sorted(r["k"] for r in got.collect()) == expect
+    # the compacted snapshot plans ZERO delete files
+    _, data, pos_del, eq_del = t._plan()
+    assert pos_del == [] and eq_del == []
+    # time travel: the original snapshot still reads everything
+    assert t.scan(snapshot_id=1).count() == 60
+    assert t.snapshots_df().collect()[-1]["operation"] == "replace"
+
+
+def test_expire_and_orphan_cleanup(spark, tmp_path):
+    """expire_snapshots keeps the newest N; remove_orphan_files then
+    physically deletes what no retained snapshot references — and the
+    surviving table still reads completely."""
+    import os as _os
+
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "te"),
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+    )
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.compact()
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    removed = t.remove_orphan_files()
+    assert removed  # pre-compaction data files + old manifests went away
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
+    # every surviving parquet under data/ is referenced by the live scan
+    from urllib.parse import urlparse
+
+    live_files = {urlparse(p).path for p in t.scan().inputFiles()}
+    on_disk = {
+        _os.path.abspath(_os.path.join(r, n))
+        for r, _d, ns in _os.walk(str(tmp_path / "te" / "data"))
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    assert on_disk == live_files
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="current snapshot"):
+        t.expire_snapshots(keep_last=0)
