@@ -36,10 +36,17 @@ application is two anti-joins whose right sides are delete files (small
 by construction). File lists ride the driver the same way Iceberg's own
 ``planFiles()`` does.
 
-What this is NOT: a full transaction layer (no concurrent-writer CAS on
-version-hint, no schema evolution on read, identity partition
-transforms only in the writer). Those semantics already exist in this
-repo on LocalTable (catalog.py — CAS commits, conflict detection,
+Concurrency: commits follow HadoopTables' optimistic protocol — every
+file is written under a unique per-attempt name, the new
+``vN.metadata.json`` is CLAIMED with an exclusive create, and a loser
+raises :class:`~iceberg_examples_spark.catalog.CommitConflictError` to
+re-derive and retry (its orphaned files are collectable by
+``remove_orphan_files``). ``version-hint.text`` updates last, so a
+racing reader sees either complete tree, never a partial one.
+
+What this is NOT: a full SQL transaction layer (no schema evolution on
+read, no cross-table transactions). Those semantics already exist in
+this repo on LocalTable (catalog.py — CAS commits, conflict detection,
 spec/schema evolution); this module is the FORMAT bridge that proves
 the engine speaks Iceberg's physical layout.
 """
@@ -49,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -722,13 +730,7 @@ class IcebergNativeTable:
         meta["snapshot-log"] = [
             e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
         ]
-        new_v = version + 1
-        with open(
-            os.path.join(self.meta_dir, f"v{new_v}.metadata.json"), "w"
-        ) as fh:
-            json.dump(meta, fh, indent=1)
-        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
-            fh.write(str(new_v))
+        self._publish_metadata(meta, version)
         return expired
 
     def remove_orphan_files(self) -> list[str]:
@@ -770,7 +772,11 @@ class IcebergNativeTable:
         files keep the full row — Iceberg data files contain source
         columns; hive layout drops what it partitions on — and the dir
         name still gives the manifest its typed partition value."""
-        out = os.path.join(self.location, "data", f"seq-{seq:05d}")
+        # unique dir per commit ATTEMPT: a conflicting-and-retried commit
+        # writes fresh files; the loser's become orphans
+        out = os.path.join(
+            self.location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}"
+        )
         w = df
         writer_cols = []
         for tf in spec:
@@ -937,7 +943,10 @@ class IcebergNativeTable:
                 }
                 for f in files
             ]
-            mpath = os.path.join(self.meta_dir, f"manifest-{seq:05d}-data.avro")
+            mpath = os.path.join(
+                self.meta_dir,
+                f"manifest-{seq:05d}-{uuid.uuid4().hex[:8]}-data.avro",
+            )
             blob = write_container(
                 entry_schema,
                 iter(entries),
@@ -970,7 +979,10 @@ class IcebergNativeTable:
         if delete_manifest is not None:
             manifests.append(delete_manifest)
 
-        list_path = os.path.join(self.meta_dir, f"snap-{snap_id:05d}.avro")
+        list_path = os.path.join(
+            self.meta_dir,
+            f"snap-{snap_id:05d}-{uuid.uuid4().hex[:8]}.avro",
+        )
         blob = write_container(_MANIFEST_FILE_SCHEMA, iter(manifests))
         with open(list_path, "wb") as fh:
             fh.write(blob)
@@ -997,12 +1009,31 @@ class IcebergNativeTable:
         meta["current-snapshot-id"] = snap_id
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
-        new_v = version + 1
-        with open(
-            os.path.join(self.meta_dir, f"v{new_v}.metadata.json"), "w"
-        ) as fh:
+        self._publish_metadata(meta, version)
+
+    def _publish_metadata(self, meta: dict, read_version: int) -> None:
+        """HadoopTables' optimistic commit: CLAIM v{N+1}.metadata.json
+        with an exclusive create — if another writer published N+1 since
+        this commit read N, the create fails and the whole commit raises
+        CommitConflictError for the caller to re-derive and retry
+        (already-written data files become orphans, collectable by
+        remove_orphan_files — the real library's failure mode too).
+        version-hint updates LAST: readers that race the hint see either
+        the old or the new COMPLETE tree, never a partial one."""
+        from iceberg_examples_spark.catalog import CommitConflictError
+
+        new_v = read_version + 1
+        path = os.path.join(self.meta_dir, f"v{new_v}.metadata.json")
+        try:
+            fh = open(path, "x")
+        except FileExistsError:
+            raise CommitConflictError(
+                f"metadata version v{new_v} was published by a concurrent "
+                f"writer since version {read_version} was read; re-read "
+                "and retry the commit"
+            ) from None
+        with fh:
             json.dump(meta, fh, indent=1)
-        # version-hint last: the publish point of the HadoopTables layout
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
             fh.write(str(new_v))
 
@@ -1032,7 +1063,10 @@ class IcebergNativeTable:
             for p in paths
         ]
         entry_schema = _manifest_entry_schema([])
-        mpath = os.path.join(self.meta_dir, f"manifest-{seq:05d}-deletes.avro")
+        mpath = os.path.join(
+            self.meta_dir,
+            f"manifest-{seq:05d}-{uuid.uuid4().hex[:8]}-deletes.avro",
+        )
         blob = write_container(
             entry_schema,
             iter(entries),
@@ -1075,7 +1109,7 @@ class IcebergNativeTable:
         never pass through the driver."""
         meta = self._metadata()
         seq = meta["last-sequence-number"] + 1
-        out = os.path.join(self.location, "data", f"seq-{seq:05d}-posdel")
+        out = os.path.join(self.location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel")
         deletes.select(
             F.col("file_path").cast("string"), F.col("pos").cast("long")
         ).write.mode("error").parquet(out)
@@ -1096,7 +1130,7 @@ class IcebergNativeTable:
             next(f["id"] for f in sch["fields"] if f["name"] == c) for c in eq_cols
         ]
         seq = meta["last-sequence-number"] + 1
-        out = os.path.join(self.location, "data", f"seq-{seq:05d}-eqdel")
+        out = os.path.join(self.location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-eqdel")
         deletes.select(*eq_cols).write.mode("error").parquet(out)
         paths = [
             os.path.join(out, n)
