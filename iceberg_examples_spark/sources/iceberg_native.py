@@ -439,9 +439,18 @@ class IcebergNativeTable:
         return _parse_datatype_string(ddl)
 
     def _snapshot(
-        self, meta: dict, snapshot_id: int | None = None, as_of_ms: int | None = None
+        self,
+        meta: dict,
+        snapshot_id: int | None = None,
+        as_of_ms: int | None = None,
+        ref: str | None = None,
     ) -> dict:
         snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        if ref is not None:
+            refs = meta.get("refs", {})
+            if ref not in refs:
+                raise ValueError(f"unknown ref {ref!r}")
+            return snaps[refs[ref]["snapshot-id"]]
         if snapshot_id is not None:
             return snaps[snapshot_id]
         if as_of_ms is not None:
@@ -486,6 +495,7 @@ class IcebergNativeTable:
         snapshot_id: int | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
+        ref: str | None = None,
     ):
         """(data_files, pos_delete_files, eq_delete_files) for one
         snapshot — each a list of dicts with path/sequence/partition.
@@ -493,7 +503,7 @@ class IcebergNativeTable:
         partition filter prunes files by manifest partition values, the
         same planning step Iceberg runs coordinator-side."""
         meta = self._metadata()
-        snap = self._snapshot(meta, snapshot_id, as_of_ms)
+        snap = self._snapshot(meta, snapshot_id, as_of_ms, ref)
         data, pos_del, eq_del = [], [], []
         for mf in self._manifests(snap):
             for e in self._entries(mf["manifest_path"]):
@@ -536,6 +546,7 @@ class IcebergNativeTable:
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
         where: dict | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """The table's live rows at a snapshot, deletes applied.
 
@@ -566,7 +577,7 @@ class IcebergNativeTable:
                 for tf in parsed:
                     if tf["source"] == col:
                         pf[tf["name"]] = transform_literal(tf, val)
-        meta, data, pos_del, eq_del = self._plan(snapshot_id, as_of_ms, pf)
+        meta, data, pos_del, eq_del = self._plan(snapshot_id, as_of_ms, pf, ref)
 
         def residual(frame: DataFrame) -> DataFrame:
             # the row-level twin of the pruning predicate (Iceberg's
@@ -709,9 +720,38 @@ class IcebergNativeTable:
         the rewrite still reads the pre-compaction state."""
         self._commit(self.scan(), operation="replace", first=False, replace=True)
 
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Named immutable pointer (spec refs, type=tag). A tagged
+        snapshot is protected from expire_snapshots — the spec's
+        retention contract and the whole point of tagging."""
+        self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Named movable pointer (spec refs, type=branch)."""
+        self._set_ref(name, snapshot_id, "branch")
+
+    def _set_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+        meta = self._metadata()
+        version = self._current_version()
+        sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+        if sid not in {s["snapshot-id"] for s in meta["snapshots"]}:
+            raise ValueError(f"snapshot {sid} does not exist")
+        meta.setdefault("refs", {})[name] = {"snapshot-id": sid, "type": kind}
+        self._publish_metadata(meta, version)
+
+    def drop_ref(self, name: str) -> None:
+        meta = self._metadata()
+        version = self._current_version()
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        del meta["refs"][name]
+        self._publish_metadata(meta, version)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots from the
-        metadata tree (the CALL system.expire_snapshots contract).
+        metadata tree (the CALL system.expire_snapshots contract) —
+        EXCEPT snapshots any ref (tag or branch) still points at, which
+        are retained regardless (the spec's ref-retention rule).
         Returns the expired snapshot ids; physical files become orphans
         until :meth:`remove_orphan_files` collects them — the same
         two-step split as the real procedures."""
@@ -721,12 +761,21 @@ class IcebergNativeTable:
             raise ValueError("cannot expire the current snapshot (keep_last >= 1)")
         meta = self._metadata()
         version = self._current_version()
-        keep = meta["snapshots"][-keep_last:]
-        expired = [s["snapshot-id"] for s in meta["snapshots"][:-keep_last]]
-        kept_ids = {s["snapshot-id"] for s in keep}
+        ref_ids = {
+            r["snapshot-id"] for r in meta.get("refs", {}).values()
+        }
+        kept_ids = {s["snapshot-id"] for s in meta["snapshots"][-keep_last:]}
+        kept_ids |= ref_ids
         if meta["current-snapshot-id"] not in kept_ids:
             raise ValueError("cannot expire the current snapshot")
-        meta["snapshots"] = keep
+        expired = [
+            s["snapshot-id"]
+            for s in meta["snapshots"]
+            if s["snapshot-id"] not in kept_ids
+        ]
+        meta["snapshots"] = [
+            s for s in meta["snapshots"] if s["snapshot-id"] in kept_ids
+        ]
         meta["snapshot-log"] = [
             e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
         ]
@@ -1007,6 +1056,11 @@ class IcebergNativeTable:
             {"timestamp-ms": now_ms, "snapshot-id": snap_id}
         )
         meta["current-snapshot-id"] = snap_id
+        # the spec's main branch tracks the current snapshot
+        meta.setdefault("refs", {})["main"] = {
+            "snapshot-id": snap_id,
+            "type": "branch",
+        }
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         self._publish_metadata(meta, version)

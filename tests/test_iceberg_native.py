@@ -520,3 +520,38 @@ def test_concurrent_appends_conflict_and_retry_to_serializable(spark, tmp_path):
     # table: at least one collision is overwhelmingly likely; if this
     # ever flakes to zero, raise the thread count, don't delete the line)
     assert conflicts or len(threads) == 1
+
+
+def test_refs_tags_branches_and_retention(spark, tmp_path):
+    """Spec refs: tags/branches are named snapshot pointers readable via
+    scan(ref=), the main branch tracks the current snapshot, and a
+    ref'd snapshot SURVIVES expire_snapshots (the spec's ref-retention
+    rule — tagging exists precisely to defeat expiry)."""
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "tr"),
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+    )
+    t.create_tag("v1.0")  # tag snapshot 1
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    meta = t._metadata()
+    assert meta["refs"]["main"] == {"snapshot-id": 3, "type": "branch"}
+    assert meta["refs"]["v1.0"] == {"snapshot-id": 1, "type": "tag"}
+    assert t.scan(ref="v1.0").count() == 1
+    assert t.scan(ref="main").count() == 3
+    with pytest.raises(ValueError, match="unknown ref"):
+        t.scan(ref="nope")
+    # expiry keeps the tagged snapshot alive alongside the newest
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [2]  # snapshot 1 protected by the tag
+    assert t.scan(ref="v1.0").count() == 1
+    t.remove_orphan_files()
+    assert t.scan(ref="v1.0").count() == 1  # tag's files retained
+    assert t.scan().count() == 3
+    # refs are droppable (except main), after which expiry reclaims
+    with pytest.raises(ValueError, match="main"):
+        t.drop_ref("main")
+    t.drop_ref("v1.0")
+    assert t.expire_snapshots(keep_last=1) == [1]
