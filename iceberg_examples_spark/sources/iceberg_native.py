@@ -547,8 +547,17 @@ class IcebergNativeTable:
         partition_filter: dict | None = None,
         where: dict | None = None,
         ref: str | None = None,
+        with_coordinates: bool = False,
     ) -> DataFrame:
         """The table's live rows at a snapshot, deletes applied.
+
+        ``with_coordinates=True`` adds the spec's position-delete
+        coordinates (``file_path``, ``pos``) to every live row — the
+        input a position-delete commit needs. Spark's ``_metadata``
+        column is only resolvable on the raw file relation, so once a
+        scan carries MOR anti-joins it cannot be re-derived downstream;
+        exposing it here is the supported path (the lifecycle property
+        test falsified the derive-it-later approach).
 
         ``partition_filter`` prunes on PARTITION FIELD values directly;
         ``where`` is the friendlier form — equality literals on SOURCE
@@ -587,13 +596,22 @@ class IcebergNativeTable:
             return frame
 
         if not data:
-            return residual(
-                self.spark.createDataFrame([], self._schema_struct(meta))
-            )
+            empty = self.spark.createDataFrame([], self._schema_struct(meta))
+            if with_coordinates:
+                empty = empty.withColumn(
+                    "file_path", F.lit(None).cast("string")
+                ).withColumn("pos", F.lit(None).cast("long"))
+            return residual(empty)
         df = self.spark.read.parquet(*[d["path"] for d in data])
         if not pos_del and not eq_del:
+            if with_coordinates:
+                df = df.withColumn(
+                    "file_path", F.col("_metadata.file_path")
+                ).withColumn("pos", F.col("_metadata.row_index"))
             return residual(df)
         cols = df.columns
+        if with_coordinates:
+            cols = cols + ["file_path", "pos"]
         df = df.withColumn(
             "_ice_path", F.col("_metadata.file_path")
         ).withColumn("_ice_pos", F.col("_metadata.row_index"))
@@ -649,6 +667,10 @@ class IcebergNativeTable:
                 for c in eq_cols:
                     cond = cond & df[c].eqNullSafe(dels[f"_eq_{c}"])
                 df = df.join(dels, cond, "left_anti")
+        if with_coordinates:
+            df = df.withColumn("file_path", df["_ice_path"]).withColumn(
+                "pos", df["_ice_pos"]
+            )
         return residual(df.select(*cols))
 
     # -- metadata tables (mirrors Iceberg's .snapshots/.files/.history) -

@@ -555,3 +555,28 @@ def test_refs_tags_branches_and_retention(spark, tmp_path):
         t.drop_ref("main")
     t.drop_ref("v1.0")
     assert t.expire_snapshots(keep_last=1) == [1]
+
+
+def test_scan_with_coordinates_under_mor_debt(spark, tmp_path):
+    """(file_path, pos) coordinates stay available on a scan that
+    already applies deletes — the supported input for the NEXT
+    position-delete commit (plain _metadata is unresolvable after the
+    anti-joins; the lifecycle property test falsified that approach)."""
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "twc"),
+        spark.createDataFrame([(i, "s") for i in range(30)], "k long, v string"),
+    )
+    first = t.scan(with_coordinates=True)
+    assert {"file_path", "pos"} <= set(first.columns)
+    t.add_position_deletes(
+        first.filter(F.col("k") < 10).select("file_path", "pos")
+    )
+    # debt exists now; coordinates must still resolve and stay accurate
+    second = t.scan(with_coordinates=True)
+    assert second.count() == 20
+    t.add_position_deletes(
+        second.filter(F.col("k") >= 25).select("file_path", "pos")
+    )
+    assert sorted(r["k"] for r in t.scan().collect()) == list(range(10, 25))
