@@ -51,6 +51,13 @@ SWEEP = [
     # sized_state_partitions), its cost should be micro-batch fixed
     # machinery, near-flat under 10× events
     ("stream_late_data", "events", 10),
+    # round-9 additions: the format layer — avro write+read per-file
+    # parallel decode, and the Iceberg native scan + MOR paths (table
+    # creation dominates these scenario queries; the scaling question
+    # is whether the metadata machinery stays amortized as data grows)
+    ("avro_roundtrip", "customer", 10),
+    ("iceberg_native_scan", "orders", 10),
+    ("iceberg_native_mor", "customer", 10),
 ]
 
 
