@@ -227,6 +227,24 @@ def _to_avro_value(dt, v):
 # reader
 # ---------------------------------------------------------------------------
 
+def _promotion(want):
+    """Avro schema-resolution promotions for a widened READER type:
+    int/long → float/double, bytes ↔ string. Identity otherwise — the
+    decoded Python value already matches the reader type, or Spark's
+    own ingestion coercion covers it (e.g. int into long)."""
+    if isinstance(want, (DoubleType, FloatType)):
+        return lambda v: None if v is None else float(v)
+    if isinstance(want, StringType):
+        return (
+            lambda v: v.decode("utf-8")
+            if isinstance(v, (bytes, bytearray))
+            else v
+        )
+    if isinstance(want, BinaryType):
+        return lambda v: v.encode("utf-8") if isinstance(v, str) else v
+    return lambda v: v
+
+
 _PUSHABLE = (
     EqualTo,
     GreaterThan,
@@ -246,11 +264,16 @@ def _files(path: str) -> list[str]:
 
 
 class AvroLiteReader(DataSourceReader):
-    def __init__(self, options: dict, schema_fields: list[str]):
+    def __init__(self, options: dict, schema: StructType):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avrolite requires a path")
-        self.fields = schema_fields
+        # the READER schema (user-supplied via .schema() or inferred
+        # from the first file) — rows are resolved against it per the
+        # Avro schema-resolution rules: match by name, missing fields
+        # read as null, numeric promotions applied
+        self.fields = schema.fieldNames()
+        self.types = [f.dataType for f in schema.fields]
         self.pushed: list = []
 
     def pushFilters(self, filters):
@@ -272,9 +295,22 @@ class AvroLiteReader(DataSourceReader):
         with open(partition.value, "rb") as f:
             data = f.read()
         _, schema, rows = read_container(data)
-        fields = [f["name"] for f in schema["fields"]]
-        convs = [_converter(f["type"]) for f in schema["fields"]]
-        idx = {n: i for i, n in enumerate(fields)}
+        file_fields = {f["name"]: f for f in schema["fields"]}
+        # schema resolution (Avro spec): output follows the READER
+        # schema — each reader field binds to the file's same-named
+        # field (with a promotion cast when the reader widened the
+        # type) or reads as null when the file predates the column
+        getters = []
+        for name, want in zip(self.fields, self.types):
+            if name not in file_fields:
+                getters.append(lambda row: None)
+                continue
+            conv = _converter(file_fields[name]["type"])
+            promote = _promotion(want)
+            getters.append(
+                lambda row, n=name, c=conv, p=promote: p(c(row[n]))
+            )
+        idx = {n: i for i, n in enumerate(self.fields)}
         checks = [
             (idx[f.attribute[0]], f) for f in self.pushed
         ]
@@ -301,7 +337,7 @@ class AvroLiteReader(DataSourceReader):
             return True
 
         for row in rows:
-            vals = tuple(c(row[n]) for n, c in zip(fields, convs))
+            vals = tuple(g(row) for g in getters)
             if keep(vals):
                 yield vals
 
@@ -364,7 +400,7 @@ class AvroLiteSource(DataSource):
         )
 
     def reader(self, schema) -> AvroLiteReader:
-        return AvroLiteReader(dict(self.options), schema.fieldNames())
+        return AvroLiteReader(dict(self.options), schema)
 
     def writer(self, schema: StructType, overwrite: bool) -> AvroLiteWriter:
         return AvroLiteWriter(dict(self.options), schema, overwrite)

@@ -292,7 +292,11 @@ def test_avrolite_pushdown_filters_rows_in_decoder(spark, tmp_path):
         AvroLiteSource,
     )
 
-    r = AvroLiteReader({"path": "/dev/null"}, ["a", "b"])
+    from pyspark.sql.types import _parse_datatype_string
+
+    r = AvroLiteReader(
+        {"path": "/dev/null"}, _parse_datatype_string("a long, b string")
+    )
     leftover = list(
         r.pushFilters(
             [GreaterThan(("a",), 5), StringContains(("b",), "x"), EqualTo(("a",), 9)]
@@ -332,3 +336,48 @@ def test_avrolite_multi_file_parallel_read(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 7
     assert back.count() == 1000
     assert back.agg({"id": "sum"}).collect()[0][0] == 999 * 1000 // 2
+
+
+def test_avrolite_reader_schema_resolution(spark, tmp_path):
+    """Avro schema resolution on read: a user-supplied .schema() that
+    reorders, projects, widens (long→double), and ADDS a column binds
+    by NAME against the file's writer schema — added columns read as
+    null, widened columns promote, order follows the reader schema.
+    (Before this, read() silently yielded file-order tuples — a
+    reordered schema would have transposed columns.)"""
+    from iceberg_examples_spark.sources.avro_source import AvroLiteSource
+
+    spark.dataSource.register(AvroLiteSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out = str(tmp_path / "res")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, v string, n long"
+    ).coalesce(1).write.format("avrolite").mode("overwrite").save(out)
+
+    # reordered + projected + widened + an added column
+    back = (
+        spark.read.format("avrolite")
+        .schema("n double, k long, extra string")
+        .load(out)
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in back] == [(10.0, 1, None), (20.0, 2, None)]
+    # pushdown still binds by reader-schema position
+    got = (
+        spark.read.format("avrolite")
+        .schema("n double, k long, extra string")
+        .load(out)
+        .filter("k > 1")
+        .collect()
+    )
+    assert [r["n"] for r in got] == [20.0]
+    # a filter on the column the FILE never had matches nothing
+    assert (
+        spark.read.format("avrolite")
+        .schema("n double, k long, extra string")
+        .load(out)
+        .filter("extra = 'x'")
+        .count()
+        == 0
+    )
