@@ -20,16 +20,18 @@ Two consumers sit on top:
 - :mod:`iceberg_examples_spark.sources.avro_source` — a Spark-4 Python
   DataSource exposing ``spark.read.format("avrolite")`` /
   ``df.write.format("avrolite")`` (the spark-avro replacement surface);
-- :mod:`iceberg_examples_spark.sources.iceberg_metadata` — Iceberg
+- :mod:`iceberg_examples_spark.sources.iceberg_native` — Iceberg
   manifest lists and manifest files ARE Avro container files, so this
   codec is what lets the engine read a real Iceberg table's metadata
   tree without the JVM connector.
 
 Deliberately NOT implemented (absent from both consumers' needs):
 decimal logical types, snappy codec (no library in the container —
-deflate is the spec's only mandatory compressed codec), schema
-resolution/evolution between writer and reader schemas (we always decode
-with the writer schema embedded in the file), and RPC framing.
+deflate is the spec's only mandatory compressed codec), and RPC
+framing. Datum decode always uses the writer schema embedded in the
+file; READER-schema resolution (projection, reorder, null-for-added,
+promotions) lives one layer up in avro_source, where the Spark schema
+is known.
 
 Scale posture: this codec is executor-side decode logic — the DataSource
 schedules one Spark task per file/block and each task streams its bytes
@@ -321,6 +323,21 @@ def write_datum(schema, value, out: bytearray) -> None:
 # ---------------------------------------------------------------------------
 
 
+def read_header(data: bytes):
+    """(schema_text, normalized_schema, codec) from a container file's
+    header only — ``data`` may be a PREFIX of the file (schema
+    inference reads a bounded prefix, not a multi-GB file)."""
+    dec = Decoder(data)
+    if dec.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = read_datum({"type": "map", "values": "bytes"}, dec)
+    schema_text = meta["avro.schema"].decode("utf-8")
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec {codec!r}")
+    return schema_text, parse_schema(schema_text), codec
+
+
 def read_container(data: bytes):
     """Parse an Avro object container file → (writer_schema_json_text,
     normalized_schema, iterator of decoded rows). The schema comes from
@@ -360,7 +377,8 @@ def write_container(
     block_rows: int = 4096,
     sync: bytes = b"\x00" * 8 + b"avrolite",
     meta: dict[str, bytes] | None = None,
-) -> bytes:
+    sink=None,
+) -> bytes | None:
     """Serialize ``rows`` (dicts for records) into one container file.
 
     ``sync`` is deterministic by default so fixture bytes are
@@ -369,10 +387,15 @@ def write_container(
     ``block_rows`` bounds block memory — a 100 TB writer streams blocks,
     never materializing the file's rows at once. ``meta`` adds extra
     file-metadata entries (Iceberg manifests carry ``schema`` /
-    ``partition-spec`` / ``content`` keys alongside avro.schema)."""
+    ``partition-spec`` / ``content`` keys alongside avro.schema).
+    ``sink``: a binary file-like — blocks FLUSH to it as they fill and
+    the function returns None, so a multi-GB partition never
+    materializes its container file in memory (without a sink the whole
+    file accumulates in a BytesIO and is returned — fixture/manifest
+    sized use only)."""
     schema_text = schema if isinstance(schema, str) else json.dumps(schema)
     parsed = parse_schema(schema_text)
-    out = io.BytesIO()
+    out = sink if sink is not None else io.BytesIO()
     out.write(MAGIC)
     head = bytearray()
     write_datum(
@@ -410,4 +433,4 @@ def write_container(
             n = 0
     if n:
         flush(block, n)
-    return out.getvalue()
+    return None if sink is not None else out.getvalue()

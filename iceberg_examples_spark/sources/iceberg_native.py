@@ -294,7 +294,15 @@ def transform_literal(tf: dict, value):
         truncate_value,
     )
 
+    import datetime
+
     if tf["transform"] == "identity":
+        # manifests store DATE partition values as epoch-day ints
+        # (_partition_value); an unencoded date literal would compare
+        # int == date -> always False and silently prune EVERY file
+        # (round-9 self-review)
+        if isinstance(value, datetime.date):
+            return (value - _EPOCH_DAY).days
         return value
     if tf["transform"] == "bucket":
         return bucket_value(value, tf["param"])
@@ -393,16 +401,6 @@ def _strip_scheme(p: str) -> str:
     return p[5:] if p.startswith("file:") else p
 
 
-def _count(entry: dict, *names: str, default: int = 0) -> int:
-    """Tolerant field access: the Java library kept v1 names
-    (added_data_files_count) in v2 manifest lists; the spec tables use
-    added_files_count. Accept either."""
-    for n in names:
-        if entry.get(n) is not None:
-            return entry[n]
-    return default
-
-
 class IcebergNativeTable:
     """Handle on a path-based (HadoopTables-layout) Iceberg v2 table.
 
@@ -423,9 +421,17 @@ class IcebergNativeTable:
             return int(f.read().strip())
 
     def _metadata(self) -> dict:
+        return self._read_tree()[0]
+
+    def _read_tree(self) -> tuple[dict, int]:
+        """One consistent (metadata, version) pair: the version is read
+        ONCE and that exact file is loaded — calling _metadata() and
+        _current_version() separately can straddle a concurrent publish
+        and pair vN content with version N+1, letting a stale commit
+        pass the exclusive-create CAS."""
         v = self._current_version()
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+            return json.load(f), v
 
     def _schema_struct(self, meta: dict) -> StructType:
         from pyspark.sql.types import _parse_datatype_string
@@ -513,12 +519,16 @@ class IcebergNativeTable:
                 # v1 manifests carry neither entry- nor list-level
                 # sequence numbers (v1 tolerance: everything reads seq 0,
                 # consistent — v1 has no delete files to order against)
-                seq = (
-                    e.get("data_sequence_number")
-                    or e.get("sequence_number")  # early-v2 entry name
-                    or mf.get("sequence_number")
-                    or 0
-                )
+                # explicit None checks: a legitimate seq 0 (v1-origin
+                # files in an upgraded table) must not fall through to
+                # the rewritten manifest's seq (round-9 self-review)
+                seq = e.get("data_sequence_number")
+                if seq is None:
+                    seq = e.get("sequence_number")  # early-v2 entry name
+                if seq is None:
+                    seq = mf.get("sequence_number")
+                if seq is None:
+                    seq = 0
                 rec = {
                     "path": _strip_scheme(df_["file_path"]),
                     "seq": seq,
@@ -753,8 +763,7 @@ class IcebergNativeTable:
         self._set_ref(name, snapshot_id, "branch")
 
     def _set_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
-        meta = self._metadata()
-        version = self._current_version()
+        meta, version = self._read_tree()
         sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
         if sid not in {s["snapshot-id"] for s in meta["snapshots"]}:
             raise ValueError(f"snapshot {sid} does not exist")
@@ -762,8 +771,7 @@ class IcebergNativeTable:
         self._publish_metadata(meta, version)
 
     def drop_ref(self, name: str) -> None:
-        meta = self._metadata()
-        version = self._current_version()
+        meta, version = self._read_tree()
         if name == "main":
             raise ValueError("cannot drop the main branch")
         del meta["refs"][name]
@@ -781,8 +789,7 @@ class IcebergNativeTable:
             # [-0:] would slice to the WHOLE list; semantically this is
             # "expire the current snapshot", which is never legal
             raise ValueError("cannot expire the current snapshot (keep_last >= 1)")
-        meta = self._metadata()
-        version = self._current_version()
+        meta, version = self._read_tree()
         ref_ids = {
             r["snapshot-id"] for r in meta.get("refs", {}).values()
         }
@@ -905,6 +912,7 @@ class IcebergNativeTable:
         partition_by: list[str] | None = None,
         delete_manifest: dict | None = None,
         replace: bool = False,
+        base: tuple[dict, int] | None = None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -962,8 +970,13 @@ class IcebergNativeTable:
             }
             version = 0
         else:
-            meta = self._metadata()
-            version = self._current_version()
+            # honor the caller's base read: a delete commit stamps its
+            # sequence number into the delete FILES before committing —
+            # re-reading here would let an interleaved writer slip in
+            # without a version conflict, publishing delete entries
+            # whose claimed seq collides with the interleaved commit's
+            # (round-9 self-review)
+            meta, version = base if base is not None else self._read_tree()
 
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, monotone
@@ -1116,7 +1129,7 @@ class IcebergNativeTable:
     def _commit_delete_files(
         self, paths: list[str], content: int, equality_ids: list[int] | None
     ) -> None:
-        meta = self._metadata()
+        meta, version = self._read_tree()
         seq = meta["last-sequence-number"] + 1
         import pyarrow.parquet as pq
 
@@ -1176,6 +1189,7 @@ class IcebergNativeTable:
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             },
+            base=(meta, version),
         )
 
     def add_position_deletes(self, deletes: DataFrame) -> None:

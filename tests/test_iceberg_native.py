@@ -146,18 +146,6 @@ def test_create_refuses_existing_location(table, spark):
         )
 
 
-def test_count_getter_tolerates_v1_field_names():
-    """Java-written v2 manifest lists kept the v1 field names
-    (added_data_files_count); the reader accepts either spelling."""
-    from iceberg_examples_spark.sources.iceberg_native import _count
-
-    assert _count({"added_files_count": 3}, "added_files_count",
-                  "added_data_files_count") == 3
-    assert _count({"added_data_files_count": 4}, "added_files_count",
-                  "added_data_files_count") == 4
-    assert _count({}, "added_files_count", "added_data_files_count") == 0
-
-
 def test_typed_partition_values_roundtrip(spark, tmp_path):
     """Long and date partition columns carry TYPED values through the
     manifest (hive dir-name parsing is the writer's detail, not the
@@ -580,3 +568,87 @@ def test_scan_with_coordinates_under_mor_debt(spark, tmp_path):
         second.filter(F.col("k") >= 25).select("file_path", "pos")
     )
     assert sorted(r["k"] for r in t.scan().collect()) == list(range(10, 25))
+
+
+def test_where_on_identity_date_partition_prunes_correctly(spark, tmp_path):
+    """Manifests store DATE partition values as epoch-day ints; a where=
+    with a date literal must encode before comparing — the unencoded
+    comparison pruned EVERY file and silently returned nothing (round-9
+    self-review)."""
+    import datetime
+
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 6, 15)
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "tid"),
+        spark.createDataFrame([(1, d1), (2, d1), (3, d2)], "k long, d date"),
+        partition_by=["d"],
+    )
+    got = t.scan(where={"d": d1})
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+    assert len(got.inputFiles()) < len(t.scan().inputFiles())
+
+
+def test_explicit_sequence_number_zero_is_honored(spark, tmp_path):
+    """A manifest entry with data_sequence_number=0 (v1-origin files in
+    an upgraded table) must keep 0 — the falsy-`or` chain fell through
+    to the manifest list's seq and let equality deletes skip those rows
+    (round-9 self-review)."""
+    import json as _json
+
+    from iceberg_examples_spark.sources.avro_codec import read_container, write_container
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "ts0"),
+        spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string"),
+    )
+    # rewrite the data manifest in place with entry seq = 0 while the
+    # manifest list still says seq 1 (the upgraded-table shape)
+    meta = t._metadata()
+    snap = meta["snapshots"][0]
+    with open(snap["manifest-list"], "rb") as f:
+        mf = list(read_container(f.read())[2])[0]
+    with open(mf["manifest_path"], "rb") as f:
+        text, _, rows = read_container(f.read())
+        entries = list(rows)
+    for e in entries:
+        e["data_sequence_number"] = 0
+        e["file_sequence_number"] = 0
+    with open(mf["manifest_path"], "wb") as f:
+        f.write(write_container(_json.loads(text), iter(entries)))
+    _, data, _, _ = t._plan()
+    # one file per input split; every entry keeps its explicit 0
+    assert data and all(d["seq"] == 0 for d in data)
+    # and an equality delete (seq 2) now correctly hits the seq-0 rows
+    t.add_equality_deletes(spark.createDataFrame([("x",)], "s string"), ["s"])
+    assert sorted(r["k"] for r in t.scan().collect()) == [2]
+
+
+def test_delete_commit_conflicts_against_interleaved_append(spark, tmp_path):
+    """A delete commit stamps its sequence number into the delete FILES
+    before publishing; an append interleaving between that read and the
+    publish must surface as CommitConflictError, never a silent publish
+    whose claimed seq collides with the interleaved commit's (round-9
+    self-review)."""
+    from iceberg_examples_spark.catalog import CommitConflictError
+    from iceberg_examples_spark.sources.iceberg_native import IcebergNativeTable
+
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "tdc"),
+        spark.createDataFrame([(1, "x")], "k long, s string"),
+    )
+    # stale base: read the tree, then let an append publish behind it
+    stale = t._read_tree()
+    t.append(spark.createDataFrame([(2, "y")], "k long, s string"))
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            spark.createDataFrame([(3, "z")], "k long, s string"),
+            operation="append",
+            first=False,
+            base=stale,
+        )
