@@ -65,59 +65,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- latest green driver row: never attested -----
-    "avro_roundtrip": AV.avro_roundtrip,
-    "iceberg_native_scan": IN.iceberg_native_scan,
-    "iceberg_native_mor": IN.iceberg_native_mor,
-    "iceberg_native_time_travel": IN.iceberg_native_time_travel,
-    "iceberg_export_roundtrip": IN.iceberg_export_roundtrip,
-    "iceberg_bucket_prune": IN.iceberg_bucket_prune,
-    "iceberg_month_rollup": IN.iceberg_month_rollup,
-    # ----- latest green driver row: round 4 -----
-    "jsonl_shard_export": LP.jsonl_shard_export,
-    "mixture_temperature": LP.mixture_temperature,
     # ----- latest green driver row: round 5 -----
-    "snapshot_refs": MT.snapshot_refs,
-    "bucketed_join": PT.bucketed_join,
-    "stream_wap_branch": ST.stream_wap_branch,
-    "python_datasource_scan": PD.python_datasource_scan,
-    "bigram_lm_score": LQ.bigram_lm_score,
-    "quality_weighted_sample": LP.quality_weighted_sample,
-    "quantile_bins": XR.quantile_bins,
-    "quantile_bins_cuts": XR.quantile_bins_cuts,
-    "dedup_simhash": D.dedup_simhash,
-    "vocab_coverage": LQ.vocab_coverage,
-    "balanced_shards": LP.balanced_shards,
-    "fixed_size_sample": CV.fixed_size_sample,
-    "curation_steady_state": SC.curation_steady_state,
-    "pagerank_links": GR.pagerank_links,
-    "data_quality_audit": CV.data_quality_audit,
-    "project_dates": XR.project_dates,
-    "set_ops": XR.set_ops,
-    "set_ops_all": XR.set_ops_all,
-    "unpivot_metrics": XR.unpivot_metrics,
-    "agg_rollup": XR.agg_rollup,
-    "asof_join": XR.asof_join,
-    "range_join_buckets": XR.range_join_buckets,
-    "running_totals": XR.running_totals,
-    "range_frame_agg": XR.range_frame_agg,
-    "json_struct_parse": XR.json_struct_parse,
-    "window_rank_funcs": XR.window_rank_funcs,
-    "lateral_topn": XR.lateral_topn,
-    "agg_cube": XR.agg_cube,
-    "grouping_sets_agg": XR.grouping_sets_agg,
-    "map_type_ops": XR.map_type_ops,
-    "salted_agg": XR.salted_agg_query,
-    "skew_join": XR.skew_join_query,
-    "pivot_status": XR.pivot_status,
-    "stream_static_join": ST.stream_static_join,
-    "text_token_count": TX.token_count,
-    "text_lang_id": TX.lang_id,
-    "text_quality_score": TX.quality_score,
-    "text_fingerprint": TX.doc_fingerprint,
-    "text_simhash": TX.simhash16,
-    "explode_tokens": TX.explode_tokens,
-    "deterministic_sample": CV.deterministic_sample,
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,
     "dedup_exact": D.dedup_exact,
@@ -125,7 +73,6 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard": D.ngram_jaccard,
     "knn_cosine": SIM.knn_cosine,
     "kmeans_clusters": CL.kmeans_clusters,
-    # ----- end of the 50-entry driver correctness window -----
     "kmeans_large": CL.kmeans_large,
     "knn_kmeans_ivf": CL.knn_kmeans_ivf,
     # ----- latest green driver row: round 6 -----
@@ -170,6 +117,7 @@ QUERIES: dict[str, QueryFn] = {
     "merge_sql_exec": RS.merge_sql_exec_query,
     "scd2_sql_exec": RS.scd2_sql_exec_query,
     "sql_script_replay": RS.sql_script_replay_query,
+    # ----- end of the 50-entry driver correctness window -----
     "stream_curation_ingest": ST.stream_curation_ingest,
     "snapshot_rollback": MT.snapshot_rollback,
     "corpus_report": LQ.corpus_report,
@@ -281,6 +229,57 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_window": ST.stream_session_window,
     "xml_roundtrip": CV.xml_roundtrip,
     "binary_files_ingest": MM.binary_files_ingest,
+    # ----- latest green driver row: round 9 -----
+    "avro_roundtrip": AV.avro_roundtrip,
+    "iceberg_native_scan": IN.iceberg_native_scan,
+    "iceberg_native_mor": IN.iceberg_native_mor,
+    "iceberg_native_time_travel": IN.iceberg_native_time_travel,
+    "iceberg_export_roundtrip": IN.iceberg_export_roundtrip,
+    "iceberg_bucket_prune": IN.iceberg_bucket_prune,
+    "iceberg_month_rollup": IN.iceberg_month_rollup,
+    "jsonl_shard_export": LP.jsonl_shard_export,
+    "mixture_temperature": LP.mixture_temperature,
+    "snapshot_refs": MT.snapshot_refs,
+    "bucketed_join": PT.bucketed_join,
+    "stream_wap_branch": ST.stream_wap_branch,
+    "python_datasource_scan": PD.python_datasource_scan,
+    "bigram_lm_score": LQ.bigram_lm_score,
+    "quality_weighted_sample": LP.quality_weighted_sample,
+    "quantile_bins": XR.quantile_bins,
+    "quantile_bins_cuts": XR.quantile_bins_cuts,
+    "dedup_simhash": D.dedup_simhash,
+    "vocab_coverage": LQ.vocab_coverage,
+    "balanced_shards": LP.balanced_shards,
+    "fixed_size_sample": CV.fixed_size_sample,
+    "curation_steady_state": SC.curation_steady_state,
+    "pagerank_links": GR.pagerank_links,
+    "data_quality_audit": CV.data_quality_audit,
+    "project_dates": XR.project_dates,
+    "set_ops": XR.set_ops,
+    "set_ops_all": XR.set_ops_all,
+    "unpivot_metrics": XR.unpivot_metrics,
+    "agg_rollup": XR.agg_rollup,
+    "asof_join": XR.asof_join,
+    "range_join_buckets": XR.range_join_buckets,
+    "running_totals": XR.running_totals,
+    "range_frame_agg": XR.range_frame_agg,
+    "json_struct_parse": XR.json_struct_parse,
+    "window_rank_funcs": XR.window_rank_funcs,
+    "lateral_topn": XR.lateral_topn,
+    "agg_cube": XR.agg_cube,
+    "grouping_sets_agg": XR.grouping_sets_agg,
+    "map_type_ops": XR.map_type_ops,
+    "salted_agg": XR.salted_agg_query,
+    "skew_join": XR.skew_join_query,
+    "pivot_status": XR.pivot_status,
+    "stream_static_join": ST.stream_static_join,
+    "text_token_count": TX.token_count,
+    "text_lang_id": TX.lang_id,
+    "text_quality_score": TX.quality_score,
+    "text_fingerprint": TX.doc_fingerprint,
+    "text_simhash": TX.simhash16,
+    "explode_tokens": TX.explode_tokens,
+    "deterministic_sample": CV.deterministic_sample,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
