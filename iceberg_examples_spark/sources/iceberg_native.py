@@ -401,6 +401,24 @@ def _strip_scheme(p: str) -> str:
     return p[5:] if p.startswith("file:") else p
 
 
+# Java URI quoting, fallback for when the JVM helper is unreachable:
+# java.net.URI (what org.apache.hadoop.fs.Path rides) percent-encodes
+# ONLY characters illegal in a URI path — space, %, ?, #, and a small
+# punctuation set — and leaves non-ASCII and '+' raw, which is NOT what
+# urllib.parse.quote does (it encodes non-ASCII and '+').
+_URI_ILLEGAL = set(' %?#[]<>"\\^`{|}')
+
+
+def _quote_uri_fallback(path: str) -> str:
+    out = []
+    for ch in path:
+        if ch in _URI_ILLEGAL or ord(ch) < 0x20:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 class IcebergNativeTable:
     """Handle on a path-based (HadoopTables-layout) Iceberg v2 table.
 
@@ -494,6 +512,48 @@ class IcebergNativeTable:
             _, _, rows = read_container(f.read())
             return list(rows)
 
+    def _file_uri(self, path: str) -> str:
+        """``path`` rendered exactly as Spark renders
+        ``_metadata.file_path`` (SparkPath = hadoop Path.toUri: %-encode
+        space/%/control, keep non-ASCII and '+' raw — round-8 ADVICE
+        found the old ``f"file:{path}"`` form silently empties every MOR
+        scan once a location contains a space). Computed through the
+        same Hadoop class Spark uses, so it matches by construction."""
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+            return "file:" + jpath.toUri().toString()
+        except Exception:
+            return "file:" + _quote_uri_fallback(path)
+
+    def _seq_map_df(self, recs: list[dict], path_col: str, seq_col: str):
+        """Tiny broadcast (spark-encoded file uri -> sequence number)
+        mapping — n_files rows, the per-file metadata Iceberg readers
+        thread through their scan tasks."""
+        return F.broadcast(
+            self.spark.createDataFrame(
+                [(self._file_uri(d["path"]), d["seq"]) for d in recs],
+                f"{path_col} string, {seq_col} long",
+            )
+        )
+
+    @staticmethod
+    def _require_seq(df: DataFrame, seq_col: str, path_col: str) -> DataFrame:
+        """Fail LOUDLY if any file missed its sequence-number mapping
+        (an encoding drift between _file_uri and _metadata.file_path
+        would otherwise silently drop rows / resurrect deleted ones)."""
+        return df.withColumn(
+            seq_col,
+            F.when(
+                F.col(seq_col).isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("iceberg_native: no sequence number for file "),
+                        F.col(path_col),
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(seq_col)),
+        )
+
     # -- planning ------------------------------------------------------
 
     def _plan(
@@ -510,6 +570,23 @@ class IcebergNativeTable:
         same planning step Iceberg runs coordinator-side."""
         meta = self._metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms, ref)
+        if partition_filter:
+            # a typo'd (or source-column) key would compare against a
+            # field no manifest record carries — always False — and
+            # silently prune EVERY file (round-9 ADVICE); the spec's
+            # field names are the only legal keys here
+            spec_names = {
+                f["name"]
+                for spec in meta["partition-specs"]
+                for f in spec["fields"]
+            }
+            unknown = sorted(set(partition_filter) - spec_names)
+            if unknown:
+                raise ValueError(
+                    f"unknown partition field(s) {unknown}; this table's "
+                    f"partition spec defines {sorted(spec_names)} "
+                    "(use where= for source-column predicates)"
+                )
         data, pos_del, eq_del = [], [], []
         for mf in self._manifests(snap):
             for e in self._entries(mf["manifest_path"]):
@@ -625,28 +702,40 @@ class IcebergNativeTable:
         df = df.withColumn(
             "_ice_path", F.col("_metadata.file_path")
         ).withColumn("_ice_pos", F.col("_metadata.row_index"))
-        # per-file sequence numbers: a tiny (n_files) mapping, broadcast
-        seq_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(f"file:{d['path']}", d["seq"]) for d in data],
-                "_ice_path string, _ice_seq long",
-            )
+        # per-file sequence numbers: a tiny (n_files) mapping, broadcast;
+        # left join + loud null check (ADVICE round 9: an inner join on a
+        # mis-encoded path silently returned ZERO rows)
+        df = self._require_seq(
+            df.join(self._seq_map_df(data, "_ice_path", "_ice_seq"),
+                    "_ice_path", "left"),
+            "_ice_seq", "_ice_path",
         )
-        df = df.join(seq_df, "_ice_path")
         if pos_del:
-            deletes = None
-            for d in pos_del:
-                part = self.spark.read.parquet(d["path"]).select(
+            # ONE multi-path scan over every position-delete file (plan
+            # size constant in delete-file count — a churned table with
+            # thousands of uncompacted delete files used to build one
+            # sub-plan per file); each delete row picks up its FILE's
+            # sequence number from a broadcast map, mirroring the data
+            # side above
+            dels = (
+                self.spark.read.parquet(*[d["path"] for d in pos_del])
+                .select(
                     F.col("file_path").alias("_del_path"),
                     F.col("pos").alias("_del_pos"),
-                    F.lit(d["seq"]).alias("_del_seq"),
+                    F.col("_metadata.file_path").alias("_del_file"),
                 )
-                deletes = part if deletes is None else deletes.unionByName(part)
+                .join(
+                    self._seq_map_df(pos_del, "_del_file", "_del_seq"),
+                    "_del_file",
+                    "left",
+                )
+            )
+            dels = self._require_seq(dels, "_del_seq", "_del_file")
             df = df.join(
-                deletes,
-                (df["_ice_path"] == deletes["_del_path"])
-                & (df["_ice_pos"] == deletes["_del_pos"])
-                & (deletes["_del_seq"] >= df["_ice_seq"]),
+                dels,
+                (df["_ice_path"] == dels["_del_path"])
+                & (df["_ice_pos"] == dels["_del_pos"])
+                & (dels["_del_seq"] >= df["_ice_seq"]),
                 "left_anti",
             )
         if eq_del:
@@ -656,23 +745,29 @@ class IcebergNativeTable:
                 if s["schema-id"] == meta["current-schema-id"]
             )
             id2name = {f["id"]: f["name"] for f in sch["fields"]}
-            # ONE anti-join per distinct equality-column-set, not per
-            # delete file: files sharing a column set union (each row
-            # tagged with its file's sequence number), so a table with
-            # hundreds of equality-delete files still plans a constant
-            # number of joins
+            # ONE anti-join AND one multi-path scan per distinct
+            # equality-column-set: files sharing a column set read
+            # together, each row tagged with its file's sequence number
+            # via the broadcast map — both the join count and the scan
+            # count stay constant in delete-file count
             by_cols: dict[tuple, list] = {}
             for d in eq_del:
                 key = tuple(id2name[i] for i in d["equality_ids"])
                 by_cols.setdefault(key, []).append(d)
             for eq_cols, group in by_cols.items():
-                dels = None
-                for d in group:
-                    part = self.spark.read.parquet(d["path"]).select(
+                dels = (
+                    self.spark.read.parquet(*[d["path"] for d in group])
+                    .select(
                         *[F.col(c).alias(f"_eq_{c}") for c in eq_cols],
-                        F.lit(d["seq"]).alias("_del_seq"),
+                        F.col("_metadata.file_path").alias("_del_file"),
                     )
-                    dels = part if dels is None else dels.unionByName(part)
+                    .join(
+                        self._seq_map_df(group, "_del_file", "_del_seq"),
+                        "_del_file",
+                        "left",
+                    )
+                )
+                dels = self._require_seq(dels, "_del_seq", "_del_file")
                 cond = dels["_del_seq"] > df["_ice_seq"]
                 for c in eq_cols:
                     cond = cond & df[c].eqNullSafe(dels[f"_eq_{c}"])
@@ -811,11 +906,26 @@ class IcebergNativeTable:
         self._publish_metadata(meta, version)
         return expired
 
-    def remove_orphan_files(self) -> list[str]:
+    # Iceberg's remove_orphan_files older_than default (3 days) — the
+    # grace period is what makes the sweep safe against an IN-FLIGHT
+    # commit, whose data files exist before its metadata publishes
+    ORPHAN_GRACE_S = 3 * 24 * 3600
+
+    def remove_orphan_files(self, older_than_s: float | None = None) -> list[str]:
         """Delete data/metadata files no retained snapshot references
         (driver-side: walks the file LISTS, tiny; unlinks are per-file).
         Returns the removed paths, parquet data files and manifest/
-        manifest-list avro alike."""
+        manifest-list avro alike.
+
+        ``older_than_s`` (default 3 days, the real procedure's
+        ``older_than`` contract): only files whose mtime is older are
+        deleted — a concurrent commit writes its data files BEFORE
+        publishing metadata, so an ungated sweep racing an in-flight
+        commit would delete the winner's files. Pass ``0`` only when no
+        writer can be active (tests, single-process maintenance)."""
+        if older_than_s is None:
+            older_than_s = self.ORPHAN_GRACE_S
+        cutoff = time.time() - older_than_s
         meta = self._metadata()
         live: set[str] = set()
         for snap in meta["snapshots"]:
@@ -830,12 +940,20 @@ class IcebergNativeTable:
         for root, _dirs, names in os.walk(data_root):
             for n in names:
                 p = os.path.abspath(os.path.join(root, n))
-                if n.endswith(".parquet") and p not in live:
+                if (
+                    n.endswith(".parquet")
+                    and p not in live
+                    and os.path.getmtime(p) <= cutoff
+                ):
                     os.unlink(p)
                     removed.append(p)
         for n in sorted(os.listdir(self.meta_dir)):
             p = os.path.abspath(os.path.join(self.meta_dir, n))
-            if n.endswith(".avro") and p not in live:
+            if (
+                n.endswith(".avro")
+                and p not in live
+                and os.path.getmtime(p) <= cutoff
+            ):
                 os.unlink(p)
                 removed.append(p)
         return removed
@@ -977,6 +1095,17 @@ class IcebergNativeTable:
             # whose claimed seq collides with the interleaved commit's
             # (round-9 self-review)
             meta, version = base if base is not None else self._read_tree()
+            if meta.get("format-version", 2) < 2:
+                # v1 tables are READ-tolerated only: this writer emits v2
+                # manifests/sequence numbers, and the v1 inline-manifest
+                # rows _manifests synthesizes lack the list-file fields a
+                # carry-forward would need — without this guard the
+                # failure surfaced as a KeyError deep in write_container
+                # (round-9 ADVICE)
+                raise ValueError(
+                    "format-version 1 tables are read-only here: upgrade "
+                    "the table to v2 (rewrite metadata.json) before writing"
+                )
 
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, monotone

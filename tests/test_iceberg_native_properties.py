@@ -154,7 +154,7 @@ def test_format_lifecycle_matches_model(spark, tmp_path_factory, ops):
             t.expire_snapshots(keep_last=1)
             model.expire(keep_last=1)
         elif op == "orphans":
-            t.remove_orphan_files()
+            t.remove_orphan_files(older_than_s=0)
 
         # invariant 1: visible rows match the model after EVERY op
         got = sorted(r["k"] for r in t.scan().collect())
