@@ -793,6 +793,20 @@ FROM orders
 WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
 """
 
+EXT_ORACLES["iceberg_native_schema_evolution"] = f"""
+WITH unioned AS (
+  SELECT c_custkey, c_name AS c_fullname,
+         CAST(NULL AS VARCHAR) AS c_segment, c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 2 = 1
+)
+SELECT c_segment, count(*) AS n_rows, count(c_fullname) AS n_named,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal
+FROM unioned GROUP BY c_segment ORDER BY c_segment NULLS FIRST
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -65,6 +65,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
+    # ----- latest green driver row: never attested -----
+    "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

@@ -338,6 +338,18 @@ def read_header(data: bytes):
     return schema_text, parse_schema(schema_text), codec
 
 
+def read_file_meta(data: bytes) -> dict:
+    """The container's file-metadata map: ``avro.schema``/``avro.codec``
+    plus application keys — Iceberg manifests carry their commit-time
+    table ``schema`` and ``partition-spec`` here (the spec's
+    self-describing manifest property, what field-id column resolution
+    reads)."""
+    dec = Decoder(data)
+    if dec.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    return read_datum({"type": "map", "values": "bytes"}, dec)
+
+
 def read_container(data: bytes):
     """Parse an Avro object container file → (writer_schema_json_text,
     normalized_schema, iterator of decoded rows). The schema comes from

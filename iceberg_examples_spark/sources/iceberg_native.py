@@ -44,11 +44,26 @@ re-derive and retry (its orphaned files are collectable by
 ``remove_orphan_files``). ``version-hint.text`` updates last, so a
 racing reader sees either complete tree, never a partial one.
 
-What this is NOT: a full SQL transaction layer (no schema evolution on
-read, no cross-table transactions). Those semantics already exist in
-this repo on LocalTable (catalog.py — CAS commits, conflict detection,
-spec/schema evolution); this module is the FORMAT bridge that proves
-the engine speaks Iceberg's physical layout.
+Schema evolution (round 10): ``update_schema`` commits a NEW schema
+(fresh schema-id, ids never reused) and scans resolve every data file
+through its manifest's embedded commit-time schema BY FIELD ID — the
+rule that makes the reference's re-read-after-ALTER demos work
+(IcebergSQLMerge.java:69-72, IcebergHadoopTables.java:33-40): renames
+follow the id, added columns null-fill, dropped ones vanish, and
+int->long / float->double promotions cast on read.
+
+Planning note: ``_plan`` is a pure-Python loop over manifest entries —
+the same coordinator-side, MB-scale metadata walk Iceberg itself runs,
+but 10-100x slower per entry than the JVM. Metadata stays small at
+this repo's scales and compaction bounds file counts; a table with
+millions of live files would want the loop ported to a vectorized
+reader before anything else.
+
+What this is NOT: a full SQL transaction layer (no cross-table
+transactions). Those semantics already exist in this repo on LocalTable
+(catalog.py — CAS commits, conflict detection, spec evolution); this
+module is the FORMAT bridge that proves the engine speaks Iceberg's
+physical layout.
 """
 
 from __future__ import annotations
@@ -75,6 +90,7 @@ from pyspark.sql.types import (
 
 from iceberg_examples_spark.sources.avro_codec import (
     read_container,
+    read_file_meta,
     write_container,
 )
 
@@ -451,16 +467,48 @@ class IcebergNativeTable:
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
             return json.load(f), v
 
-    def _schema_struct(self, meta: dict) -> StructType:
-        from pyspark.sql.types import _parse_datatype_string
-
-        sch = next(
+    @staticmethod
+    def _current_schema(meta: dict) -> dict:
+        return next(
             s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
         )
+
+    def _schema_struct(self, meta: dict, sch: dict | None = None) -> StructType:
+        from pyspark.sql.types import _parse_datatype_string
+
+        sch = sch or self._current_schema(meta)
         ddl = ", ".join(
             f"{f['name']} {_ICE_TO_DDL[f['type']]}" for f in sch["fields"]
         )
         return _parse_datatype_string(ddl)
+
+    @staticmethod
+    def _resolve_to_current(
+        g: DataFrame, write_sch: dict, cur_sch: dict, extra_cols: tuple = ()
+    ) -> DataFrame:
+        """Project one file generation, written under ``write_sch``,
+        into the CURRENT schema by FIELD ID — Iceberg's column
+        resolution rule (IcebergSQLMerge.java:69-72 re-reads old files
+        after every ALTER; field-id resolution is why that works).
+        Renames follow the id, dropped columns vanish, added columns
+        null-fill, int->long / float->double promotions cast. No-op
+        (no projection node at all) when the schemas are identical."""
+        triples = lambda s: [(f["id"], f["name"], f["type"]) for f in s["fields"]]  # noqa: E731
+        if triples(write_sch) == triples(cur_sch):
+            return g
+        by_id = {f["id"]: f for f in write_sch["fields"]}
+        cols = []
+        for f in cur_sch["fields"]:
+            ddl = _ICE_TO_DDL[f["type"]]
+            old = by_id.get(f["id"])
+            if old is None:
+                cols.append(F.lit(None).cast(ddl).alias(f["name"]))
+            else:
+                c = F.col(old["name"])
+                if old["type"] != f["type"]:
+                    c = c.cast(ddl)
+                cols.append(c.alias(f["name"]))
+        return g.select(*cols, *[F.col(c) for c in extra_cols])
 
     def _snapshot(
         self,
@@ -508,9 +556,24 @@ class IcebergNativeTable:
             return list(rows)
 
     def _entries(self, manifest_path: str) -> list[dict]:
+        return self._entries_and_schema(manifest_path)[1]
+
+    def _entries_and_schema(
+        self, manifest_path: str
+    ) -> tuple[dict | None, list[dict]]:
+        """(write-time table schema, entry rows) for one manifest. The
+        schema is the one this manifest's files were WRITTEN under —
+        embedded in the manifest's Avro file metadata under the spec's
+        ``schema`` key (real Java manifests carry it too); a manifest
+        carried forward across later schema commits keeps its original
+        embedded schema, which is exactly what field-id column
+        resolution needs. ``None`` for v1/foreign manifests without it."""
         with open(_strip_scheme(manifest_path), "rb") as f:
-            _, _, rows = read_container(f.read())
-            return list(rows)
+            data = f.read()
+        fmeta = read_file_meta(data)
+        wsch = json.loads(fmeta["schema"]) if "schema" in fmeta else None
+        _, _, rows = read_container(data)
+        return wsch, list(rows)
 
     def _file_uri(self, path: str) -> str:
         """``path`` rendered exactly as Spark renders
@@ -589,7 +652,8 @@ class IcebergNativeTable:
                 )
         data, pos_del, eq_del = [], [], []
         for mf in self._manifests(snap):
-            for e in self._entries(mf["manifest_path"]):
+            wsch, entries = self._entries_and_schema(mf["manifest_path"])
+            for e in entries:
                 if e["status"] == 2:  # DELETED entry: file left the table
                     continue
                 df_ = e["data_file"]
@@ -612,6 +676,7 @@ class IcebergNativeTable:
                     "partition": df_["partition"],
                     "record_count": df_["record_count"],
                     "equality_ids": df_.get("equality_ids"),
+                    "write_schema": wsch,
                 }
                 content = df_.get("content", 0)  # absent in v1: data
                 if content == 0:
@@ -625,7 +690,7 @@ class IcebergNativeTable:
                     pos_del.append(rec)
                 else:
                     eq_del.append(rec)
-        return meta, data, pos_del, eq_del
+        return meta, snap, data, pos_del, eq_del
 
     def scan(
         self,
@@ -663,7 +728,7 @@ class IcebergNativeTable:
         pf = dict(partition_filter or {})
         if where:
             meta0 = self._metadata()
-            sch = meta0["schemas"][0]
+            sch = self._current_schema(meta0)
             id2name = {f["id"]: f["name"] for f in sch["fields"]}
             parsed = [
                 parse_spec_transform(f, id2name)
@@ -673,7 +738,23 @@ class IcebergNativeTable:
                 for tf in parsed:
                     if tf["source"] == col:
                         pf[tf["name"]] = transform_literal(tf, val)
-        meta, data, pos_del, eq_del = self._plan(snapshot_id, as_of_ms, pf, ref)
+        meta, snap, data, pos_del, eq_del = self._plan(
+            snapshot_id, as_of_ms, pf, ref
+        )
+        # time travel reads the SNAPSHOT's schema (Iceberg's rule: an
+        # old snapshot surfaces the columns it was committed under, not
+        # the current ones). The CURRENT snapshot always reads the
+        # CURRENT schema — update_schema is a metadata-only commit that
+        # creates no snapshot, so the newest snapshot's recorded
+        # schema-id legitimately lags the table's.
+        if snap["snapshot-id"] == meta.get("current-snapshot-id"):
+            cur_sch = self._current_schema(meta)
+        else:
+            sid = snap.get("schema-id", meta["current-schema-id"])
+            cur_sch = next(
+                (s for s in meta["schemas"] if s["schema-id"] == sid),
+                self._current_schema(meta),
+            )
 
         def residual(frame: DataFrame) -> DataFrame:
             # the row-level twin of the pruning predicate (Iceberg's
@@ -683,25 +764,48 @@ class IcebergNativeTable:
             return frame
 
         if not data:
-            empty = self.spark.createDataFrame([], self._schema_struct(meta))
+            empty = self.spark.createDataFrame(
+                [], self._schema_struct(meta, cur_sch)
+            )
             if with_coordinates:
                 empty = empty.withColumn(
                     "file_path", F.lit(None).cast("string")
                 ).withColumn("pos", F.lit(None).cast("long"))
             return residual(empty)
-        df = self.spark.read.parquet(*[d["path"] for d in data])
-        if not pos_del and not eq_del:
-            if with_coordinates:
-                df = df.withColumn(
-                    "file_path", F.col("_metadata.file_path")
-                ).withColumn("pos", F.col("_metadata.row_index"))
-            return residual(df)
-        cols = df.columns
+        mor = bool(pos_del or eq_del)
+        need_meta = mor or with_coordinates
+        # one parquet reader per WRITE-SCHEMA generation, each resolved
+        # to the current schema by FIELD ID before the union — renames
+        # follow the id, added columns null-fill, dropped ones vanish
+        # (the spec's column-resolution rule; generation count is the
+        # number of distinct live schema versions, small by nature).
+        # _metadata columns attach BEFORE the union/select: they are
+        # only resolvable on the raw file relation.
+        groups: dict[str, tuple[dict, list]] = {}
+        for d in data:
+            ws = d.get("write_schema") or cur_sch
+            key = json.dumps(ws["fields"], sort_keys=True)
+            groups.setdefault(key, (ws, []))[1].append(d)
+        df = None
+        for ws, grp in groups.values():
+            g = self.spark.read.parquet(*[d["path"] for d in grp])
+            if need_meta:
+                g = g.withColumn(
+                    "_ice_path", F.col("_metadata.file_path")
+                ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+            g = self._resolve_to_current(
+                g, ws, cur_sch, ("_ice_path", "_ice_pos") if need_meta else ()
+            )
+            df = g if df is None else df.unionByName(g)
+        cols = [f["name"] for f in cur_sch["fields"]]
         if with_coordinates:
             cols = cols + ["file_path", "pos"]
-        df = df.withColumn(
-            "_ice_path", F.col("_metadata.file_path")
-        ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+        if not mor:
+            if with_coordinates:
+                df = df.withColumn("file_path", F.col("_ice_path")).withColumn(
+                    "pos", F.col("_ice_pos")
+                )
+            return residual(df.select(*cols))
         # per-file sequence numbers: a tiny (n_files) mapping, broadcast;
         # left join + loud null check (ADVICE round 9: an inner join on a
         # mis-encoded path silently returned ZERO rows)
@@ -739,12 +843,7 @@ class IcebergNativeTable:
                 "left_anti",
             )
         if eq_del:
-            sch = next(
-                s
-                for s in meta["schemas"]
-                if s["schema-id"] == meta["current-schema-id"]
-            )
-            id2name = {f["id"]: f["name"] for f in sch["fields"]}
+            id2name = {f["id"]: f["name"] for f in cur_sch["fields"]}
             # ONE anti-join AND one multi-path scan per distinct
             # equality-column-set: files sharing a column set read
             # together, each row tagged with its file's sequence number
@@ -799,7 +898,7 @@ class IcebergNativeTable:
         )
 
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
-        _, data, pos_del, eq_del = self._plan(snapshot_id)
+        _, _, data, pos_del, eq_del = self._plan(snapshot_id)
         rows = [
             (d["path"], content, d["seq"], d["record_count"], json.dumps(d["partition"]))
             for content, group in ((0, data), (1, pos_del), (2, eq_del))
@@ -846,6 +945,86 @@ class IcebergNativeTable:
         snapshots keep their own manifest lists, so time travel across
         the rewrite still reads the pre-compaction state."""
         self._commit(self.scan(), operation="replace", first=False, replace=True)
+
+    # spec v2: the ONLY legal primitive promotions
+    _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    def update_schema(
+        self,
+        add: list[tuple[str, str]] | None = None,
+        drop: list[str] | None = None,
+        rename: dict[str, str] | None = None,
+        promote: dict[str, str] | None = None,
+    ) -> None:
+        """Commit a schema evolution: a NEW schema (fresh schema-id)
+        appended to ``schemas[]`` and made current — old data files stay
+        untouched and resolve through their manifest's embedded
+        commit-time schema by field id at scan time (the reference's
+        most repeated demo: re-read after ALTER,
+        IcebergSQLMerge.java:69-72, IcebergHadoopTables.java:33-40).
+
+        Spec rules enforced: column ids are never reused (``add``
+        allocates from ``last-column-id``); ``rename`` keeps the id;
+        ``drop`` retires the id (and refuses partition-spec source
+        columns); ``promote`` allows only int->long / float->double.
+        ``add`` takes ``(name, iceberg_type)`` pairs."""
+        meta, version = self._read_tree()
+        if meta.get("format-version", 2) < 2:
+            raise ValueError(
+                "format-version 1 tables are read-only here: upgrade "
+                "the table to v2 before evolving its schema"
+            )
+        fields = [dict(f) for f in self._current_schema(meta)["fields"]]
+
+        def _field(name: str) -> dict:
+            for f in fields:
+                if f["name"] == name:
+                    return f
+            raise ValueError(f"no column {name!r} in the current schema")
+
+        spec_sources = {
+            pf["source-id"]
+            for spec in meta["partition-specs"]
+            for pf in spec["fields"]
+        }
+        for name in drop or []:
+            f = _field(name)
+            if f["id"] in spec_sources:
+                raise ValueError(
+                    f"cannot drop {name!r}: it is a partition-spec source column"
+                )
+            fields.remove(f)
+        for old, new in (rename or {}).items():
+            f = _field(old)
+            if any(x["name"] == new for x in fields if x is not f):
+                raise ValueError(f"rename target {new!r} already exists")
+            f["name"] = new
+        for name, new_type in (promote or {}).items():
+            f = _field(name)
+            if (f["type"], new_type) not in self._PROMOTIONS:
+                raise ValueError(
+                    f"illegal promotion {f['type']} -> {new_type} for "
+                    f"{name!r} (spec allows int->long, float->double)"
+                )
+            f["type"] = new_type
+        last_id = meta["last-column-id"]
+        for name, ice_type in add or []:
+            if ice_type not in _ICE_TO_DDL:
+                raise ValueError(f"unknown Iceberg type {ice_type!r}")
+            if any(x["name"] == name for x in fields):
+                raise ValueError(f"column {name!r} already exists")
+            last_id += 1
+            fields.append(
+                {"id": last_id, "name": name, "required": False, "type": ice_type}
+            )
+        new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+        meta["schemas"].append(
+            {"type": "struct", "schema-id": new_id, "fields": fields}
+        )
+        meta["current-schema-id"] = new_id
+        meta["last-column-id"] = last_id
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Named immutable pointer (spec refs, type=tag). A tagged
@@ -1110,7 +1289,7 @@ class IcebergNativeTable:
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, monotone
         spec_fields = meta["partition-specs"][0]["fields"]
-        sch = meta["schemas"][0]
+        sch = self._current_schema(meta)
         id2name = {f["id"]: f["name"] for f in sch["fields"]}
         name2type = {f["name"]: f["type"] for f in sch["fields"]}
         parsed_spec = [parse_spec_transform(pf, id2name) for pf in spec_fields]
@@ -1213,7 +1392,7 @@ class IcebergNativeTable:
                 "timestamp-ms": now_ms,
                 "manifest-list": list_path,
                 "summary": {"operation": operation},
-                "schema-id": 0,
+                "schema-id": meta["current-schema-id"],
             }
         )
         meta["snapshot-log"].append(
@@ -1289,7 +1468,7 @@ class IcebergNativeTable:
             entry_schema,
             iter(entries),
             meta={
-                "schema": json.dumps(meta["schemas"][0]).encode(),
+                "schema": json.dumps(self._current_schema(meta)).encode(),
                 "partition-spec": b"[]",
                 "format-version": b"2",
                 "content": b"deletes",
@@ -1344,7 +1523,7 @@ class IcebergNativeTable:
         EARLIER sequence number) whose ``eq_cols`` values match a delete
         row is dead."""
         meta = self._metadata()
-        sch = meta["schemas"][0]
+        sch = self._current_schema(meta)
         ids = [
             next(f["id"] for f in sch["fields"] if f["name"] == c) for c in eq_cols
         ]
@@ -1593,4 +1772,51 @@ def iceberg_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_day"),
         F.max("o_orderdate").alias("last_day"),
         F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total_price"),
+    )
+
+
+def iceberg_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's most repeated demo, format-level: evolve the
+    schema, then read data files written BEFORE the ALTER through the
+    new schema (IcebergSQLMerge.java:69-72 re-reads after ADD COLUMN;
+    IcebergHadoopTables.java:33-40 after Java-API updateSchema — field-id
+    resolution is why that works). Generation 1 (even custkeys) lands
+    under (c_custkey, c_name, c_nationkey, c_acctbal); one update_schema
+    commit drops c_nationkey, renames c_name -> c_fullname, and adds
+    c_segment; generation 2 (odd custkeys) lands under the new schema.
+    The final scan spans both file generations: gen-1 rows must surface
+    their c_name values AS c_fullname (rename follows the field id — a
+    name-based reader would null them) with c_segment null-filled. The
+    oracle reproduces both generations declaratively, so n_named going
+    to zero (broken resolution) hash-mismatches."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_native_schema_evo", fresh=True)
+    cust = load_table(spark, sf_dir, "customer")
+    gen1 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(spark, loc, gen1)
+    t.update_schema(
+        drop=["c_nationkey"],
+        rename={"c_name": "c_fullname"},
+        add=[("c_segment", "string")],
+    )
+    gen2 = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey",
+        F.col("c_name").alias("c_fullname"),
+        F.col("c_mktsegment").alias("c_segment"),
+        "c_acctbal",
+    )
+    t.append(gen2)
+    return (
+        t.scan()
+        .groupBy("c_segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("c_fullname").alias("n_named"),
+            F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
+        )
+        .orderBy(F.col("c_segment").asc_nulls_first())
     )

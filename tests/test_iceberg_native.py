@@ -418,7 +418,7 @@ def test_compact_pays_down_mor_debt_and_keeps_time_travel(spark, tmp_path):
     got = t.scan()
     assert sorted(r["k"] for r in got.collect()) == expect
     # the compacted snapshot plans ZERO delete files
-    _, data, pos_del, eq_del = t._plan()
+    _, _, data, pos_del, eq_del = t._plan()
     assert pos_del == [] and eq_del == []
     # time travel: the original snapshot still reads everything
     assert t.scan(snapshot_id=1).count() == 60
@@ -620,7 +620,7 @@ def test_explicit_sequence_number_zero_is_honored(spark, tmp_path):
         e["file_sequence_number"] = 0
     with open(mf["manifest_path"], "wb") as f:
         f.write(write_container(_json.loads(text), iter(entries)))
-    _, data, _, _ = t._plan()
+    _, _, data, _, _ = t._plan()
     # one file per input split; every entry keeps its explicit 0
     assert data and all(d["seq"] == 0 for d in data)
     # and an equality delete (seq 2) now correctly hits the seq-0 rows
@@ -759,3 +759,118 @@ def test_orphan_sweep_grace_period_protects_inflight_commits(spark, tmp_path):
     assert t.remove_orphan_files() == []  # grace period: nothing swept
     removed = t.remove_orphan_files(older_than_s=0)
     assert any("seq-00099-abc" in p for p in removed)
+
+
+def test_schema_evolution_field_id_resolution(spark, tmp_path):
+    """Old data files read through the evolved schema BY FIELD ID: the
+    rename surfaces old values under the new name, the added column
+    null-fills, the dropped column vanishes — and a second evolution
+    compounds (three live file generations in one scan)."""
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "se"),
+        spark.createDataFrame(
+            [(1, "alice", "addr1", 10.0), (2, "bob", "addr2", 20.0)],
+            "k long, name string, addr string, bal double",
+        ),
+    )
+    t.update_schema(
+        drop=["addr"], rename={"name": "full_name"}, add=[("tag", "string")]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(3, "carol", "t3", 30.0)],
+            "k long, full_name string, tag string, bal double",
+        )
+    )
+    t.update_schema(rename={"tag": "label"})
+    t.append(
+        spark.createDataFrame(
+            [(4, "dave", "t4", 40.0)],
+            "k long, full_name string, label string, bal double",
+        )
+    )
+    rows = {r["k"]: r for r in t.scan().collect()}
+    assert set(t.scan().columns) == {"k", "full_name", "label", "bal"}
+    assert rows[1]["full_name"] == "alice" and rows[1]["label"] is None
+    assert rows[2]["full_name"] == "bob"
+    assert rows[3]["label"] == "t3"  # tag's values follow the id to label
+    assert rows[4]["label"] == "t4"
+    # metadata: schema history is append-only with fresh ids, never reuse
+    meta = t._metadata()
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1, 2]
+    assert meta["current-schema-id"] == 2
+    ids = [f["id"] for s in meta["schemas"] for f in s["fields"]]
+    by_id = {}
+    for s in meta["schemas"]:
+        for f in s["fields"]:
+            by_id.setdefault(f["id"], set()).add(f["type"])
+    assert all(len(ts) == 1 for ts in by_id.values())  # id keeps its type
+    assert meta["last-column-id"] == max(ids)
+    # snapshots record their commit-time schema id
+    assert [s["schema-id"] for s in meta["snapshots"]] == [0, 1, 2]
+
+
+def test_schema_evolution_survives_mor_and_time_travel(spark, tmp_path):
+    """Deletes and time travel compose with evolution: equality deletes
+    target CURRENT-schema columns across generations, and a pre-ALTER
+    snapshot still reads with its own column set."""
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "semor"),
+        spark.createDataFrame(
+            [(i, f"n{i}", float(i)) for i in range(6)],
+            "k long, name string, bal double",
+        ),
+    )
+    t.update_schema(rename={"name": "full_name"}, add=[("src", "string")])
+    t.append(
+        spark.createDataFrame(
+            [(10, "n10", 10.0, "s2")], "k long, full_name string, bal double, src string"
+        )
+    )
+    # equality delete on the RENAMED column hits generation-1 rows too
+    t.add_equality_deletes(
+        spark.createDataFrame([("n2",), ("n10",)], "full_name string"),
+        ["full_name"],
+    )
+    got = sorted(r["k"] for r in t.scan().collect())
+    assert got == [0, 1, 3, 4, 5]
+    # snapshot 1 predates the evolution: it reads the ORIGINAL schema
+    old = t.scan(snapshot_id=1)
+    assert set(old.columns) == {"k", "name", "bal"}
+    assert old.count() == 6
+
+
+def test_schema_evolution_type_promotion(spark, tmp_path):
+    """int->long / float->double promote on read; anything else raises."""
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "sp"),
+        spark.createDataFrame([(1, 2.5)], "k int, v float"),
+    )
+    t.update_schema(promote={"k": "long", "v": "double"})
+    t.append(spark.createDataFrame([(2**40, 1e300)], "k long, v double"))
+    got = t.scan()
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    assert sorted(r["k"] for r in got.collect()) == [1, 2**40]
+    with pytest.raises(ValueError, match="illegal promotion"):
+        t.update_schema(promote={"v": "string"})
+
+
+def test_schema_evolution_guards(spark, tmp_path):
+    """Partition-source columns cannot drop; duplicate names refuse."""
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "sg"),
+        spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double"),
+        partition_by=["s"],
+    )
+    with pytest.raises(ValueError, match="partition-spec source"):
+        t.update_schema(drop=["s"])
+    with pytest.raises(ValueError, match="already exists"):
+        t.update_schema(rename={"k": "v"})
+    with pytest.raises(ValueError, match="already exists"):
+        t.update_schema(add=[("v", "double")])
+    with pytest.raises(ValueError, match="no column"):
+        t.update_schema(drop=["nope"])

@@ -171,3 +171,116 @@ def test_format_lifecycle_matches_model(spark, tmp_path_factory, ops):
         if snap_id in model.history:
             got = sorted(r["k"] for r in t.scan(ref=name).collect())
             assert got == sorted(model.history[snap_id]), name
+
+
+# ---------------------------------------------------------------------------
+# schema evolution: random add/drop/rename/append sequences vs a model
+# ---------------------------------------------------------------------------
+
+
+class SchemaModel:
+    """Fields are (id, name); every appended row is stored keyed by
+    FIELD ID, so the expected projection under any later schema is just
+    a dict lookup — exactly the resolution rule the table must honor."""
+
+    def __init__(self):
+        self.fields = [{"id": 1, "name": "k"}, {"id": 2, "name": "a"}]
+        self.next_id = 3
+        self.rows: list[dict[int, object]] = []
+        self.next_k = 0
+
+    def add(self):
+        name = f"c{self.next_id}"
+        self.fields.append({"id": self.next_id, "name": name})
+        self.next_id += 1
+        return name
+
+    def droppable(self):
+        return [f for f in self.fields if f["name"] != "k"]
+
+    def drop(self, field):
+        self.fields.remove(field)
+
+    def rename(self, field, new):
+        field["name"] = new
+
+    def append(self, n):
+        out = []
+        for _ in range(n):
+            k = self.next_k
+            self.next_k += 1
+            row = {1: k}
+            for f in self.fields[1:]:
+                row[f["id"]] = f"s{k}_{f['id']}"
+            self.rows.append(row)
+            out.append(row)
+        return out
+
+    def expected(self):
+        return sorted(
+            (
+                tuple(r.get(f["id"]) for f in self.fields)
+                for r in self.rows
+            ),
+            key=lambda t: t[0],
+        )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_schema_evolution_matches_model(spark, tmp_path_factory, data):
+    """Random add/drop/rename/append sequences: after every evolution the
+    full scan must equal the model's field-id projection of every row
+    ever appended (old generations surface renamed columns' values,
+    null-fill added ones, hide dropped ones)."""
+    m = SchemaModel()
+    ren_ctr = [0]
+
+    def ddl():
+        return ", ".join(
+            f"{f['name']} long" if f["name"] == "k" else f"{f['name']} string"
+            for f in m.fields
+        )
+
+    def spark_df(rows):
+        return spark.createDataFrame(
+            [tuple(r.get(f["id"]) for f in m.fields) for r in rows], ddl()
+        )
+
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path_factory.mktemp("iceevo") / "t"),
+        spark_df(m.append(3)),
+    )
+    n_ops = data.draw(st.integers(min_value=2, max_value=5), label="n_ops")
+    for _ in range(n_ops):
+        choices = ["append", "add", "rename"]
+        if len(m.droppable()) > 1:
+            choices.append("drop")
+        op = data.draw(st.sampled_from(choices), label="op")
+        if op == "append":
+            rows = m.append(data.draw(st.integers(1, 3), label="n_rows"))
+            t.append(spark_df(rows))
+        elif op == "add":
+            name = m.add()
+            t.update_schema(add=[(name, "string")])
+        elif op == "drop":
+            f = data.draw(st.sampled_from(m.droppable()), label="victim")
+            t.update_schema(drop=[f["name"]])
+            m.drop(f)
+        elif op == "rename":
+            f = data.draw(st.sampled_from(m.droppable()), label="renamed")
+            ren_ctr[0] += 1
+            new = f"r{ren_ctr[0]}_{f['id']}"
+            t.update_schema(rename={f["name"]: new})
+            m.rename(f, new)
+        got = sorted(
+            (tuple(row[f["name"]] for f in m.fields) for row in t.scan().collect()),
+            key=lambda x: x[0],
+        )
+        assert got == m.expected(), op
+        assert [c for c in t.scan().columns] == [f["name"] for f in m.fields]
