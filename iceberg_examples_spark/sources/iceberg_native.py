@@ -327,6 +327,158 @@ def transform_literal(tf: dict, value):
     return temporal_value(value, tf["transform"])
 
 
+# ---------------------------------------------------------------------------
+# spec Appendix D: single-value binary serialization (what lower_bounds /
+# upper_bounds carry, keyed by field id — IcebergJavaApiAppend.java:88-89
+# attaches withMetrics(writer.metrics()) for exactly this)
+# ---------------------------------------------------------------------------
+
+_BOUND_TRUNC = 16  # Iceberg's default write.metadata.metrics string truncation
+
+
+def encode_bound(ice_type: str, value) -> bytes | None:
+    """Spec single-value serialization: little-endian fixed-width for
+    numerics, raw UTF-8 for strings, epoch-days/micros for temporals."""
+    import datetime
+    import struct
+
+    if value is None:
+        return None
+    if ice_type == "int":
+        return struct.pack("<i", int(value))
+    if ice_type == "long":
+        return struct.pack("<q", int(value))
+    if ice_type == "float":
+        return struct.pack("<f", float(value))
+    if ice_type == "double":
+        return struct.pack("<d", float(value))
+    if ice_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ice_type == "date":
+        if isinstance(value, datetime.date):
+            value = (value - _EPOCH_DAY).days
+        return struct.pack("<i", int(value))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, datetime.datetime):
+            value = (
+                value - datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+            ) // datetime.timedelta(microseconds=1)
+        return struct.pack("<q", int(value))
+    if ice_type == "string":
+        if isinstance(value, bytes):
+            value = value.decode("utf-8", errors="replace")
+        return str(value).encode("utf-8")
+    return None  # unknown type: record no bound rather than a wrong one
+
+
+def decode_bound(ice_type: str, blob: bytes):
+    """Inverse of :func:`encode_bound`, into plain comparable Python
+    values (dates as epoch days, timestamps as epoch micros)."""
+    import struct
+
+    if blob is None:
+        return None
+    if ice_type == "int":
+        return struct.unpack("<i", blob)[0]
+    if ice_type == "long":
+        return struct.unpack("<q", blob)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", blob)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", blob)[0]
+    if ice_type == "boolean":
+        return blob != b"\x00"
+    if ice_type == "date":
+        return struct.unpack("<i", blob)[0]
+    if ice_type in ("timestamp", "timestamptz"):
+        return struct.unpack("<q", blob)[0]
+    if ice_type == "string":
+        return blob.decode("utf-8")
+    return None
+
+
+def _truncate_lower(ice_type: str, value):
+    """A valid LOWER bound after truncation (string prefix is <= every
+    value it prefixes)."""
+    if ice_type == "string" and isinstance(value, str) and len(value) > _BOUND_TRUNC:
+        return value[:_BOUND_TRUNC]
+    return value
+
+
+def _truncate_upper(ice_type: str, value):
+    """A valid UPPER bound after truncation: increment the truncated
+    prefix's last code point (UnicodeUtil.truncateStringMax); None if no
+    incrementable character exists (then record no upper bound at all —
+    never a wrong one)."""
+    if ice_type != "string" or not isinstance(value, str) or len(value) <= _BOUND_TRUNC:
+        return value
+    prefix = value[:_BOUND_TRUNC]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def _comparable_literal(ice_type: str, value):
+    """A predicate literal in the same comparable space decode_bound
+    yields (dates as epoch days, timestamps as epoch micros)."""
+    import datetime
+
+    if ice_type == "date" and isinstance(value, datetime.date):
+        return (value - _EPOCH_DAY).days
+    if ice_type in ("timestamp", "timestamptz") and isinstance(
+        value, datetime.datetime
+    ):
+        return (
+            value - datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        ) // datetime.timedelta(microseconds=1)
+    return value
+
+
+def _bounds_exclude(df_: dict, bounds_filter: dict, wtypes: dict) -> bool:
+    """True when a data file's column bounds PROVE an equality literal
+    can't match (the min/max skipping Iceberg evaluates from exactly
+    these manifest maps). Missing bounds never prune; bounds decode by
+    the file's WRITE-schema type (field ids are rename/promotion-stable,
+    byte widths are not)."""
+    lmap = {kv["key"]: kv["value"] for kv in df_.get("lower_bounds") or []}
+    umap = {kv["key"]: kv["value"] for kv in df_.get("upper_bounds") or []}
+    for fid, (t, v) in bounds_filter.items():
+        wt = wtypes.get(fid, t)
+        if fid in lmap:
+            lb = decode_bound(wt, lmap[fid])
+            if lb is not None and v < lb:
+                return True
+        if fid in umap:
+            ub = decode_bound(wt, umap[fid])
+            if ub is not None and v > ub:
+                return True
+    return False
+
+
+def _bounds_kv_schema(tag: int) -> dict:
+    """The spec's Avro shape for map<int, binary>: an array of
+    key/value records with logicalType map (Avro maps require string
+    keys, so the Java writer emits exactly this)."""
+    k, v = tag + 1, tag + 2
+    return [
+        "null",
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": f"k{k}_v{v}",
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": k},
+                    {"name": "value", "type": "bytes", "field-id": v},
+                ],
+            },
+        },
+    ]
+
+
 def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
     """The spec's manifest_entry Avro schema (v2), with the
     spec-dependent r102 partition record inlined. Field-ids are carried
@@ -384,6 +536,18 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "type": ["null", {"type": "array", "items": "int"}],
                             "default": None,
                             "field-id": 135,
+                        },
+                        {
+                            "name": "lower_bounds",
+                            "type": _bounds_kv_schema(125),
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": _bounds_kv_schema(128),
+                            "default": None,
+                            "field-id": 128,
                         },
                     ],
                 },
@@ -625,6 +789,7 @@ class IcebergNativeTable:
         as_of_ms: int | None = None,
         partition_filter: dict | None = None,
         ref: str | None = None,
+        bounds_filter: dict | None = None,
     ):
         """(data_files, pos_delete_files, eq_delete_files) for one
         snapshot — each a list of dicts with path/sequence/partition.
@@ -653,6 +818,10 @@ class IcebergNativeTable:
         data, pos_del, eq_del = [], [], []
         for mf in self._manifests(snap):
             wsch, entries = self._entries_and_schema(mf["manifest_path"])
+            wtypes = {
+                f["id"]: f["type"]
+                for f in (wsch or self._current_schema(meta))["fields"]
+            }
             for e in entries:
                 if e["status"] == 2:  # DELETED entry: file left the table
                     continue
@@ -683,6 +852,10 @@ class IcebergNativeTable:
                     if partition_filter and not all(
                         rec["partition"].get(k) == v
                         for k, v in partition_filter.items()
+                    ):
+                        continue
+                    if bounds_filter and _bounds_exclude(
+                        df_, bounds_filter, wtypes
                     ):
                         continue
                     data.append(rec)
@@ -726,6 +899,7 @@ class IcebergNativeTable:
         spec: an equality delete never hits rows committed with it or
         after it)."""
         pf = dict(partition_filter or {})
+        bounds_f: dict[int, tuple] = {}
         if where:
             meta0 = self._metadata()
             sch = self._current_schema(meta0)
@@ -738,8 +912,16 @@ class IcebergNativeTable:
                 for tf in parsed:
                     if tf["source"] == col:
                         pf[tf["name"]] = transform_literal(tf, val)
+                f = next(
+                    (f for f in sch["fields"] if f["name"] == col), None
+                )
+                if f is not None:
+                    bounds_f[f["id"]] = (
+                        f["type"],
+                        _comparable_literal(f["type"], val),
+                    )
         meta, snap, data, pos_del, eq_del = self._plan(
-            snapshot_id, as_of_ms, pf, ref
+            snapshot_id, as_of_ms, pf, ref, bounds_f or None
         )
         # time travel reads the SNAPSHOT's schema (Iceberg's rule: an
         # old snapshot surfaces the columns it was committed under, not
@@ -1137,7 +1319,55 @@ class IcebergNativeTable:
                 removed.append(p)
         return removed
 
-    def _write_data_files(self, df: DataFrame, seq: int, spec: list[dict]):
+    @staticmethod
+    def _file_bounds(md, name_to_field: dict[str, dict]):
+        """(lower_bounds, upper_bounds) for one data file as
+        {field_id: bytes} in the spec's single-value serialization,
+        aggregated across the footer's row-group statistics — the
+        ``withMetrics(writer.metrics())`` the reference attaches to
+        every manual DataFile (IcebergJavaApiAppend.java:88-89). A
+        column missing stats in ANY row group records no bound (never a
+        wrong one); float NaNs invalidate that column's bounds."""
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        invalid: set[str] = set()
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                name = col.path_in_schema
+                if name not in name_to_field or name in invalid:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    invalid.add(name)
+                    continue
+                mn, mx = st.min, st.max
+                if mn != mn or mx != mx:  # NaN
+                    invalid.add(name)
+                    continue
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+        lower: dict[int, bytes] = {}
+        upper: dict[int, bytes] = {}
+        for name, f in name_to_field.items():
+            if name in invalid or name not in mins:
+                continue
+            t = f["type"]
+            lo = encode_bound(t, _truncate_lower(t, mins[name]))
+            up_v = _truncate_upper(t, maxs[name])
+            up = encode_bound(t, up_v) if up_v is not None else None
+            if lo is not None:
+                lower[f["id"]] = lo
+            if up is not None:
+                upper[f["id"]] = up
+        return lower, upper
+
+    def _write_data_files(
+        self, df: DataFrame, seq: int, spec: list[dict], sch: dict
+    ):
         """Distributed parquet write into this commit's own directory
         (unique per snapshot — Iceberg's unique-file-name discipline),
         then a driver-side, metadata-only listing of what landed.
@@ -1191,12 +1421,17 @@ class IcebergNativeTable:
                     continue
                 p = os.path.join(root, n)
                 md = pq.ParquetFile(p).metadata  # footer only
+                lower, upper = self._file_bounds(
+                    md, {f["name"]: f for f in sch["fields"]}
+                )
                 files.append(
                     {
                         "path": os.path.abspath(p),
                         "partition": part,
                         "record_count": md.num_rows,
                         "size": os.path.getsize(p),
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
                     }
                 )
         return files
@@ -1316,7 +1551,7 @@ class IcebergNativeTable:
             manifests.extend(self._manifests(prev))
 
         if df is not None:
-            files = self._write_data_files(df, seq, parsed_spec)
+            files = self._write_data_files(df, seq, parsed_spec, sch)
             entries = [
                 {
                     "status": 1,  # ADDED
@@ -1331,6 +1566,16 @@ class IcebergNativeTable:
                         "record_count": f["record_count"],
                         "file_size_in_bytes": f["size"],
                         "equality_ids": None,
+                        "lower_bounds": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(f["lower_bounds"].items())
+                        ]
+                        or None,
+                        "upper_bounds": [
+                            {"key": k, "value": v}
+                            for k, v in sorted(f["upper_bounds"].items())
+                        ]
+                        or None,
                     },
                 }
                 for f in files
@@ -1455,6 +1700,8 @@ class IcebergNativeTable:
                     "record_count": pq.ParquetFile(p).metadata.num_rows,
                     "file_size_in_bytes": os.path.getsize(p),
                     "equality_ids": equality_ids,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
                 },
             }
             for p in paths

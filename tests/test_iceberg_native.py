@@ -874,3 +874,61 @@ def test_schema_evolution_guards(spark, tmp_path):
         t.update_schema(add=[("v", "double")])
     with pytest.raises(ValueError, match="no column"):
         t.update_schema(drop=["nope"])
+
+
+def test_manifest_column_bounds_roundtrip(spark, tmp_path):
+    """Data-file manifest entries carry lower/upper bounds per field id
+    in the spec's single-value serialization (IcebergJavaApiAppend's
+    withMetrics parity), aggregated across row groups; long strings
+    truncate to a VALID bound (upper's last char increments)."""
+    from iceberg_examples_spark.sources.iceberg_native import decode_bound
+
+    long_a = "a" * 30
+    long_z = "z" * 30
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "tb"),
+        spark.createDataFrame(
+            [(5, long_a, 2.5), (17, long_z, -1.0)], "k long, s string, v double"
+        ).coalesce(1),
+    )
+    snap = t._metadata()["snapshots"][0]
+    mf = t._manifests(snap)[0]
+    e = t._entries(mf["manifest_path"])[0]
+    lower = {kv["key"]: kv["value"] for kv in e["data_file"]["lower_bounds"]}
+    upper = {kv["key"]: kv["value"] for kv in e["data_file"]["upper_bounds"]}
+    # schema ids: k=1, s=2, v=3
+    assert decode_bound("long", lower[1]) == 5
+    assert decode_bound("long", upper[1]) == 17
+    assert decode_bound("double", lower[3]) == -1.0
+    assert decode_bound("double", upper[3]) == 2.5
+    s_lo, s_up = decode_bound("string", lower[2]), decode_bound("string", upper[2])
+    assert len(s_lo) == 16 and long_a >= s_lo  # valid truncated lower
+    assert len(s_up) == 16 and long_z <= s_up  # incremented truncated upper
+    assert s_up == "z" * 15 + "{"
+
+
+def test_bounds_prune_skips_data_files(spark, tmp_path):
+    """min/max file skipping: a selective equality predicate opens ZERO
+    data files outside its bounds — verified against the actual file
+    lists handed to the reader."""
+    df = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "bp"), df)
+    _, _, all_files, _, _ = t._plan()
+    assert len(all_files) == 4
+    hit = t.scan(where={"k": 500})
+    assert len(hit.inputFiles()) == 1  # 3 of 4 files proved irrelevant
+    assert [r["v"] for r in hit.collect()] == [1000.0]
+    # outside every file's range: zero files planned, empty result
+    miss = t.scan(where={"k": 10**9})
+    assert miss.inputFiles() == []
+    assert miss.count() == 0
+    # bounds survive schema evolution: rename keeps the field id
+    t.update_schema(rename={"k": "key"})
+    hit2 = t.scan(where={"key": 500})
+    assert len(hit2.inputFiles()) == 1
+    assert [r["v"] for r in hit2.collect()] == [1000.0]
