@@ -807,6 +807,24 @@ SELECT c_segment, count(*) AS n_rows, count(c_fullname) AS n_named,
 FROM unioned GROUP BY c_segment ORDER BY c_segment NULLS FIRST
 """
 
+EXT_ORACLES["iceberg_native_sql_replay"] = """
+SELECT * FROM (VALUES
+ (CAST(1 AS BIGINT), 'customer_a', 'lastname-1',
+  CAST(NULL AS VARCHAR), CAST(8 AS BIGINT)),
+ (2, 'customer_b-updated(with merge sql)',
+  'lastname-2-updated(with merge sql)', NULL, 8),
+ (3, 'customer_c-insert(with merge sql)',
+  'lastname-3-insert(with merge sql)', NULL, 8),
+ (4, 'customer_c-insert(with merge *)',
+  'lastname-3-insert(with merge *)', 'a@b.com', 8),
+ (5, 'customer_b-updated(with merge *)',
+  'lastname-2-updated(with merge *)', 'b@c.com', 8),
+ (6, 'customer_c-insert(with merge *)', NULL, 'a@b.com', 8),
+ (7, 'customer_b-updated(with merge *)', NULL, 'b@c.com', 8)
+) AS t(customer_id, name, lastname, email, n_commits)
+ORDER BY customer_id
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

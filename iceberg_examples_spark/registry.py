@@ -33,6 +33,7 @@ from iceberg_examples_spark.operators import text as TX
 from iceberg_examples_spark.operators import tpch_full as TF
 from iceberg_examples_spark.sources import avro_source as AV
 from iceberg_examples_spark.sources import iceberg_native as IN
+from iceberg_examples_spark.sources import iceberg_sql_bridge as IB
 from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
 from iceberg_examples_spark.sources import python_datasource as PD
@@ -67,6 +68,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # ----- latest green driver row: never attested -----
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
+    "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

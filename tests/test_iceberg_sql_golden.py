@@ -294,3 +294,58 @@ def test_refs_vanilla_parseable_statements_parse(spark):
         IC.compile_fast_forward("db.t", "main", "audit"),
     ):
         parser.parsePlan(sql)
+
+
+def test_sql_replay_produces_spec_shaped_metadata_tree(spark, tmp_path):
+    """The verbatim IcebergSQLMerge script through the native backend
+    leaves a HadoopTables-layout tree: a gapless vN.metadata.json chain
+    (ALTER = schema publish + rewrite commit), 8 snapshots (one per
+    statement), Avro manifest lists referencing Avro manifests, and the
+    email column added by ALTER carrying a FRESH field id."""
+    import json
+    import os
+
+    from iceberg_examples_spark.sources.avro_codec import read_container
+    from iceberg_examples_spark.sources.iceberg_sql_bridge import (
+        IcebergNativeSqlTable,
+    )
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    t = IcebergNativeSqlTable(spark, str(tmp_path / "sqlrep"))
+    tables = {"default.test_table": t}
+    stmts = [
+        "CREATE TABLE default.test_table (customer_id bigint, name string) "
+        "USING iceberg",
+        "INSERT INTO default.test_table select 1, 'customer_a';",
+        "ALTER TABLE default.test_table ADD COLUMN email string",
+        "UPDATE default.test_table SET email = 'a@b.com' WHERE customer_id = 1;",
+        "DELETE FROM default.test_table WHERE customer_id = 99;",
+    ]
+    for s in stmts:
+        execute_statement(spark, s, tables)
+    meta_dir = t.table.meta_dir
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        hint = int(f.read())
+    # 5 statements + 1 extra metadata publish for the ALTER's schema
+    assert hint == 6
+    for v in range(1, hint + 1):
+        assert os.path.exists(os.path.join(meta_dir, f"v{v}.metadata.json"))
+    meta = t.table._metadata()
+    assert len(meta["snapshots"]) == 5  # one snapshot per statement
+    ops = [s["summary"]["operation"] for s in meta["snapshots"]]
+    assert ops == ["append", "append", "overwrite", "overwrite", "overwrite"]
+    # schema history: email allocated a fresh id, ids never reused
+    assert [s["schema-id"] for s in meta["schemas"]] == [0, 1]
+    email = next(
+        f for f in meta["schemas"][1]["fields"] if f["name"] == "email"
+    )
+    assert email["id"] == 3 == meta["last-column-id"]
+    # manifest list + manifests are real Avro containers
+    snap = meta["snapshots"][-1]
+    with open(snap["manifest-list"], "rb") as f:
+        _, _, mrows = read_container(f.read())
+    mfs = list(mrows)
+    assert mfs and all(m["manifest_path"].endswith(".avro") for m in mfs)
+    # final state readable and correct
+    rows = t.table.scan().collect()
+    assert [(r["customer_id"], r["email"]) for r in rows] == [(1, "a@b.com")]
