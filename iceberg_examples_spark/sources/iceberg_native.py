@@ -549,6 +549,12 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "default": None,
                             "field-id": 128,
                         },
+                        {
+                            "name": "sort_order_id",
+                            "type": ["null", "int"],
+                            "default": None,
+                            "field-id": 140,
+                        },
                     ],
                 },
             },
@@ -575,6 +581,31 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
+
+
+def _sort_order_fields(sort_by: list, sch: dict) -> list[dict]:
+    """User-facing sort terms -> the spec's sort-order field dicts
+    (identity transform; Iceberg's defaults: asc/nulls-first,
+    desc/nulls-last)."""
+    name2id = {f["name"]: f["id"] for f in sch["fields"]}
+    fields = []
+    for item in sort_by:
+        name, direction = (
+            (item, "asc") if isinstance(item, str) else (item[0], item[1].lower())
+        )
+        if name not in name2id:
+            raise ValueError(f"sort column {name!r} is not in the schema")
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort direction {direction!r}")
+        fields.append(
+            {
+                "transform": "identity",
+                "source-id": name2id[name],
+                "direction": direction,
+                "null-order": "nulls-first" if direction == "asc" else "nulls-last",
+            }
+        )
+    return fields
 
 
 def _strip_scheme(p: str) -> str:
@@ -846,6 +877,7 @@ class IcebergNativeTable:
                     "record_count": df_["record_count"],
                     "equality_ids": df_.get("equality_ids"),
                     "write_schema": wsch,
+                    "sort_order_id": df_.get("sort_order_id"),
                 }
                 content = df_.get("content", 0)  # absent in v1: data
                 if content == 0:
@@ -1082,14 +1114,21 @@ class IcebergNativeTable:
     def files_df(self, snapshot_id: int | None = None) -> DataFrame:
         _, _, data, pos_del, eq_del = self._plan(snapshot_id)
         rows = [
-            (d["path"], content, d["seq"], d["record_count"], json.dumps(d["partition"]))
+            (
+                d["path"],
+                content,
+                d["seq"],
+                d["record_count"],
+                json.dumps(d["partition"]),
+                d.get("sort_order_id"),
+            )
             for content, group in ((0, data), (1, pos_del), (2, eq_del))
             for d in group
         ]
         return self.spark.createDataFrame(
             rows,
             "file_path string, content int, sequence_number long, "
-            "record_count long, partition string",
+            "record_count long, partition string, sort_order_id int",
         )
 
     def history_df(self) -> DataFrame:
@@ -1111,10 +1150,43 @@ class IcebergNativeTable:
         location: str,
         df: DataFrame,
         partition_by: list[str] | None = None,
+        sort_by: list | None = None,
     ) -> "IcebergNativeTable":
+        """``sort_by`` takes column names or (name, "asc"/"desc") pairs —
+        the replaceSortOrder().asc("name") surface the reference drives
+        (IcebergJavaApiUpsert.java:101-104); writes locally sort by it."""
         t = cls(spark, location)
-        t._commit(df, operation="append", first=True, partition_by=partition_by)
+        t._commit(
+            df,
+            operation="append",
+            first=True,
+            partition_by=partition_by,
+            sort_by=sort_by,
+        )
         return t
+
+    def replace_sort_order(self, sort_by: list | None) -> None:
+        """Commit a new default sort order (spec: sort-orders are
+        append-only, identified by order-id; order 0 is unsorted).
+        Existing data files keep the sort_order_id they were written
+        with; subsequent writes sort by — and are stamped with — the
+        new order."""
+        meta, version = self._read_tree()
+        sch = self._current_schema(meta)
+        fields = _sort_order_fields(sort_by or [], sch)
+        if not fields:
+            new_id = 0
+        else:
+            new_id = (
+                max(o["order-id"] for o in meta.get("sort-orders", [{"order-id": 0}]))
+                + 1
+            )
+            meta.setdefault("sort-orders", []).append(
+                {"order-id": new_id, "fields": fields}
+            )
+        meta["default-sort-order-id"] = new_id
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
 
     def append(self, df: DataFrame) -> None:
         self._commit(df, operation="append", first=False)
@@ -1366,7 +1438,12 @@ class IcebergNativeTable:
         return lower, upper
 
     def _write_data_files(
-        self, df: DataFrame, seq: int, spec: list[dict], sch: dict
+        self,
+        df: DataFrame,
+        seq: int,
+        spec: list[dict],
+        sch: dict,
+        sort_cols: list[tuple[str, str]] | None = None,
     ):
         """Distributed parquet write into this commit's own directory
         (unique per snapshot — Iceberg's unique-file-name discipline),
@@ -1397,6 +1474,20 @@ class IcebergNativeTable:
             # shuffle, and a skewed partition value serializes into one
             # task — the same tradeoff the real writer documents.
             w = w.repartition(*[F.col(c) for c in writer_cols])
+        if sort_cols:
+            # sortWithinPartitions = Iceberg's locally-ordered write
+            # distribution: no global shuffle, each task's files come
+            # out ordered (what replaceSortOrder().asc() buys the
+            # reference's upsert demo)
+            w = w.sortWithinPartitions(
+                *[F.col(c) for c in writer_cols],
+                *[
+                    F.col(c).asc_nulls_first()
+                    if d == "asc"
+                    else F.col(c).desc_nulls_last()
+                    for c, d in sort_cols
+                ],
+            )
         writer = w.write.mode("error")
         if writer_cols:
             writer = writer.partitionBy(*writer_cols)
@@ -1442,6 +1533,7 @@ class IcebergNativeTable:
         operation: str,
         first: bool,
         partition_by: list[str] | None = None,
+        sort_by: list | None = None,
         delete_manifest: dict | None = None,
         replace: bool = False,
         base: tuple[dict, int] | None = None,
@@ -1493,8 +1585,20 @@ class IcebergNativeTable:
                 "last-partition-id": 1000 + len(parsed_spec) - 1
                 if parsed_spec
                 else 999,
-                "default-sort-order-id": 0,
-                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 1 if sort_by else 0,
+                "sort-orders": [{"order-id": 0, "fields": []}]
+                + (
+                    [
+                        {
+                            "order-id": 1,
+                            "fields": _sort_order_fields(
+                                sort_by, {"fields": schema_fields}
+                            ),
+                        }
+                    ]
+                    if sort_by
+                    else []
+                ),
                 "snapshots": [],
                 "snapshot-log": [],
                 "metadata-log": [],
@@ -1528,6 +1632,14 @@ class IcebergNativeTable:
         id2name = {f["id"]: f["name"] for f in sch["fields"]}
         name2type = {f["name"]: f["type"] for f in sch["fields"]}
         parsed_spec = [parse_spec_transform(pf, id2name) for pf in spec_fields]
+        order_id = meta.get("default-sort-order-id", 0)
+        sort_cols = [
+            (id2name[sf["source-id"]], sf["direction"])
+            for o in meta.get("sort-orders", [])
+            if o["order-id"] == order_id
+            for sf in o["fields"]
+            if sf["source-id"] in id2name
+        ]
         part_avro = [
             _partition_avro_field(
                 pf["name"],
@@ -1551,7 +1663,9 @@ class IcebergNativeTable:
             manifests.extend(self._manifests(prev))
 
         if df is not None:
-            files = self._write_data_files(df, seq, parsed_spec, sch)
+            files = self._write_data_files(
+                df, seq, parsed_spec, sch, sort_cols
+            )
             entries = [
                 {
                     "status": 1,  # ADDED
@@ -1576,6 +1690,7 @@ class IcebergNativeTable:
                             for k, v in sorted(f["upper_bounds"].items())
                         ]
                         or None,
+                        "sort_order_id": order_id,
                     },
                 }
                 for f in files
@@ -1702,6 +1817,7 @@ class IcebergNativeTable:
                     "equality_ids": equality_ids,
                     "lower_bounds": None,
                     "upper_bounds": None,
+                    "sort_order_id": None,
                 },
             }
             for p in paths

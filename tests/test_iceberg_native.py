@@ -932,3 +932,57 @@ def test_bounds_prune_skips_data_files(spark, tmp_path):
     hit2 = t.scan(where={"key": 500})
     assert len(hit2.inputFiles()) == 1
     assert [r["v"] for r in hit2.collect()] == [1000.0]
+
+
+def test_sort_order_metadata_and_written_order(spark, tmp_path):
+    """replaceSortOrder parity (IcebergJavaApiUpsert.java:101-104):
+    sort-orders + default-sort-order-id live in metadata.json, every
+    data file is stamped with the order it was written under (files_df
+    exposes it), and the bytes in each file actually come out ordered."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i, f"n{(7 * i) % 10}", float(i)) for i in range(100)],
+        "k long, name string, v double",
+    ).repartition(2)
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "so"), df, sort_by=["name", ("k", "desc")]
+    )
+    meta = t._metadata()
+    assert meta["default-sort-order-id"] == 1
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == 1)
+    assert order["fields"] == [
+        {
+            "transform": "identity",
+            "source-id": 2,
+            "direction": "asc",
+            "null-order": "nulls-first",
+        },
+        {
+            "transform": "identity",
+            "source-id": 1,
+            "direction": "desc",
+            "null-order": "nulls-last",
+        },
+    ]
+    # every data file's rows are ordered by (name asc, k desc)
+    files = [r for r in t.files_df().collect() if r["content"] == 0]
+    assert files and all(r["sort_order_id"] == 1 for r in files)
+    for r in files:
+        tbl = pq.read_table(r["file_path"]).to_pylist()
+        keys = [(row["name"], -row["k"]) for row in tbl]
+        assert keys == sorted(keys), r["file_path"]
+    # replace_sort_order: later files carry the NEW id; old keep theirs
+    t.replace_sort_order([("v", "desc")])
+    t.append(
+        spark.createDataFrame([(200, "zz", 0.5), (201, "aa", 9.5)], df.schema)
+    )
+    meta = t._metadata()
+    assert meta["default-sort-order-id"] == 2
+    by_id = sorted(
+        {r["sort_order_id"] for r in t.files_df().collect() if r["content"] == 0}
+    )
+    assert by_id == [1, 2]
+    # dropping back to unsorted = order 0 (never re-allocated)
+    t.replace_sort_order(None)
+    assert t._metadata()["default-sort-order-id"] == 0
