@@ -89,10 +89,18 @@ from iceberg_examples_spark.sources.avro_codec import (
 import datetime as _dt
 
 _EPOCH_DAY = _dt.date(1970, 1, 1)
-_EPOCH_TS = _dt.datetime(1970, 1, 1)
+_EPOCH_TS_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
 _ONE_DAY = _dt.timedelta(days=1)
 _ONE_US = _dt.timedelta(microseconds=1)
-_ONE_MS = _dt.timedelta(milliseconds=1)
+
+
+
+def _from_utc_micros(us: int) -> _dt.datetime:
+    """UTC epoch micros -> the naive local-wall-clock datetime Spark
+    expects for TimestampType (inverse of the writer's interpretation)."""
+    return (
+        (_EPOCH_TS_UTC + us * _ONE_US).astimezone().replace(tzinfo=None)
+    )
 
 
 def _avro_to_ddl(s) -> str:
@@ -143,9 +151,9 @@ def _converter(s):
     if isinstance(s, dict) and s.get("logicalType") == "date":
         return lambda v: _EPOCH_DAY + v * _ONE_DAY
     if isinstance(s, dict) and s.get("logicalType") == "timestamp-micros":
-        return lambda v: _EPOCH_TS + v * _ONE_US
+        return lambda v: _from_utc_micros(v)
     if isinstance(s, dict) and s.get("logicalType") == "timestamp-millis":
-        return lambda v: _EPOCH_TS + v * _ONE_MS
+        return lambda v: _from_utc_micros(v * 1000)
     if t == "record":
         fs = [(f["name"], _converter(f["type"])) for f in s["fields"]]
         return lambda v: tuple(c(v[n]) for n, c in fs)
@@ -225,8 +233,14 @@ def _to_avro_value(dt, v):
     if isinstance(dt, TimestampType):
         # integer division of the timedelta — the float total_seconds()
         # path corrupts ~1.25% of microsecond timestamps by 1us
-        # (round-9 self-review, reproduced)
-        return (v - _EPOCH_TS) // _ONE_US
+        # (round-9 self-review, reproduced). Avro timestamp-micros is
+        # UTC epoch micros, while Spark surfaces TimestampType as NAIVE
+        # local-wall-clock datetimes — interpret naive values through
+        # the local timezone so files interchange correctly with real
+        # Avro tooling in non-UTC sessions (round-9 ADVICE)
+        if v.tzinfo is None:
+            v = v.astimezone()
+        return (v - _EPOCH_TS_UTC) // _ONE_US
     if isinstance(dt, BinaryType):
         return bytes(v)
     if isinstance(dt, ArrayType):

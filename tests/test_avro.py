@@ -444,3 +444,48 @@ def test_read_header_works_on_prefix():
     # cut right after the header region (magic+meta+sync is < 300 bytes)
     text, schema, codec = read_header(data[:300])
     assert json.loads(text)["name"] == "H" and codec == "deflate"
+
+
+def test_timestamp_micros_are_utc_epoch_in_any_timezone():
+    """Round-9 ADVICE: Avro timestamp-micros is UTC epoch micros; a
+    non-UTC session must not write local-wall-clock micros. The
+    conversion helpers interpret Spark's naive datetimes through the
+    local timezone both ways (pure-Python check with TZ swapped — no
+    Spark session restart needed)."""
+    import datetime as dt
+    import os
+    import time
+
+    from pyspark.sql.types import TimestampType
+
+    from iceberg_examples_spark.sources.avro_source import (
+        _from_utc_micros,
+        _to_avro_value,
+    )
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        naive = dt.datetime(2021, 6, 1, 12, 0, 0, 123456)  # EDT, UTC-4
+        us = _to_avro_value(TimestampType(), naive)
+        expected_utc = dt.datetime(
+            2021, 6, 1, 16, 0, 0, 123456, tzinfo=dt.timezone.utc
+        )
+        assert us == int(expected_utc.timestamp() * 1_000_000)
+        assert _from_utc_micros(us) == naive  # lossless roundtrip
+        # winter date: offset flips to EST (UTC-5), so the conversion is
+        # per-instant, not a constant shift
+        naive2 = dt.datetime(2021, 1, 1, 12, 0, 0, 1)
+        us2 = _to_avro_value(TimestampType(), naive2)
+        expected2 = dt.datetime(
+            2021, 1, 1, 17, 0, 0, 1, tzinfo=dt.timezone.utc
+        )
+        assert us2 == int(expected2.timestamp() * 1_000_000)
+        assert _from_utc_micros(us2) == naive2
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
