@@ -29,7 +29,9 @@ set the engine's format layer supports (iceberg_native.py).
 from __future__ import annotations
 
 import datetime
+import decimal as _decimal
 import struct
+import uuid as _uuid
 
 import numpy as np
 
@@ -101,6 +103,15 @@ def _encode_days(v) -> int:
     return (v - _EPOCH).days if isinstance(v, datetime.date) else int(v)
 
 
+def decimal_unscaled_bytes(v: "_decimal.Decimal") -> bytes:
+    """The spec's decimal encoding: the UNSCALED value as a minimal
+    two's-complement big-endian byte array (hashing and single-value
+    serialization share it; 14.20 -> 1420 -> 0x058C)."""
+    exp = v.as_tuple().exponent
+    unscaled = int(v.scaleb(-exp)) if exp < 0 else int(v) * 10**exp
+    return unscaled.to_bytes((unscaled.bit_length() + 8) // 8, "big", signed=True)
+
+
 def bucket_value(v, n: int) -> int | None:
     """Driver-side bucket of one value (planning / predicate literals).
     null is never bucketed (spec: transforms preserve null)."""
@@ -108,6 +119,10 @@ def bucket_value(v, n: int) -> int | None:
         return None
     if isinstance(v, str):
         h = murmur3_bytes(v.encode("utf-8"))
+    elif isinstance(v, _decimal.Decimal):
+        h = murmur3_bytes(decimal_unscaled_bytes(v))
+    elif isinstance(v, _uuid.UUID):
+        h = murmur3_bytes(v.bytes)  # the UUID's 16 big-endian bytes
     elif isinstance(v, (int, np.integer)) or isinstance(v, datetime.date):
         h = int(murmur3_long_series(np.array([_encode_days(v)]))[0])
     else:
@@ -115,8 +130,20 @@ def bucket_value(v, n: int) -> int | None:
     return (h & 0x7FFFFFFF) % n
 
 
-def bucket_series(values, n: int, is_string: bool = False) -> np.ndarray:
+def bucket_series(
+    values, n: int, is_string: bool = False, is_decimal: bool = False
+) -> np.ndarray:
     """Write-path batch bucketing (pandas UDF body)."""
+    if is_decimal:
+        return np.array(
+            [
+                -1
+                if v is None
+                else (murmur3_bytes(decimal_unscaled_bytes(v)) & 0x7FFFFFFF) % n
+                for v in values
+            ],
+            dtype=np.int64,
+        )
     if is_string:
         return np.array(
             [
@@ -139,6 +166,12 @@ def truncate_value(v, w: int):
         return None
     if isinstance(v, str):
         return v[:w]
+    if isinstance(v, _decimal.Decimal):
+        # truncate on the UNSCALED value (spec: truncate(d, W) for
+        # decimals scales W into the unscaled space)
+        exp = v.as_tuple().exponent
+        unscaled = int(v.scaleb(-exp))
+        return _decimal.Decimal(unscaled - (unscaled % w)).scaleb(exp)
     return v - (v % w)
 
 

@@ -98,6 +98,10 @@ _EPOCH_DAY = __import__("datetime").date(1970, 1, 1)
 
 
 def _spark_to_ice_type(dt) -> str:
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(dt, DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
     if isinstance(dt, LongType):
         return "long"
     if isinstance(dt, IntegerType):
@@ -232,7 +236,7 @@ def parse_spec_transform(field: dict, id2name: dict[int, str] | None = None) -> 
     }
 
 
-def _bucket_udf(n: int, is_string: bool):
+def _bucket_udf(n: int, mode: str = "int"):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -242,15 +246,17 @@ def _bucket_udf(n: int, is_string: bool):
     @pandas_udf("long")
     def _bucket(s):
         # numpy-vectorized spec murmur3 for the numeric path; per-row
-        # UTF-8 hashing for strings (variable-length input) — either
-        # way Arrow-batched, never driver-side
+        # byte hashing for strings/decimals (variable-length input) —
+        # either way Arrow-batched, never driver-side
         from iceberg_examples_spark.functions.iceberg_transforms import (
             bucket_series,
         )
 
         mask = s.isna()
-        if is_string:
+        if mode == "string":
             vals = bucket_series(s.fillna("").tolist(), n, is_string=True)
+        elif mode == "decimal":
+            vals = bucket_series(s.tolist(), n, is_decimal=True)
         else:
             vals = bucket_series(
                 s.fillna(0).astype("int64").to_numpy(), n
@@ -271,13 +277,17 @@ def _transform_column(tf: dict, dt) -> "F.Column":
     if tf["transform"] == "identity":
         return F.col(src)
     if tf["transform"] == "bucket":
+        from pyspark.sql.types import DecimalType
+
         if isinstance(dt, StringType):
-            return _bucket_udf(tf["param"], True)(F.col(src))
+            return _bucket_udf(tf["param"], "string")(F.col(src))
+        if isinstance(dt, DecimalType):
+            return _bucket_udf(tf["param"], "decimal")(F.col(src))
         if isinstance(dt, DateType):
-            return _bucket_udf(tf["param"], False)(
+            return _bucket_udf(tf["param"], "int")(
                 F.datediff(F.col(src), F.lit("1970-01-01"))
             )
-        return _bucket_udf(tf["param"], False)(F.col(src))
+        return _bucket_udf(tf["param"], "int")(F.col(src))
     if tf["transform"] == "truncate":
         if isinstance(dt, StringType):
             return F.substring(F.col(src), 1, tf["param"])
@@ -368,6 +378,18 @@ def encode_bound(ice_type: str, value) -> bytes | None:
         if isinstance(value, bytes):
             value = value.decode("utf-8", errors="replace")
         return str(value).encode("utf-8")
+    if ice_type.startswith("decimal"):
+        import decimal as _dec
+
+        from iceberg_examples_spark.functions.iceberg_transforms import (
+            decimal_unscaled_bytes,
+        )
+
+        import re as _re
+
+        scale = int(_re.match(r"decimal\(\d+,\s*(\d+)\)", ice_type).group(1))
+        q = _dec.Decimal(value).quantize(_dec.Decimal(1).scaleb(-scale))
+        return decimal_unscaled_bytes(q)
     return None  # unknown type: record no bound rather than a wrong one
 
 
@@ -394,6 +416,14 @@ def decode_bound(ice_type: str, blob: bytes):
         return struct.unpack("<q", blob)[0]
     if ice_type == "string":
         return blob.decode("utf-8")
+    if ice_type.startswith("decimal"):
+        import decimal as _dec
+        import re as _re
+
+        scale = int(_re.match(r"decimal\(\d+,\s*(\d+)\)", ice_type).group(1))
+        return _dec.Decimal(
+            int.from_bytes(blob, "big", signed=True)
+        ).scaleb(-scale)
     return None
 
 
@@ -673,7 +703,7 @@ class IcebergNativeTable:
 
         sch = sch or self._current_schema(meta)
         ddl = ", ".join(
-            f"{f['name']} {_ICE_TO_DDL[f['type']]}" for f in sch["fields"]
+            f"{f['name']} {_ice_to_ddl(f['type'])}" for f in sch["fields"]
         )
         return _parse_datatype_string(ddl)
 
@@ -694,7 +724,7 @@ class IcebergNativeTable:
         by_id = {f["id"]: f for f in write_sch["fields"]}
         cols = []
         for f in cur_sch["fields"]:
-            ddl = _ICE_TO_DDL[f["type"]]
+            ddl = _ice_to_ddl(f["type"])
             old = by_id.get(f["id"])
             if old is None:
                 cols.append(F.lit(None).cast(ddl).alias(f["name"]))
@@ -1263,7 +1293,7 @@ class IcebergNativeTable:
             f["type"] = new_type
         last_id = meta["last-column-id"]
         for name, ice_type in add or []:
-            if ice_type not in _ICE_TO_DDL:
+            if ice_type not in _ICE_TO_DDL and not ice_type.startswith("decimal"):
                 raise ValueError(f"unknown Iceberg type {ice_type!r}")
             if any(x["name"] == name for x in fields):
                 raise ValueError(f"column {name!r} already exists")
@@ -1414,7 +1444,13 @@ class IcebergNativeTable:
                 if st is None or not st.has_min_max:
                     invalid.add(name)
                     continue
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow can't lift stats for some physical types
+                    # (FIXED_LEN_BYTE_ARRAY decimals) — record no bound
+                    invalid.add(name)
+                    continue
                 if mn != mn or mx != mx:  # NaN
                     invalid.add(name)
                     continue
@@ -1643,7 +1679,7 @@ class IcebergNativeTable:
         part_avro = [
             _partition_avro_field(
                 pf["name"],
-                _result_spark_type(tf, _DDL_TO_SPARK[name2type[tf["source"]]]),
+                _result_spark_type(tf, _ddl_to_spark(name2type[tf["source"]])),
                 pf["field-id"],
             )
             for pf, tf in zip(spec_fields, parsed_spec)
@@ -1919,6 +1955,25 @@ _DDL_TO_SPARK = {
     "string": StringType(),
     "date": DateType(),
 }
+
+
+def _ice_to_ddl(t: str) -> str:
+    """Iceberg type string -> Spark DDL (decimal passes through with
+    its parameters)."""
+    if t.startswith("decimal"):
+        return t
+    return _ICE_TO_DDL[t]
+
+
+def _ddl_to_spark(t: str):
+    if t.startswith("decimal"):
+        import re as _re
+
+        from pyspark.sql.types import DecimalType
+
+        m = _re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        return DecimalType(int(m.group(1)), int(m.group(2)))
+    return _DDL_TO_SPARK[t]
 
 
 # ---------------------------------------------------------------------------

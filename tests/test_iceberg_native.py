@@ -986,3 +986,54 @@ def test_sort_order_metadata_and_written_order(spark, tmp_path):
     # dropping back to unsorted = order 0 (never re-allocated)
     t.replace_sort_order(None)
     assert t._metadata()["default-sort-order-id"] == 0
+
+
+def test_decimal_columns_end_to_end(spark, tmp_path):
+    """decimal(p, s) columns: spec bucket transform (murmur3 of the
+    minimal two's-complement unscaled bytes — Appendix B's 14.20 vector
+    is pinned in test_iceberg_transforms), bounds in unscaled-bytes
+    serialization, and where= pruning through both."""
+    import decimal
+
+    from iceberg_examples_spark.sources.iceberg_native import decode_bound
+
+    df = spark.createDataFrame(
+        [(i, decimal.Decimal(i).scaleb(-2) * 100) for i in range(1, 201)],
+        "k long, amount decimal(12, 2)",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "dec"), df, partition_by=["bucket(amount, 8)"]
+    )
+    # schema records the parameterized type
+    meta = t._metadata()
+    f = next(x for x in meta["schemas"][0]["fields"] if x["name"] == "amount")
+    assert f["type"] == "decimal(12, 2)"
+    # point lookup prunes by the decimal bucket AND filters rows
+    probe = decimal.Decimal("37.00")
+    got = t.scan(where={"amount": probe}).collect()
+    assert [r["k"] for r in got] == [37]
+    n_all = len(t._plan()[2])
+    n_hit = len(t._plan(partition_filter=None, bounds_filter=None)[2])
+    assert n_hit == n_all
+    # bucket pruning really reduced the file list
+    from iceberg_examples_spark.functions.iceberg_transforms import bucket_value
+
+    b = bucket_value(probe, 8)
+    pruned = t._plan(partition_filter={"amount_bucket": b})[2]
+    assert 0 < len(pruned) < n_all
+    # decimal footer stats aren't liftable by pyarrow: the writer must
+    # record NO bound for the decimal column (never a wrong one) while
+    # the long column's bounds are present; the serialization itself
+    # round-trips
+    snap = t._metadata()["snapshots"][0]
+    e = t._entries(t._manifests(snap)[0]["manifest_path"])[0]
+    lower = {kv["key"]: kv["value"] for kv in e["data_file"]["lower_bounds"]}
+    k_id = next(
+        x["id"] for x in meta["schemas"][0]["fields"] if x["name"] == "k"
+    )
+    assert k_id in lower and f["id"] not in lower
+    from iceberg_examples_spark.sources.iceberg_native import encode_bound
+
+    blob = encode_bound("decimal(12, 2)", decimal.Decimal("14.2"))
+    assert blob == b"\x05\x8c"  # Appendix B's 14.20 -> 1420 -> 0x058C
+    assert decode_bound("decimal(12, 2)", blob) == decimal.Decimal("14.20")

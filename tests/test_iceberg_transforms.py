@@ -91,3 +91,46 @@ def test_temporal_transforms():
     assert temporal_value(d, "month") == 47 * 12 + 10
     assert temporal_value(d, "day") == 17486
     assert temporal_value(None, "month") is None
+
+
+def test_spec_appendix_b_decimal_uuid_string_vectors():
+    """The spec's remaining published hash vectors: decimal hashes the
+    minimal two's-complement big-endian unscaled bytes, uuid its 16
+    big-endian bytes, string its UTF-8 bytes."""
+    import decimal
+    import uuid
+
+    from iceberg_examples_spark.functions.iceberg_transforms import (
+        decimal_unscaled_bytes,
+        murmur3_bytes,
+    )
+
+    assert decimal_unscaled_bytes(decimal.Decimal("14.20")) == b"\x05\x8c"
+    assert _signed(murmur3_bytes(b"\x05\x8c")) == -500754589
+    u = uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")
+    assert _signed(murmur3_bytes(u.bytes)) == 1488055340
+    assert _signed(murmur3_bytes("iceberg".encode())) == 1210000089
+
+
+def test_bucket_and_truncate_decimal_values():
+    import decimal
+
+    from iceberg_examples_spark.functions.iceberg_transforms import (
+        bucket_series,
+        bucket_value,
+        truncate_value,
+    )
+
+    d = decimal.Decimal("14.20")
+    assert bucket_value(d, 16) == ((-500754589) & 0x7FFFFFFF) % 16
+    assert list(bucket_series([d, None, d], 16, is_decimal=True)) == [
+        bucket_value(d, 16),
+        -1,
+        bucket_value(d, 16),
+    ]
+    # truncate[50] in the unscaled space: 14.20 -> 1420 -> 1400 -> 14.00
+    assert truncate_value(d, 50) == decimal.Decimal("14.00")
+    import uuid
+
+    u = uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")
+    assert bucket_value(u, 7) == (1488055340 & 0x7FFFFFFF) % 7
