@@ -825,6 +825,11 @@ SELECT * FROM (VALUES
 ORDER BY customer_id
 """
 
+EXT_ORACLES["iceberg_bounds_prune"] = """
+SELECT c_custkey, c_mktsegment, c_acctbal, CAST(1 AS INT) AS n_files_opened
+FROM customer WHERE c_custkey IN (1, 50, 101) ORDER BY c_custkey
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -69,6 +69,7 @@ QUERIES: dict[str, QueryFn] = {
     # ----- latest green driver row: never attested -----
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
+    "iceberg_bounds_prune": IN.iceberg_bounds_prune,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

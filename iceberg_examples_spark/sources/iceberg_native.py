@@ -2238,3 +2238,38 @@ def iceberg_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy(F.col("c_segment").asc_nulls_first())
     )
+
+
+def iceberg_bounds_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file skipping through manifest column bounds — the scan
+    benefit the reference buys with withMetrics(writer.metrics())
+    (IcebergJavaApiAppend.java:88-89). Customer lands as 8
+    range-disjoint, locally-sorted data files (no partition spec at
+    all); three point lookups then plan through lower/upper bounds
+    alone. n_files_opened rides the result hash, so the gate fails if
+    a lookup ever opens more than its one matching file — and the row
+    values fail it if pruning drops a file it shouldn't."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_bounds_prune", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(
+        spark,
+        loc,
+        cust.repartitionByRange(8, "c_custkey"),
+        sort_by=["c_custkey"],
+    )
+    out = None
+    for k in (1, 50, 101):
+        part = t.scan(where={"c_custkey": k})
+        n = len(part.inputFiles())
+        part = part.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.lit(n).cast("int").alias("n_files_opened"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("c_custkey")
