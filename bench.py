@@ -90,6 +90,11 @@ HEADLINE = [
     "iceberg_native_mor",
     "iceberg_bucket_prune",
     "iceberg_month_rollup",
+    # round-10: field-id schema evolution, verbatim-SQL replay on the
+    # native layout, min/max file skipping through manifest bounds
+    "iceberg_native_schema_evolution",
+    "iceberg_native_sql_replay",
+    "iceberg_bounds_prune",
     "binary_files_ingest",
     "jsonl_shard_export",
     "mixture_temperature",

@@ -830,6 +830,17 @@ SELECT c_custkey, c_mktsegment, c_acctbal, CAST(1 AS INT) AS n_files_opened
 FROM customer WHERE c_custkey IN (1, 50, 101) ORDER BY c_custkey
 """
 
+EXT_ORACLES["iceberg_native_spec_evolution"] = f"""
+SELECT 'key_101' AS probe, count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM orders WHERE o_orderkey = 101
+UNION ALL
+SELECT 'status_F' AS probe, count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM orders WHERE o_orderstatus = 'F'
+ORDER BY probe
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

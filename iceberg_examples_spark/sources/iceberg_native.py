@@ -911,8 +911,12 @@ class IcebergNativeTable:
                 }
                 content = df_.get("content", 0)  # absent in v1: data
                 if content == 0:
-                    if partition_filter and not all(
-                        rec["partition"].get(k) == v
+                    # a file prunes on a partition field only if ITS
+                    # record carries it — files written under an older
+                    # spec lack newer fields and must be KEPT (partition
+                    # filtering can't prove their exclusion)
+                    if partition_filter and any(
+                        k in rec["partition"] and rec["partition"][k] != v
                         for k, v in partition_filter.items()
                     ):
                         continue
@@ -968,7 +972,8 @@ class IcebergNativeTable:
             id2name = {f["id"]: f["name"] for f in sch["fields"]}
             parsed = [
                 parse_spec_transform(f, id2name)
-                for f in meta0["partition-specs"][0]["fields"]
+                for spec in meta0["partition-specs"]
+                for f in spec["fields"]
             ]
             for col, val in where.items():
                 for tf in parsed:
@@ -1232,6 +1237,69 @@ class IcebergNativeTable:
 
     # spec v2: the ONLY legal primitive promotions
     _PROMOTIONS = {("int", "long"), ("float", "double")}
+
+    @staticmethod
+    def _default_spec(meta: dict) -> dict:
+        sid = meta.get("default-spec-id", 0)
+        return next(
+            s for s in meta["partition-specs"] if s["spec-id"] == sid
+        )
+
+    def update_spec(self, partition_by: list[str]) -> None:
+        """Commit a partition-spec evolution (the format twin of the
+        engine-level `partition_evolution` query): a NEW spec appended
+        to ``partition-specs`` with a fresh spec-id and fresh partition
+        field-ids (continuing ``last-partition-id`` — ids never reuse),
+        made the default. Existing data files keep their old spec's
+        partition values; subsequent writes lay out by the new spec.
+        Scans prune a file only on partition fields ITS record carries
+        (Iceberg's rule — a filter on a new spec's field cannot exclude
+        old-spec files)."""
+        meta, version = self._read_tree()
+        sch = self._current_schema(meta)
+        parsed = [parse_spec_item(x) for x in partition_by]
+        name2id = {f["name"]: f["id"] for f in sch["fields"]}
+        for tf in parsed:
+            if tf["source"] not in name2id:
+                raise ValueError(
+                    f"partition source {tf['source']!r} is not in the schema"
+                )
+        next_field_id = meta.get("last-partition-id", 999) + 1
+        new_spec_id = (
+            max(s["spec-id"] for s in meta["partition-specs"]) + 1
+        )
+        # a field expressing the SAME (source-id, transform) as any
+        # earlier spec keeps its field-id (the spec's dedup rule)
+        prior = {
+            (f["source-id"], f["transform"]): f["field-id"]
+            for s in meta["partition-specs"]
+            for f in s["fields"]
+        }
+        fields = []
+        for tf in parsed:
+            key = (name2id[tf["source"]], tf["spec_transform"])
+            if key in prior:
+                fid = prior[key]
+            else:
+                fid = next_field_id
+                next_field_id += 1
+            fields.append(
+                {
+                    "name": tf["name"],
+                    "transform": tf["spec_transform"],
+                    "source-id": key[0],
+                    "field-id": fid,
+                }
+            )
+        meta["partition-specs"].append(
+            {"spec-id": new_spec_id, "fields": fields}
+        )
+        meta["default-spec-id"] = new_spec_id
+        meta["last-partition-id"] = max(
+            meta.get("last-partition-id", 999), next_field_id - 1
+        )
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
 
     def update_schema(
         self,
@@ -1573,6 +1641,7 @@ class IcebergNativeTable:
         delete_manifest: dict | None = None,
         replace: bool = False,
         base: tuple[dict, int] | None = None,
+        delete_rows_key: str | None = None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -1663,7 +1732,8 @@ class IcebergNativeTable:
 
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, monotone
-        spec_fields = meta["partition-specs"][0]["fields"]
+        default_spec = self._default_spec(meta)
+        spec_fields = default_spec["fields"]
         sch = self._current_schema(meta)
         id2name = {f["id"]: f["name"] for f in sch["fields"]}
         name2type = {f["name"]: f["type"] for f in sch["fields"]}
@@ -1751,7 +1821,7 @@ class IcebergNativeTable:
                 {
                     "manifest_path": mpath,
                     "manifest_length": len(blob),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": default_spec["spec-id"],
                     "content": 0,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
@@ -1776,6 +1846,29 @@ class IcebergNativeTable:
             fh.write(blob)
 
         now_ms = int(time.time() * 1000)
+        summary = {"operation": operation}
+        if df is not None:
+            summary.update(
+                {
+                    "added-data-files": str(len(files)),
+                    "added-records": str(
+                        sum(f["record_count"] for f in files)
+                    ),
+                    "added-files-size": str(sum(f["size"] for f in files)),
+                }
+            )
+        if delete_manifest is not None:
+            summary.update(
+                {
+                    "added-delete-files": str(
+                        delete_manifest["added_files_count"]
+                    ),
+                    delete_rows_key
+                    or "added-position-deletes": str(
+                        delete_manifest["added_rows_count"]
+                    ),
+                }
+            )
         meta["snapshots"].append(
             {
                 "snapshot-id": snap_id,
@@ -1787,7 +1880,7 @@ class IcebergNativeTable:
                 "sequence-number": seq,
                 "timestamp-ms": now_ms,
                 "manifest-list": list_path,
-                "summary": {"operation": operation},
+                "summary": summary,
                 "schema-id": meta["current-schema-id"],
             }
         )
@@ -1826,6 +1919,16 @@ class IcebergNativeTable:
                 "and retry the commit"
             ) from None
         with fh:
+            if read_version >= 1:
+                meta.setdefault("metadata-log", []).append(
+                    {
+                        "timestamp-ms": int(time.time() * 1000),
+                        "metadata-file": os.path.join(
+                            self.meta_dir, f"v{read_version}.metadata.json"
+                        ),
+                    }
+                )
+                meta["metadata-log"] = meta["metadata-log"][-100:]
             json.dump(meta, fh, indent=1)
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
             fh.write(str(new_v))
@@ -1833,6 +1936,7 @@ class IcebergNativeTable:
     def _commit_delete_files(
         self, paths: list[str], content: int, equality_ids: list[int] | None
     ) -> None:
+        """content 1 = position deletes, 2 = equality deletes."""
         meta, version = self._read_tree()
         seq = meta["last-sequence-number"] + 1
         import pyarrow.parquet as pq
@@ -1897,6 +2001,9 @@ class IcebergNativeTable:
                 "deleted_rows_count": 0,
             },
             base=(meta, version),
+            delete_rows_key="added-position-deletes"
+            if content == 1
+            else "added-equality-deletes",
         )
 
     def add_position_deletes(self, deletes: DataFrame) -> None:
@@ -2273,3 +2380,44 @@ def iceberg_bounds_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("c_custkey")
+
+
+def iceberg_native_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution at the FORMAT level (the engine-side
+    twin is `partition_evolution`): orders lands under identity
+    (o_orderstatus), the default spec evolves to bucket(o_orderkey, 8)
+    (fresh spec-id + fresh partition field-id in metadata.json), and a
+    second generation lands under the new layout. Probes then plan
+    across BOTH generations: a status filter row-filters the bucket-laid
+    files it cannot partition-prune, a key filter bucket-prunes only the
+    new generation — and the oracle recomputes both from raw parquet, so
+    an over-eager prune (excluding old-spec files on a new field)
+    hash-mismatches."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_native_spec_evo", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(
+        spark,
+        loc,
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        partition_by=["o_orderstatus"],
+    )
+    t.update_spec(["bucket(o_orderkey, 8)"])
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+
+    def probe(label: str, where: dict) -> DataFrame:
+        return t.scan(where=where).agg(
+            F.lit(label).alias("probe"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias("total_price"),
+        )
+
+    return (
+        probe("key_101", {"o_orderkey": 101})
+        .unionByName(probe("status_F", {"o_orderstatus": "F"}))
+        .orderBy("probe")
+    )

@@ -1037,3 +1037,98 @@ def test_decimal_columns_end_to_end(spark, tmp_path):
     blob = encode_bound("decimal(12, 2)", decimal.Decimal("14.2"))
     assert blob == b"\x05\x8c"  # Appendix B's 14.20 -> 1420 -> 0x058C
     assert decode_bound("decimal(12, 2)", blob) == decimal.Decimal("14.20")
+
+
+def test_snapshot_summary_counters_and_metadata_log(spark, tmp_path):
+    """Spec bookkeeping: snapshot summaries carry string-encoded
+    added-file/record counters, delete commits count their delete
+    files, and every metadata publish logs its predecessor in
+    metadata-log."""
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "sm"),
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "k long, v double"
+        ).coalesce(1),
+    )
+    t.add_equality_deletes(spark.createDataFrame([(3,)], "k long"), ["k"])
+    meta = t._metadata()
+    s1, s2 = meta["snapshots"]
+    assert s1["summary"]["added-data-files"] == "1"
+    assert s1["summary"]["added-records"] == "10"
+    assert int(s1["summary"]["added-files-size"]) > 0
+    assert s2["summary"]["operation"] == "delete"
+    # file count matches what planning actually sees (Spark may emit an
+    # empty extra part file for a tiny DF — the counter must agree with
+    # the manifest, not with an assumed 1)
+    n_eq_files = len(t._plan()[4])
+    assert s2["summary"]["added-delete-files"] == str(n_eq_files)
+    assert s2["summary"]["added-equality-deletes"] == "1"  # delete ROWS
+    log = meta["metadata-log"]
+    assert [os.path.basename(e["metadata-file"]) for e in log] == [
+        "v1.metadata.json"
+    ]
+    # a pure-metadata publish (ref) logs too
+    t.create_tag("x")
+    log = t._metadata()["metadata-log"]
+    assert [os.path.basename(e["metadata-file"]) for e in log] == [
+        "v1.metadata.json",
+        "v2.metadata.json",
+    ]
+
+
+def test_partition_spec_evolution_native(spark, tmp_path):
+    """Format-level partition-spec evolution: a fresh spec-id with fresh
+    partition field-ids becomes the default; old files keep their old
+    partition values; a filter on a NEW spec's field never excludes
+    old-spec files (their records can't prove exclusion) while new-spec
+    files prune normally — and where= stays row-correct across both
+    generations via the residual filter."""
+    from iceberg_examples_spark.functions.iceberg_transforms import bucket_value
+
+    gen1 = spark.createDataFrame(
+        [(i, "F" if i % 2 == 0 else "O", float(i)) for i in range(40)],
+        "k long, status string, v double",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "pe"), gen1, partition_by=["status"]
+    )
+    t.update_spec(["bucket(k, 4)"])
+    t.append(
+        spark.createDataFrame(
+            [(i, "F" if i % 2 == 0 else "O", float(i)) for i in range(40, 80)],
+            "k long, status string, v double",
+        )
+    )
+    meta = t._metadata()
+    assert [s["spec-id"] for s in meta["partition-specs"]] == [0, 1]
+    assert meta["default-spec-id"] == 1
+    new_field = meta["partition-specs"][1]["fields"][0]
+    assert new_field["field-id"] == 1001  # fresh, never reused
+    assert new_field["transform"] == "bucket[4]"
+    assert meta["last-partition-id"] == 1001
+    # manifest list entries are stamped with their commit-time spec id
+    snap = meta["snapshots"][-1]
+    spec_ids = sorted(
+        m["partition_spec_id"] for m in t._manifests(snap)
+    )
+    assert spec_ids == [0, 1]
+    # planning: a bucket filter prunes NEW-spec files but keeps every
+    # old-spec file (no k_bucket in their partition records)
+    b = bucket_value(45, 4)
+    _, _, files, _, _ = t._plan(partition_filter={"k_bucket": b})
+    parts = [f["partition"] for f in files]
+    old_kept = [p for p in parts if "status" in p]
+    new_kept = [p for p in parts if "k_bucket" in p]
+    assert len(old_kept) == len(
+        [p for p in t._plan()[2] if "status" in p["partition"]]
+    )
+    assert new_kept and all(p["k_bucket"] == b for p in new_kept)
+    # row-level correctness through where= across both generations
+    assert sorted(r["k"] for r in t.scan(where={"k": 45}).collect()) == [45]
+    assert sorted(r["k"] for r in t.scan(where={"k": 5}).collect()) == [5]
+    got = sorted(r["k"] for r in t.scan(where={"status": "O"}).collect())
+    assert got == [i for i in range(80) if i % 2 == 1]
+    # old partition field names still validate
+    with pytest.raises(ValueError, match="unknown partition field"):
+        t.scan(partition_filter={"nope": 1})
