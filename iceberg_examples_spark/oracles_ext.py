@@ -841,6 +841,14 @@ FROM orders WHERE o_orderstatus = 'F'
 ORDER BY probe
 """
 
+EXT_ORACLES["stream_to_iceberg"] = f"""
+SELECT count(*) AS n_clicks,
+       count(DISTINCT user_id) AS n_users,
+       {money_sum_sql('value', scale=100)} AS total_value,
+       CAST(0 AS INT) AS replay_delta
+FROM events WHERE event_type = 'click'
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -71,6 +71,7 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,
     "iceberg_native_spec_evolution": IN.iceberg_native_spec_evolution,
+    "stream_to_iceberg": ST.stream_to_iceberg,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

@@ -1223,8 +1223,13 @@ class IcebergNativeTable:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(meta, version)
 
-    def append(self, df: DataFrame) -> None:
-        self._commit(df, operation="append", first=False)
+    def append(self, df: DataFrame, summary: dict | None = None) -> None:
+        """``summary`` adds application keys to the snapshot summary —
+        the hook Iceberg's streaming sink uses to record its epoch id
+        for exactly-once replay detection."""
+        self._commit(
+            df, operation="append", first=False, summary_extra=summary
+        )
 
     def compact(self) -> None:
         """rewrite_data_files at the format level: materialize the
@@ -1642,6 +1647,7 @@ class IcebergNativeTable:
         replace: bool = False,
         base: tuple[dict, int] | None = None,
         delete_rows_key: str | None = None,
+        summary_extra: dict | None = None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -1846,7 +1852,7 @@ class IcebergNativeTable:
             fh.write(blob)
 
         now_ms = int(time.time() * 1000)
-        summary = {"operation": operation}
+        summary = {"operation": operation, **(summary_extra or {})}
         if df is not None:
             summary.update(
                 {

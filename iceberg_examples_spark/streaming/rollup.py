@@ -983,3 +983,87 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(rows, report_t.read().schema)
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def stream_to_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into the NATIVE Iceberg v2 layout: checkpointed
+    availableNow runs over a growing landing zone, each microbatch
+    committed as a REAL snapshot (Avro manifests + metadata.json) whose
+    summary records its (run, epoch) — the Iceberg streaming sink's
+    exactly-once bookkeeping. The commit fn consults the snapshot
+    summaries and SKIPS an already-committed epoch; the query then
+    force-replays the last epoch with different rows and rides the
+    snapshot-count delta (must be 0) through the output hash, so a
+    broken replay guard fails the gate two ways (extra rows AND a
+    nonzero delta)."""
+    import os
+
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.sources.iceberg_native import (
+        IcebergNativeTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = scratch_dir(sf_dir, "stream_to_iceberg", fresh=True)
+    land = os.path.join(root, "landing")
+    ckpt = os.path.join(root, "ckpt")
+    sink = IcebergNativeTable.create(
+        spark, os.path.join(root, "ice"), ev.limit(0)
+    )
+    seen: list[str] = []
+
+    def committed() -> set:
+        return {
+            s["summary"].get("streaming-epoch")
+            for s in sink._metadata()["snapshots"]
+        }
+
+    def commit(batch_df: DataFrame, epoch_id: int, run: int) -> None:
+        key = f"{run}:{epoch_id}"
+        if key in committed():
+            return  # replay of a published epoch: exactly-once skip
+        sink.append(
+            batch_df.filter(F.col("event_type") == "click"),
+            summary={"streaming-epoch": key},
+        )
+        seen.append(key)
+
+    def drain(run: int) -> None:
+        stream = spark.readStream.schema(ev.schema).parquet(
+            os.path.join(land, "*")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(lambda b, e: commit(b, e, run))
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(land, "even")
+    )
+    drain(run=1)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(land, "odd")
+    )
+    drain(run=2)
+
+    # forced replay of the last committed epoch with DIFFERENT rows:
+    # the summary guard must skip it without a new snapshot
+    before = len(sink._metadata()["snapshots"])
+    run, _, epoch = seen[-1].partition(":")
+    commit(ev.limit(5), int(epoch), int(run))
+    delta = len(sink._metadata()["snapshots"]) - before
+
+    return sink.scan().agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as double) / 100.0"
+        ).alias("total_value"),
+        F.lit(delta).cast("int").alias("replay_delta"),
+    )
