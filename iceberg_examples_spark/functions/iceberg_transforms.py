@@ -104,12 +104,19 @@ def _encode_days(v) -> int:
 
 
 def decimal_unscaled_bytes(v: "_decimal.Decimal") -> bytes:
-    """The spec's decimal encoding: the UNSCALED value as a minimal
+    """The spec's decimal encoding: the UNSCALED value as a MINIMAL
     two's-complement big-endian byte array (hashing and single-value
-    serialization share it; 14.20 -> 1420 -> 0x058C)."""
+    serialization share it; 14.20 -> 1420 -> 0x058C). The value's own
+    exponent defines the scale — callers pruning against a typed column
+    must quantize the literal to the COLUMN's scale first (a literal
+    Decimal('5') hashes unscaled 5; the column's files carry 500 at
+    scale 2)."""
     exp = v.as_tuple().exponent
-    unscaled = int(v.scaleb(-exp)) if exp < 0 else int(v) * 10**exp
-    return unscaled.to_bytes((unscaled.bit_length() + 8) // 8, "big", signed=True)
+    unscaled = int(v.scaleb(-exp))
+    # minimal length: -128 is ONE byte (0x80), not two (0xFF80) — the
+    # +8 padding form diverged from the spec at every -2^(8k-1)
+    m = unscaled + 1 if unscaled < 0 else unscaled
+    return unscaled.to_bytes(m.bit_length() // 8 + 1, "big", signed=True)
 
 
 def bucket_value(v, n: int) -> int | None:

@@ -119,12 +119,12 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cluster_sizes": D.dedup_cluster_sizes,
     "nested_rollup": CV.nested_rollup,
     "csv_corrupt_records": JS.csv_corrupt_records,
+    # ----- end of the 50-entry driver correctness window -----
     "rolling_24h": E.rolling_24h,
     "quantile_normalize": XR.quantile_normalize,
     "merge_sql_exec": RS.merge_sql_exec_query,
     "scd2_sql_exec": RS.scd2_sql_exec_query,
     "sql_script_replay": RS.sql_script_replay_query,
-    # ----- end of the 50-entry driver correctness window -----
     "stream_curation_ingest": ST.stream_curation_ingest,
     "snapshot_rollback": MT.snapshot_rollback,
     "corpus_report": LQ.corpus_report,

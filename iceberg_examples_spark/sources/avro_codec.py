@@ -338,23 +338,20 @@ def read_header(data: bytes):
     return schema_text, parse_schema(schema_text), codec
 
 
-def read_file_meta(data: bytes) -> dict:
-    """The container's file-metadata map: ``avro.schema``/``avro.codec``
-    plus application keys — Iceberg manifests carry their commit-time
-    table ``schema`` and ``partition-spec`` here (the spec's
-    self-describing manifest property, what field-id column resolution
-    reads)."""
-    dec = Decoder(data)
-    if dec.read(4) != MAGIC:
-        raise ValueError("not an Avro object container file")
-    return read_datum({"type": "map", "values": "bytes"}, dec)
-
-
 def read_container(data: bytes):
     """Parse an Avro object container file → (writer_schema_json_text,
     normalized_schema, iterator of decoded rows). The schema comes from
     the file's own metadata (the spec's self-describing property), so a
     reader never guesses."""
+    schema_text, schema, _meta, rows = read_container_with_meta(data)
+    return schema_text, schema, rows
+
+
+def read_container_with_meta(data: bytes):
+    """Like :func:`read_container` but also returns the file-metadata
+    map in the SAME pass — Iceberg manifest planning needs both the
+    rows and the embedded ``schema`` key, and decoding the header twice
+    doubled coordinator-side manifest parsing."""
     dec = Decoder(data)
     if dec.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
@@ -379,7 +376,7 @@ def read_container(data: bytes):
             for _ in range(count):
                 yield read_datum(schema, block)
 
-    return schema_text, schema, rows()
+    return schema_text, schema, meta, rows()
 
 
 def write_container(

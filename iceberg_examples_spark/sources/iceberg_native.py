@@ -90,7 +90,7 @@ from pyspark.sql.types import (
 
 from iceberg_examples_spark.sources.avro_codec import (
     read_container,
-    read_file_meta,
+    read_container_with_meta,
     write_container,
 )
 
@@ -289,8 +289,14 @@ def _transform_column(tf: dict, dt) -> "F.Column":
             )
         return _bucket_udf(tf["param"], "int")(F.col(src))
     if tf["transform"] == "truncate":
+        from pyspark.sql.types import DecimalType
+
         if isinstance(dt, StringType):
             return F.substring(F.col(src), 1, tf["param"])
+        if isinstance(dt, DecimalType):
+            # spec: truncate[W] scales W into the UNSCALED space
+            div = f"CAST({tf['param']}E-{dt.scale} AS {dt.simpleString()})"
+            return F.expr(f"{src} - pmod({src}, {div})")
         return F.expr(f"{src} - pmod({src}, {tf['param']})")
     if tf["transform"] == "year":
         return F.expr(f"year({src}) - 1970")
@@ -446,7 +452,13 @@ def _truncate_upper(ice_type: str, value):
     for i in range(len(prefix) - 1, -1, -1):
         cp = ord(prefix[i])
         if cp < 0x10FFFF:
-            return prefix[:i] + chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # U+D7FF + 1 lands in the surrogate range, which is not
+                # encodable — skip to the first valid scalar above it
+                # (still > every char starting with the original prefix)
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
     return None
 
 
@@ -475,6 +487,8 @@ def _bounds_exclude(df_: dict, bounds_filter: dict, wtypes: dict) -> bool:
     lmap = {kv["key"]: kv["value"] for kv in df_.get("lower_bounds") or []}
     umap = {kv["key"]: kv["value"] for kv in df_.get("upper_bounds") or []}
     for fid, (t, v) in bounds_filter.items():
+        if v is None:
+            continue  # NULL never bounds-prunes (and never compares)
         wt = wtypes.get(fid, t)
         if fid in lmap:
             lb = decode_bound(wt, lmap[fid])
@@ -795,9 +809,8 @@ class IcebergNativeTable:
         resolution needs. ``None`` for v1/foreign manifests without it."""
         with open(_strip_scheme(manifest_path), "rb") as f:
             data = f.read()
-        fmeta = read_file_meta(data)
+        _, _, fmeta, rows = read_container_with_meta(data)
         wsch = json.loads(fmeta["schema"]) if "schema" in fmeta else None
-        _, _, rows = read_container(data)
         return wsch, list(rows)
 
     def _file_uri(self, path: str) -> str:
@@ -976,12 +989,31 @@ class IcebergNativeTable:
                 for f in spec["fields"]
             ]
             for col, val in where.items():
-                for tf in parsed:
-                    if tf["source"] == col:
-                        pf[tf["name"]] = transform_literal(tf, val)
                 f = next(
                     (f for f in sch["fields"] if f["name"] == col), None
                 )
+                if (
+                    f is not None
+                    and f["type"].startswith("decimal")
+                    and val is not None
+                ):
+                    # a literal Decimal('5') has unscaled 5, but the
+                    # column's files carry 500 at scale 2 — planning
+                    # must hash/compare at the COLUMN's scale
+                    import decimal as _dec
+                    import re as _re
+
+                    scale = int(
+                        _re.match(
+                            r"decimal\(\d+,\s*(\d+)\)", f["type"]
+                        ).group(1)
+                    )
+                    val = _dec.Decimal(val).quantize(
+                        _dec.Decimal(1).scaleb(-scale)
+                    )
+                for tf in parsed:
+                    if tf["source"] == col:
+                        pf[tf["name"]] = transform_literal(tf, val)
                 if f is not None:
                     bounds_f[f["id"]] = (
                         f["type"],
@@ -1092,21 +1124,40 @@ class IcebergNativeTable:
                 "left_anti",
             )
         if eq_del:
-            id2name = {f["id"]: f["name"] for f in cur_sch["fields"]}
+            id2cur = {f["id"]: f["name"] for f in cur_sch["fields"]}
             # ONE anti-join AND one multi-path scan per distinct
-            # equality-column-set: files sharing a column set read
-            # together, each row tagged with its file's sequence number
-            # via the broadcast map — both the join count and the scan
-            # count stay constant in delete-file count
-            by_cols: dict[tuple, list] = {}
+            # (equality-id-set, write-schema-names) pair: files sharing
+            # both read together, each row tagged with its file's
+            # sequence number via the broadcast map — join and scan
+            # counts stay constant in delete-file count (they grow only
+            # with schema generations). The delete parquet's PHYSICAL
+            # column names are its commit-time schema's, so each file's
+            # equality ids resolve through its own write schema for the
+            # read and through the SCAN schema for the join — renames
+            # follow the field id on both sides.
+            by_key: dict[tuple, list] = {}
             for d in eq_del:
-                key = tuple(id2name[i] for i in d["equality_ids"])
-                by_cols.setdefault(key, []).append(d)
-            for eq_cols, group in by_cols.items():
+                ids = tuple(d["equality_ids"])
+                missing = [i for i in ids if i not in id2cur]
+                if missing:
+                    raise ValueError(
+                        f"equality delete targets column id(s) {missing} "
+                        "that the scan schema no longer carries; the "
+                        "column must exist to apply the delete"
+                    )
+                ws = d.get("write_schema") or cur_sch
+                wid2name = {f["id"]: f["name"] for f in ws["fields"]}
+                wnames = tuple(wid2name[i] for i in ids)
+                by_key.setdefault((ids, wnames), []).append(d)
+            for (ids, wnames), group in by_key.items():
+                cur_names = [id2cur[i] for i in ids]
                 dels = (
                     self.spark.read.parquet(*[d["path"] for d in group])
                     .select(
-                        *[F.col(c).alias(f"_eq_{c}") for c in eq_cols],
+                        *[
+                            F.col(w).alias(f"_eq_{c}")
+                            for w, c in zip(wnames, cur_names)
+                        ],
                         F.col("_metadata.file_path").alias("_del_file"),
                     )
                     .join(
@@ -1117,7 +1168,7 @@ class IcebergNativeTable:
                 )
                 dels = self._require_seq(dels, "_del_seq", "_del_file")
                 cond = dels["_del_seq"] > df["_ice_seq"]
-                for c in eq_cols:
+                for c in cur_names:
                     cond = cond & df[c].eqNullSafe(dels[f"_eq_{c}"])
                 df = df.join(dels, cond, "left_anti")
         if with_coordinates:
@@ -1296,6 +1347,16 @@ class IcebergNativeTable:
                     "field-id": fid,
                 }
             )
+        id2type = {f["id"]: f["type"] for f in sch["fields"]}
+        for tf, fld in zip(parsed, fields):
+            result_t = _result_spark_type(
+                tf, _ddl_to_spark(id2type[fld["source-id"]])
+            )
+            # raises ValueError for unsupported partition value types
+            # (e.g. identity/truncate on double or decimal) BEFORE the
+            # spec commits — an unwritable default spec would brick
+            # every subsequent append
+            _partition_avro_field(fld["name"], result_t, fld["field-id"])
         meta["partition-specs"].append(
             {"spec-id": new_spec_id, "fields": fields}
         )
@@ -2067,6 +2128,11 @@ _DDL_TO_SPARK = {
     "int": IntegerType(),
     "string": StringType(),
     "date": DateType(),
+    "double": DoubleType(),
+    "float": FloatType(),
+    "boolean": BooleanType(),
+    "timestamp": TimestampNTZType(),
+    "timestamptz": TimestampType(),
 }
 
 

@@ -1132,3 +1132,72 @@ def test_partition_spec_evolution_native(spark, tmp_path):
     # old partition field names still validate
     with pytest.raises(ValueError, match="unknown partition field"):
         t.scan(partition_filter={"nope": 1})
+
+
+def test_round10_review_pins(spark, tmp_path):
+    """Round-10 self-review findings, each with its repro:
+    (1) a decimal where= literal quantizes to the COLUMN's scale before
+    bucket hashing / bounds comparison (Decimal('37') must match a
+    decimal(12,2) column's files); (2) equality-delete files written
+    BEFORE a rename resolve their columns by field id; (3) where=None
+    doesn't crash bounds pruning; (4) update_spec refuses a spec whose
+    partition values can't serialize; (5) upper-bound truncation never
+    emits a surrogate."""
+    import decimal
+
+    from iceberg_examples_spark.sources.iceberg_native import (
+        _truncate_upper,
+        encode_bound,
+    )
+
+    # (1) literal-scale quantization
+    df = spark.createDataFrame(
+        [(i, decimal.Decimal(i).scaleb(-2) * 100) for i in range(1, 101)],
+        "k long, amount decimal(12, 2)",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "rp1"), df, partition_by=["bucket(amount, 8)"]
+    )
+    got = t.scan(where={"amount": decimal.Decimal("37")}).collect()
+    assert [r["k"] for r in got] == [37]
+
+    # (3) where=None: no crash, empty result (no NULLs in the column)
+    assert t.scan(where={"k": None}).count() == 0
+
+    # (4) unserializable partition spec refused BEFORE committing
+    with pytest.raises(ValueError, match="unsupported partition column"):
+        t.update_spec(["amount"])
+    assert t._metadata()["default-spec-id"] == 0  # not poisoned
+    t.append(df.limit(1))  # still writable
+
+    # (2) equality delete -> rename -> the delete still applies by id
+    t2 = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "rp2"),
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, name string"
+        ),
+    )
+    t2.add_equality_deletes(
+        spark.createDataFrame([("b",)], "name string"), ["name"]
+    )
+    t2.update_schema(rename={"name": "full_name"})
+    assert sorted(r["k"] for r in t2.scan().collect()) == [1, 3]
+    # dropping the targeted column makes the delete unapplicable: loud
+    t2b = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "rp2b"),
+        spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double"),
+    )
+    t2b.add_equality_deletes(
+        spark.createDataFrame([("a",)], "name string"), ["name"]
+    )
+    t2b.update_schema(drop=["name"])
+    with pytest.raises(ValueError, match="no longer carries"):
+        t2b.scan().collect()
+
+    # (5) surrogate-safe truncation
+    s = "x" * 15 + "퟿" + "tail"
+    up = _truncate_upper("string", s)
+    assert up == "x" * 15 + "" and up > s[:16]
+    assert encode_bound("string", up)  # encodable utf-8
