@@ -849,6 +849,21 @@ SELECT count(*) AS n_clicks,
 FROM events WHERE event_type = 'click'
 """
 
+EXT_ORACLES["iceberg_incremental_read"] = f"""
+SELECT 'incremental_1_to_3' AS probe, event_type,
+       count(*) AS n_rows,
+       {money_sum_sql('value', scale=100)} AS total_value
+FROM events WHERE event_type IN ('purchase', 'view')
+GROUP BY event_type
+UNION ALL
+SELECT 'after_rollback_to_2' AS probe, event_type,
+       count(*) AS n_rows,
+       {money_sum_sql('value', scale=100)} AS total_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+ORDER BY probe, event_type
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

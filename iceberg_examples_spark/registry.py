@@ -72,6 +72,7 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,
     "iceberg_native_spec_evolution": IN.iceberg_native_spec_evolution,
     "stream_to_iceberg": ST.stream_to_iceberg,
+    "iceberg_incremental_read": IN.iceberg_incremental_read,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

@@ -1444,6 +1444,71 @@ class IcebergNativeTable:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(meta, version)
 
+    def rollback_to(self, snapshot_id: int) -> None:
+        """CALL system.rollback_to_snapshot, format level: the current
+        pointer (and main) moves back to an EXISTING snapshot — later
+        snapshots stay in the tree for expire_snapshots to reclaim, and
+        the snapshot-log records the rollback as a new entry (time
+        travel by timestamp sees the rollback happen). Sequence numbers
+        stay monotonic: the next commit continues from
+        last-sequence-number, never reuses."""
+        meta, version = self._read_tree()
+        if snapshot_id not in {s["snapshot-id"] for s in meta["snapshots"]}:
+            raise ValueError(f"snapshot {snapshot_id} does not exist")
+        meta["current-snapshot-id"] = snapshot_id
+        meta.setdefault("refs", {})["main"] = {
+            "snapshot-id": snapshot_id,
+            "type": "branch",
+        }
+        meta["snapshot-log"].append(
+            {"timestamp-ms": int(time.time() * 1000), "snapshot-id": snapshot_id}
+        )
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
+
+    def incremental_df(
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Iceberg's incremental APPEND scan: exactly the rows added by
+        snapshots in (from, to] — the consume-the-delta primitive that
+        lets a 100 TB table feed downstream jobs without full rescans.
+        Planning selects data files by sequence number from the TO
+        snapshot's manifests (a file added by snapshot S carries S's
+        data_sequence_number), so no per-snapshot diffing. Per the
+        incremental-scan contract this is append-only: a replace /
+        delete / overwrite snapshot inside the range raises (its effect
+        is not expressible as added rows)."""
+        meta = self._metadata()
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        if from_snapshot_id not in snaps:
+            raise ValueError(f"snapshot {from_snapshot_id} does not exist")
+        to_id = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else meta["current-snapshot-id"]
+        )
+        from_seq = snaps[from_snapshot_id].get("sequence-number", 0)
+        to_seq = snaps[to_id].get("sequence-number", 0)
+        bad = [
+            s["snapshot-id"]
+            for s in meta["snapshots"]
+            if from_seq < s.get("sequence-number", 0) <= to_seq
+            and s["summary"]["operation"] not in ("append",)
+        ]
+        if bad:
+            raise ValueError(
+                f"snapshots {bad} in the range are not appends; an "
+                "incremental append scan cannot express their effect"
+            )
+        _, _, data, _, _ = self._plan(snapshot_id=to_id)
+        picked = [d["path"] for d in data if from_seq < d["seq"] <= to_seq]
+        cur_sch = self._current_schema(meta)
+        if not picked:
+            return self.spark.createDataFrame(
+                [], self._schema_struct(meta, cur_sch)
+            )
+        return self.spark.read.parquet(*picked)
+
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Named immutable pointer (spec refs, type=tag). A tagged
         snapshot is protected from expire_snapshots — the spec's
@@ -2492,4 +2557,51 @@ def iceberg_native_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         probe("key_101", {"o_orderkey": 101})
         .unionByName(probe("status_F", {"o_orderstatus": "F"}))
         .orderBy("probe")
+    )
+
+
+def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append-scan + format-level rollback in one flow:
+    three appends land click / purchase / view events as snapshots
+    1-3; the incremental scan (1, 3] must return EXACTLY the purchase
+    and view rows (snapshot 1's clicks excluded — a full-rescan bug
+    inflates the counts and hash-mismatches); then rollback_to(2)
+    moves the current pointer back and the post-rollback full scan
+    must equal clicks+purchases. Both states ride one output."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_incremental_read", fresh=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, ev.filter(F.col("event_type") == "click")
+    )
+    t.append(ev.filter(F.col("event_type") == "purchase"))
+    t.append(ev.filter(F.col("event_type") == "view"))
+
+    inc = (
+        t.incremental_df(from_snapshot_id=1)
+        .groupBy("event_type")
+        .agg(
+            F.lit("incremental_1_to_3").alias("probe"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
+        )
+    )
+    t.rollback_to(2)
+    back = (
+        t.scan()
+        .groupBy("event_type")
+        .agg(
+            F.lit("after_rollback_to_2").alias("probe"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
+        )
+    )
+    return (
+        inc.unionByName(back)
+        .select("probe", "event_type", "n_rows", "total_value")
+        .orderBy("probe", "event_type")
     )

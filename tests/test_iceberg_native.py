@@ -1201,3 +1201,40 @@ def test_round10_review_pins(spark, tmp_path):
     up = _truncate_upper("string", s)
     assert up == "x" * 15 + "" and up > s[:16]
     assert encode_bound("string", up)  # encodable utf-8
+
+
+def test_rollback_and_incremental_scan_rules(spark, tmp_path):
+    """rollback_to moves current/main back (later snapshots reclaimable,
+    sequence numbers stay monotonic); incremental_df returns exactly the
+    (from, to] appends and REFUSES ranges containing non-append
+    snapshots (their effect isn't expressible as added rows)."""
+    t = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "ri"),
+        spark.createDataFrame([(1,)], "k long"),
+    )
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    t.append(spark.createDataFrame([(3,)], "k long"))
+    assert sorted(
+        r["k"] for r in t.incremental_df(from_snapshot_id=1).collect()
+    ) == [2, 3]
+    assert sorted(
+        r["k"]
+        for r in t.incremental_df(
+            from_snapshot_id=1, to_snapshot_id=2
+        ).collect()
+    ) == [2]
+    assert t.incremental_df(from_snapshot_id=3).count() == 0
+    # rollback: current moves back, next commit's seq stays monotonic
+    t.rollback_to(2)
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2]
+    assert t._metadata()["refs"]["main"]["snapshot-id"] == 2
+    t.append(spark.createDataFrame([(4,)], "k long"))
+    assert t._metadata()["current-snapshot-id"] == 4  # seq never reused
+    assert sorted(r["k"] for r in t.scan().collect()) == [1, 2, 4]
+    # a delete snapshot poisons the incremental range: loud refusal
+    t.add_equality_deletes(spark.createDataFrame([(1,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="not appends"):
+        t.incremental_df(from_snapshot_id=2)
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rollback_to(99)
