@@ -864,6 +864,47 @@ GROUP BY event_type
 ORDER BY probe, event_type
 """
 
+EXT_ORACLES["iceberg_native_upsert"] = f"""
+WITH upserted AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer
+  WHERE c_custkey % 100 <> 0
+  UNION ALL
+  SELECT c_custkey, 'updated-' || c_name, c_custkey * 2.0 FROM customer
+  WHERE c_custkey % 100 = 0
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(9000001 AS BIGINT), 'new-1', 10.0),
+    (CAST(9000002 AS BIGINT), 'new-2', 20.0)
+  ) v(c_custkey, c_name, c_acctbal)
+)
+SELECT count(*) AS n_rows,
+       count(CASE WHEN c_name LIKE 'updated-%' THEN 1 END) AS n_updated,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal,
+       CAST(2 AS BIGINT) AS n_snapshots
+FROM upserted
+"""
+
+EXT_ORACLES["iceberg_native_manifests"] = """
+SELECT CAST(0 AS INT) AS content, CAST(3 AS BIGINT) AS n_manifests,
+       (SELECT count(*) FROM nation) AS added_rows
+UNION ALL
+SELECT CAST(1 AS INT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+ORDER BY content
+"""
+
+EXT_ORACLES["iceberg_native_partitions"] = """
+SELECT o_orderstatus, count(*) AS record_count
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+EXT_ORACLES["iceberg_rewrite_deletes"] = f"""
+SELECT count(*) AS n_rows,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal,
+       CAST(10 AS INT) AS delete_files_before,
+       CAST(1 AS INT) AS delete_files_after
+FROM customer WHERE c_custkey % 10 NOT IN (0, 1, 2, 3, 4)
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

@@ -67,6 +67,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
     # ----- latest green driver row: never attested -----
+    "iceberg_native_upsert": IN.iceberg_native_upsert,
+    "iceberg_native_manifests": IN.iceberg_native_manifests,
+    "iceberg_native_partitions": IN.iceberg_native_partitions,
+    "iceberg_rewrite_deletes": IN.iceberg_rewrite_deletes,
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,

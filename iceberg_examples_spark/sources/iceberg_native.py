@@ -918,6 +918,7 @@ class IcebergNativeTable:
                     "seq": seq,
                     "partition": df_["partition"],
                     "record_count": df_["record_count"],
+                    "size": df_.get("file_size_in_bytes", 0),
                     "equality_ids": df_.get("equality_ids"),
                     "write_schema": wsch,
                     "sort_order_id": df_.get("sort_order_id"),
@@ -1227,6 +1228,80 @@ class IcebergNativeTable:
             "made_current_at_ms long, snapshot_id long",
         )
 
+    def manifests_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``#manifests`` metadata table (IcebergHadoopTables.java:46
+        reads ``iceberg_v1table#manifests``): one row per manifest in the
+        chosen snapshot's manifest list — including manifests carried
+        forward from earlier commits, which is how the list accretes."""
+        meta = self._metadata()
+        snap = self._snapshot(meta, snapshot_id)
+        rows = [
+            (
+                m["manifest_path"],
+                m.get("manifest_length", 0),
+                m.get("partition_spec_id", 0),
+                m.get("content", 0),
+                m.get("sequence_number", 0),
+                m.get("min_sequence_number", 0),
+                m.get("added_snapshot_id"),
+                m.get("added_files_count", 0),
+                m.get("existing_files_count", 0),
+                m.get("deleted_files_count", 0),
+                m.get("added_rows_count", 0),
+            )
+            for m in self._manifests(snap)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "sequence_number long, min_sequence_number long, "
+            "added_snapshot_id long, added_data_files_count int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "added_rows_count long",
+        )
+
+    def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``#partitions`` metadata table: per-partition-value file
+        and row totals for the LIVE files of a snapshot, with delete-file
+        counts alongside (how much MOR debt each partition carries) —
+        the planning view operators use to pick compaction targets."""
+        _, _, data, pos_del, eq_del = self._plan(snapshot_id)
+        agg: dict[str, list] = {}
+        for content, group in ((0, data), (1, pos_del), (2, eq_del)):
+            for d in group:
+                key = json.dumps(d["partition"], sort_keys=True)
+                slot = agg.setdefault(key, [0, 0, 0, 0, 0])
+                if content == 0:
+                    slot[0] += d["record_count"]
+                    slot[1] += 1
+                    slot[2] += d.get("size", 0)
+                elif content == 1:
+                    slot[3] += 1
+                else:
+                    slot[4] += 1
+        return self.spark.createDataFrame(
+            [
+                (k, s[0], s[1], s[2], s[3], s[4])
+                for k, s in sorted(agg.items())
+            ],
+            "partition string, record_count long, file_count int, "
+            "total_size long, position_delete_file_count int, "
+            "equality_delete_file_count int",
+        )
+
+    def refs_df(self) -> DataFrame:
+        """The ``#refs`` metadata table: every named ref (the spec's
+        ``refs`` map in metadata.json) with its type and pinned
+        snapshot — ``main`` always tracks the current snapshot."""
+        meta = self._metadata()
+        return self.spark.createDataFrame(
+            [
+                (name, r["type"], r["snapshot-id"])
+                for name, r in sorted(meta.get("refs", {}).items())
+            ],
+            "name string, type string, snapshot_id long",
+        )
+
     # -- write path ----------------------------------------------------
 
     @classmethod
@@ -1290,6 +1365,87 @@ class IcebergNativeTable:
         snapshots keep their own manifest lists, so time travel across
         the rewrite still reads the pre-compaction state."""
         self._commit(self.scan(), operation="replace", first=False, replace=True)
+
+    def rewrite_position_deletes(self) -> int:
+        """Iceberg's ``rewrite_position_deletes`` procedure at the format
+        level: consolidate every position-delete file the current
+        snapshot references into one fresh file set, dropping coordinates
+        that point at data files no longer live (dangling debt). Data
+        files and equality deletes are untouched; older snapshots keep
+        their own manifest lists, so time travel still reads the original
+        delete files. Returns the number of delete files consolidated.
+
+        The consolidated files commit at a NEW (higher) sequence number.
+        That widens the ``delete-seq >= data-seq`` gate, which is safe
+        for position deletes only: a (file, pos) coordinate can only
+        ever name the row it named before, because data files are
+        immutable and never re-added under the same path. (The same
+        rewrite is NOT legal for equality deletes — raising their
+        sequence number would start killing rows committed after them.)
+        This mirrors how a churned CDC table pays down its delete-file
+        debt without the full data rewrite ``compact()`` performs —
+        thousands of tiny delete files is the scan-planning killer at
+        100 TB."""
+        meta, version = self._read_tree()
+        _, _, data, pos_del, _eq = self._plan()
+        if len(pos_del) <= 1:
+            return 0
+        dels = (
+            self.spark.read.parquet(*[d["path"] for d in pos_del])
+            .select("file_path", "pos")
+            .dropDuplicates()
+        )
+        live = F.broadcast(
+            self.spark.createDataFrame(
+                [(self._file_uri(d["path"]),) for d in data],
+                "file_path string",
+            )
+        )
+        dels = dels.join(live, "file_path", "left_semi")
+        seq = meta["last-sequence-number"] + 1
+        out = os.path.join(
+            self.location,
+            "data",
+            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel",
+        )
+        # bound the output file count without a driver bottleneck: a
+        # ~16x consolidation per pass (1 file at toy scale; a 100 TB
+        # table's delete debt still shrinks geometrically per run)
+        dels.coalesce(max(1, len(pos_del) // 16)).write.mode(
+            "error"
+        ).parquet(out)
+        paths = [
+            os.path.join(out, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+        manifest = self._write_delete_manifest(
+            meta, seq, paths, content=1, equality_ids=None
+        )
+
+        def _keep(mf: dict) -> bool:
+            # keep data manifests and any delete manifest that carries
+            # equality deletes; drop pure position-delete manifests
+            # (ours are uniform per commit — a foreign MIXED manifest is
+            # kept whole: its position deletes then apply twice, which
+            # an anti-join makes idempotent)
+            if mf.get("content", 0) != 1:
+                return True
+            entries = self._entries(mf["manifest_path"])
+            return any(
+                e["data_file"].get("content") == 2 for e in entries
+            )
+
+        self._commit(
+            None,
+            operation="replace",
+            first=False,
+            delete_manifest=manifest,
+            base=(meta, version),
+            delete_rows_key="added-position-deletes",
+            carry_filter=_keep,
+        )
+        return len(pos_del)
 
     # spec v2: the ONLY legal primitive promotions
     _PROMOTIONS = {("int", "long"), ("float", "double")}
@@ -1747,6 +1903,12 @@ class IcebergNativeTable:
                     continue
                 p = os.path.join(root, n)
                 md = pq.ParquetFile(p).metadata  # footer only
+                if md.num_rows == 0:
+                    # Spark's committer emits an empty part file for
+                    # task 0 even when its partition has no rows;
+                    # Iceberg never registers 0-row files — each one
+                    # would cost a scan task forever
+                    continue
                 lower, upper = self._file_bounds(
                     md, {f["name"]: f for f in sch["fields"]}
                 )
@@ -1774,6 +1936,7 @@ class IcebergNativeTable:
         base: tuple[dict, int] | None = None,
         delete_rows_key: str | None = None,
         summary_extra: dict | None = None,
+        carry_filter=None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -1898,7 +2061,14 @@ class IcebergNativeTable:
         # across the rewrite stays intact
         if meta["snapshots"] and not replace:
             prev = self._snapshot(meta)
-            manifests.extend(self._manifests(prev))
+            carried = self._manifests(prev)
+            if carry_filter is not None:
+                # a rewrite (e.g. rewrite_position_deletes) replaces a
+                # SUBSET of the carried manifests with a consolidated
+                # one; everything it keeps retains its original
+                # sequence numbers
+                carried = [m for m in carried if carry_filter(m)]
+            manifests.extend(carried)
 
         if df is not None:
             files = self._write_data_files(
@@ -2065,14 +2235,21 @@ class IcebergNativeTable:
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
             fh.write(str(new_v))
 
-    def _commit_delete_files(
-        self, paths: list[str], content: int, equality_ids: list[int] | None
-    ) -> None:
-        """content 1 = position deletes, 2 = equality deletes."""
-        meta, version = self._read_tree()
-        seq = meta["last-sequence-number"] + 1
+    def _write_delete_manifest(
+        self,
+        meta: dict,
+        seq: int,
+        paths: list[str],
+        content: int,
+        equality_ids: list[int] | None,
+    ) -> dict:
+        """Write one delete manifest (content 1 = position deletes,
+        2 = equality deletes) for files committing at ``seq`` and return
+        its manifest-list row — shared by the standalone delete commits
+        and the atomic row-delta path."""
         import pyarrow.parquet as pq
 
+        counted = [(p, pq.ParquetFile(p).metadata.num_rows) for p in paths]
         entries = [
             {
                 "status": 1,
@@ -2084,7 +2261,7 @@ class IcebergNativeTable:
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
                     "partition": {},
-                    "record_count": pq.ParquetFile(p).metadata.num_rows,
+                    "record_count": n,
                     "file_size_in_bytes": os.path.getsize(p),
                     "equality_ids": equality_ids,
                     "lower_bounds": None,
@@ -2092,7 +2269,10 @@ class IcebergNativeTable:
                     "sort_order_id": None,
                 },
             }
-            for p in paths
+            # skip the committer's empty part files (same rule as the
+            # data side: Iceberg never registers 0-row files)
+            for p, n in counted
+            if n > 0
         ]
         entry_schema = _manifest_entry_schema([])
         mpath = os.path.join(
@@ -2111,27 +2291,38 @@ class IcebergNativeTable:
         )
         with open(mpath, "wb") as fh:
             fh.write(blob)
+        return {
+            "manifest_path": mpath,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": seq,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+            ),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    def _commit_delete_files(
+        self, paths: list[str], content: int, equality_ids: list[int] | None
+    ) -> None:
+        """content 1 = position deletes, 2 = equality deletes."""
+        meta, version = self._read_tree()
+        seq = meta["last-sequence-number"] + 1
+        manifest = self._write_delete_manifest(
+            meta, seq, paths, content, equality_ids
+        )
         self._commit(
             None,
             operation="delete",
             first=False,
-            delete_manifest={
-                "manifest_path": mpath,
-                "manifest_length": len(blob),
-                "partition_spec_id": 0,
-                "content": 1,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": seq,
-                "added_files_count": len(entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(
-                    e["data_file"]["record_count"] for e in entries
-                ),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            },
+            delete_manifest=manifest,
             base=(meta, version),
             delete_rows_key="added-position-deletes"
             if content == 1
@@ -2174,6 +2365,59 @@ class IcebergNativeTable:
             if n.endswith(".parquet")
         ]
         self._commit_delete_files(paths, content=2, equality_ids=ids)
+
+    def row_delta(
+        self,
+        rows: DataFrame,
+        eq_cols: list[str],
+        delete_keys: DataFrame | None = None,
+        summary: dict | None = None,
+    ) -> None:
+        """Atomic upsert: equality-delete files AND new data files in ONE
+        snapshot — the reference's ``newRowDelta().addDeletes(deletes)
+        .addRows(rows).commit()`` (IcebergJavaApiUpsert.java:109-115).
+        Both sides land at the same sequence number; the spec's strict
+        sequence gate (an equality delete applies only to rows committed
+        at a LOWER sequence) is exactly what makes the new rows survive
+        the deletes they ship with.
+
+        ``delete_keys`` defaults to the key projection of ``rows`` —
+        the upsert case, where each incoming row replaces any prior row
+        sharing its ``eq_cols``. Pass it explicitly to also retire keys
+        that get no replacement row."""
+        meta, version = self._read_tree()
+        seq = meta["last-sequence-number"] + 1
+        sch = self._current_schema(meta)
+        ids = [
+            next(f["id"] for f in sch["fields"] if f["name"] == c)
+            for c in eq_cols
+        ]
+        keys = (delete_keys if delete_keys is not None else rows).select(
+            *eq_cols
+        )
+        out = os.path.join(
+            self.location,
+            "data",
+            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-eqdel",
+        )
+        keys.write.mode("error").parquet(out)
+        paths = [
+            os.path.join(out, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+        manifest = self._write_delete_manifest(
+            meta, seq, paths, content=2, equality_ids=ids
+        )
+        self._commit(
+            rows,
+            operation="overwrite",
+            first=False,
+            delete_manifest=manifest,
+            base=(meta, version),
+            delete_rows_key="added-equality-deletes",
+            summary_extra=summary,
+        )
 
 
 _ICE_TO_DDL = {
@@ -2604,4 +2848,142 @@ def iceberg_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.unionByName(back)
         .select("probe", "event_type", "n_rows", "total_value")
         .orderBy("probe", "event_type")
+    )
+
+
+def iceberg_native_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Java-API upsert as ONE atomic row-delta commit
+    (IcebergJavaApiUpsert.java:100-115: ``newRowDelta().addDeletes(
+    deletes).addRows(rows).commit()``): a customer table sorted by key
+    (``replaceSortOrder().asc`` parity, IcebergJavaApiUpsert.java:101-104)
+    takes replacement rows for every c_custkey % 100 == 0 plus two brand
+    new keys — equality-delete files and data files land at the SAME
+    sequence number, so the deletes retire only the prior generation and
+    the replacements survive. n_snapshots = 2 pins atomicity: a
+    delete-then-append implementation would commit 3."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_native_upsert", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(spark, loc, cust, sort_by=["c_custkey"])
+    updates = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .withColumn("c_name", F.concat(F.lit("updated-"), F.col("c_name")))
+        .withColumn("c_acctbal", F.col("c_custkey").cast("double") * 2.0)
+    )
+    news = spark.createDataFrame(
+        [(9_000_001, "new-1", 10.0), (9_000_002, "new-2", 20.0)],
+        "c_custkey long, c_name string, c_acctbal double",
+    )
+    t.row_delta(updates.unionByName(news), ["c_custkey"])
+    n_snaps = t.snapshots_df().count()
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_name").startswith("updated-"), 1)).alias(
+            "n_updated"
+        ),
+        F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
+        F.lit(n_snaps).cast("long").alias("n_snapshots"),
+    )
+
+
+def iceberg_native_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``#manifests`` metadata table (IcebergHadoopTables.java:44-47
+    demonstrates ``#history/#snapshots/#manifests/#files``): three
+    appends each add one data manifest — all three stay referenced by
+    the current snapshot's manifest list (carry-forward accretion) —
+    and an equality-delete commit adds one delete manifest. The
+    aggregate pins both the manifest counts per content type and the
+    added-row bookkeeping against the raw source."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_native_manifests", fresh=True)
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, nat.filter(F.col("n_nationkey") < 10)
+    )
+    t.append(
+        nat.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20))
+    )
+    t.append(nat.filter(F.col("n_nationkey") >= 20))
+    t.add_equality_deletes(
+        nat.filter(F.col("n_nationkey") == 7).select("n_nationkey"),
+        ["n_nationkey"],
+    )
+    return (
+        t.manifests_df()
+        .groupBy("content")
+        .agg(
+            F.count(F.lit(1)).alias("n_manifests"),
+            F.sum("added_rows_count").alias("added_rows"),
+        )
+        .orderBy("content")
+    )
+
+
+def iceberg_native_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``#partitions`` metadata table: per-partition row totals come
+    straight from the manifests (record_count sums — no data file is
+    opened), which is the planning view compaction pickers read. The
+    oracle recomputes the same totals from the raw rows, so a manifest
+    bookkeeping drift hash-mismatches."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_native_partitions", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, orders, partition_by=["o_orderstatus"]
+    )
+    return (
+        t.partitions_df()
+        .select(
+            F.get_json_object("partition", "$.o_orderstatus").alias(
+                "o_orderstatus"
+            ),
+            "record_count",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_position_deletes`` at the format level: five separate
+    position-delete commits (the churn shape a CDC stream leaves behind)
+    consolidate into ONE delete file set in one replace snapshot — the
+    scan result is unchanged, and files_df pins the delete-file count
+    dropping from 5 to 1. At 100 TB this is the maintenance pass that
+    keeps MOR scan planning bounded."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_rewrite_deletes", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(spark, loc, cust)
+    for r in range(5):
+        live = t.scan(with_coordinates=True)
+        # repartition(2) pins the written delete-file count (round-robin,
+        # both partitions non-empty) so the before/after columns are
+        # deterministic: 5 commits x 2 files -> 1 consolidated file
+        t.add_position_deletes(
+            live.filter(F.col("c_custkey") % 10 == r)
+            .select("file_path", "pos")
+            .repartition(2)
+        )
+    n_before = t.files_df().filter(F.col("content") == 1).count()
+    t.rewrite_position_deletes()
+    n_after = t.files_df().filter(F.col("content") == 1).count()
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
+        F.lit(n_before).cast("int").alias("delete_files_before"),
+        F.lit(n_after).cast("int").alias("delete_files_after"),
     )

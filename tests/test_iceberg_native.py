@@ -1238,3 +1238,133 @@ def test_rollback_and_incremental_scan_rules(spark, tmp_path):
         t.incremental_df(from_snapshot_id=2)
     with pytest.raises(ValueError, match="does not exist"):
         t.rollback_to(99)
+
+
+def test_row_delta_atomic_upsert(spark, tmp_path):
+    """newRowDelta().addDeletes().addRows().commit() parity
+    (IcebergJavaApiUpsert.java:109-115): ONE snapshot carries both the
+    equality deletes and the replacement rows; same-sequence rows
+    survive their own deletes (strict gate); time travel to the
+    pre-upsert snapshot still reads the original generation."""
+    df = spark.createDataFrame(
+        [(i, f"name-{i}", float(i)) for i in range(20)],
+        "k long, name string, v double",
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    rows = spark.createDataFrame(
+        [(3, "updated-3", 30.0), (7, "updated-7", 70.0), (99, "new-99", 9.9)],
+        "k long, name string, v double",
+    )
+    t.row_delta(rows, ["k"])
+
+    meta = t._metadata()
+    assert len(meta["snapshots"]) == 2  # atomic: not delete-then-append
+    snap = meta["snapshots"][-1]
+    assert snap["summary"]["operation"] == "overwrite"
+    assert int(snap["summary"]["added-equality-deletes"]) == 3
+    assert int(snap["summary"]["added-records"]) == 3
+    # delete files and data files share the commit's sequence number
+    _, _, data, _, eq_del = t._plan()
+    new_seq = snap["sequence-number"]
+    assert {d["seq"] for d in eq_del} == {new_seq}
+    assert new_seq in {d["seq"] for d in data}
+
+    got = {r["k"]: (r["name"], r["v"]) for r in t.scan().collect()}
+    assert len(got) == 21
+    assert got[3] == ("updated-3", 30.0)
+    assert got[7] == ("updated-7", 70.0)
+    assert got[99] == ("new-99", 9.9)
+    assert got[5] == ("name-5", 5.0)
+    # pre-upsert snapshot unaffected
+    before = {r["k"]: r["name"] for r in t.scan(snapshot_id=1).collect()}
+    assert before[3] == "name-3" and 99 not in before
+
+    # explicit delete_keys retires keys with no replacement row
+    t.row_delta(
+        spark.createDataFrame([(0, "zero-reborn", 0.5)], "k long, name string, v double"),
+        ["k"],
+        delete_keys=spark.createDataFrame([(0,), (1,), (2,)], "k long"),
+    )
+    after = {r["k"] for r in t.scan().collect()}
+    assert 0 in after and 1 not in after and 2 not in after
+
+
+def test_metadata_tables_manifests_partitions_refs(spark, tmp_path):
+    """#manifests/#partitions/#refs mirror the metadata tree: manifest
+    rows accrete by carry-forward with per-content bookkeeping,
+    partition totals come from manifests only, refs list main + tags."""
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O", float(i)) for i in range(30)],
+        "k long, status string, v double",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=["status"]
+    )
+    t.append(
+        spark.createDataFrame([(100, "F", 1.0)], "k long, status string, v double")
+    )
+    t.add_equality_deletes(
+        spark.createDataFrame([(100,)], "k long"), ["k"]
+    )
+    m = {
+        (r["content"], r["sequence_number"]): r
+        for r in t.manifests_df().collect()
+    }
+    assert len(m) == 3  # 2 data manifests carried forward + 1 delete
+    assert m[(0, 1)]["added_rows_count"] == 30
+    assert m[(0, 2)]["added_rows_count"] == 1
+    assert m[(1, 3)]["added_rows_count"] == 1
+    assert m[(0, 1)]["added_data_files_count"] >= 1
+
+    p = {
+        json.loads(r["partition"]).get("status"): r
+        for r in t.partitions_df().collect()
+    }
+    # delete files carry an empty partition struct -> their own row
+    assert p["F"]["record_count"] == 11  # 10 original F + 1 appended
+    assert p["O"]["record_count"] == 20
+    assert p["F"]["file_count"] >= 1 and p["F"]["total_size"] > 0
+    assert p[None]["equality_delete_file_count"] == 1
+
+    t.create_tag("v1", snapshot_id=1)
+    refs = {r["name"]: (r["type"], r["snapshot_id"]) for r in t.refs_df().collect()}
+    assert refs["main"] == ("branch", 3)
+    assert refs["v1"] == ("tag", 1)
+
+
+def test_rewrite_position_deletes_consolidates(spark, tmp_path):
+    """rewrite_position_deletes: N position-delete files become one
+    consolidated set in a replace snapshot; the scan result is
+    unchanged, equality deletes are untouched, dangling coordinates
+    (targets compacted away) are dropped, and time travel still reads
+    the original delete files."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    for r in range(3):
+        live = t.scan(with_coordinates=True)
+        t.add_position_deletes(
+            live.filter(F.col("k") % 10 == r).select("file_path", "pos")
+        )
+    t.add_equality_deletes(spark.createDataFrame([(15,)], "k long"), ["k"])
+    before = sorted(r["k"] for r in t.scan().collect())
+    n_pos_before = len(t._plan()[3])
+    assert n_pos_before >= 3
+    snap_before = t._metadata()["current-snapshot-id"]
+
+    assert t.rewrite_position_deletes() == n_pos_before
+    assert sorted(r["k"] for r in t.scan().collect()) == before
+    _, _, data, pos, eq = t._plan()
+    assert len(pos) == 1 and len(eq) == 1
+    # time travel to the pre-rewrite snapshot sees the original files
+    assert len(t._plan(snapshot_id=snap_before)[3]) == n_pos_before
+    assert sorted(
+        r["k"] for r in t.scan(snapshot_id=snap_before).collect()
+    ) == before
+    # consolidated coordinates only reference live data files
+    live_uris = {t._file_uri(d["path"]) for d in data}
+    dels = spark.read.parquet(pos[0]["path"]).collect()
+    assert dels and all(r["file_path"] in live_uris for r in dels)
+    # a second run is a no-op (already consolidated)
+    assert t.rewrite_position_deletes() == 0
