@@ -95,6 +95,13 @@ HEADLINE = [
     "iceberg_native_schema_evolution",
     "iceberg_native_sql_replay",
     "iceberg_bounds_prune",
+    # round-10: atomic row-delta upsert, both DELETE modes, and the
+    # position-delete consolidation pass
+    "iceberg_native_upsert",
+    "iceberg_delete_modes",
+    "iceberg_rewrite_deletes",
+    # round-10: lexical + dense reciprocal-rank fusion
+    "hybrid_rrf_search",
     "binary_files_ingest",
     "jsonl_shard_export",
     "mixture_temperature",

@@ -247,3 +247,103 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return emb.mapInArrow(kernel, "vec_id bigint, sumsq_s bigint")
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_LIST_K = 50  # depth of each input ranking fed to the fusion
+RRF_TOPK = 10
+RRF_QUERY_VEC_ID = 0  # dense query = doc 0's embedding
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    "Reciprocal rank fusion outperforms Condorcet..."): fuse a BM25
+    lexical ranking over ``documents.text`` with a dense cosine ranking
+    over the SAME id space (``embeddings.vec_id`` = ``documents.doc_id``)
+    against one fixed query vector; rrf = sum over lists of
+    1/(60 + rank); top-10 by fused score.
+
+    Scale design: each input ranking is cut to its top-50 BEFORE the
+    fusion join (orderBy + limit = AQE partial per-partition top-k, a
+    single-reducer merge of kilobytes), so the full-outer fusion join
+    touches <=100 rows no matter the corpus size; the per-corpus work is
+    the two underlying one-pass rankings. The rank windows run on the
+    already-limited lists, never corpus-wide."""
+    from iceberg_examples_spark.operators.llm_quality import (
+        BM25_QUERY_TERMS,
+        bm25_total_sql,
+    )
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    per_doc = docs.select(
+        "doc_id",
+        F.expr("cast(size(tk) as double)").alias("dl"),
+        *[
+            F.expr(
+                f"cast(size(filter(tk, x -> x = '{t}')) as double)"
+            ).alias(f"tf_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.expr("cast(count(*) as double)").alias("nd"),
+        F.expr("sum(dl) / cast(count(*) as double)").alias("avgdl"),
+        *[
+            F.expr(
+                f"cast(sum(case when tf_{t} > 0 then 1 else 0 end) as double)"
+            ).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    lex_top = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(f"({bm25_total_sql()})").alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_LIST_K)
+    )
+    lex = lex_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r_lex"),
+    )
+
+    emb = _with_norm(spread(load_table(spark, sf_dir, "embeddings")))
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    dense_top = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"),
+            (
+                F.expr(_DOT.format(a="q_emb", b="embedding"))
+                / (F.col("q_norm") * F.col("norm"))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("id"))
+        .limit(RRF_LIST_K)
+    )
+    dense = dense_top.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("id")))
+        .cast("bigint")
+        .alias("r_dense"),
+    )
+
+    one = F.lit(1.0)
+    fused = lex.join(dense, "id", "full_outer").select(
+        "id",
+        "r_lex",
+        "r_dense",
+        (
+            F.coalesce(one / (F.col("r_lex") + RRF_K), F.lit(0.0))
+            + F.coalesce(one / (F.col("r_dense") + RRF_K), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("id")).limit(RRF_TOPK)

@@ -905,6 +905,18 @@ SELECT count(*) AS n_rows,
 FROM customer WHERE c_custkey % 10 NOT IN (0, 1, 2, 3, 4)
 """
 
+EXT_ORACLES["iceberg_delete_modes"] = f"""
+SELECT 'merge-on-read' AS mode, count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price,
+       true AS has_delete_files
+FROM orders WHERE o_orderstatus <> 'F'
+UNION ALL
+SELECT 'copy-on-write', count(*),
+       {money_sum_sql('o_totalprice', scale=100)}, false
+FROM orders WHERE o_orderstatus <> 'F'
+ORDER BY mode
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty
@@ -1789,6 +1801,61 @@ SELECT doc_id, bm25 FROM scored
 WHERE bm25 > 0.0
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT {BM25_TOPK}
+"""
+
+EXT_ORACLES["hybrid_rrf_search"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+per_doc AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS dl,
+         {_bm25_tf_cols}
+  FROM t
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd,
+         sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {_bm25_df_cols}
+  FROM per_doc
+),
+lex_top AS (
+  SELECT doc_id, ({bm25_total_sql()}) AS bm25
+  FROM per_doc CROSS JOIN stats
+  WHERE ({bm25_total_sql()}) > 0.0
+  ORDER BY bm25 DESC, doc_id ASC
+  LIMIT 50
+),
+lex AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS r_lex
+  FROM lex_top
+),
+n AS (SELECT vec_id, embedding, {DUCK_NORM.format(a="embedding")} AS norm
+      FROM embeddings),
+q AS (SELECT embedding AS q_emb, norm AS q_norm FROM n WHERE vec_id = 0),
+dense_top AS (
+  SELECT vec_id AS id,
+         {DUCK_DOT.format(a="q_emb", b="embedding")} / (q_norm * norm)
+           AS cos_sim
+  FROM n CROSS JOIN q
+  WHERE vec_id <> 0
+  ORDER BY cos_sim DESC, id ASC
+  LIMIT 50
+),
+dense AS (
+  SELECT id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, id ASC) AS BIGINT)
+           AS r_dense
+  FROM dense_top
+),
+fused AS (
+  SELECT COALESCE(lex.id, dense.id) AS id, r_lex, r_dense,
+         COALESCE(CAST(1 AS DOUBLE) / (r_lex + 60), CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / (r_dense + 60), CAST(0 AS DOUBLE))
+           AS rrf
+  FROM lex FULL OUTER JOIN dense ON lex.id = dense.id
+)
+SELECT id, r_lex, r_dense, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
 """
 
 EXT_ORACLES["repetition_topgram"] = f"""

@@ -71,6 +71,8 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_native_manifests": IN.iceberg_native_manifests,
     "iceberg_native_partitions": IN.iceberg_native_partitions,
     "iceberg_rewrite_deletes": IN.iceberg_rewrite_deletes,
+    "iceberg_delete_modes": IN.iceberg_delete_modes,
+    "hybrid_rrf_search": SIM.hybrid_rrf_search,
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,

@@ -682,6 +682,12 @@ class IcebergNativeTable:
     reference needs — IcebergHadoopTables.java:36 'avoid caching
     issues' — has no analogue here)."""
 
+    # _plan warns (doesn't fail) past this many manifest entries: the
+    # pure-Python planning loop is ~10-100x slower per entry than the
+    # JVM planner, so a table this churned needs maintenance, not a
+    # silently slow scan
+    PLAN_GUARD_ENTRIES = 200_000
+
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
         self.location = location
@@ -869,7 +875,14 @@ class IcebergNativeTable:
         snapshot — each a list of dicts with path/sequence/partition.
         Driver-side over manifests only (never opens data files); the
         partition filter prunes files by manifest partition values, the
-        same planning step Iceberg runs coordinator-side."""
+        same planning step Iceberg runs coordinator-side. The shape
+        matches the real engine (planning is coordinator-side over
+        MB-scale metadata there too), but this loop is pure Python —
+        10-100x slower per entry than the JVM planner — so a
+        millions-of-files table will feel it; compact() and
+        rewrite_position_deletes() are what keep entry counts bounded,
+        and the guard below says so out loud instead of silently
+        crawling."""
         meta = self._metadata()
         snap = self._snapshot(meta, snapshot_id, as_of_ms, ref)
         if partition_filter:
@@ -890,7 +903,22 @@ class IcebergNativeTable:
                     "(use where= for source-column predicates)"
                 )
         data, pos_del, eq_del = [], [], []
-        for mf in self._manifests(snap):
+        manifest_rows = self._manifests(snap)
+        n_entries = sum(
+            m.get("added_files_count", 0) + m.get("existing_files_count", 0)
+            for m in manifest_rows
+        )
+        if n_entries > self.PLAN_GUARD_ENTRIES:
+            import warnings
+
+            warnings.warn(
+                f"planning {n_entries} manifest entries in Python — at "
+                "this file count driver-side planning dominates; run "
+                "compact() / rewrite_position_deletes() to pay down the "
+                "file-count debt",
+                stacklevel=2,
+            )
+        for mf in manifest_rows:
             wsch, entries = self._entries_and_schema(mf["manifest_path"])
             wtypes = {
                 f["id"]: f["type"]
@@ -1423,17 +1451,19 @@ class IcebergNativeTable:
             meta, seq, paths, content=1, equality_ids=None
         )
 
-        def _keep(mf: dict) -> bool:
+        def _keep(mf: dict):
             # keep data manifests and any delete manifest that carries
             # equality deletes; drop pure position-delete manifests
             # (ours are uniform per commit — a foreign MIXED manifest is
             # kept whole: its position deletes then apply twice, which
             # an anti-join makes idempotent)
             if mf.get("content", 0) != 1:
-                return True
+                return mf
             entries = self._entries(mf["manifest_path"])
-            return any(
-                e["data_file"].get("content") == 2 for e in entries
+            return (
+                mf
+                if any(e["data_file"].get("content") == 2 for e in entries)
+                else None
             )
 
         self._commit(
@@ -1446,6 +1476,120 @@ class IcebergNativeTable:
             carry_filter=_keep,
         )
         return len(pos_del)
+
+    def _rewrite_manifest_without(self, mf: dict, dead: set[str]):
+        """Carry a manifest forward minus the entries for ``dead`` data
+        file paths. Surviving entries keep their explicit sequence
+        numbers (the carry-forward rule); the original manifest file is
+        untouched, so older snapshots that reference it still read every
+        entry. Returns ``mf`` unchanged when nothing in it died, ``None``
+        when everything did, else the rewritten manifest-list row.
+        (Real Iceberg would mark removed entries status=DELETED in the
+        new manifest for changelog consumers; dropping them reads the
+        same for scans.)"""
+        with open(_strip_scheme(mf["manifest_path"]), "rb") as f:
+            data = f.read()
+        schema_text, _, fmeta, rows = read_container_with_meta(data)
+        rows = list(rows)
+        keep = [
+            e
+            for e in rows
+            if _strip_scheme(e["data_file"]["file_path"]) not in dead
+        ]
+        if len(keep) == len(rows):
+            return mf
+        if not keep:
+            return None
+        fmeta = {
+            k: v
+            for k, v in fmeta.items()
+            if k not in ("avro.schema", "avro.codec")
+        }
+        mpath = os.path.join(
+            self.meta_dir, f"manifest-rw-{uuid.uuid4().hex[:8]}.avro"
+        )
+        blob = write_container(schema_text, iter(keep), meta=fmeta)
+        with open(mpath, "wb") as fh:
+            fh.write(blob)
+        out = dict(mf)
+        out.update(
+            manifest_path=mpath,
+            manifest_length=len(blob),
+            added_files_count=len(keep),
+            added_rows_count=sum(
+                e["data_file"]["record_count"] for e in keep
+            ),
+        )
+        return out
+
+    def delete_where(self, condition, mode: str = "merge-on-read") -> None:
+        """``DELETE FROM t WHERE ...`` at the format level, in both v2
+        modes (the reference runs the SQL form, IcebergSQLDelete.java:
+        28-33; real Iceberg picks the physical strategy from the
+        ``write.delete.mode`` table property):
+
+        - ``merge-on-read``: commit position-delete files for the
+          matching row coordinates — write cost proportional to the
+          DELETED rows; the scan-side debt is paid down later by
+          ``rewrite_position_deletes()`` / ``compact()``.
+        - ``copy-on-write``: rewrite ONLY the files that contain a match
+          (survivor rows re-written at a new sequence number, untouched
+          files carried forward byte-identical) — the table-level
+          ``compact()`` shape would rewrite 100 TB to delete a key;
+          this rewrites just the hit files, which is what makes COW
+          DELETE usable at scale.
+
+        SQL semantics: a row whose predicate evaluates NULL is KEPT
+        (DELETE removes only rows where the predicate is true).
+        ``condition`` is a pyspark Column or a SQL expression string."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "merge-on-read":
+            coords = (
+                self.scan(with_coordinates=True)
+                .filter(cond)
+                .select("file_path", "pos")
+            )
+            self.add_position_deletes(coords)
+            return
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"unknown delete mode {mode!r}: "
+                "use 'merge-on-read' or 'copy-on-write'"
+            )
+        meta, version = self._read_tree()
+        live = self.scan(with_coordinates=True)
+        # file-count-bounded driver hop: the same affected-file planning
+        # step Iceberg's COW writer runs
+        touched = {
+            r["file_path"]
+            for r in live.filter(cond)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        if not touched:
+            return
+        touched_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(p,) for p in sorted(touched)], "file_path string"
+            )
+        )
+        survivors = (
+            live.join(touched_df, "file_path", "left_semi")
+            .filter(~F.coalesce(cond, F.lit(False)))
+            .drop("file_path", "pos")
+        )
+        _, _, data, _, _ = self._plan()
+        dead = {
+            d["path"] for d in data if self._file_uri(d["path"]) in touched
+        }
+        self._commit(
+            survivors,
+            operation="delete",
+            first=False,
+            base=(meta, version),
+            carry_filter=lambda mf: self._rewrite_manifest_without(mf, dead),
+        )
 
     # spec v2: the ONLY legal primitive promotions
     _PROMOTIONS = {("int", "long"), ("float", "double")}
@@ -2063,11 +2207,13 @@ class IcebergNativeTable:
             prev = self._snapshot(meta)
             carried = self._manifests(prev)
             if carry_filter is not None:
-                # a rewrite (e.g. rewrite_position_deletes) replaces a
-                # SUBSET of the carried manifests with a consolidated
-                # one; everything it keeps retains its original
-                # sequence numbers
-                carried = [m for m in carried if carry_filter(m)]
+                # a rewrite (rewrite_position_deletes, COW delete_where)
+                # maps each carried manifest to: itself (untouched), a
+                # surgically rewritten replacement, or None (dropped);
+                # everything kept retains its original sequence numbers
+                carried = [
+                    r for m in carried if (r := carry_filter(m)) is not None
+                ]
             manifests.extend(carried)
 
         if df is not None:
@@ -2987,3 +3133,37 @@ def iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_before).cast("int").alias("delete_files_before"),
         F.lit(n_after).cast("int").alias("delete_files_after"),
     )
+
+
+def iceberg_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE in both v2 physical modes on the same data
+    (IcebergSQLDelete.java:28-33 is the SQL form; ``write.delete.mode``
+    picks the strategy in real Iceberg): merge-on-read commits position
+    deletes (delete files appear, every original data file survives),
+    copy-on-write rewrites ONLY the files containing a match (no delete
+    files ever exist). Both must read back identically; the per-mode
+    file-shape booleans pin that each took its own physical path."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = []
+    for mode in ("merge-on-read", "copy-on-write"):
+        loc = scratch_dir(sf_dir, f"iceberg_del_{mode[:3]}", fresh=True)
+        t = IcebergNativeTable.create(spark, loc, orders)
+        t.delete_where(F.col("o_orderstatus") == "F", mode=mode)
+        files = t.files_df()
+        has_delete_files = files.filter(F.col("content") != 0).count() > 0
+        out.append(
+            t.scan().agg(
+                F.lit(mode).alias("mode"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                    "total_price"
+                ),
+                F.lit(has_delete_files).alias("has_delete_files"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("mode")

@@ -1368,3 +1368,99 @@ def test_rewrite_position_deletes_consolidates(spark, tmp_path):
     assert dels and all(r["file_path"] in live_uris for r in dels)
     # a second run is a no-op (already consolidated)
     assert t.rewrite_position_deletes() == 0
+
+
+def test_delete_where_merge_on_read_and_copy_on_write(spark, tmp_path):
+    """Both physical DELETE modes produce the same logical table; COW
+    rewrites ONLY files containing a match (untouched files carried
+    forward path-identical via manifest surgery), MOR adds delete files
+    and leaves every data file in place; NULL predicates keep the row
+    (SQL DELETE removes only TRUE)."""
+    rows = [(i, "F" if i < 20 else "O", float(i)) for i in range(40)]
+    rows.append((99, None, 99.0))  # predicate evaluates NULL -> kept
+
+    def fresh(name):
+        df = spark.createDataFrame(
+            rows, "k long, status string, v double"
+        )
+        t = IcebergNativeTable.create(
+            spark, str(tmp_path / name), df, partition_by=["status"]
+        )
+        # second generation so COW has multiple manifests to operate on
+        t.append(
+            spark.createDataFrame(
+                [(100, "F", 1.0), (101, "O", 2.0)],
+                "k long, status string, v double",
+            )
+        )
+        return t
+
+    expected = sorted(
+        k for k, s, _ in rows + [(100, "F", 0.0), (101, "O", 0.0)]
+        if s != "F"
+    )
+
+    t_mor = fresh("mor")
+    files_before = {
+        r["file_path"] for r in t_mor.files_df().collect()
+    }
+    t_mor.delete_where(F.col("status") == "F", mode="merge-on-read")
+    assert sorted(r["k"] for r in t_mor.scan().collect()) == expected
+    after = t_mor.files_df().collect()
+    assert {r["file_path"] for r in after if r["content"] == 0} == {
+        p for p in files_before
+    }  # every data file still present
+    assert any(r["content"] == 1 for r in after)
+
+    t_cow = fresh("cow")
+    before = {
+        r["file_path"]: r["sequence_number"]
+        for r in t_cow.files_df().collect()
+    }
+    untouched = {
+        p for p in before if "/status=O/" in p or "status=O" in p
+    }
+    assert untouched
+    t_cow.delete_where(F.col("status") == "F", mode="copy-on-write")
+    assert sorted(r["k"] for r in t_cow.scan().collect()) == expected
+    after = {
+        r["file_path"]: r["sequence_number"]
+        for r in t_cow.files_df().collect()
+    }
+    # no delete files in COW mode
+    assert all(
+        r["content"] == 0 for r in t_cow.files_df().collect()
+    )
+    # untouched files carried forward with their ORIGINAL sequence numbers
+    for p in untouched:
+        assert after[p] == before[p]
+    # touched files gone, survivors written at the new sequence number
+    assert all("/status=F" not in p or after[p] > 2 for p in after)
+    # time travel: pre-delete snapshot still reads the original files
+    assert (
+        len(t_cow.scan(snapshot_id=2).collect())
+        == len(rows) + 2
+    )
+    # no-op predicate -> no new snapshot
+    n_snaps = len(t_cow._metadata()["snapshots"])
+    t_cow.delete_where(F.col("k") == -1, mode="copy-on-write")
+    assert len(t_cow._metadata()["snapshots"]) == n_snaps
+    with pytest.raises(ValueError, match="delete mode"):
+        t_cow.delete_where(F.col("k") == 1, mode="bogus")
+
+
+def test_cow_delete_preserves_outstanding_mor_deletes(spark, tmp_path):
+    """A COW rewrite of a file with outstanding equality/position
+    deletes must apply them during the rewrite — survivors are taken
+    from the MOR-applied view, so a previously-deleted row cannot be
+    resurrected at the new (higher) sequence number."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.add_equality_deletes(
+        spark.createDataFrame([(5,), (6,)], "k long"), ["k"]
+    )
+    t.delete_where(F.col("k") >= 20, mode="copy-on-write")
+    got = sorted(r["k"] for r in t.scan().collect())
+    assert got == [k for k in range(20) if k not in (5, 6)]
