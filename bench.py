@@ -99,6 +99,8 @@ HEADLINE = [
     # position-delete consolidation pass
     "iceberg_native_upsert",
     "iceberg_delete_modes",
+    "iceberg_update_modes",
+    "iceberg_changelog",
     "iceberg_rewrite_deletes",
     # round-10: lexical + dense reciprocal-rank fusion
     "hybrid_rrf_search",

@@ -917,6 +917,54 @@ FROM orders WHERE o_orderstatus <> 'F'
 ORDER BY mode
 """
 
+EXT_ORACLES["iceberg_update_modes"] = f"""
+WITH updated AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'F'
+              THEN o_totalprice * CAST(2 AS DOUBLE)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT 'copy-on-write' AS mode, count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price,
+       false AS has_delete_files, CAST(2 AS BIGINT) AS n_snapshots
+FROM updated
+UNION ALL
+SELECT 'merge-on-read', count(*),
+       {money_sum_sql('o_totalprice', scale=100)},
+       true, CAST(2 AS BIGINT)
+FROM updated
+ORDER BY mode
+"""
+
+EXT_ORACLES["iceberg_changelog"] = f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, value FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+upd AS (
+  SELECT * FROM base
+  WHERE event_type = 'click' AND value <= 10.0 AND NOT value > 120.0
+)
+SELECT CAST(2 AS BIGINT) AS _commit_snapshot_id, 'insert' AS _change_type,
+       event_type, count(*) AS n_rows,
+       {money_sum_sql('value', scale=100)} AS total_value
+FROM base WHERE event_type = 'purchase' GROUP BY event_type
+UNION ALL
+SELECT 3, 'delete', event_type, count(*),
+       {money_sum_sql('value', scale=100)}
+FROM base WHERE value > 120.0 GROUP BY event_type
+UNION ALL
+SELECT 4, 'delete', event_type, count(*),
+       {money_sum_sql('value', scale=100)}
+FROM upd GROUP BY event_type
+UNION ALL
+SELECT 4, 'insert', event_type, count(*),
+       {money_sum_sql('value + 1000.0', scale=100)}
+FROM upd GROUP BY event_type
+ORDER BY _commit_snapshot_id, _change_type, event_type
+"""
+
 EXT_ORACLES["iceberg_native_time_travel"] = """
 SELECT 1 AS snapshot_id, count(*) AS n_rows,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty

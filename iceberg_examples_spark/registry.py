@@ -73,6 +73,8 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_rewrite_deletes": IN.iceberg_rewrite_deletes,
     "iceberg_delete_modes": IN.iceberg_delete_modes,
     "hybrid_rrf_search": SIM.hybrid_rrf_search,
+    "iceberg_update_modes": IN.iceberg_update_modes,
+    "iceberg_changelog": IN.iceberg_changelog,
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,

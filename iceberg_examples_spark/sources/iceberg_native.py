@@ -1477,6 +1477,124 @@ class IcebergNativeTable:
         )
         return len(pos_del)
 
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        mode: str = "merge-on-read",
+    ) -> None:
+        """``UPDATE t SET ... WHERE ...`` at the format level, in both v2
+        modes (real Iceberg's ``write.update.mode``):
+
+        - ``merge-on-read``: ONE snapshot carrying position-delete files
+          for the matched coordinates AND data files with the updated
+          rows — the row-delta shape again, position-delete flavored;
+          write cost proportional to the UPDATED rows.
+        - ``copy-on-write``: rewrite only the files containing a match,
+          assignments applied in place, untouched files carried forward
+          path-identical (same manifest surgery as ``delete_where``).
+
+        ``assignments`` maps column name -> Column / SQL expression
+        string, evaluated SIMULTANEOUSLY against the pre-update row
+        (SQL UPDATE semantics: ``SET a = b, b = a`` swaps); each result
+        is cast back to the column's declared type so the written files
+        cannot drift the schema. Rows where the predicate is NULL are
+        untouched."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        meta, version = self._read_tree()
+        sch = self._current_schema(meta)
+        names = [f["name"] for f in sch["fields"]]
+        unknown = sorted(set(assignments) - set(names))
+        if unknown:
+            raise ValueError(f"unknown column(s) in SET: {unknown}")
+        assigns = {
+            c: (F.expr(e) if isinstance(e, str) else e).cast(
+                _ice_to_ddl(sch["fields"][names.index(c)]["type"])
+            )
+            for c, e in assignments.items()
+        }
+
+        def apply_set(frame: DataFrame, only_matching: bool) -> DataFrame:
+            # one SELECT = simultaneous evaluation against the old row
+            return frame.select(
+                *[
+                    (
+                        assigns[c]
+                        if only_matching
+                        else F.when(cond, assigns[c]).otherwise(F.col(c))
+                    ).alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in names
+                ]
+            )
+
+        if mode == "merge-on-read":
+            seq = meta["last-sequence-number"] + 1
+            matched = self.scan(with_coordinates=True).filter(cond)
+            out = os.path.join(
+                self.location,
+                "data",
+                f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel",
+            )
+            matched.select("file_path", "pos").write.mode("error").parquet(
+                out
+            )
+            paths = [
+                os.path.join(out, n)
+                for n in sorted(os.listdir(out))
+                if n.endswith(".parquet")
+            ]
+            manifest = self._write_delete_manifest(
+                meta, seq, paths, content=1, equality_ids=None
+            )
+            self._commit(
+                apply_set(matched.drop("file_path", "pos"), True),
+                operation="overwrite",
+                first=False,
+                delete_manifest=manifest,
+                base=(meta, version),
+                delete_rows_key="added-position-deletes",
+            )
+            return
+        if mode != "copy-on-write":
+            raise ValueError(
+                f"unknown update mode {mode!r}: "
+                "use 'merge-on-read' or 'copy-on-write'"
+            )
+        live = self.scan(with_coordinates=True)
+        touched = {
+            r["file_path"]
+            for r in live.filter(cond)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        if not touched:
+            return
+        touched_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(p,) for p in sorted(touched)], "file_path string"
+            )
+        )
+        rewritten = apply_set(
+            live.join(touched_df, "file_path", "left_semi").drop(
+                "file_path", "pos"
+            ),
+            False,
+        )
+        _, _, data, _, _ = self._plan()
+        dead = {
+            d["path"] for d in data if self._file_uri(d["path"]) in touched
+        }
+        self._commit(
+            rewritten,
+            operation="overwrite",
+            first=False,
+            base=(meta, version),
+            carry_filter=lambda mf: self._rewrite_manifest_without(mf, dead),
+        )
+
     def _rewrite_manifest_without(self, mf: dict, dead: set[str]):
         """Carry a manifest forward minus the entries for ``dead`` data
         file paths. Surviving entries keep their explicit sequence
@@ -1808,6 +1926,115 @@ class IcebergNativeTable:
                 [], self._schema_struct(meta, cur_sch)
             )
         return self.spark.read.parquet(*picked)
+
+    def changelog_df(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed over ``(from, to]`` — the shape of
+        Iceberg's ``create_changelog_view``: every logical row change
+        between consecutive snapshots, tagged ``_change_type``
+        ('insert' | 'delete') and ``_commit_snapshot_id``. An UPDATE
+        surfaces as delete(pre-image) + insert(post-image); compaction
+        and rewrite_position_deletes contribute NOTHING (their adds and
+        removes cancel in the multiset diff) — which is exactly the
+        logical-change contract.
+
+        Mechanism: per consecutive snapshot pair, ``exceptAll`` between
+        the two MOR-applied views restricted to the files the commit
+        CHANGED (added, removed, or targeted by its new position
+        deletes) — rows in untouched files cancel by construction, so
+        the diff costs changed-file bytes, not table bytes. Only an
+        equality-delete commit falls back to a full-state diff (an
+        equality delete can kill rows in any earlier file).
+
+        Raises on a range that spans a schema change: the pre/post
+        images of one commit must share a schema to diff; split the
+        range at the evolution point."""
+        meta = self._metadata()
+        snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        ids = [s["snapshot-id"] for s in snaps]
+        lo = 0 if from_snapshot_id is None else ids.index(from_snapshot_id)
+        hi = (
+            len(ids) - 1
+            if to_snapshot_id is None
+            else ids.index(to_snapshot_id)
+        )
+        out = None
+        for i in range(lo + 1, hi + 1):
+            prev_s, cur_s = snaps[i - 1], snaps[i]
+            if prev_s.get("schema-id", 0) != cur_s.get("schema-id", 0):
+                raise ValueError(
+                    "changelog across a schema change is not supported; "
+                    f"split the range at snapshot {cur_s['snapshot-id']}"
+                )
+            _, _, pdata, ppos, peq = self._plan(prev_s["snapshot-id"])
+            _, _, cdata, cpos, ceq = self._plan(cur_s["snapshot-id"])
+            prev_paths = {d["path"] for d in pdata}
+            cur_paths = {d["path"] for d in cdata}
+            new_eq = {d["path"] for d in ceq} - {d["path"] for d in peq}
+            new_pos = [
+                d
+                for d in cpos
+                if d["path"] not in {x["path"] for x in ppos}
+            ]
+            prev_view = self.scan(
+                snapshot_id=prev_s["snapshot-id"], with_coordinates=True
+            )
+            cur_view = self.scan(
+                snapshot_id=cur_s["snapshot-id"], with_coordinates=True
+            )
+            if not new_eq:
+                affected = {
+                    self._file_uri(p)
+                    for p in (cur_paths ^ prev_paths)
+                }
+                if new_pos:
+                    # the files a new position-delete file targets: a
+                    # bounded driver hop (distinct file paths, not rows)
+                    affected |= {
+                        r["file_path"]
+                        for r in self.spark.read.parquet(
+                            *[d["path"] for d in new_pos]
+                        )
+                        .select("file_path")
+                        .distinct()
+                        .collect()
+                    }
+                if not affected:
+                    continue
+                adf = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(p,) for p in sorted(affected)],
+                        "file_path string",
+                    )
+                )
+                prev_view = prev_view.join(adf, "file_path", "left_semi")
+                cur_view = cur_view.join(adf, "file_path", "left_semi")
+            prev_view = prev_view.drop("file_path", "pos")
+            cur_view = cur_view.drop("file_path", "pos")
+            chunk = (
+                cur_view.exceptAll(prev_view)
+                .withColumn("_change_type", F.lit("insert"))
+                .unionByName(
+                    prev_view.exceptAll(cur_view).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+                .withColumn(
+                    "_commit_snapshot_id",
+                    F.lit(cur_s["snapshot-id"]).cast("long"),
+                )
+            )
+            out = chunk if out is None else out.unionByName(chunk)
+        if out is None:
+            sch = self._schema_struct(meta)
+            empty = self.spark.createDataFrame([], sch)
+            return empty.withColumn(
+                "_change_type", F.lit(None).cast("string")
+            ).withColumn("_commit_snapshot_id", F.lit(None).cast("long"))
+        return out
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
         """Named immutable pointer (spec refs, type=tag). A tagged
@@ -3167,3 +3394,79 @@ def iceberg_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1]).orderBy("mode")
+
+
+def iceberg_update_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE in both v2 physical modes on the same data: merge-on-read
+    commits position deletes + updated rows in ONE snapshot (the
+    row-delta shape), copy-on-write rewrites only the hit files with
+    the assignment applied. Both must read back identically; the
+    file-shape boolean and snapshot count pin that each took its own
+    physical path and that MOR stayed atomic."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = []
+    for mode in ("merge-on-read", "copy-on-write"):
+        loc = scratch_dir(sf_dir, f"iceberg_upd_{mode[:3]}", fresh=True)
+        t = IcebergNativeTable.create(spark, loc, orders)
+        t.update_where(
+            F.col("o_orderstatus") == "F",
+            {"o_totalprice": F.col("o_totalprice") * F.lit(2.0)},
+            mode=mode,
+        )
+        has_delete_files = (
+            t.files_df().filter(F.col("content") != 0).count() > 0
+        )
+        n_snaps = t.snapshots_df().count()
+        out.append(
+            t.scan().agg(
+                F.lit(mode).alias("mode"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                    "total_price"
+                ),
+                F.lit(has_delete_files).alias("has_delete_files"),
+                F.lit(n_snaps).cast("long").alias("n_snapshots"),
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("mode")
+
+
+def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read parity (Iceberg's create_changelog_view): snapshot 2
+    appends purchases (inserts), snapshot 3 position-deletes high-value
+    rows (deletes), snapshot 4 COW-updates cheap clicks (delete
+    pre-image + insert post-image). The changelog aggregates per
+    (commit, change_type, event_type) and the oracle reproduces each
+    commit's logical change declaratively — an off-by-one in the diff
+    restriction or a resurrected row hash-mismatches."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_changelog", fresh=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, ev.filter(F.col("event_type") == "click")
+    )
+    t.append(ev.filter(F.col("event_type") == "purchase"))
+    t.delete_where(F.col("value") > 120.0, mode="merge-on-read")
+    t.update_where(
+        (F.col("event_type") == "click") & (F.col("value") <= 10.0),
+        {"value": F.col("value") + F.lit(1000.0)},
+        mode="copy-on-write",
+    )
+    return (
+        t.changelog_df(from_snapshot_id=1)
+        .groupBy("_commit_snapshot_id", "_change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
+        )
+        .orderBy("_commit_snapshot_id", "_change_type", "event_type")
+    )

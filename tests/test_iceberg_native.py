@@ -1464,3 +1464,100 @@ def test_cow_delete_preserves_outstanding_mor_deletes(spark, tmp_path):
     t.delete_where(F.col("k") >= 20, mode="copy-on-write")
     got = sorted(r["k"] for r in t.scan().collect())
     assert got == [k for k in range(20) if k not in (5, 6)]
+
+
+def test_update_where_modes_and_simultaneous_set(spark, tmp_path):
+    """UPDATE semantics pins: SET a=b, b=a SWAPS (simultaneous
+    evaluation against the pre-update row, not cascaded); MOR commits
+    position deletes + updated rows in ONE snapshot; COW rewrites only
+    hit files (untouched files path-identical); NULL predicates leave
+    the row untouched; assignment results cast back to the column's
+    declared type."""
+    rows = [(i, float(i), float(100 + i)) for i in range(20)]
+    rows.append((99, None, 1.0))  # cond on a evaluates NULL -> untouched
+
+    def fresh(name):
+        return IcebergNativeTable.create(
+            spark,
+            str(tmp_path / name),
+            spark.createDataFrame(rows, "k long, a double, b double"),
+        )
+
+    t = fresh("swap")
+    t.update_where(
+        F.col("a") < 5, {"a": F.col("b"), "b": F.col("a")}, mode="copy-on-write"
+    )
+    got = {r["k"]: (r["a"], r["b"]) for r in t.scan().collect()}
+    assert got[2] == (102.0, 2.0)  # swapped, not cascaded
+    assert got[10] == (10.0, 110.0)  # unmatched untouched
+    assert got[99] == (None, 1.0)  # NULL predicate -> untouched
+
+    # MOR mode: one snapshot, position deletes + data files together
+    t2 = fresh("mor")
+    t2.update_where(
+        F.col("k") % 2 == 0, {"a": F.expr("a + 1000")}, mode="merge-on-read"
+    )
+    meta = t2._metadata()
+    assert len(meta["snapshots"]) == 2
+    snap = meta["snapshots"][-1]
+    assert int(snap["summary"]["added-position-deletes"]) > 0
+    assert int(snap["summary"]["added-records"]) > 0
+    got2 = {r["k"]: r["a"] for r in t2.scan().collect()}
+    assert got2[4] == 1004.0 and got2[5] == 5.0
+    assert len(got2) == len(rows)
+
+    # COW keeps untouched files path-identical; integer-typed column
+    # assignment is cast back (no silent schema drift)
+    t3 = IcebergNativeTable.create(
+        spark,
+        str(tmp_path / "cast"),
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], "k long, s string, n int"
+        ),
+    )
+    t3.update_where(F.col("k") == 1, {"n": F.expr("n / 2")})  # double expr
+    [f] = [x for x in t3.scan().schema.fields if x.name == "n"]
+    assert f.dataType.simpleString() == "int"
+    assert {r["k"]: r["n"] for r in t3.scan().collect()} == {1: 5, 2: 20}
+    with pytest.raises(ValueError, match="unknown column"):
+        t3.update_where(F.col("k") == 1, {"zz": F.lit(1)})
+    with pytest.raises(ValueError, match="update mode"):
+        t3.update_where(F.col("k") == 1, {"n": F.lit(1)}, mode="bogus")
+
+
+def test_changelog_diff_semantics(spark, tmp_path):
+    """changelog_df: appends surface as inserts, MOR deletes as deletes,
+    a COW update as delete(pre)+insert(post); compaction and
+    rewrite_position_deletes contribute NOTHING (adds/removes cancel);
+    a range spanning a schema change raises."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(
+        spark.createDataFrame([(100, 100.0), (101, 101.0)], "k long, v double")
+    )  # s2
+    t.delete_where(F.col("k") == 3, mode="merge-on-read")  # s3
+    t.update_where(F.col("k") == 100, {"v": F.lit(999.0)})  # s4 (MOR)
+    t.compact()  # s5: logically neutral
+    t.rewrite_position_deletes()  # may be a no-op post-compaction
+
+    rows = t.changelog_df(from_snapshot_id=1).collect()
+    by_snap = {}
+    for r in rows:
+        by_snap.setdefault(r["_commit_snapshot_id"], []).append(
+            (r["_change_type"], r["k"], r["v"])
+        )
+    assert sorted(by_snap[2]) == [("insert", 100, 100.0), ("insert", 101, 101.0)]
+    assert by_snap[3] == [("delete", 3, 3.0)]
+    assert sorted(by_snap[4]) == [("delete", 100, 100.0), ("insert", 100, 999.0)]
+    assert set(by_snap) == {2, 3, 4}  # compaction contributed nothing
+
+    t.update_schema(add=[("extra", "string")])
+    t.append(
+        spark.createDataFrame(
+            [(200, 1.0, "x")], "k long, v double, extra string"
+        )
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        t.changelog_df(from_snapshot_id=1).collect()
