@@ -108,9 +108,12 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword search (rational-idf variant) for a fixed query,
-    top-20 docs.
+def bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """(doc_id, bm25) for the fixed query terms, top-``k`` by
+    (bm25 DESC, doc_id) — the ONE construction of the BM25 score text,
+    shared by ``bm25_search`` and ``hybrid_rrf_search`` so the scoring
+    expression (which must stay bit-identical to its DuckDB oracle
+    twin) can never drift between the two.
 
     Scale design: per-term tf and doc length are HOF folds inside ONE
     map-only projection over the corpus — no explode, no shuffle of the
@@ -153,8 +156,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter(F.col("bm25") > 0.0)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPK)
+        .limit(k)
     )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (rational-idf variant) for a fixed query,
+    top-20 docs. See :func:`bm25_ranked` for the construction."""
+    return bm25_ranked(spark, sf_dir, BM25_TOPK)
 
 
 def repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -269,40 +269,9 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches <=100 rows no matter the corpus size; the per-corpus work is
     the two underlying one-pass rankings. The rank windows run on the
     already-limited lists, never corpus-wide."""
-    from iceberg_examples_spark.operators.llm_quality import (
-        BM25_QUERY_TERMS,
-        bm25_total_sql,
-    )
-    from iceberg_examples_spark.operators.text import with_tokens
+    from iceberg_examples_spark.operators.llm_quality import bm25_ranked
 
-    docs = with_tokens(load_table(spark, sf_dir, "documents"))
-    per_doc = docs.select(
-        "doc_id",
-        F.expr("cast(size(tk) as double)").alias("dl"),
-        *[
-            F.expr(
-                f"cast(size(filter(tk, x -> x = '{t}')) as double)"
-            ).alias(f"tf_{t}")
-            for t in BM25_QUERY_TERMS
-        ],
-    )
-    stats = per_doc.agg(
-        F.expr("cast(count(*) as double)").alias("nd"),
-        F.expr("sum(dl) / cast(count(*) as double)").alias("avgdl"),
-        *[
-            F.expr(
-                f"cast(sum(case when tf_{t} > 0 then 1 else 0 end) as double)"
-            ).alias(f"df_{t}")
-            for t in BM25_QUERY_TERMS
-        ],
-    )
-    lex_top = (
-        per_doc.crossJoin(F.broadcast(stats))
-        .select("doc_id", F.expr(f"({bm25_total_sql()})").alias("bm25"))
-        .filter(F.col("bm25") > 0.0)
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(RRF_LIST_K)
-    )
+    lex_top = bm25_ranked(spark, sf_dir, RRF_LIST_K)
     lex = lex_top.select(
         F.col("doc_id").alias("id"),
         F.row_number()

@@ -981,8 +981,22 @@ class IcebergNativeTable:
         where: dict | None = None,
         ref: str | None = None,
         with_coordinates: bool = False,
+        files: set | None = None,
+        snapshot_schema: bool = False,
     ) -> DataFrame:
         """The table's live rows at a snapshot, deletes applied.
+
+        ``files`` restricts the scan to a subset of the snapshot's data
+        files (OS paths): the parquet relation is built from exactly
+        those paths, so a COW rewrite / changelog diff of one hit file
+        reads one file, not the table (a semi-join on
+        ``_metadata.file_path`` would NOT prune the file listing).
+        Delete files still apply in full.
+
+        ``snapshot_schema=True`` reads the snapshot's RECORDED schema
+        even for the current snapshot — the changelog needs pre/post
+        views of one commit to share that commit's schema when the
+        table evolved (metadata-only) after it.
 
         ``with_coordinates=True`` adds the spec's position-delete
         coordinates (``file_path``, ``pos``) to every live row — the
@@ -1051,13 +1065,18 @@ class IcebergNativeTable:
         meta, snap, data, pos_del, eq_del = self._plan(
             snapshot_id, as_of_ms, pf, ref, bounds_f or None
         )
+        if files is not None:
+            data = [d for d in data if d["path"] in files]
         # time travel reads the SNAPSHOT's schema (Iceberg's rule: an
         # old snapshot surfaces the columns it was committed under, not
         # the current ones). The CURRENT snapshot always reads the
         # CURRENT schema — update_schema is a metadata-only commit that
         # creates no snapshot, so the newest snapshot's recorded
         # schema-id legitimately lags the table's.
-        if snap["snapshot-id"] == meta.get("current-snapshot-id"):
+        if (
+            snap["snapshot-id"] == meta.get("current-snapshot-id")
+            and not snapshot_schema
+        ):
             cur_sch = self._current_schema(meta)
         else:
             sid = snap.get("schema-id", meta["current-schema-id"])
@@ -1291,8 +1310,11 @@ class IcebergNativeTable:
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``#partitions`` metadata table: per-partition-value file
         and row totals for the LIVE files of a snapshot, with delete-file
-        counts alongside (how much MOR debt each partition carries) —
-        the planning view operators use to pick compaction targets."""
+        counts alongside. Caveat: this writer emits delete files
+        UNPARTITIONED (partition struct {}), so MOR debt aggregates
+        under the empty-partition row rather than against the
+        partitions the deletes target — a per-partition compaction
+        picker needs the delete writers to partition first."""
         _, _, data, pos_del, eq_del = self._plan(snapshot_id)
         agg: dict[str, list] = {}
         for content, group in ((0, data), (1, pos_del), (2, eq_del)):
@@ -1416,8 +1438,23 @@ class IcebergNativeTable:
         100 TB."""
         meta, version = self._read_tree()
         _, _, data, pos_del, _eq = self._plan()
-        if len(pos_del) <= 1:
+        if not pos_del:
             return 0
+        if len(pos_del) == 1:
+            # single file: rewrite ONLY if it carries dangling
+            # coordinates (targets no longer live) — otherwise this
+            # would churn a new snapshot per call instead of being
+            # idempotent
+            live_uris = {self._file_uri(d["path"]) for d in data}
+            refs = {
+                r["file_path"]
+                for r in self.spark.read.parquet(pos_del[0]["path"])
+                .select("file_path")
+                .distinct()
+                .collect()
+            }
+            if refs <= live_uris:
+                return 0
         dels = (
             self.spark.read.parquet(*[d["path"] for d in pos_del])
             .select("file_path", "pos")
@@ -1548,6 +1585,8 @@ class IcebergNativeTable:
             manifest = self._write_delete_manifest(
                 meta, seq, paths, content=1, equality_ids=None
             )
+            if manifest is None:  # no matching rows: nothing to commit
+                return
             self._commit(
                 apply_set(matched.drop("file_path", "pos"), True),
                 operation="overwrite",
@@ -1562,37 +1601,11 @@ class IcebergNativeTable:
                 f"unknown update mode {mode!r}: "
                 "use 'merge-on-read' or 'copy-on-write'"
             )
-        live = self.scan(with_coordinates=True)
-        touched = {
-            r["file_path"]
-            for r in live.filter(cond)
-            .select("file_path")
-            .distinct()
-            .collect()
-        }
-        if not touched:
-            return
-        touched_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(p,) for p in sorted(touched)], "file_path string"
-            )
-        )
-        rewritten = apply_set(
-            live.join(touched_df, "file_path", "left_semi").drop(
-                "file_path", "pos"
-            ),
-            False,
-        )
-        _, _, data, _, _ = self._plan()
-        dead = {
-            d["path"] for d in data if self._file_uri(d["path"]) in touched
-        }
-        self._commit(
-            rewritten,
-            operation="overwrite",
-            first=False,
-            base=(meta, version),
-            carry_filter=lambda mf: self._rewrite_manifest_without(mf, dead),
+        self._cow_rewrite(
+            cond,
+            lambda f: apply_set(f, False),
+            "overwrite",
+            (meta, version),
         )
 
     def _rewrite_manifest_without(self, mf: dict, dead: set[str]):
@@ -1640,6 +1653,37 @@ class IcebergNativeTable:
         )
         return out
 
+    def _cow_rewrite(self, cond, transform, operation: str, base) -> None:
+        """Shared copy-on-write machinery for delete_where/update_where:
+        find the files containing a match (file-count-bounded driver
+        hop — the same affected-file planning step Iceberg's COW writer
+        runs), rebuild ONLY those files' live rows through ``transform``
+        (the survivor scan is restricted via ``files=`` so it READS
+        only the hit files, not the table), and commit with the
+        untouched manifest entries carried forward path-identical."""
+        touched = {
+            r["file_path"]
+            for r in self.scan(with_coordinates=True)
+            .filter(cond)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+        if not touched:
+            return
+        _, _, data, _, _ = self._plan()
+        dead = {
+            d["path"] for d in data if self._file_uri(d["path"]) in touched
+        }
+        rewritten = transform(self.scan(files=dead))
+        self._commit(
+            rewritten,
+            operation=operation,
+            first=False,
+            base=base,
+            carry_filter=lambda mf: self._rewrite_manifest_without(mf, dead),
+        )
+
     def delete_where(self, condition, mode: str = "merge-on-read") -> None:
         """``DELETE FROM t WHERE ...`` at the format level, in both v2
         modes (the reference runs the SQL form, IcebergSQLDelete.java:
@@ -1674,39 +1718,11 @@ class IcebergNativeTable:
                 f"unknown delete mode {mode!r}: "
                 "use 'merge-on-read' or 'copy-on-write'"
             )
-        meta, version = self._read_tree()
-        live = self.scan(with_coordinates=True)
-        # file-count-bounded driver hop: the same affected-file planning
-        # step Iceberg's COW writer runs
-        touched = {
-            r["file_path"]
-            for r in live.filter(cond)
-            .select("file_path")
-            .distinct()
-            .collect()
-        }
-        if not touched:
-            return
-        touched_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(p,) for p in sorted(touched)], "file_path string"
-            )
-        )
-        survivors = (
-            live.join(touched_df, "file_path", "left_semi")
-            .filter(~F.coalesce(cond, F.lit(False)))
-            .drop("file_path", "pos")
-        )
-        _, _, data, _, _ = self._plan()
-        dead = {
-            d["path"] for d in data if self._file_uri(d["path"]) in touched
-        }
-        self._commit(
-            survivors,
-            operation="delete",
-            first=False,
-            base=(meta, version),
-            carry_filter=lambda mf: self._rewrite_manifest_without(mf, dead),
+        self._cow_rewrite(
+            cond,
+            lambda f: f.filter(~F.coalesce(cond, F.lit(False))),
+            "delete",
+            self._read_tree(),
         )
 
     # spec v2: the ONLY legal primitive promotions
@@ -1949,28 +1965,62 @@ class IcebergNativeTable:
         equality-delete commit falls back to a full-state diff (an
         equality delete can kill rows in any earlier file).
 
-        Raises on a range that spans a schema change: the pre/post
-        images of one commit must share a schema to diff; split the
-        range at the evolution point."""
+        The range follows the CURRENT snapshot lineage (the parent
+        chain from ``to`` back to ``from``): snapshots abandoned by a
+        rollback are not ancestors and contribute nothing; a ``from``
+        that is off the lineage raises. Each view reads its SNAPSHOT's
+        recorded schema, so a metadata-only schema change committed
+        after the tip does not break the diff; a range whose snapshots
+        themselves span a schema change raises — split it at the
+        evolution point."""
         meta = self._metadata()
-        snaps = sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
-        ids = [s["snapshot-id"] for s in snaps]
-        lo = 0 if from_snapshot_id is None else ids.index(from_snapshot_id)
-        hi = (
-            len(ids) - 1
-            if to_snapshot_id is None
-            else ids.index(to_snapshot_id)
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        # walk the CURRENT lineage (parent chain) from the tip, NOT
+        # sequence order: after a rollback the abandoned snapshots are
+        # not ancestors and must not fabricate change events
+        tip = (
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else meta["current-snapshot-id"]
         )
+        chain: list[dict] = []
+        sid = tip
+        while sid is not None:
+            s = snaps[sid]
+            chain.append(s)
+            if from_snapshot_id is not None and sid == from_snapshot_id:
+                break
+            sid = s.get("parent-snapshot-id")
+        chain.reverse()
+        if (
+            from_snapshot_id is not None
+            and chain[0]["snapshot-id"] != from_snapshot_id
+        ):
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{tip}; a rolled-back snapshot has no changelog on "
+                "the current lineage"
+            )
         out = None
-        for i in range(lo + 1, hi + 1):
-            prev_s, cur_s = snaps[i - 1], snaps[i]
+        prev_plan = None
+        for i in range(1, len(chain)):
+            prev_s, cur_s = chain[i - 1], chain[i]
             if prev_s.get("schema-id", 0) != cur_s.get("schema-id", 0):
                 raise ValueError(
                     "changelog across a schema change is not supported; "
                     f"split the range at snapshot {cur_s['snapshot-id']}"
                 )
-            _, _, pdata, ppos, peq = self._plan(prev_s["snapshot-id"])
-            _, _, cdata, cpos, ceq = self._plan(cur_s["snapshot-id"])
+            # each snapshot is planned once; pair i's current plan is
+            # pair i+1's previous plan
+            pplan = (
+                prev_plan
+                if prev_plan is not None
+                else self._plan(prev_s["snapshot-id"])
+            )
+            cplan = self._plan(cur_s["snapshot-id"])
+            prev_plan = cplan
+            _, _, pdata, ppos, peq = pplan
+            _, _, cdata, cpos, ceq = cplan
             prev_paths = {d["path"] for d in pdata}
             cur_paths = {d["path"] for d in cdata}
             new_eq = {d["path"] for d in ceq} - {d["path"] for d in peq}
@@ -1979,41 +2029,42 @@ class IcebergNativeTable:
                 for d in cpos
                 if d["path"] not in {x["path"] for x in ppos}
             ]
-            prev_view = self.scan(
-                snapshot_id=prev_s["snapshot-id"], with_coordinates=True
-            )
-            cur_view = self.scan(
-                snapshot_id=cur_s["snapshot-id"], with_coordinates=True
-            )
+            files = None  # None = unrestricted (equality-delete fallback)
             if not new_eq:
-                affected = {
-                    self._file_uri(p)
-                    for p in (cur_paths ^ prev_paths)
-                }
+                affected = set(cur_paths ^ prev_paths)
                 if new_pos:
                     # the files a new position-delete file targets: a
                     # bounded driver hop (distinct file paths, not rows)
+                    uri2path = {
+                        self._file_uri(p): p
+                        for p in (prev_paths | cur_paths)
+                    }
                     affected |= {
-                        r["file_path"]
+                        uri2path[r["file_path"]]
                         for r in self.spark.read.parquet(
                             *[d["path"] for d in new_pos]
                         )
                         .select("file_path")
                         .distinct()
                         .collect()
+                        if r["file_path"] in uri2path
                     }
                 if not affected:
                     continue
-                adf = F.broadcast(
-                    self.spark.createDataFrame(
-                        [(p,) for p in sorted(affected)],
-                        "file_path string",
-                    )
-                )
-                prev_view = prev_view.join(adf, "file_path", "left_semi")
-                cur_view = cur_view.join(adf, "file_path", "left_semi")
-            prev_view = prev_view.drop("file_path", "pos")
-            cur_view = cur_view.drop("file_path", "pos")
+                files = affected
+            # snapshot_schema=True: the pre/post views of one commit
+            # must share that COMMIT's schema even when the table
+            # evolved (metadata-only) after the tip snapshot
+            prev_view = self.scan(
+                snapshot_id=prev_s["snapshot-id"],
+                files=files,
+                snapshot_schema=True,
+            )
+            cur_view = self.scan(
+                snapshot_id=cur_s["snapshot-id"],
+                files=files,
+                snapshot_schema=True,
+            )
             chunk = (
                 cur_view.exceptAll(prev_view)
                 .withColumn("_change_type", F.lit("insert"))
@@ -2615,11 +2666,15 @@ class IcebergNativeTable:
         paths: list[str],
         content: int,
         equality_ids: list[int] | None,
-    ) -> dict:
+    ) -> dict | None:
         """Write one delete manifest (content 1 = position deletes,
         2 = equality deletes) for files committing at ``seq`` and return
         its manifest-list row — shared by the standalone delete commits
-        and the atomic row-delta path."""
+        and the atomic row-delta path. Returns ``None`` when the files
+        carry zero rows (a no-match DELETE/UPDATE must not publish an
+        empty snapshot — the COW paths early-return, and snapshot-count
+        invariants like the epoch-replay pattern rely on commits being
+        real)."""
         import pyarrow.parquet as pq
 
         counted = [(p, pq.ParquetFile(p).metadata.num_rows) for p in paths]
@@ -2647,6 +2702,8 @@ class IcebergNativeTable:
             for p, n in counted
             if n > 0
         ]
+        if not entries:
+            return None
         entry_schema = _manifest_entry_schema([])
         mpath = os.path.join(
             self.meta_dir,
@@ -2691,6 +2748,8 @@ class IcebergNativeTable:
         manifest = self._write_delete_manifest(
             meta, seq, paths, content, equality_ids
         )
+        if manifest is None:  # no matching rows: nothing to commit
+            return
         self._commit(
             None,
             operation="delete",
@@ -2782,6 +2841,10 @@ class IcebergNativeTable:
         manifest = self._write_delete_manifest(
             meta, seq, paths, content=2, equality_ids=ids
         )
+        if manifest is None and delete_keys is None:
+            # keys defaulted from rows, so empty deletes == empty rows:
+            # an empty upsert batch publishes no snapshot
+            return
         self._commit(
             rows,
             operation="overwrite",

@@ -1561,3 +1561,72 @@ def test_changelog_diff_semantics(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema change"):
         t.changelog_df(from_snapshot_id=1).collect()
+
+
+def test_changelog_lineage_and_noop_dml_pins(spark, tmp_path):
+    """Round-10 review pins: (1) the changelog walks the parent
+    lineage, so a rollback's abandoned snapshot fabricates nothing and
+    an off-lineage `from` raises; (2) a metadata-only schema change
+    AFTER the tip does not break the diff (views read snapshot
+    schemas); (3) no-match MOR DELETE/UPDATE and an empty row_delta
+    publish no snapshot (COW parity)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(spark.createDataFrame([(100, 1.0)], "k long, v double"))  # s2
+    t.rollback_to(1)
+    t.append(spark.createDataFrame([(200, 2.0)], "k long, v double"))  # s3
+    rows = t.changelog_df(from_snapshot_id=1).collect()
+    assert [(r["_commit_snapshot_id"], r["_change_type"], r["k"]) for r in rows] == [
+        (3, "insert", 200)
+    ]  # s2 is abandoned: no fabricated delete of k=100
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.changelog_df(from_snapshot_id=2).collect()
+
+    # metadata-only evolution after the tip: older pairs still diff
+    t.update_schema(add=[("extra", "string")])
+    got = t.changelog_df(from_snapshot_id=1).collect()
+    assert [(r["_commit_snapshot_id"], r["k"]) for r in got] == [(3, 200)]
+    assert "extra" not in got[0].asDict()
+
+    # no-match MOR DML and empty row_delta publish no snapshot
+    n = len(t._metadata()["snapshots"])
+    t.delete_where(F.col("k") == -1, mode="merge-on-read")
+    t.update_where(F.col("k") == -1, {"v": F.lit(0.0)}, mode="merge-on-read")
+    t.row_delta(
+        spark.createDataFrame([], "k long, v double, extra string"), ["k"]
+    )
+    assert len(t._metadata()["snapshots"]) == n
+
+
+def test_rewrite_single_dangling_delete_file(spark, tmp_path):
+    """Round-10 review pin: ONE position-delete file whose targets were
+    compacted away is still rewritten (dangling-debt cleanup has no
+    2-file minimum), while a single healthy delete file is left alone
+    (idempotence)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    # ONE data file, so the COW rewrite provably orphans the delete file
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    live = t.scan(with_coordinates=True)
+    t.add_position_deletes(
+        live.filter(F.col("k") < 3).select("file_path", "pos").coalesce(1)
+    )
+    # healthy single file: untouched
+    assert t.rewrite_position_deletes() == 0
+    # COW-rewrite the (only) data file: every coordinate now dangles
+    t.delete_where(F.col("k") == 19, mode="copy-on-write")
+    assert len(t._plan()[3]) == 1
+    assert t.rewrite_position_deletes() == 1
+    pos = t._plan()[3]
+    # dangling coordinates dropped: consolidated file only references live
+    if pos:
+        live_uris = {t._file_uri(d["path"]) for d in t._plan()[2]}
+        refs = {
+            r["file_path"]
+            for r in spark.read.parquet(pos[0]["path"]).collect()
+        }
+        assert refs <= live_uris
+    assert sorted(r["k"] for r in t.scan().collect()) == list(range(3, 19))
