@@ -101,6 +101,7 @@ HEADLINE = [
     "iceberg_delete_modes",
     "iceberg_update_modes",
     "iceberg_changelog",
+    "iceberg_native_wap",
     "iceberg_rewrite_deletes",
     # round-10: lexical + dense reciprocal-rank fusion
     "hybrid_rrf_search",

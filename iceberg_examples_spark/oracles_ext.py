@@ -900,9 +900,9 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 EXT_ORACLES["iceberg_rewrite_deletes"] = f"""
 SELECT count(*) AS n_rows,
        {money_sum_sql('c_acctbal', scale=100)} AS total_bal,
-       CAST(10 AS INT) AS delete_files_before,
+       CAST(6 AS INT) AS delete_files_before,
        CAST(1 AS INT) AS delete_files_after
-FROM customer WHERE c_custkey % 10 NOT IN (0, 1, 2, 3, 4)
+FROM customer WHERE c_custkey % 10 NOT IN (0, 1, 2)
 """
 
 EXT_ORACLES["iceberg_delete_modes"] = f"""
@@ -963,6 +963,15 @@ SELECT 4, 'insert', event_type, count(*),
        {money_sum_sql('value + 1000.0', scale=100)}
 FROM upd GROUP BY event_type
 ORDER BY _commit_snapshot_id, _change_type, event_type
+"""
+
+EXT_ORACLES["iceberg_native_wap"] = f"""
+SELECT count(*) AS n_after,
+       (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+         AS n_main_before,
+       count(*) AS n_branch,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal
+FROM customer
 """
 
 EXT_ORACLES["iceberg_native_time_travel"] = """

@@ -75,6 +75,7 @@ QUERIES: dict[str, QueryFn] = {
     "hybrid_rrf_search": SIM.hybrid_rrf_search,
     "iceberg_update_modes": IN.iceberg_update_modes,
     "iceberg_changelog": IN.iceberg_changelog,
+    "iceberg_native_wap": IN.iceberg_native_wap,
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,

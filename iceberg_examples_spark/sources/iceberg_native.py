@@ -1399,13 +1399,63 @@ class IcebergNativeTable:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(meta, version)
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        branch: str | None = None,
+    ) -> None:
         """``summary`` adds application keys to the snapshot summary —
         the hook Iceberg's streaming sink uses to record its epoch id
-        for exactly-once replay detection."""
+        for exactly-once replay detection. ``branch`` commits onto a
+        named branch instead of main (the write half of
+        write-audit-publish: readers of main see nothing until
+        :meth:`fast_forward` publishes the branch)."""
         self._commit(
-            df, operation="append", first=False, summary_extra=summary
+            df,
+            operation="append",
+            first=False,
+            summary_extra=summary,
+            branch=branch,
         )
+
+    def fast_forward(self, name: str, to_branch: str) -> None:
+        """Publish half of write-audit-publish (Iceberg's
+        ``fast_forward`` procedure): move ref ``name`` to ``to_branch``'s
+        head, REQUIRING name's head to be an ancestor of it (a true
+        fast-forward — anything else would silently drop commits).
+        Fast-forwarding ``main`` also moves the current snapshot pointer
+        and records the jump in the snapshot log."""
+        meta, version = self._read_tree()
+        refs = meta.get("refs", {})
+        if to_branch not in refs:
+            raise ValueError(f"unknown ref {to_branch!r}")
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        target = refs[to_branch]["snapshot-id"]
+        head = refs[name]["snapshot-id"]
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        sid = target
+        while sid is not None and sid != head:
+            sid = snaps[sid].get("parent-snapshot-id")
+        if sid != head:
+            raise ValueError(
+                f"{name!r} ({head}) is not an ancestor of "
+                f"{to_branch!r} ({target}): not a fast-forward"
+            )
+        if target == head:
+            return
+        refs[name]["snapshot-id"] = target
+        if name == "main":
+            meta["current-snapshot-id"] = target
+            meta["snapshot-log"].append(
+                {
+                    "timestamp-ms": int(time.time() * 1000),
+                    "snapshot-id": target,
+                }
+            )
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
 
     def compact(self) -> None:
         """rewrite_data_files at the format level: materialize the
@@ -2359,6 +2409,7 @@ class IcebergNativeTable:
         delete_rows_key: str | None = None,
         summary_extra: dict | None = None,
         carry_filter=None,
+        branch: str | None = None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -2447,6 +2498,12 @@ class IcebergNativeTable:
                     "the table to v2 (rewrite metadata.json) before writing"
                 )
 
+        if branch is not None:
+            ref = meta.get("refs", {}).get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise ValueError(
+                    f"unknown branch {branch!r}: create_branch() first"
+                )
         seq = meta["last-sequence-number"] + 1
         snap_id = seq  # deterministic, monotone
         default_spec = self._default_spec(meta)
@@ -2482,7 +2539,11 @@ class IcebergNativeTable:
         # older snapshots keep their own manifest lists, so time travel
         # across the rewrite stays intact
         if meta["snapshots"] and not replace:
-            prev = self._snapshot(meta)
+            # a branch commit accretes on the BRANCH head's manifests,
+            # not main's
+            prev = self._snapshot(
+                meta, ref=branch if branch is not None else None
+            )
             carried = self._manifests(prev)
             if carry_filter is not None:
                 # a rewrite (rewrite_position_deletes, COW delete_where)
@@ -2595,12 +2656,17 @@ class IcebergNativeTable:
                     ),
                 }
             )
+        parent = (
+            meta["refs"][branch]["snapshot-id"]
+            if branch is not None
+            else meta.get("current-snapshot-id")
+        )
         meta["snapshots"].append(
             {
                 "snapshot-id": snap_id,
                 **(
-                    {"parent-snapshot-id": meta["current-snapshot-id"]}
-                    if meta.get("current-snapshot-id") is not None
+                    {"parent-snapshot-id": parent}
+                    if parent is not None
                     else {}
                 ),
                 "sequence-number": seq,
@@ -2610,15 +2676,22 @@ class IcebergNativeTable:
                 "schema-id": meta["current-schema-id"],
             }
         )
-        meta["snapshot-log"].append(
-            {"timestamp-ms": now_ms, "snapshot-id": snap_id}
-        )
-        meta["current-snapshot-id"] = snap_id
-        # the spec's main branch tracks the current snapshot
-        meta.setdefault("refs", {})["main"] = {
-            "snapshot-id": snap_id,
-            "type": "branch",
-        }
+        if branch is not None:
+            # a branch commit moves ITS ref only: main, the current
+            # snapshot pointer, and the snapshot-log (which records main
+            # history per spec) stay put — this is what makes the WAP
+            # audit invisible to readers until fast_forward publishes it
+            meta["refs"][branch]["snapshot-id"] = snap_id
+        else:
+            meta["snapshot-log"].append(
+                {"timestamp-ms": now_ms, "snapshot-id": snap_id}
+            )
+            meta["current-snapshot-id"] = snap_id
+            # the spec's main branch tracks the current snapshot
+            meta.setdefault("refs", {})["main"] = {
+                "snapshot-id": snap_id,
+                "type": "branch",
+            }
         meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now_ms
         self._publish_metadata(meta, version)
@@ -3390,11 +3463,11 @@ def iceberg_native_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``rewrite_position_deletes`` at the format level: five separate
+    """``rewrite_position_deletes`` at the format level: three separate
     position-delete commits (the churn shape a CDC stream leaves behind)
     consolidate into ONE delete file set in one replace snapshot — the
     scan result is unchanged, and files_df pins the delete-file count
-    dropping from 5 to 1. At 100 TB this is the maintenance pass that
+    dropping from 6 to 1. At 100 TB this is the maintenance pass that
     keeps MOR scan planning bounded."""
     from iceberg_examples_spark.catalog import load_table, scratch_dir
     from iceberg_examples_spark.functions.exact import money_sum_sql
@@ -3404,11 +3477,11 @@ def iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     t = IcebergNativeTable.create(spark, loc, cust)
-    for r in range(5):
+    for r in range(3):
         live = t.scan(with_coordinates=True)
         # repartition(2) pins the written delete-file count (round-robin,
         # both partitions non-empty) so the before/after columns are
-        # deterministic: 5 commits x 2 files -> 1 consolidated file
+        # deterministic: 3 commits x 2 files -> 1 consolidated file
         t.add_position_deletes(
             live.filter(F.col("c_custkey") % 10 == r)
             .select("file_path", "pos")
@@ -3532,4 +3605,35 @@ def iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
         )
         .orderBy("_commit_snapshot_id", "_change_type", "event_type")
+    )
+
+
+def iceberg_native_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the native layout (Iceberg's WAP flow:
+    branch write + fast_forward publish): the negative-balance customer
+    rows are staged on an 'audit' branch — main keeps serving the
+    positive-balance base unchanged while the branch carries base +
+    candidates — then fast_forward('main', 'audit') publishes the
+    audited snapshot atomically. The output pins all three states
+    (pre-publish main, branch, published main) against the oracle."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_native_wap", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, cust.filter(F.col("c_acctbal") > 0.0)
+    )
+    t.create_branch("audit")
+    t.append(cust.filter(F.col("c_acctbal") <= 0.0), branch="audit")
+    n_main_before = t.scan().count()
+    n_branch = t.scan(ref="audit").count()
+    t.fast_forward("main", "audit")
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.lit(n_main_before).cast("long").alias("n_main_before"),
+        F.lit(n_branch).cast("long").alias("n_branch"),
+        F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
     )

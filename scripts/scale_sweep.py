@@ -58,6 +58,14 @@ SWEEP = [
     ("avro_roundtrip", "customer", 10),
     ("iceberg_native_scan", "orders", 10),
     ("iceberg_native_mor", "customer", 10),
+    # round-10 additions: atomic row-delta upsert, both-mode DML, the
+    # changelog diff (restricted to changed files), and hybrid RRF
+    # retrieval (two bounded top-k rankings + a <=100-row fusion join)
+    ("iceberg_native_upsert", "customer", 10),
+    ("iceberg_delete_modes", "orders", 10),
+    ("iceberg_update_modes", "orders", 10),
+    ("iceberg_changelog", "events", 10),
+    ("hybrid_rrf_search", "documents+embeddings", 10),
 ]
 
 

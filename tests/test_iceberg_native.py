@@ -1630,3 +1630,52 @@ def test_rewrite_single_dangling_delete_file(spark, tmp_path):
         }
         assert refs <= live_uris
     assert sorted(r["k"] for r in t.scan().collect()) == list(range(3, 19))
+
+
+def test_branch_writes_and_fast_forward_wap(spark, tmp_path):
+    """WAP at the format level: a branch commit moves ITS ref only
+    (main, current pointer, and snapshot-log untouched — the audit is
+    invisible); fast_forward requires ancestry (a diverged main
+    refuses) and publishing main moves the current pointer and logs the
+    jump; expire_snapshots keeps branch-reachable snapshots alive."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.create_branch("audit")
+    t.append(
+        spark.createDataFrame([(100, 1.0)], "k long, v double"),
+        branch="audit",
+    )
+    meta = t._metadata()
+    assert meta["current-snapshot-id"] == 1
+    assert meta["refs"]["main"]["snapshot-id"] == 1
+    assert meta["refs"]["audit"]["snapshot-id"] == 2
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [1]
+    assert t.scan().count() == 10  # main readers see nothing
+    assert t.scan(ref="audit").count() == 11
+    # the branch snapshot's parent is the branch head it grew from
+    s2 = next(s for s in meta["snapshots"] if s["snapshot-id"] == 2)
+    assert s2["parent-snapshot-id"] == 1
+
+    # unknown branch refuses
+    with pytest.raises(ValueError, match="unknown branch"):
+        t.append(df, branch="nope")
+
+    t.fast_forward("main", "audit")
+    meta = t._metadata()
+    assert meta["current-snapshot-id"] == 2
+    assert meta["refs"]["main"]["snapshot-id"] == 2
+    assert [e["snapshot-id"] for e in meta["snapshot-log"]] == [1, 2]
+    assert t.scan().count() == 11
+    # idempotent once equal
+    t.fast_forward("main", "audit")
+
+    # divergence refuses: main moves on, branch is no longer a descendant
+    t.append(spark.createDataFrame([(200, 2.0)], "k long, v double"))
+    t.append(
+        spark.createDataFrame([(300, 3.0)], "k long, v double"),
+        branch="audit",
+    )
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("main", "audit")
