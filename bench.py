@@ -102,6 +102,7 @@ HEADLINE = [
     "iceberg_update_modes",
     "iceberg_changelog",
     "iceberg_native_wap",
+    "stream_from_iceberg",
     "iceberg_rewrite_deletes",
     # round-10: lexical + dense reciprocal-rank fusion
     "hybrid_rrf_search",

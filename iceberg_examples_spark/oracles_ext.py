@@ -965,6 +965,13 @@ FROM upd GROUP BY event_type
 ORDER BY _commit_snapshot_id, _change_type, event_type
 """
 
+EXT_ORACLES["stream_from_iceberg"] = f"""
+SELECT event_type, count(*) AS n_rows,
+       {money_sum_sql('value', scale=100)} AS total_value
+FROM events WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type ORDER BY event_type
+"""
+
 EXT_ORACLES["iceberg_native_wap"] = f"""
 SELECT count(*) AS n_after,
        (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)

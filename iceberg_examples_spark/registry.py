@@ -34,6 +34,7 @@ from iceberg_examples_spark.operators import tpch_full as TF
 from iceberg_examples_spark.sources import avro_source as AV
 from iceberg_examples_spark.sources import iceberg_native as IN
 from iceberg_examples_spark.sources import iceberg_sql_bridge as IB
+from iceberg_examples_spark.sources import iceberg_stream_source as ISS
 from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
 from iceberg_examples_spark.sources import python_datasource as PD
@@ -76,6 +77,7 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_update_modes": IN.iceberg_update_modes,
     "iceberg_changelog": IN.iceberg_changelog,
     "iceberg_native_wap": IN.iceberg_native_wap,
+    "stream_from_iceberg": ISS.stream_from_iceberg,
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,

@@ -1679,3 +1679,43 @@ def test_branch_writes_and_fast_forward_wap(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not a fast-forward"):
         t.fast_forward("main", "audit")
+
+
+def test_streaming_source_offsets_and_skip_rules(spark, tmp_path):
+    """The streaming source's reader contract, driven directly (no
+    streaming engine): initial offset 0 consumes the whole lineage;
+    the returned offset resumes exactly (no re-emission); a REPLACE
+    snapshot is skipped; a delete commit raises unless
+    skip_non_appends; readBetweenOffsets replays a pinned range
+    deterministically."""
+    from iceberg_examples_spark.sources.iceberg_stream_source import (
+        IcebergStreamReader,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(spark.createDataFrame([(100, 1.0)], "k long, v double"))
+
+    r = IcebergStreamReader(str(tmp_path / "t"), skip_non_appends=False)
+    rows, off = r.read(r.initialOffset())
+    assert sorted(x[0] for x in rows) == sorted(list(range(10)) + [100])
+    assert off == {"seq": 2}
+    # resume: nothing new
+    rows2, off2 = r.read(off)
+    assert list(rows2) == [] and off2 == {"seq": 2}
+
+    t.compact()  # replace: must be skipped
+    t.append(spark.createDataFrame([(200, 2.0)], "k long, v double"))
+    rows3, off3 = r.read(off)
+    assert [x[0] for x in rows3] == [200] and off3 == {"seq": 4}
+    # deterministic replay of a pinned range
+    assert [x[0] for x in r.readBetweenOffsets(off, off3)] == [200]
+
+    t.delete_where(F.col("k") == 0, mode="merge-on-read")
+    with pytest.raises(ValueError, match="cannot retract"):
+        r.read(off3)
+    r_skip = IcebergStreamReader(str(tmp_path / "t"), skip_non_appends=True)
+    rows4, _ = r_skip.read(off3)
+    assert list(rows4) == []
