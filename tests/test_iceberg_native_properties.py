@@ -47,8 +47,13 @@ class Model:
         self._snap()
 
     def pos_delete(self, mod, rem):
+        # a DELETE matching nothing publishes NO snapshot (round-10
+        # review rule: no-op MOR DML must not churn empty snapshots)
+        hit = [k for k in self.live if k % mod == rem]
+        if not hit:
+            return
         self.seq += 1
-        for k in [k for k in self.live if k % mod == rem]:
+        for k in hit:
             del self.live[k]
         self._snap()
 
