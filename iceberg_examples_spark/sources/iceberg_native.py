@@ -1339,6 +1339,42 @@ class IcebergNativeTable:
             "equality_delete_file_count int",
         )
 
+    def entries_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The ``#entries`` metadata table: one row per manifest ENTRY
+        in the chosen snapshot — the file-level ledger beneath
+        files_df, exposing entry status and the sequence numbers the
+        MOR gates run on. Reads manifests only; no data file is
+        opened."""
+        meta = self._metadata()
+        snap = self._snapshot(meta, snapshot_id)
+        rows = []
+        for mf in self._manifests(snap):
+            for e in self._entries(mf["manifest_path"]):
+                df_ = e["data_file"]
+                seq = e.get("data_sequence_number")
+                if seq is None:
+                    seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf.get("sequence_number", 0)
+                rows.append(
+                    (
+                        e.get("status", 1),
+                        e.get("snapshot_id"),
+                        seq,
+                        df_.get("content", 0),
+                        _strip_scheme(df_["file_path"]),
+                        df_["record_count"],
+                        df_.get("file_size_in_bytes", 0),
+                        json.dumps(df_.get("partition", {})),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "status int, snapshot_id long, data_sequence_number long, "
+            "content int, file_path string, record_count long, "
+            "file_size_in_bytes long, partition string",
+        )
+
     def refs_df(self) -> DataFrame:
         """The ``#refs`` metadata table: every named ref (the spec's
         ``refs`` map in metadata.json) with its type and pinned

@@ -1719,3 +1719,30 @@ def test_streaming_source_offsets_and_skip_rules(spark, tmp_path):
     r_skip = IcebergStreamReader(str(tmp_path / "t"), skip_non_appends=True)
     rows4, _ = r_skip.read(off3)
     assert list(rows4) == []
+
+
+def test_entries_metadata_table(spark, tmp_path):
+    """#entries: the file-level ledger — every manifest entry with its
+    status, sequence number, content type, and bookkeeping; totals
+    agree with files_df and the delete entry carries its commit seq."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(spark.createDataFrame([(100, 1.0)], "k long, v double"))
+    t.add_equality_deletes(
+        spark.createDataFrame([(100,)], "k long"), ["k"]
+    )
+    e = t.entries_df().collect()
+    by_content = {}
+    for r in e:
+        by_content.setdefault(r["content"], []).append(r)
+    assert sum(r["record_count"] for r in by_content[0]) == 13
+    assert len(by_content[2]) == 1
+    assert by_content[2][0]["data_sequence_number"] == 3
+    assert all(r["status"] == 1 for r in e)
+    assert all(r["file_size_in_bytes"] > 0 for r in e)
+    # agrees with files_df at the file level
+    assert {r["file_path"] for r in e} == {
+        r["file_path"] for r in t.files_df().collect()
+    }
