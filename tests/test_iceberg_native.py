@@ -1746,3 +1746,63 @@ def test_entries_metadata_table(spark, tmp_path):
     assert {r["file_path"] for r in e} == {
         r["file_path"] for r in t.files_df().collect()
     }
+
+
+def test_new_dml_paths_conflict_on_interleaved_commit(spark, tmp_path):
+    """The round-10 DML paths inherit the optimistic commit protocol:
+    a row_delta / COW delete that read its base before an interleaved
+    append must raise CommitConflictError at publish (not silently
+    drop or duplicate the interleaved rows)."""
+    from iceberg_examples_spark.catalog import CommitConflictError
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+
+    # row_delta: steal the base read, interleave an append, publish
+    meta, version = t._read_tree()
+    t.append(spark.createDataFrame([(50, 5.0)], "k long, v double"))
+    rows = spark.createDataFrame([(1, 100.0)], "k long, v double")
+    seq = meta["last-sequence-number"] + 1
+    import os as _os
+    import uuid as _uuid
+
+    out = _os.path.join(
+        t.location, "data", f"seq-{seq:05d}-{_uuid.uuid4().hex[:8]}-eqdel"
+    )
+    rows.select("k").write.parquet(out)
+    paths = [
+        _os.path.join(out, n)
+        for n in sorted(_os.listdir(out))
+        if n.endswith(".parquet")
+    ]
+    manifest = t._write_delete_manifest(meta, seq, paths, 2, [1])
+    with pytest.raises(CommitConflictError):
+        t._commit(
+            rows,
+            operation="overwrite",
+            first=False,
+            delete_manifest=manifest,
+            base=(meta, version),
+            delete_rows_key="added-equality-deletes",
+        )
+    # the loser's retry against the fresh tree succeeds and keeps the
+    # interleaved row
+    t.row_delta(rows, ["k"])
+    got = {r["k"]: r["v"] for r in t.scan().collect()}
+    assert got[1] == 100.0 and got[50] == 5.0
+
+    # COW delete: same steal-the-base shape through _cow_rewrite
+    base = t._read_tree()
+    t.append(spark.createDataFrame([(60, 6.0)], "k long, v double"))
+    with pytest.raises(CommitConflictError):
+        t._cow_rewrite(
+            F.col("k") == 2,
+            lambda f: f.filter(F.col("k") != 2),
+            "delete",
+            base,
+        )
+    t.delete_where(F.col("k") == 2, mode="copy-on-write")
+    got = {r["k"] for r in t.scan().collect()}
+    assert 2 not in got and 60 in got
