@@ -103,6 +103,7 @@ HEADLINE = [
     "iceberg_changelog",
     "iceberg_native_wap",
     "stream_from_iceberg",
+    "iceberg_wap_dml",
     "iceberg_rewrite_deletes",
     # round-10: lexical + dense reciprocal-rank fusion
     "hybrid_rrf_search",

@@ -965,6 +965,17 @@ FROM upd GROUP BY event_type
 ORDER BY _commit_snapshot_id, _change_type, event_type
 """
 
+EXT_ORACLES["iceberg_wap_dml"] = """
+SELECT * FROM (VALUES
+ (CAST(1 AS BIGINT), 'customer_a', 'lastname-1', CAST(2 AS BIGINT)),
+ (CAST(2 AS BIGINT), 'customer_b-updated(with merge sql)',
+  'lastname-2-updated(with merge sql)', CAST(2 AS BIGINT)),
+ (CAST(3 AS BIGINT), 'customer_c-insert(with merge sql)',
+  'lastname-3-insert(with merge sql)', CAST(2 AS BIGINT))
+) AS t(customer_id, name, lastname, n_main_before)
+ORDER BY customer_id
+"""
+
 EXT_ORACLES["stream_from_iceberg"] = f"""
 SELECT event_type, count(*) AS n_rows,
        {money_sum_sql('value', scale=100)} AS total_value

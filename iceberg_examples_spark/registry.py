@@ -78,6 +78,7 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_changelog": IN.iceberg_changelog,
     "iceberg_native_wap": IN.iceberg_native_wap,
     "stream_from_iceberg": ISS.stream_from_iceberg,
+    "iceberg_wap_dml": IB.iceberg_wap_dml,
     "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
     "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
     "iceberg_bounds_prune": IN.iceberg_bounds_prune,

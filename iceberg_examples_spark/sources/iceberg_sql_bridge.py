@@ -44,16 +44,29 @@ class IcebergNativeSqlTable:
     (create / read / overwrite / append / current_version), stored as a
     native Iceberg v2 table."""
 
-    def __init__(self, spark: SparkSession, location: str):
+    def __init__(
+        self, spark: SparkSession, location: str, branch: str | None = None
+    ):
+        """``branch`` scopes EVERY executor operation (read, append,
+        overwrite, version check) to that branch ref — write-audit-
+        publish for DML: the executor's MERGE/DELETE statements commit
+        real snapshots that only the branch can see until
+        ``fast_forward`` publishes them to main."""
         self.spark = spark
         self.location = location
+        self.branch = branch
         self.table = IcebergNativeTable(spark, location)
 
     # -- interface the executor calls -----------------------------------
 
+    def _head(self, meta: dict) -> int:
+        if self.branch is not None:
+            return meta["refs"][self.branch]["snapshot-id"]
+        return meta["current-snapshot-id"]
+
     @property
     def current_version(self) -> int:
-        return self.table._metadata()["current-snapshot-id"]
+        return self._head(self.table._metadata())
 
     def create(
         self, df: DataFrame, partition_by: list[str] | None = None
@@ -63,10 +76,12 @@ class IcebergNativeSqlTable:
         )
 
     def read(self, version: int | None = None) -> DataFrame:
+        if version is None and self.branch is not None:
+            return self.table.scan(ref=self.branch)
         return self.table.scan(snapshot_id=version)
 
     def append(self, df: DataFrame) -> None:
-        self.table.append(df)
+        self.table.append(df, branch=self.branch)
 
     def overwrite(
         self, df: DataFrame, expect_current: int | None = None
@@ -74,16 +89,20 @@ class IcebergNativeSqlTable:
         from iceberg_examples_spark.catalog import CommitConflictError
 
         meta, _ = self.table._read_tree()
-        if (
-            expect_current is not None
-            and meta["current-snapshot-id"] != expect_current
-        ):
+        head = self._head(meta)
+        if expect_current is not None and head != expect_current:
             raise CommitConflictError(
-                f"table advanced to snapshot {meta['current-snapshot-id']} "
+                f"table advanced to snapshot {head} "
                 f"since snapshot {expect_current} was read; re-read and retry"
             )
         self._sync_schema(df)
-        self.table._commit(df, operation="overwrite", first=False, replace=True)
+        self.table._commit(
+            df,
+            operation="overwrite",
+            first=False,
+            replace=True,
+            branch=self.branch,
+        )
 
     # -- maintenance passthroughs (CALL procedures) ----------------------
 
@@ -219,5 +238,52 @@ def iceberg_native_sql_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.table.scan()
         .withColumn("n_commits", F.lit(n_commits).cast("long"))
+        .orderBy("customer_id")
+    )
+
+
+def iceberg_wap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish for DML, not just appends: the reference's
+    MERGE statement (IcebergSQLMerge.java:39-47) executes through the
+    statement executor against an 'audit' BRANCH of the native table —
+    its snapshot is real (Avro manifests committed) but main readers
+    still see the pre-merge state; after the audit passes,
+    fast_forward('main', 'audit') publishes the merge atomically.
+    n_main_before = 2 pins the isolation; the final rows pin the merge
+    semantics; both ride one oracle."""
+    from iceberg_examples_spark.catalog import scratch_dir
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    root = scratch_dir(sf_dir, "iceberg_wap_dml", fresh=True)
+    loc = os.path.join(root, f"t-{uuid.uuid4().hex[:8]}")
+    main = IcebergNativeSqlTable(spark, loc)
+    tables = {"default.test_table": main}
+    for s in [
+        "CREATE TABLE default.test_table ("
+        "    customer_id bigint, name string, lastname string "
+        ") USING iceberg",
+        "INSERT INTO default.test_table select 1, 'customer_a', 'lastname-1';",
+        "INSERT INTO default.test_table select 2, 'customer_b', 'lastname-2';",
+    ]:
+        execute_statement(spark, s, tables)
+    main.table.create_branch("audit")
+    audit = IcebergNativeSqlTable(spark, loc, branch="audit")
+    execute_statement(
+        spark,
+        "MERGE INTO default.test_table t USING ( "
+        "SELECT 3 as customer_id, 'customer_c-insert(with merge sql)' as name, 'lastname-3-insert(with merge sql)' as lastname "
+        "UNION ALL "
+        "SELECT 2 as customer_id, 'customer_b-updated(with merge sql)' as name, 'lastname-2-updated(with merge sql)' as lastname "
+        ") s ON s.customer_id = t.customer_id "
+        "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.lastname = s.lastname "
+        "WHEN NOT MATCHED THEN INSERT(customer_id, name, lastname) "
+        "VALUES(s.customer_id, s.name, s.lastname);",
+        tables={"default.test_table": audit},
+    )
+    n_main_before = main.table.scan().count()  # audit invisible: 2
+    main.table.fast_forward("main", "audit")
+    return (
+        main.table.scan()
+        .withColumn("n_main_before", F.lit(n_main_before).cast("long"))
         .orderBy("customer_id")
     )

@@ -349,3 +349,45 @@ def test_sql_replay_produces_spec_shaped_metadata_tree(spark, tmp_path):
     # final state readable and correct
     rows = t.table.scan().collect()
     assert [(r["customer_id"], r["email"]) for r in rows] == [(1, "a@b.com")]
+
+
+def test_branch_scoped_sql_executor_wap(spark, tmp_path):
+    """The SQL bridge's branch mode: a MERGE executed against the
+    'audit' branch commits a real snapshot invisible to main; the
+    branch adapter's version check runs against the BRANCH head; after
+    fast_forward, main serves the merged state with time travel to the
+    pre-merge snapshot intact."""
+    import os
+
+    from iceberg_examples_spark.sources.iceberg_sql_bridge import (
+        IcebergNativeSqlTable,
+    )
+    from iceberg_examples_spark.sql_merge import execute_statement
+
+    loc = str(tmp_path / "t")
+    main = IcebergNativeSqlTable(spark, loc)
+    tables = {"default.t": main}
+    execute_statement(
+        spark, "CREATE TABLE default.t (k bigint, v string) USING iceberg", tables
+    )
+    execute_statement(spark, "INSERT INTO default.t select 1, 'a';", tables)
+    main.table.create_branch("audit")
+    audit = IcebergNativeSqlTable(spark, loc, branch="audit")
+    execute_statement(
+        spark,
+        "MERGE INTO default.t t USING (SELECT 1 as k, 'A' as v UNION ALL "
+        "SELECT 2 as k, 'b' as v) s ON s.k = t.k "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v "
+        "WHEN NOT MATCHED THEN INSERT(k, v) VALUES(s.k, s.v);",
+        {"default.t": audit},
+    )
+    assert {r["v"] for r in main.table.scan().collect()} == {"a"}
+    assert {r["v"] for r in main.table.scan(ref="audit").collect()} == {
+        "A",
+        "b",
+    }
+    assert audit.current_version != main.current_version
+    pre = main.current_version
+    main.table.fast_forward("main", "audit")
+    assert {r["v"] for r in main.table.scan().collect()} == {"A", "b"}
+    assert {r["v"] for r in main.table.scan(snapshot_id=pre).collect()} == {"a"}
