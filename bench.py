@@ -172,6 +172,13 @@ HEADLINE = [
     # so a regression in the stateful-streaming path is visible
     "stream_session_window",
     "stream_stream_join",
+    # round-10 second-session additions: partition-scoped MOR debt,
+    # the executor-parallel streaming read, the partition-statistics
+    # file round-trip, and the add_files migration path
+    "iceberg_partition_debt",
+    "stream_from_iceberg_bulk",
+    "iceberg_partition_stats",
+    "iceberg_add_files",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

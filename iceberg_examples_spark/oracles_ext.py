@@ -3587,3 +3587,72 @@ WITH base AS (
 SELECT k, label, n, CAST(4 AS BIGINT) AS final_version
 FROM upd WHERE k % 3 <> 0
 """
+
+# iceberg_partition_debt: position-delete files are written partitioned
+# like their target data files, so exactly the one partition the DELETE
+# hit carries a delete file; record_count stays the data-file total
+# (MOR never rewrites data files) while live_rows reflects the deletes.
+EXT_ORACLES["iceberg_partition_debt"] = """
+WITH live AS (
+  SELECT o_orderstatus, count(*) AS live_rows
+  FROM orders
+  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+  GROUP BY o_orderstatus
+), tot AS (
+  SELECT o_orderstatus, count(*) AS record_count
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT t.o_orderstatus, t.record_count,
+       CAST(CASE WHEN t.o_orderstatus = 'F' THEN 1 ELSE 0 END AS INT)
+         AS position_delete_file_count,
+       l.live_rows,
+       (SELECT live_rows FROM live WHERE o_orderstatus = 'F')
+         AS pruned_f_rows
+FROM tot t JOIN live l ON t.o_orderstatus = l.o_orderstatus
+ORDER BY t.o_orderstatus
+"""
+
+# stream_from_iceberg_bulk: executor-parallel streaming read — same
+# event totals as the simple flavor (the MOR delete snapshot is skipped,
+# never retracting emitted rows); the split columns pin the pinned-file
+# planning (3 click + 2 purchase files in run 1, 2 view files in run 2).
+EXT_ORACLES["stream_from_iceberg_bulk"] = f"""
+SELECT event_type, count(*) AS n_rows,
+       {money_sum_sql('value', scale=100)} AS total_value,
+       CAST(5 AS INT) AS n_splits_run1, CAST(2 AS INT) AS n_splits_run2
+FROM events WHERE event_type IN ('click', 'purchase', 'view')
+GROUP BY event_type ORDER BY event_type
+"""
+
+# iceberg_partition_stats: the partition-statistics FILE round-trip —
+# per-partition data rows, the MOR-deleted row count, and deterministic
+# file counts (one data file per status from the hash-distributed
+# write; the DELETE touches only 'F').
+EXT_ORACLES["iceberg_partition_stats"] = """
+SELECT o_orderstatus,
+       CAST(0 AS INT) AS spec_id,
+       count(*) AS data_record_count,
+       CAST(1 AS INT) AS data_file_count,
+       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                      AND o_totalprice < 50000.0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS position_delete_record_count,
+       CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS INT)
+         AS position_delete_file_count,
+       CAST(0 AS INT) AS equality_delete_file_count
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+# iceberg_add_files: hive-layout registration — per-segment totals must
+# survive the partition-column reconstruction (a fill bug lands every
+# row under NULL), 5 files registered (repartition(1) x 5 segments),
+# and the pruned scan's planning reads exactly one file.
+EXT_ORACLES["iceberg_add_files"] = f"""
+SELECT c_mktsegment, count(*) AS n_rows,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal,
+       CAST(5 AS INT) AS n_registered,
+       (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')
+         AS pruned_rows,
+       true AS pruned_reads_one_file
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

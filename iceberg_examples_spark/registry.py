@@ -85,6 +85,10 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_native_spec_evolution": IN.iceberg_native_spec_evolution,
     "stream_to_iceberg": ST.stream_to_iceberg,
     "iceberg_incremental_read": IN.iceberg_incremental_read,
+    "iceberg_partition_debt": IN.iceberg_partition_debt,
+    "stream_from_iceberg_bulk": ISS.stream_from_iceberg_bulk,
+    "iceberg_partition_stats": IN.iceberg_partition_stats,
+    "iceberg_add_files": IN.iceberg_add_files,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

@@ -950,6 +950,7 @@ class IcebergNativeTable:
                     "equality_ids": df_.get("equality_ids"),
                     "write_schema": wsch,
                     "sort_order_id": df_.get("sort_order_id"),
+                    "spec_id": mf.get("partition_spec_id", 0),
                 }
                 content = df_.get("content", 0)  # absent in v1: data
                 if content == 0:
@@ -967,10 +968,21 @@ class IcebergNativeTable:
                     ):
                         continue
                     data.append(rec)
-                elif content == 1:
-                    pos_del.append(rec)
                 else:
-                    eq_del.append(rec)
+                    # partition-scoped delete files prune like data —
+                    # but only on NON-NULL values: a null partition
+                    # field on a delete entry means "target written
+                    # under an older spec / unknown partition", and
+                    # pruning on it would silently drop deletes for
+                    # data files the filter kept
+                    if partition_filter and any(
+                        k in rec["partition"]
+                        and rec["partition"][k] is not None
+                        and rec["partition"][k] != v
+                        for k, v in partition_filter.items()
+                    ):
+                        continue
+                    (pos_del if content == 1 else eq_del).append(rec)
         return meta, snap, data, pos_del, eq_del
 
     def scan(
@@ -1115,16 +1127,84 @@ class IcebergNativeTable:
             ws = d.get("write_schema") or cur_sch
             key = json.dumps(ws["fields"], sort_keys=True)
             groups.setdefault(key, (ws, []))[1].append(d)
+        # identity-partition sources absent from a file's write schema
+        # read from partition METADATA (Iceberg's rule: identity columns
+        # may be omitted from data files — exactly what add_files
+        # registers for hive layouts)
+        cur_name2f = {f["name"]: f for f in cur_sch["fields"]}
+        ident_tfs = {
+            tf["name"]: tf
+            for spec in meta["partition-specs"]
+            for pf in spec["fields"]
+            if pf["transform"] == "identity"
+            for tf in [
+                parse_spec_transform(
+                    pf, {f["id"]: f["name"] for f in cur_sch["fields"]}
+                )
+            ]
+        }
         df = None
         for ws, grp in groups.values():
+            ws_ids = {f["id"] for f in ws["fields"]}
+            fills = [
+                tf
+                for tf in ident_tfs.values()
+                if tf["source"] in cur_name2f
+                and cur_name2f[tf["source"]]["id"] not in ws_ids
+                and any(
+                    d["partition"].get(tf["name"]) is not None for d in grp
+                )
+            ]
             g = self.spark.read.parquet(*[d["path"] for d in grp])
+            if need_meta or fills:
+                g = g.withColumn("_ice_path", F.col("_metadata.file_path"))
             if need_meta:
-                g = g.withColumn(
-                    "_ice_path", F.col("_metadata.file_path")
-                ).withColumn("_ice_pos", F.col("_metadata.row_index"))
-            g = self._resolve_to_current(
-                g, ws, cur_sch, ("_ice_path", "_ice_pos") if need_meta else ()
+                g = g.withColumn("_ice_pos", F.col("_metadata.row_index"))
+            extra = (
+                ("_ice_path", "_ice_pos")
+                if need_meta
+                else (("_ice_path",) if fills else ())
             )
+            g = self._resolve_to_current(g, ws, cur_sch, extra)
+            if fills:
+                import datetime as _dt
+
+                rows = []
+                for d in grp:
+                    vals = []
+                    for tf in fills:
+                        v = d["partition"].get(tf["name"])
+                        if (
+                            v is not None
+                            and cur_name2f[tf["source"]]["type"] == "date"
+                        ):
+                            v = _EPOCH_DAY + _dt.timedelta(days=v)
+                        vals.append(v)
+                    rows.append((self._file_uri(d["path"]), *vals))
+                ddl = ", ".join(
+                    ["_ice_path string"]
+                    + [
+                        f"_fill_{tf['source']} "
+                        f"{_ice_to_ddl(cur_name2f[tf['source']]['type'])}"
+                        for tf in fills
+                    ]
+                )
+                g = g.join(
+                    F.broadcast(self.spark.createDataFrame(rows, ddl)),
+                    "_ice_path",
+                    "left",
+                )
+                for tf in fills:
+                    g = g.withColumn(
+                        tf["source"],
+                        F.coalesce(
+                            F.col(tf["source"]),
+                            F.col(f"_fill_{tf['source']}"),
+                        ),
+                    )
+                g = g.drop(*[f"_fill_{tf['source']}" for tf in fills])
+                if not need_meta:
+                    g = g.drop("_ice_path")
             df = g if df is None else df.unionByName(g)
         cols = [f["name"] for f in cur_sch["fields"]]
         if with_coordinates:
@@ -1310,11 +1390,14 @@ class IcebergNativeTable:
     def partitions_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``#partitions`` metadata table: per-partition-value file
         and row totals for the LIVE files of a snapshot, with delete-file
-        counts alongside. Caveat: this writer emits delete files
-        UNPARTITIONED (partition struct {}), so MOR debt aggregates
-        under the empty-partition row rather than against the
-        partitions the deletes target — a per-partition compaction
-        picker needs the delete writers to partition first."""
+        counts alongside. Position deletes are written partitioned like
+        their target data files and equality deletes by the spec
+        transforms of the key (when the key covers the partition
+        sources), so MOR debt lands against the partition it burdens —
+        what a per-partition compaction picker reads. Global delete
+        files (unpartitioned tables, non-key-covering equality deletes,
+        pre-partitioning history) still aggregate under the empty
+        partition row."""
         _, _, data, pos_del, eq_del = self._plan(snapshot_id)
         agg: dict[str, list] = {}
         for content, group in ((0, data), (1, pos_del), (2, eq_del)):
@@ -1338,6 +1421,157 @@ class IcebergNativeTable:
             "total_size long, position_delete_file_count int, "
             "equality_delete_file_count int",
         )
+
+    # -- partition statistics files (spec: Partition Statistics) --------
+
+    def write_partition_stats(self, snapshot_id: int | None = None) -> str:
+        """Write the spec's PARTITION STATISTICS FILE for a snapshot and
+        register it in metadata.json (``partition-statistics``:
+        ``{snapshot-id, statistics-path, file-size-in-bytes}``): one
+        parquet file with one row per (spec_id, partition value) — the
+        spec's column set (data/delete record+file counts and sizes,
+        keyed by a unified ``partition`` struct over every spec's
+        fields). This is the PRE-AGGREGATED planning artifact engines
+        read instead of walking manifests — per-partition SHOW
+        PARTITIONS / compaction picking at 100 TB reads kilobytes of
+        stats, not millions of manifest entries. Computed driver-side
+        from manifests (same planning loop as the metadata tables),
+        written with pyarrow as a single file per the spec's contract.
+        ``total_record_count``/``last_updated_*`` are optional per spec
+        and honestly omitted (null) — accurate post-delete counts need
+        a data scan this artifact exists to avoid."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta, version = self._read_tree()
+        snap = self._snapshot(meta, snapshot_id)
+        _, _, data, pos_del, eq_del = self._plan(snap["snapshot-id"])
+        # unified partition tuple: every field of every spec, by name
+        sch = self._current_schema(meta)
+        id2name = {f["id"]: f["name"] for f in sch["fields"]}
+        name2type = {f["name"]: f["type"] for f in sch["fields"]}
+        ufields: dict[str, "pa.DataType"] = {}
+        for spec in meta["partition-specs"]:
+            for pf in spec["fields"]:
+                if pf["name"] in ufields:
+                    continue
+                tf = parse_spec_transform(pf, id2name)
+                src = name2type.get(tf["source"])
+                dt = (
+                    _result_spark_type(tf, _ddl_to_spark(src))
+                    if src is not None
+                    else LongType()
+                )
+                if isinstance(dt, DateType):
+                    pa_t = pa.date32()  # manifest-space epoch-day ints
+                elif isinstance(dt, IntegerType):
+                    pa_t = pa.int32()
+                elif isinstance(dt, StringType):
+                    pa_t = pa.string()
+                else:
+                    pa_t = pa.int64()
+                ufields[pf["name"]] = pa_t
+        agg: dict[tuple, list] = {}
+        for content, group in ((0, data), (1, pos_del), (2, eq_del)):
+            for d in group:
+                key = (
+                    d.get("spec_id", 0),
+                    tuple(
+                        (n, d["partition"].get(n)) for n in ufields
+                    ),
+                )
+                s = agg.setdefault(key, [0, 0, 0, 0, 0, 0, 0])
+                if content == 0:
+                    s[0] += d["record_count"]
+                    s[1] += 1
+                    s[2] += d.get("size", 0)
+                elif content == 1:
+                    s[3] += d["record_count"]
+                    s[4] += 1
+                else:
+                    s[5] += d["record_count"]
+                    s[6] += 1
+        keys = sorted(agg, key=repr)
+        part_arrays = {
+            n: pa.array(
+                [dict(k[1]).get(n) for k in keys], type=t
+            )
+            for n, t in ufields.items()
+        }
+        cols: dict[str, "pa.Array"] = {}
+        if ufields:
+            cols["partition"] = pa.StructArray.from_arrays(
+                list(part_arrays.values()), names=list(part_arrays.keys())
+            )
+        stats = [agg[k] for k in keys]
+        cols["spec_id"] = pa.array([k[0] for k in keys], pa.int32())
+        cols["data_record_count"] = pa.array(
+            [s[0] for s in stats], pa.int64()
+        )
+        cols["data_file_count"] = pa.array([s[1] for s in stats], pa.int32())
+        cols["total_data_file_size_in_bytes"] = pa.array(
+            [s[2] for s in stats], pa.int64()
+        )
+        cols["position_delete_record_count"] = pa.array(
+            [s[3] for s in stats], pa.int64()
+        )
+        cols["position_delete_file_count"] = pa.array(
+            [s[4] for s in stats], pa.int32()
+        )
+        cols["equality_delete_record_count"] = pa.array(
+            [s[5] for s in stats], pa.int64()
+        )
+        cols["equality_delete_file_count"] = pa.array(
+            [s[6] for s in stats], pa.int32()
+        )
+        cols["total_record_count"] = pa.array(
+            [None] * len(keys), pa.int64()
+        )
+        path = os.path.join(
+            self.meta_dir,
+            f"partition-stats-{snap['snapshot-id']}-"
+            f"{uuid.uuid4().hex[:8]}.parquet",
+        )
+        pq.write_table(pa.table(cols), path)
+        entry = {
+            "snapshot-id": snap["snapshot-id"],
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+        }
+        stats_list = [
+            e
+            for e in meta.get("partition-statistics", [])
+            if e["snapshot-id"] != snap["snapshot-id"]
+        ]
+        stats_list.append(entry)
+        meta["partition-statistics"] = stats_list
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
+        return path
+
+    def partition_stats_df(
+        self, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read back the registered partition statistics file for a
+        snapshot (current by default) as a DataFrame — the spec's
+        ``partition-statistics`` pointer resolved through
+        metadata.json. Raises if none was written."""
+        meta = self._metadata()
+        snap = self._snapshot(meta, snapshot_id)
+        entry = next(
+            (
+                e
+                for e in meta.get("partition-statistics", [])
+                if e["snapshot-id"] == snap["snapshot-id"]
+            ),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"no partition statistics registered for snapshot "
+                f"{snap['snapshot-id']}: write_partition_stats() first"
+            )
+        return self.spark.read.parquet(entry["statistics-path"])
 
     def entries_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The ``#entries`` metadata table: one row per manifest ENTRY
@@ -1373,6 +1607,82 @@ class IcebergNativeTable:
             "status int, snapshot_id long, data_sequence_number long, "
             "content int, file_path string, record_count long, "
             "file_size_in_bytes long, partition string",
+        )
+
+    def all_manifests_df(self) -> DataFrame:
+        """The ``#all_manifests`` metadata table: one row per (manifest,
+        referencing snapshot) over EVERY snapshot in the table — a
+        carried-forward manifest appears once per snapshot that lists
+        it, with ``reference_snapshot_id`` disambiguating (Iceberg's
+        documented all_* contract: duplicates by design)."""
+        meta = self._metadata()
+        rows = [
+            (
+                m["manifest_path"],
+                m.get("manifest_length", 0),
+                m.get("partition_spec_id", 0),
+                m.get("content", 0),
+                m.get("sequence_number", 0),
+                m.get("added_snapshot_id"),
+                s["snapshot-id"],
+            )
+            for s in meta.get("snapshots", [])
+            for m in self._manifests(s)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, partition_spec_id int, "
+            "content int, sequence_number long, added_snapshot_id long, "
+            "reference_snapshot_id long",
+        )
+
+    def all_entries_df(self) -> DataFrame:
+        """The ``#all_entries`` metadata table: every manifest entry of
+        every snapshot, tagged with the referencing snapshot — the full
+        audit ledger (a file carried through K snapshots appears K
+        times; ``reference_snapshot_id`` says through which)."""
+        frames = [
+            self.entries_df(s["snapshot-id"]).withColumn(
+                "reference_snapshot_id", F.lit(s["snapshot-id"])
+            )
+            for s in self._metadata().get("snapshots", [])
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def all_files_df(self) -> DataFrame:
+        """The ``#all_files`` metadata table: every distinct file any
+        snapshot references, with the sequence number it committed at —
+        the one all_* view that DEDUPLICATES (one row per file path),
+        which is what ``remove_orphan_files``-style reachability audits
+        join against."""
+        meta = self._metadata()
+        seen: dict[str, tuple] = {}
+        for s in meta.get("snapshots", []):
+            for mf in self._manifests(s):
+                for e in self._entries(mf["manifest_path"]):
+                    df_ = e["data_file"]
+                    path = _strip_scheme(df_["file_path"])
+                    if path in seen:
+                        continue
+                    seq = e.get("data_sequence_number")
+                    if seq is None:
+                        seq = e.get("sequence_number")
+                    if seq is None:
+                        seq = mf.get("sequence_number", 0)
+                    seen[path] = (
+                        path,
+                        df_.get("content", 0),
+                        seq,
+                        df_["record_count"],
+                        json.dumps(df_.get("partition", {})),
+                    )
+        return self.spark.createDataFrame(
+            sorted(seen.values()),
+            "file_path string, content int, sequence_number long, "
+            "record_count long, partition string",
         )
 
     def refs_df(self) -> DataFrame:
@@ -1454,6 +1764,133 @@ class IcebergNativeTable:
             summary_extra=summary,
             branch=branch,
         )
+
+    def add_files(self, source_dir: str) -> int:
+        """Iceberg's ``add_files`` migration procedure: register EXISTING
+        parquet files into the table WITHOUT rewriting or moving them —
+        one metadata-only append snapshot whose entries point at the
+        foreign paths. Hive-layout partition dirs (``k=v``) map to the
+        spec's IDENTITY partition fields (the procedure's own
+        restriction: a hive layout cannot express bucket/temporal
+        transforms); footers are opened for record counts and column
+        bounds, so registered files partition-prune AND min/max-prune
+        exactly like natively written ones. This is the 100 TB
+        on-ramp — a warehouse of parquet becomes an Iceberg table in
+        seconds of metadata work instead of a full rewrite. Returns the
+        number of files registered."""
+        import pyarrow.parquet as pq
+
+        meta, version = self._read_tree()
+        sch = self._current_schema(meta)
+        id2name = {f["id"]: f["name"] for f in sch["fields"]}
+        name2type = {f["name"]: f["type"] for f in sch["fields"]}
+        spec_fields = self._default_spec(meta)["fields"]
+        parsed = [parse_spec_transform(pf, id2name) for pf in spec_fields]
+        types = {
+            tf["name"]: _result_spark_type(
+                tf, _ddl_to_spark(name2type[tf["source"]])
+            )
+            for tf in parsed
+        }
+        # hive dir key -> spec FIELD name (identity only: k=v dirs carry
+        # source values, which only identity maps 1:1 onto)
+        src2field = {
+            tf["source"]: tf["name"]
+            for tf in parsed
+            if tf["transform"] == "identity"
+        }
+        name_to_field = {f["name"]: f for f in sch["fields"]}
+        file_cols: set | None = None
+        files: list[dict] = []
+        for root, _dirs, names in sorted(os.walk(source_dir)):
+            part: dict = {}
+            rel = os.path.relpath(root, source_dir)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, eq, raw = seg.partition("=")
+                    if not eq:
+                        continue  # non-hive dir level: no partition info
+                    if k not in src2field:
+                        raise ValueError(
+                            f"hive dir {seg!r} does not match an identity "
+                            f"partition field of this table's spec "
+                            f"(identity sources: {sorted(src2field)})"
+                        )
+                    fname = src2field[k]
+                    part[fname] = _partition_value(types[fname], raw)
+            for n in sorted(names):
+                if not n.endswith(".parquet"):
+                    continue
+                p = os.path.abspath(os.path.join(root, n))
+                pf_ = pq.ParquetFile(p)
+                md = pf_.metadata
+                if md.num_rows == 0:
+                    continue
+                cols = set(pf_.schema_arrow.names)
+                if file_cols is None:
+                    file_cols = cols
+                elif cols != file_cols:
+                    raise ValueError(
+                        "add_files requires a uniform physical schema "
+                        f"across registered files; {p!r} has {sorted(cols)} "
+                        f"vs {sorted(file_cols)}"
+                    )
+                unknown = cols - set(name_to_field)
+                if unknown:
+                    raise ValueError(
+                        f"file column(s) {sorted(unknown)} are not in the "
+                        "table schema"
+                    )
+                lower, upper = self._file_bounds(md, name_to_field)
+                files.append(
+                    {
+                        "path": p,
+                        "partition": part,
+                        "record_count": md.num_rows,
+                        "size": os.path.getsize(p),
+                        "lower_bounds": lower,
+                        "upper_bounds": upper,
+                        "sort_order_id": None,
+                    }
+                )
+        if not files:
+            return 0
+        # the files' TRUE write schema: table columns physically present.
+        # A missing column is legal only when an identity partition value
+        # can reconstruct it at read time (the hive-layout contract);
+        # anything else would silently read nulls for real data.
+        ident_fields = set(src2field)
+        missing = [
+            f["name"]
+            for f in sch["fields"]
+            if f["name"] not in file_cols
+        ]
+        bad = [m for m in missing if m not in ident_fields]
+        if bad:
+            raise ValueError(
+                f"registered files lack column(s) {bad} which are not "
+                "identity partition sources — reading them would "
+                "silently null-fill real data"
+            )
+        write_sch = (
+            {
+                **sch,
+                "fields": [
+                    f for f in sch["fields"] if f["name"] in file_cols
+                ],
+            }
+            if missing
+            else None
+        )
+        self._commit(
+            None,
+            operation="append",
+            first=False,
+            base=(meta, version),
+            prebuilt_files=files,
+            manifest_schema=write_sch,
+        )
+        return len(files)
 
     def fast_forward(self, name: str, to_branch: str) -> None:
         """Publish half of write-audit-publish (Iceberg's
@@ -1554,24 +1991,15 @@ class IcebergNativeTable:
         )
         dels = dels.join(live, "file_path", "left_semi")
         seq = meta["last-sequence-number"] + 1
-        out = os.path.join(
-            self.location,
-            "data",
-            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel",
-        )
         # bound the output file count without a driver bottleneck: a
-        # ~16x consolidation per pass (1 file at toy scale; a 100 TB
-        # table's delete debt still shrinks geometrically per run)
-        dels.coalesce(max(1, len(pos_del) // 16)).write.mode(
-            "error"
-        ).parquet(out)
-        paths = [
-            os.path.join(out, n)
-            for n in sorted(os.listdir(out))
-            if n.endswith(".parquet")
-        ]
+        # ~16x consolidation per pass on the unpartitioned path (the
+        # partitioned path bounds files at one per live partition value);
+        # either way a 100 TB table's delete debt shrinks geometrically
+        files = self._write_pos_delete_files(
+            dels, seq, data, meta, coalesce_to=max(1, len(pos_del) // 16)
+        )
         manifest = self._write_delete_manifest(
-            meta, seq, paths, content=1, equality_ids=None
+            meta, seq, files, content=1, equality_ids=None
         )
 
         def _keep(mf: dict):
@@ -1655,21 +2083,12 @@ class IcebergNativeTable:
         if mode == "merge-on-read":
             seq = meta["last-sequence-number"] + 1
             matched = self.scan(with_coordinates=True).filter(cond)
-            out = os.path.join(
-                self.location,
-                "data",
-                f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel",
+            _, _, data, _, _ = self._plan()
+            files = self._write_pos_delete_files(
+                matched.select("file_path", "pos"), seq, data, meta
             )
-            matched.select("file_path", "pos").write.mode("error").parquet(
-                out
-            )
-            paths = [
-                os.path.join(out, n)
-                for n in sorted(os.listdir(out))
-                if n.endswith(".parquet")
-            ]
             manifest = self._write_delete_manifest(
-                meta, seq, paths, content=1, equality_ids=None
+                meta, seq, files, content=1, equality_ids=None
             )
             if manifest is None:  # no matching rows: nothing to commit
                 return
@@ -2446,6 +2865,8 @@ class IcebergNativeTable:
         summary_extra: dict | None = None,
         carry_filter=None,
         branch: str | None = None,
+        prebuilt_files: list | None = None,
+        manifest_schema: dict | None = None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -2591,9 +3012,14 @@ class IcebergNativeTable:
                 ]
             manifests.extend(carried)
 
-        if df is not None:
-            files = self._write_data_files(
-                df, seq, parsed_spec, sch, sort_cols
+        if df is not None or prebuilt_files is not None:
+            # prebuilt_files: the add_files registration path — the
+            # file dicts were built from EXISTING parquet footers, no
+            # write happens here
+            files = (
+                prebuilt_files
+                if prebuilt_files is not None
+                else self._write_data_files(df, seq, parsed_spec, sch, sort_cols)
             )
             entries = [
                 {
@@ -2619,7 +3045,9 @@ class IcebergNativeTable:
                             for k, v in sorted(f["upper_bounds"].items())
                         ]
                         or None,
-                        "sort_order_id": order_id,
+                        # registered foreign files (add_files) carry no
+                        # write order; the writer's own files do
+                        "sort_order_id": f.get("sort_order_id", order_id),
                     },
                 }
                 for f in files
@@ -2632,7 +3060,12 @@ class IcebergNativeTable:
                 entry_schema,
                 iter(entries),
                 meta={
-                    "schema": json.dumps(sch).encode(),
+                    # manifest_schema: add_files registers files whose
+                    # PHYSICAL schema is narrower than the table's
+                    # (hive layouts drop partitioned columns) — the
+                    # embedded write-schema must say so for field-id
+                    # resolution to null-fill/partition-fill on read
+                    "schema": json.dumps(manifest_schema or sch).encode(),
                     "partition-spec": json.dumps(spec_fields).encode(),
                     "format-version": b"2",
                     "content": b"data",
@@ -2670,7 +3103,7 @@ class IcebergNativeTable:
 
         now_ms = int(time.time() * 1000)
         summary = {"operation": operation, **(summary_extra or {})}
-        if df is not None:
+        if df is not None or prebuilt_files is not None:
             summary.update(
                 {
                     "added-data-files": str(len(files)),
@@ -2768,25 +3201,64 @@ class IcebergNativeTable:
         with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
             fh.write(str(new_v))
 
+    def _default_part_avro(self, meta: dict):
+        """(spec_fields, parsed transforms, r102 avro fields) for the
+        current default partition spec — the schema both the data and
+        the delete manifest writers stamp on their entries."""
+        sch = self._current_schema(meta)
+        id2name = {f["id"]: f["name"] for f in sch["fields"]}
+        name2type = {f["name"]: f["type"] for f in sch["fields"]}
+        spec_fields = self._default_spec(meta)["fields"]
+        parsed = [parse_spec_transform(pf, id2name) for pf in spec_fields]
+        part_avro = [
+            _partition_avro_field(
+                pf["name"],
+                _result_spark_type(tf, _ddl_to_spark(name2type[tf["source"]])),
+                pf["field-id"],
+            )
+            for pf, tf in zip(spec_fields, parsed)
+        ]
+        return spec_fields, parsed, part_avro
+
     def _write_delete_manifest(
         self,
         meta: dict,
         seq: int,
-        paths: list[str],
+        files: list[dict],
         content: int,
         equality_ids: list[int] | None,
     ) -> dict | None:
         """Write one delete manifest (content 1 = position deletes,
         2 = equality deletes) for files committing at ``seq`` and return
         its manifest-list row — shared by the standalone delete commits
-        and the atomic row-delta path. Returns ``None`` when the files
-        carry zero rows (a no-match DELETE/UPDATE must not publish an
-        empty snapshot — the COW paths early-return, and snapshot-count
-        invariants like the epoch-replay pattern rely on commits being
-        real)."""
+        and the atomic row-delta path. ``files`` rows carry ``path`` and
+        a ``partition`` dict; partitioned entries get the default spec's
+        r102 record (missing fields null — an old-spec target file's
+        partition can't be expressed in the current spec), so scans can
+        prune delete files exactly like data files. Returns ``None``
+        when the files carry zero rows (a no-match DELETE/UPDATE must
+        not publish an empty snapshot — the COW paths early-return, and
+        snapshot-count invariants like the epoch-replay pattern rely on
+        commits being real)."""
         import pyarrow.parquet as pq
 
-        counted = [(p, pq.ParquetFile(p).metadata.num_rows) for p in paths]
+        counted = [
+            (f, pq.ParquetFile(f["path"]).metadata.num_rows) for f in files
+        ]
+        # skip the committer's empty part files (same rule as the
+        # data side: Iceberg never registers 0-row files)
+        counted = [(f, n) for f, n in counted if n > 0]
+        if not counted:
+            return None
+        partitioned = any(f["partition"] for f, _ in counted)
+        if partitioned:
+            spec_fields, _, part_avro = self._default_part_avro(meta)
+            pnames = [pf["name"] for pf in spec_fields]
+            spec_id = meta.get("default-spec-id", 0)
+            spec_json = json.dumps(spec_fields).encode()
+        else:
+            pnames, part_avro, spec_id = [], [], 0
+            spec_json = b"[]"
         entries = [
             {
                 "status": 1,
@@ -2795,25 +3267,20 @@ class IcebergNativeTable:
                 "file_sequence_number": seq,
                 "data_file": {
                     "content": content,
-                    "file_path": os.path.abspath(p),
+                    "file_path": os.path.abspath(f["path"]),
                     "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n,
-                    "file_size_in_bytes": os.path.getsize(p),
+                    "partition": {n: f["partition"].get(n) for n in pnames},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(f["path"]),
                     "equality_ids": equality_ids,
                     "lower_bounds": None,
                     "upper_bounds": None,
                     "sort_order_id": None,
                 },
             }
-            # skip the committer's empty part files (same rule as the
-            # data side: Iceberg never registers 0-row files)
-            for p, n in counted
-            if n > 0
+            for f, n_rows in counted
         ]
-        if not entries:
-            return None
-        entry_schema = _manifest_entry_schema([])
+        entry_schema = _manifest_entry_schema(part_avro)
         mpath = os.path.join(
             self.meta_dir,
             f"manifest-{seq:05d}-{uuid.uuid4().hex[:8]}-deletes.avro",
@@ -2823,7 +3290,7 @@ class IcebergNativeTable:
             iter(entries),
             meta={
                 "schema": json.dumps(self._current_schema(meta)).encode(),
-                "partition-spec": b"[]",
+                "partition-spec": spec_json,
                 "format-version": b"2",
                 "content": b"deletes",
             },
@@ -2833,7 +3300,7 @@ class IcebergNativeTable:
         return {
             "manifest_path": mpath,
             "manifest_length": len(blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -2848,14 +3315,165 @@ class IcebergNativeTable:
             "deleted_rows_count": 0,
         }
 
+    def _write_pos_delete_files(
+        self,
+        deletes: DataFrame,
+        seq: int,
+        data_entries: list[dict],
+        meta: dict,
+        coalesce_to: int | None = None,
+    ) -> list[dict]:
+        """Distributed write of position-delete parquet files, partitioned
+        like their TARGET data files: each coordinate joins the (kilobyte,
+        broadcast) path → partition map from the manifests, so a delete
+        file only ever references one partition's data files and scans /
+        ``partitions_df`` can attribute MOR debt per partition (real
+        Iceberg's position deletes are partition-scoped the same way).
+        Targets written under an older spec map to null partition values
+        — those files stay global (never pruned). Returns
+        ``[{"path", "partition"}]`` for the manifest writer."""
+        from urllib.parse import unquote
+
+        out = os.path.join(
+            self.location,
+            "data",
+            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel",
+        )
+        w = deletes.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("long")
+        )
+        pnames = [
+            pf["name"] for pf in self._default_spec(meta)["fields"]
+        ]
+        has_values = any(
+            d["partition"].get(n) is not None
+            for d in data_entries
+            for n in pnames
+        )
+        if not pnames or not has_values:
+            # unpartitioned table: one global file set, spec-recommended
+            # (file_path, pos) order within each file
+            if coalesce_to:
+                w = w.coalesce(coalesce_to)
+            w.sortWithinPartitions("file_path", "pos").write.mode(
+                "error"
+            ).parquet(out)
+            return [
+                {"path": os.path.join(out, n), "partition": {}}
+                for n in sorted(os.listdir(out))
+                if n.endswith(".parquet")
+            ]
+        # JSON-encode each manifest-space partition value into one string
+        # column per spec field: lossless through the hive dir name, and
+        # uniform across mixed-spec target files (missing field → null)
+        pcols = [f"_pj_{n}" for n in pnames]
+        rows = [
+            (
+                self._file_uri(d["path"]),
+                *[json.dumps(d["partition"].get(n)) for n in pnames],
+            )
+            for d in data_entries
+        ]
+        pmap = F.broadcast(
+            self.spark.createDataFrame(
+                rows,
+                ", ".join(
+                    ["file_path string"] + [f"{c} string" for c in pcols]
+                ),
+            )
+        )
+        w = (
+            w.join(pmap, "file_path", "left")
+            .repartition(*[F.col(c) for c in pcols])
+            .sortWithinPartitions("file_path", "pos")
+        )
+        w.write.mode("error").partitionBy(*pcols).parquet(out)
+        files = []
+        for root, _dirs, names in os.walk(out):
+            part = {}
+            rel = os.path.relpath(root, out)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, raw = seg.partition("=")
+                    name = k[len("_pj_") :]
+                    part[name] = (
+                        None
+                        if raw == "__HIVE_DEFAULT_PARTITION__"
+                        else json.loads(unquote(raw))
+                    )
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    files.append(
+                        {
+                            "path": os.path.abspath(os.path.join(root, n)),
+                            "partition": part,
+                        }
+                    )
+        return files
+
+    def _write_eq_delete_files(
+        self, deletes: DataFrame, seq: int, meta: dict, eq_cols: list[str]
+    ) -> list[dict]:
+        """Distributed write of equality-delete parquet files. When every
+        partition-source column is one of ``eq_cols`` the write is
+        partitioned by the spec transforms (safe: matching rows can only
+        live in the partition their key values map to — the scope rule
+        that lets scans prune these files); otherwise the deletes are
+        global, exactly the spec's unpartitioned equality-delete case.
+        Returns ``[{"path", "partition"}]``."""
+        out = os.path.join(
+            self.location,
+            "data",
+            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-eqdel",
+        )
+        _, parsed, _ = self._default_part_avro(meta)
+        scoped = bool(parsed) and all(
+            tf["source"] in eq_cols for tf in parsed
+        )
+        if not scoped:
+            deletes.select(*eq_cols).write.mode("error").parquet(out)
+            return [
+                {"path": os.path.join(out, n), "partition": {}}
+                for n in sorted(os.listdir(out))
+                if n.endswith(".parquet")
+            ]
+        w = deletes.select(*eq_cols)
+        types = {}
+        writer_cols = []
+        for tf in parsed:
+            src_dt = w.schema[tf["source"]].dataType
+            w = w.withColumn(f"_p_{tf['name']}", _transform_column(tf, src_dt))
+            types[tf["name"]] = _result_spark_type(tf, src_dt)
+            writer_cols.append(f"_p_{tf['name']}")
+        w = w.repartition(*[F.col(c) for c in writer_cols])
+        w.write.mode("error").partitionBy(*writer_cols).parquet(out)
+        files = []
+        for root, _dirs, names in os.walk(out):
+            part = {}
+            rel = os.path.relpath(root, out)
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, raw = seg.partition("=")
+                    c = k[len("_p_") :]
+                    part[c] = _partition_value(types[c], raw)
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    files.append(
+                        {
+                            "path": os.path.abspath(os.path.join(root, n)),
+                            "partition": part,
+                        }
+                    )
+        return files
+
     def _commit_delete_files(
-        self, paths: list[str], content: int, equality_ids: list[int] | None
+        self, files: list[dict], content: int, equality_ids: list[int] | None
     ) -> None:
         """content 1 = position deletes, 2 = equality deletes."""
         meta, version = self._read_tree()
         seq = meta["last-sequence-number"] + 1
         manifest = self._write_delete_manifest(
-            meta, seq, paths, content, equality_ids
+            meta, seq, files, content, equality_ids
         )
         if manifest is None:  # no matching rows: nothing to commit
             return
@@ -2875,18 +3493,10 @@ class IcebergNativeTable:
         spec's columns (file_path string, pos long) — typically derived
         distributedly from a _metadata scan, so the row coordinates
         never pass through the driver."""
-        meta = self._metadata()
+        meta, _, data, _, _ = self._plan()
         seq = meta["last-sequence-number"] + 1
-        out = os.path.join(self.location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-posdel")
-        deletes.select(
-            F.col("file_path").cast("string"), F.col("pos").cast("long")
-        ).write.mode("error").parquet(out)
-        paths = [
-            os.path.join(out, n)
-            for n in sorted(os.listdir(out))
-            if n.endswith(".parquet")
-        ]
-        self._commit_delete_files(paths, content=1, equality_ids=None)
+        files = self._write_pos_delete_files(deletes, seq, data, meta)
+        self._commit_delete_files(files, content=1, equality_ids=None)
 
     def add_equality_deletes(self, deletes: DataFrame, eq_cols: list[str]) -> None:
         """Commit a v2 equality-delete snapshot: any live row (from an
@@ -2898,14 +3508,8 @@ class IcebergNativeTable:
             next(f["id"] for f in sch["fields"] if f["name"] == c) for c in eq_cols
         ]
         seq = meta["last-sequence-number"] + 1
-        out = os.path.join(self.location, "data", f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-eqdel")
-        deletes.select(*eq_cols).write.mode("error").parquet(out)
-        paths = [
-            os.path.join(out, n)
-            for n in sorted(os.listdir(out))
-            if n.endswith(".parquet")
-        ]
-        self._commit_delete_files(paths, content=2, equality_ids=ids)
+        files = self._write_eq_delete_files(deletes, seq, meta, eq_cols)
+        self._commit_delete_files(files, content=2, equality_ids=ids)
 
     def row_delta(
         self,
@@ -2936,19 +3540,9 @@ class IcebergNativeTable:
         keys = (delete_keys if delete_keys is not None else rows).select(
             *eq_cols
         )
-        out = os.path.join(
-            self.location,
-            "data",
-            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-eqdel",
-        )
-        keys.write.mode("error").parquet(out)
-        paths = [
-            os.path.join(out, n)
-            for n in sorted(os.listdir(out))
-            if n.endswith(".parquet")
-        ]
+        files = self._write_eq_delete_files(keys, seq, meta, eq_cols)
         manifest = self._write_delete_manifest(
-            meta, seq, paths, content=2, equality_ids=ids
+            meta, seq, files, content=2, equality_ids=ids
         )
         if manifest is None and delete_keys is None:
             # keys defaulted from rows, so empty deletes == empty rows:
@@ -3672,4 +4266,133 @@ def iceberg_native_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_main_before).cast("long").alias("n_main_before"),
         F.lit(n_branch).cast("long").alias("n_branch"),
         F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
+    )
+
+
+def iceberg_partition_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MOR debt: position-delete files are written
+    partitioned like the data files they target (real Iceberg's layout
+    — delete files live beside their partition's data), so the
+    ``#partitions`` metadata table attributes delete-file debt to the
+    ONE partition the DELETE hit while every other partition reads
+    debt-free — exactly what a per-partition compaction picker needs at
+    100 TB, where paying down debt table-wide is a non-starter. The
+    pruned scan pins that a partition-filtered MOR read still applies
+    the partition's own delete files (live_rows vs pruned_f_rows)."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_partition_debt", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, orders, partition_by=["o_orderstatus"]
+    )
+    t.delete_where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") < 100000.0),
+        mode="merge-on-read",
+    )
+    live = t.scan().groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("live_rows")
+    )
+    pruned_f = t.scan(where={"o_orderstatus": "F"}).count()
+    return (
+        t.partitions_df()
+        .select(
+            F.get_json_object("partition", "$.o_orderstatus").alias(
+                "o_orderstatus"
+            ),
+            "record_count",
+            "position_delete_file_count",
+        )
+        .join(live, "o_orderstatus", "left")
+        .withColumn("pruned_f_rows", F.lit(pruned_f).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def iceberg_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec's partition statistics FILE, round-tripped: write the
+    per-partition pre-aggregation for the current snapshot (one parquet
+    file registered in metadata.json under ``partition-statistics``),
+    then read it back through the registered pointer. The oracle
+    recomputes every column from the raw rows — data rows per
+    partition, the deleted-row count the MOR DELETE moved into
+    position-delete files, and the deterministic file counts (the
+    writer hash-distributes by partition value: one data file per
+    status; the delete targets one partition: one delete file there,
+    zero elsewhere)."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_partition_stats", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, orders, partition_by=["o_orderstatus"]
+    )
+    t.delete_where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") < 50000.0),
+        mode="merge-on-read",
+    )
+    t.write_partition_stats()
+    return (
+        t.partition_stats_df()
+        .select(
+            F.col("partition.o_orderstatus").alias("o_orderstatus"),
+            "spec_id",
+            "data_record_count",
+            "data_file_count",
+            "position_delete_record_count",
+            "position_delete_file_count",
+            "equality_delete_file_count",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg's ``add_files`` migration procedure end-to-end: a plain
+    hive-layout parquet export (partition dirs, partitioned column
+    DROPPED from the files — what a pre-Iceberg warehouse actually
+    holds) registers into an empty partitioned native table as ONE
+    metadata-only snapshot — no data rewrite, no copy. The scan then
+    must (a) reconstruct the dropped identity-partition column from
+    partition metadata (every grouped row would land under NULL
+    otherwise), (b) partition-prune on it (the pruned scan reads
+    exactly the one registered file of that segment), and the oracle
+    recomputes totals from the raw rows."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    root = scratch_dir(sf_dir, "iceberg_add_files", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    hive = os.path.join(root, "hive")
+    cust.repartition(1).write.partitionBy("c_mktsegment").parquet(hive)
+    t = IcebergNativeTable.create(
+        spark,
+        os.path.join(root, "ice"),
+        cust.limit(0),
+        partition_by=["c_mktsegment"],
+    )
+    n = t.add_files(hive)
+    pruned = t.scan(where={"c_mktsegment": "BUILDING"})
+    one_file = len(pruned.inputFiles()) == 1
+    return (
+        t.scan()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("c_acctbal", scale=100)).alias(
+                "total_bal"
+            ),
+        )
+        .withColumn("n_registered", F.lit(n))
+        .withColumn("pruned_rows", F.lit(pruned.count()).cast("long"))
+        .withColumn("pruned_reads_one_file", F.lit(one_file))
+        .orderBy("c_mktsegment")
     )

@@ -10,14 +10,18 @@ lineage — so the checkpoint alone pins what has been emitted; a second
 ``availableNow`` run on the same checkpoint consumes only snapshots
 committed since.
 
-The reader is ``SimpleDataSourceStreamReader`` (driver-side) by design:
-each micro-batch is PLANNED from kilobyte-scale metadata (metadata.json
-+ Avro manifests via the repo's pure-Python codec) and the
-newly-appended files are decoded with pyarrow — no SparkSession in the
-read path. That makes this the control-plane demo of the API; a
-bulk-throughput variant would hand file splits to executor tasks via
-``DataSourceStreamReader.partitions()``, the same planning code either
-way.
+Two reader flavors share one planning routine (each micro-batch is
+PLANNED from kilobyte-scale metadata — metadata.json + Avro manifests
+via the repo's pure-Python codec; no SparkSession in the read path):
+
+- ``icebergnative_stream`` — ``SimpleDataSourceStreamReader``, decode
+  on the driver: the control-plane demo of the API, right when batches
+  are small.
+- ``icebergnative_stream_bulk`` — ``DataSourceStreamReader``: every
+  planned data file becomes an ``InputPartition`` decoded by an
+  EXECUTOR task, so an N-file micro-batch reads N-way parallel — the
+  100 TB ingest shape. Offsets and snapshot rules are identical; the
+  flavors are interchangeable on one checkpoint lineage.
 
 Semantics mirror Iceberg's Spark streaming read: APPEND snapshots are
 consumed; REPLACE snapshots (compaction, position-delete rewrites) are
@@ -33,7 +37,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _read_meta(location: str) -> dict:
@@ -58,6 +67,60 @@ def _lineage(meta: dict) -> list[dict]:
         sid = s.get("parent-snapshot-id")
     chain.reverse()
     return chain
+
+
+def _added_files_of(snap: dict) -> list[str]:
+    """Data files ADDED by this snapshot: manifests in its list carrying
+    the snapshot's own sequence number (carried-forward manifests keep
+    their older numbers), then ADDED entries within."""
+    from iceberg_examples_spark.sources.avro_codec import read_container
+
+    seq = snap["sequence-number"]
+    with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
+        _, _, manifests = read_container(f.read())
+    paths: list[str] = []
+    for mf in manifests:
+        if mf.get("content", 0) != 0:
+            continue
+        if mf.get("sequence_number") != seq:
+            continue
+        with open(_strip_scheme(mf["manifest_path"]), "rb") as f:
+            _, _, entries = read_container(f.read())
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            if e.get("data_sequence_number", seq) != seq:
+                continue
+            paths.append(_strip_scheme(e["data_file"]["file_path"]))
+    return paths
+
+
+def _plan_files_between(
+    chain: list[dict], lo: int, hi: int, skip_non_appends: bool
+) -> list[str]:
+    """The data files a stream must emit for sequence numbers in
+    ``(lo, hi]`` — the one planning routine both reader flavors share.
+    REPLACE snapshots (compaction / delete rewrites) are skipped as
+    logically neutral; DELETE/OVERWRITE snapshots raise unless
+    ``skip_non_appends`` (a stream cannot retract emitted rows)."""
+    paths: list[str] = []
+    for s in chain:
+        seq = s["sequence-number"]
+        if not (lo < seq <= hi):
+            continue
+        op = s.get("summary", {}).get("operation", "append")
+        if op == "replace":
+            continue
+        if op != "append":
+            if skip_non_appends:
+                continue
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is a {op!r} commit; a "
+                "streaming read cannot retract emitted rows (set "
+                "skip_non_appends=true to ignore non-append snapshots)"
+            )
+        paths.extend(_added_files_of(s))
+    return paths
 
 
 class IcebergStreamReader(SimpleDataSourceStreamReader):
@@ -85,38 +148,9 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
 
     # -- planning + decode (pure Python, metadata-driven) ---------------
 
-    def _added_files(self, snap: dict) -> list[str]:
-        """Data files ADDED by this snapshot: manifests in its list
-        carrying the snapshot's own sequence number (carried-forward
-        manifests keep their older numbers), then ADDED entries within."""
-        from iceberg_examples_spark.sources.avro_codec import (
-            read_container,
-        )
-
-        seq = snap["sequence-number"]
-        with open(_strip_scheme(snap["manifest-list"]), "rb") as f:
-            _, _, manifests = read_container(f.read())
-        paths: list[str] = []
-        for mf in manifests:
-            if mf.get("content", 0) != 0:
-                continue
-            if mf.get("sequence_number") != seq:
-                continue
-            with open(_strip_scheme(mf["manifest_path"]), "rb") as f:
-                _, _, entries = read_container(f.read())
-            for e in entries:
-                if e.get("status") == 2:
-                    continue
-                if e.get("data_sequence_number", seq) != seq:
-                    continue
-                paths.append(_strip_scheme(e["data_file"]["file_path"]))
-        return paths
-
     def _rows_between(
         self, meta: dict, chain: list[dict], lo: int, hi: int
     ) -> list[tuple]:
-        import pyarrow.parquet as pq
-
         cur = next(
             s
             for s in meta["schemas"]
@@ -124,28 +158,76 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
         )
         names = [f["name"] for f in cur["fields"]]
         out: list[tuple] = []
-        for s in chain:
-            seq = s["sequence-number"]
-            if not (lo < seq <= hi):
-                continue
-            op = s.get("summary", {}).get("operation", "append")
-            if op == "replace":
-                continue  # compaction/rewrite: logically neutral
-            if op != "append":
-                if self.skip_non_appends:
-                    continue
-                raise ValueError(
-                    f"snapshot {s['snapshot-id']} is a {op!r} commit; a "
-                    "streaming read cannot retract emitted rows (set "
-                    "skip_non_appends=true to ignore non-append "
-                    "snapshots)"
-                )
-            for path in self._added_files(s):
-                for r in pq.read_table(path).to_pylist():
-                    # name-based projection with null-fill: appends under
-                    # an older schema lack later columns
-                    out.append(tuple(r.get(n) for n in names))
+        for path in _plan_files_between(
+            chain, lo, hi, self.skip_non_appends
+        ):
+            out.extend(_decode_file(path, names))
         return out
+
+
+def _decode_file(path: str, names: list[str]):
+    """Decode one data file to row tuples with name-based projection and
+    null-fill (appends under an older schema lack later columns)."""
+    import pyarrow.parquet as pq
+
+    for r in pq.read_table(path).to_pylist():
+        yield tuple(r.get(n) for n in names)
+
+
+class IcebergFileSplit(InputPartition):
+    """One data file of one micro-batch — the split `partitions()` hands
+    an executor task (picklable: path + projection only)."""
+
+    def __init__(self, path: str, names: list[str]):
+        self.path = path
+        self.names = names
+
+
+class IcebergBulkStreamReader(DataSourceStreamReader):
+    """The executor-parallel flavor (``DataSourceStreamReader``): the
+    driver still PLANS each micro-batch from kilobyte metadata —
+    ``latestOffset`` reads metadata.json, ``partitions(start, end)``
+    walks the Avro manifests — but every planned data file becomes an
+    ``InputPartition`` DECODED BY AN EXECUTOR TASK, so a micro-batch of
+    N files reads with N-way parallelism instead of serially on the
+    driver. Same offsets ({"seq": N}), same skip/raise snapshot rules,
+    same checkpoint semantics as the simple reader — the two flavors
+    are interchangeable on one checkpoint lineage."""
+
+    def __init__(
+        self, location: str, skip_non_appends: bool, names: list[str]
+    ):
+        self.location = location
+        self.skip_non_appends = skip_non_appends
+        self.names = names
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        meta = _read_meta(self.location)
+        chain = _lineage(meta)
+        return {"seq": chain[-1]["sequence-number"] if chain else 0}
+
+    def partitions(self, start: dict, end: dict):
+        meta = _read_meta(self.location)
+        chain = _lineage(meta)
+        paths = _plan_files_between(
+            chain, start["seq"], end["seq"], self.skip_non_appends
+        )
+        # an empty batch still needs one (empty) split: Spark requires
+        # at least one partition per planned micro-batch
+        if not paths:
+            return [IcebergFileSplit("", self.names)]
+        return [IcebergFileSplit(p, self.names) for p in paths]
+
+    def read(self, partition: IcebergFileSplit):
+        if not partition.path:
+            return iter(())
+        return _decode_file(partition.path, partition.names)
+
+    def commit(self, end: dict) -> None:
+        pass  # checkpoint-managed; nothing table-side to release
 
 
 class IcebergNativeStreamSource(DataSource):
@@ -175,6 +257,44 @@ class IcebergNativeStreamSource(DataSource):
         return IcebergStreamReader(
             self.options["path"],
             self.options.get("skip_non_appends", "false").lower() == "true",
+        )
+
+
+class IcebergNativeBulkStreamSource(DataSource):
+    """``spark.readStream.format("icebergnative_stream_bulk")`` — the
+    executor-parallel variant: identical offsets and snapshot rules,
+    file decode fanned out to tasks via ``partitions()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icebergnative_stream_bulk"
+
+    def schema(self) -> str:
+        from iceberg_examples_spark.sources.iceberg_native import (
+            _ice_to_ddl,
+        )
+
+        meta = _read_meta(self.options["path"])
+        cur = next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        return ", ".join(
+            f"{f['name']} {_ice_to_ddl(f['type'])}" for f in cur["fields"]
+        )
+
+    def streamReader(self, schema) -> IcebergBulkStreamReader:
+        meta = _read_meta(self.options["path"])
+        cur = next(
+            s
+            for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        return IcebergBulkStreamReader(
+            self.options["path"],
+            self.options.get("skip_non_appends", "false").lower() == "true",
+            [f["name"] for f in cur["fields"]],
         )
 
 
@@ -238,5 +358,79 @@ def stream_from_iceberg(spark, sf_dir: str):
             F.count(F.lit(1)).alias("n_rows"),
             F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
         )
+        .orderBy("event_type")
+    )
+
+
+def stream_from_iceberg_bulk(spark, sf_dir: str):
+    """Declared query: the EXECUTOR-PARALLEL streaming read. The table
+    is written with pinned file counts (3 click files, then 2 purchase
+    files, then 2 view files), so the split counts the batches report
+    are deterministic: run 1 plans 5 files -> 5 input partitions (one
+    executor task each), run 2 — after a MOR DELETE that
+    ``skip_non_appends`` must skip — plans exactly the 2 new view
+    files. The oracle is one pass over the raw events: a dropped or
+    double-read split, a replayed offset, or a delete wrongly applied
+    to already-emitted rows all hash-mismatch; the split columns pin
+    that planning stayed one-task-per-file."""
+    from pyspark.sql import functions as F
+
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+    from iceberg_examples_spark.sources.iceberg_native import (
+        IcebergNativeTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = scratch_dir(sf_dir, "stream_from_iceberg_bulk", fresh=True)
+    src = IcebergNativeTable.create(
+        spark,
+        os.path.join(root, "ice"),
+        ev.filter(F.col("event_type") == "click").repartition(3),
+    )
+    src.append(ev.filter(F.col("event_type") == "purchase").repartition(2))
+    try:
+        spark.dataSource.register(IcebergNativeBulkStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    splits: list[int] = []
+
+    def sink(b, _epoch) -> None:
+        splits.append(b.rdd.getNumPartitions())
+        b.write.mode("append").parquet(out)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("icebergnative_stream_bulk")
+            .option("path", src.location)
+            .option("skip_non_appends", "true")
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # a MOR DELETE commits a 'delete' snapshot: the reader must SKIP it
+    # (already-emitted rows cannot be retracted) and emit only the views
+    src.delete_where(F.col("value") > 120.0, mode="merge-on-read")
+    src.append(ev.filter(F.col("event_type") == "view").repartition(2))
+    drain()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("value", scale=100)).alias("total_value"),
+        )
+        .withColumn("n_splits_run1", F.lit(splits[0]))
+        .withColumn("n_splits_run2", F.lit(splits[1]))
         .orderBy("event_type")
     )

@@ -1721,6 +1721,62 @@ def test_streaming_source_offsets_and_skip_rules(spark, tmp_path):
     assert list(rows4) == []
 
 
+def test_bulk_stream_reader_partitions_contract(spark, tmp_path):
+    """The executor-parallel reader's contract, driven directly: offsets
+    match the simple flavor, partitions(start, end) yields one split
+    per planned data file (an empty range yields one empty split —
+    Spark requires >= 1), split decode is self-contained (pickle-shaped:
+    path + names only), and the delete-raise/skip rules hold at
+    planning time."""
+    import pickle
+
+    from iceberg_examples_spark.sources.iceberg_stream_source import (
+        IcebergBulkStreamReader,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "k long, v double"
+    ).repartition(3)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(
+        spark.createDataFrame([(100, 1.0)], "k long, v double").coalesce(1)
+    )
+
+    r = IcebergBulkStreamReader(
+        str(tmp_path / "t"), skip_non_appends=False, names=["k", "v"]
+    )
+    assert r.initialOffset() == {"seq": 0}
+    end = r.latestOffset()
+    assert end == {"seq": 2}
+    splits = r.partitions(r.initialOffset(), end)
+    assert len(splits) == 4  # 3 files from create + 1 from append
+    # decode through pickle: what an executor worker actually receives
+    rows = [
+        row
+        for s in splits
+        for row in r.read(pickle.loads(pickle.dumps(s)))
+    ]
+    assert sorted(x[0] for x in rows) == sorted(list(range(12)) + [100])
+    # empty range: exactly one empty split
+    empty = r.partitions(end, end)
+    assert len(empty) == 1 and list(r.read(empty[0])) == []
+
+    t.compact()  # replace: planned away
+    t.append(spark.createDataFrame([(200, 2.0)], "k long, v double"))
+    nxt = r.latestOffset()
+    splits2 = r.partitions(end, nxt)
+    assert [x[0] for s in splits2 for x in r.read(s)] == [200]
+
+    t.delete_where(F.col("k") == 0, mode="merge-on-read")
+    with pytest.raises(ValueError, match="cannot retract"):
+        r.partitions(nxt, r.latestOffset())
+    r_skip = IcebergBulkStreamReader(
+        str(tmp_path / "t"), skip_non_appends=True, names=["k", "v"]
+    )
+    sp = r_skip.partitions(nxt, r_skip.latestOffset())
+    assert [x for s in sp for x in r_skip.read(s)] == []
+
+
 def test_entries_metadata_table(spark, tmp_path):
     """#entries: the file-level ledger — every manifest entry with its
     status, sequence number, content type, and bookkeeping; totals
@@ -1777,7 +1833,9 @@ def test_new_dml_paths_conflict_on_interleaved_commit(spark, tmp_path):
         for n in sorted(_os.listdir(out))
         if n.endswith(".parquet")
     ]
-    manifest = t._write_delete_manifest(meta, seq, paths, 2, [1])
+    manifest = t._write_delete_manifest(
+        meta, seq, [{"path": p, "partition": {}} for p in paths], 2, [1]
+    )
     with pytest.raises(CommitConflictError):
         t._commit(
             rows,
@@ -1806,3 +1864,241 @@ def test_new_dml_paths_conflict_on_interleaved_commit(spark, tmp_path):
     t.delete_where(F.col("k") == 2, mode="copy-on-write")
     got = {r["k"] for r in t.scan().collect()}
     assert 2 not in got and 60 in got
+
+
+def test_partition_scoped_delete_files(spark, tmp_path):
+    """Delete files are written partitioned like their targets: MOR
+    debt attributes to the partition the DELETE hit, partition-filtered
+    scans skip other partitions' delete files at planning time, and a
+    key-covering equality delete is scoped while a non-covering one
+    stays global."""
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O", float(i)) for i in range(90)],
+        "k long, status string, v double",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "pd"), df, partition_by=["status"]
+    )
+    t.delete_where((F.col("status") == "F") & (F.col("k") < 30), "merge-on-read")
+    parts = {
+        r["partition"]: r
+        for r in t.partitions_df().collect()
+    }
+    assert parts['{"status": "F"}']["position_delete_file_count"] == 1
+    assert parts['{"status": "O"}']["position_delete_file_count"] == 0
+    # the delete manifest entry carries the real partition value
+    _, _, _, pos_del, _ = t._plan()
+    assert [d["partition"] for d in pos_del] == [{"status": "F"}]
+    # planning a partition-filtered scan prunes the other partition's
+    # delete files entirely
+    _, _, _, pos_o, _ = t._plan(partition_filter={"status": "O"})
+    assert pos_o == []
+    _, _, _, pos_f, _ = t._plan(partition_filter={"status": "F"})
+    assert len(pos_f) == 1
+    assert t.scan(partition_filter={"status": "F"}).count() == 20
+    assert t.scan().count() == 80
+
+    # equality delete keyed by the partition source: scoped to its value
+    t.add_equality_deletes(
+        spark.createDataFrame([("O",)], "status string"), ["status"]
+    )
+    _, _, _, _, eq = t._plan()
+    assert [d["partition"] for d in eq] == [{"status": "O"}]
+    assert t.scan().count() == 20
+    # ...and pruned away for the partition it cannot touch
+    _, _, _, _, eq_f = t._plan(partition_filter={"status": "F"})
+    assert eq_f == []
+
+    # equality delete NOT covering the partition source: global (a k=33
+    # row could live in any partition), never pruned
+    t.add_equality_deletes(spark.createDataFrame([(33,)], "k long"), ["k"])
+    _, _, _, _, eq2 = t._plan(partition_filter={"status": "F"})
+    assert any(d["partition"] == {} for d in eq2)
+    assert t.scan().count() == 19
+
+
+def test_partition_debt_survives_rewrite_and_null_scoping(spark, tmp_path):
+    """rewrite_position_deletes keeps the per-partition scoping, and
+    delete entries with NULL partition values (unknown target
+    partition) are never pruned."""
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O", float(i)) for i in range(90)],
+        "k long, status string, v double",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "rw"), df, partition_by=["status"]
+    )
+    for lo in (0, 30, 60):
+        t.delete_where(
+            (F.col("status") == "F") & (F.col("k") >= lo) & (F.col("k") < lo + 10),
+            "merge-on-read",
+        )
+    _, _, _, pos_del, _ = t._plan()
+    assert len(pos_del) == 3
+    t.rewrite_position_deletes()
+    _, _, _, pos_del, _ = t._plan()
+    assert [d["partition"] for d in pos_del] == [{"status": "F"}]
+    # F rows are every third k: 4 deleted per 10-wide range, 3 ranges
+    assert t.scan().count() == 78
+
+    # deletes targeting PRE-spec-evolution files carry null partition
+    # values (their partition can't be expressed in the current spec);
+    # null can't prove exclusion, so a filtered scan still applies them
+    df2 = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(40)],
+        "k long, status string, v double",
+    )
+    t2 = IcebergNativeTable.create(spark, str(tmp_path / "ev"), df2)
+    t2.update_spec(["status"])
+    t2.append(
+        spark.createDataFrame(
+            [(100 + i, "A", 0.0) for i in range(10)],
+            "k long, status string, v double",
+        )
+    )
+    t2.delete_where(F.col("k") < 4, "merge-on-read")  # old-file rows only
+    _, _, _, pos2, _ = t2._plan()
+    assert {tuple(sorted(d["partition"].items())) for d in pos2} == {
+        (("status", None),)
+    }
+    # the filter prunes old DATA files never (no status value) and the
+    # null-scoped delete file never either: counts stay consistent
+    assert t2.scan(partition_filter={"status": "A"}).count() == 46
+    assert t2.scan().count() == 46
+
+
+def test_partition_stats_file_roundtrip(spark, tmp_path):
+    """write_partition_stats: single parquet file registered in
+    metadata.json; unified partition tuple spans evolved specs (old
+    rows keyed by spec_id with nulls for fields their spec lacks);
+    re-writing for the same snapshot replaces the registration."""
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O", float(i)) for i in range(90)],
+        "k long, status string, v double",
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.update_spec(["status"])
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, "A", 0.0) for i in range(10)],
+            "k long, status string, v double",
+        )
+    )
+    t.delete_where(F.col("k") >= 105, "merge-on-read")
+    p1 = t.write_partition_stats()
+    got = {
+        (r["spec_id"], r["partition"]["status"]): r
+        for r in t.partition_stats_df().collect()
+    }
+    # old-spec files: spec_id 0, status null; new-spec: spec_id 1, 'A'
+    assert got[(0, None)]["data_record_count"] == 90
+    assert got[(1, "A")]["data_record_count"] == 10
+    assert got[(1, "A")]["position_delete_record_count"] == 5
+    assert got[(0, None)]["position_delete_file_count"] == 0
+    assert got[(1, "A")]["total_record_count"] is None  # honest omission
+    # registration: one entry for the snapshot; rewrite replaces it
+    meta = t._metadata()
+    assert len(meta["partition-statistics"]) == 1
+    assert meta["partition-statistics"][0]["statistics-path"] == p1
+    p2 = t.write_partition_stats()
+    meta = t._metadata()
+    assert len(meta["partition-statistics"]) == 1
+    assert meta["partition-statistics"][0]["statistics-path"] == p2
+    # unknown snapshot: loud failure, not a silent empty frame
+    with pytest.raises(ValueError, match="no partition statistics"):
+        t.partition_stats_df(snapshot_id=1)
+
+
+def test_all_metadata_tables(spark, tmp_path):
+    """#all_manifests / #all_entries / #all_files: the across-snapshots
+    family — carried-forward manifests repeat per referencing snapshot,
+    all_entries is the per-snapshot union, all_files dedupes to one row
+    per distinct file (including files only HISTORIC snapshots hold)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    ).repartition(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(
+        spark.createDataFrame([(100, 1.0)], "k long, v double").coalesce(1)
+    )
+    t.compact()  # replace: snapshot 3 references NEW files only
+
+    am = t.all_manifests_df().collect()
+    # snapshot 1: 1 manifest; snapshot 2: 2 (carried + new); snapshot 3:
+    # 1 (rewrite) — the carried manifest appears under both 1 and 2
+    per_snap = {}
+    for r in am:
+        per_snap.setdefault(r["reference_snapshot_id"], []).append(r["path"])
+    assert {k: len(v) for k, v in per_snap.items()} == {1: 1, 2: 2, 3: 1}
+    assert set(per_snap[1]) <= set(per_snap[2])
+
+    n_compacted = t.files_df().count()  # compaction's own file count
+    ae = t.all_entries_df()
+    assert ae.filter("reference_snapshot_id = 2").count() == 2
+    assert ae.count() == 1 + 2 + n_compacted
+
+    af = t.all_files_df()
+    # pre-compaction files + the compacted files, each exactly once
+    assert af.count() == af.select("file_path").distinct().count()
+    assert af.count() == 2 + n_compacted
+    # current snapshot no longer holds the historic files all_files
+    # keeps for time travel
+    cur = {r["file_path"] for r in t.files_df().collect()}
+    assert cur < {r["file_path"] for r in af.collect()}
+
+
+def test_add_files_registration_and_guards(spark, tmp_path):
+    """add_files: in-place registration (no copy — entries point at the
+    foreign paths), dropped identity-partition columns reconstruct from
+    partition metadata even under MOR, and the guards refuse hive keys
+    outside the spec, non-identity missing columns, and mixed physical
+    schemas."""
+    import os as _os
+
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O", float(i)) for i in range(30)],
+        "k long, status string, v double",
+    )
+    hive = str(tmp_path / "hive")
+    df.repartition(1).write.partitionBy("status").parquet(hive)
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "t"), df.limit(0), partition_by=["status"]
+    )
+    assert t.add_files(hive) == 2
+    # no copy: every registered path still lives under the hive export
+    assert all(
+        d["path"].startswith(_os.path.abspath(hive))
+        for d in t._plan()[2]
+    )
+    got = {
+        (r["status"], r["k"]) for r in t.scan().collect()
+    }
+    assert len(got) == 30 and ("F", 0) in got and ("O", 1) in got
+    # the reconstructed column participates in MOR deletes + row filters
+    t.delete_where(F.col("status") == "F", "merge-on-read")
+    assert t.scan().count() == 20
+    assert t.scan(where={"status": "O"}).count() == 20
+
+    # guard: hive key not an identity partition source
+    bad = str(tmp_path / "badkey")
+    df.withColumnRenamed("status", "other").repartition(1).write.partitionBy(
+        "other"
+    ).parquet(bad)
+    with pytest.raises(ValueError, match="identity"):
+        t.add_files(bad)
+
+    # guard: a missing column that ISN'T an identity partition source
+    t2 = IcebergNativeTable.create(
+        spark, str(tmp_path / "t2"), df.limit(0), partition_by=["status"]
+    )
+    narrow = str(tmp_path / "narrow")
+    df.drop("v").repartition(1).write.partitionBy("status").parquet(narrow)
+    with pytest.raises(ValueError, match="not.*identity partition"):
+        t2.add_files(narrow)
+
+    # guard: mixed physical schemas across files
+    mixed = str(tmp_path / "mixed")
+    df.drop("status").limit(5).coalesce(1).write.parquet(mixed)
+    df.limit(5).coalesce(1).write.mode("append").parquet(mixed)
+    with pytest.raises(ValueError, match="uniform physical schema"):
+        t2.add_files(mixed)
