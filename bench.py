@@ -179,6 +179,7 @@ HEADLINE = [
     "stream_from_iceberg_bulk",
     "iceberg_partition_stats",
     "iceberg_add_files",
+    "iceberg_deletion_vectors",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

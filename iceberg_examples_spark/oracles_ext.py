@@ -3656,3 +3656,15 @@ SELECT c_mktsegment, count(*) AS n_rows,
        true AS pruned_reads_one_file
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+# iceberg_deletion_vectors: v2 position deletes convert to DVs on
+# upgrade, the second (containing) DELETE merges per-file vectors; the
+# survivors are simply rows outside the wider predicate.
+EXT_ORACLES["iceberg_deletion_vectors"] = f"""
+SELECT count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price,
+       true AS dv_only, true AS one_dv_per_file,
+       (SELECT count(*) FROM orders) AS rows_at_v2_create
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+"""

@@ -89,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_from_iceberg_bulk": ISS.stream_from_iceberg_bulk,
     "iceberg_partition_stats": IN.iceberg_partition_stats,
     "iceberg_add_files": IN.iceberg_add_files,
+    "iceberg_deletion_vectors": IN.iceberg_deletion_vectors,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

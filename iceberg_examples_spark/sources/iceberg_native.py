@@ -599,6 +599,28 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "default": None,
                             "field-id": 140,
                         },
+                        # v3 deletion-vector references (spec field-ids
+                        # 143-145): a DV entry's file_path names the
+                        # PUFFIN file; these locate the blob and the one
+                        # data file it deletes from
+                        {
+                            "name": "referenced_data_file",
+                            "type": ["null", "string"],
+                            "default": None,
+                            "field-id": 143,
+                        },
+                        {
+                            "name": "content_offset",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 144,
+                        },
+                        {
+                            "name": "content_size_in_bytes",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 145,
+                        },
                     ],
                 },
             },
@@ -951,6 +973,12 @@ class IcebergNativeTable:
                     "write_schema": wsch,
                     "sort_order_id": df_.get("sort_order_id"),
                     "spec_id": mf.get("partition_spec_id", 0),
+                    "file_format": df_.get("file_format", "PARQUET"),
+                    "referenced_data_file": df_.get("referenced_data_file"),
+                    "content_offset": df_.get("content_offset"),
+                    "content_size_in_bytes": df_.get(
+                        "content_size_in_bytes"
+                    ),
                 }
                 content = df_.get("content", 0)  # absent in v1: data
                 if content == 0:
@@ -1224,26 +1252,43 @@ class IcebergNativeTable:
             "_ice_seq", "_ice_path",
         )
         if pos_del:
-            # ONE multi-path scan over every position-delete file (plan
-            # size constant in delete-file count — a churned table with
-            # thousands of uncompacted delete files used to build one
-            # sub-plan per file); each delete row picks up its FILE's
-            # sequence number from a broadcast map, mirroring the data
-            # side above
-            dels = (
-                self.spark.read.parquet(*[d["path"] for d in pos_del])
-                .select(
-                    F.col("file_path").alias("_del_path"),
-                    F.col("pos").alias("_del_pos"),
-                    F.col("_metadata.file_path").alias("_del_file"),
+            pq_dels = [
+                d for d in pos_del if d.get("file_format") != "PUFFIN"
+            ]
+            dv_dels = [
+                d for d in pos_del if d.get("file_format") == "PUFFIN"
+            ]
+            frames = []
+            if pq_dels:
+                # ONE multi-path scan over every position-delete file
+                # (plan size constant in delete-file count — a churned
+                # table with thousands of uncompacted delete files used
+                # to build one sub-plan per file); each delete row picks
+                # up its FILE's sequence number from a broadcast map,
+                # mirroring the data side above
+                f_ = (
+                    self.spark.read.parquet(*[d["path"] for d in pq_dels])
+                    .select(
+                        F.col("file_path").alias("_del_path"),
+                        F.col("pos").alias("_del_pos"),
+                        F.col("_metadata.file_path").alias("_del_file"),
+                    )
+                    .join(
+                        self._seq_map_df(pq_dels, "_del_file", "_del_seq"),
+                        "_del_file",
+                        "left",
+                    )
                 )
-                .join(
-                    self._seq_map_df(pos_del, "_del_file", "_del_seq"),
-                    "_del_file",
-                    "left",
+                frames.append(
+                    self._require_seq(f_, "_del_seq", "_del_file").select(
+                        "_del_path", "_del_pos", "_del_seq"
+                    )
                 )
-            )
-            dels = self._require_seq(dels, "_del_seq", "_del_file")
+            if dv_dels:
+                frames.append(self._dv_coordinates(dv_dels))
+            dels = frames[0]
+            for f_ in frames[1:]:
+                dels = dels.unionByName(f_)
             df = df.join(
                 dels,
                 (df["_ice_path"] == dels["_del_path"])
@@ -1963,6 +2008,14 @@ class IcebergNativeTable:
         _, _, data, pos_del, _eq = self._plan()
         if not pos_del:
             return 0
+        dv = [d for d in pos_del if d.get("file_format") == "PUFFIN"]
+        if dv:
+            # v3 shape: per-file vectors are already merged (the
+            # supersede rule keeps one DV per data file); what accretes
+            # is PUFFIN FILE count, one per delete commit — consolidate
+            # the live blobs into one container, dropping vectors whose
+            # target is gone
+            return self._consolidate_dvs(meta, version, data, dv)
         if len(pos_del) == 1:
             # single file: rewrite ONLY if it carries dangling
             # coordinates (targets no longer live) — otherwise this
@@ -2028,6 +2081,105 @@ class IcebergNativeTable:
         )
         return len(pos_del)
 
+    def _consolidate_dvs(
+        self, meta: dict, version: int, data: list, dv: list
+    ) -> int:
+        """rewrite_position_deletes for deletion vectors: copy every
+        LIVE blob (target still a data file) byte-for-byte into one new
+        puffin file at a new sequence number (safe for position deletes
+        — coordinates name immutable rows), drop dangling vectors, and
+        carry every manifest forward minus its position-delete entries.
+        Blob copying is a driver loop over total-DV-bytes — the same
+        bound as the DV write path itself. Returns the number of puffin
+        files consolidated, 0 when already consolidated (idempotent)."""
+        from iceberg_examples_spark.sources.puffin import (
+            read_blob,
+            write_puffin,
+        )
+
+        live_uris = {self._file_uri(d["path"]) for d in data}
+        paths = {d["path"] for d in dv}
+        dangling = [
+            d for d in dv if d["referenced_data_file"] not in live_uris
+        ]
+        if len(paths) <= 1 and not dangling:
+            return 0
+        keep_dv = sorted(
+            (d for d in dv if d["referenced_data_file"] in live_uris),
+            key=lambda d: d["referenced_data_file"],
+        )
+        seq = meta["last-sequence-number"] + 1
+        manifest = None
+        if keep_dv:
+            puf_path = os.path.join(
+                self.location,
+                "data",
+                f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-deletes.puffin",
+            )
+            payloads = [
+                read_blob(
+                    d["path"], d["content_offset"], d["content_size_in_bytes"]
+                )
+                for d in keep_dv
+            ]
+            metas = write_puffin(
+                puf_path,
+                [
+                    {
+                        "payload": p,
+                        "type": "deletion-vector-v1",
+                        "snapshot-id": seq,
+                        "sequence-number": seq,
+                        "properties": {
+                            "referenced-data-file": d["referenced_data_file"],
+                            "cardinality": str(d["record_count"]),
+                        },
+                    }
+                    for d, p in zip(keep_dv, payloads)
+                ],
+            )
+            part_by_uri = {
+                self._file_uri(d["path"]): d["partition"] for d in data
+            }
+            manifest = self._write_delete_manifest(
+                meta,
+                seq,
+                [
+                    {
+                        "path": puf_path,
+                        "partition": part_by_uri.get(
+                            d["referenced_data_file"], {}
+                        ),
+                        "record_count": d["record_count"],
+                        "file_format": "PUFFIN",
+                        "referenced_data_file": d["referenced_data_file"],
+                        "content_offset": m["offset"],
+                        "content_size_in_bytes": m["length"],
+                    }
+                    for d, m in zip(keep_dv, metas)
+                ],
+                content=1,
+                equality_ids=None,
+            )
+
+        def _keep(mf: dict):
+            if mf.get("content", 0) != 1:
+                return mf
+            return self._rewrite_manifest_keep(
+                mf, lambda e: e["data_file"].get("content") == 2
+            )
+
+        self._commit(
+            None,
+            operation="replace",
+            first=False,
+            delete_manifest=manifest,
+            base=(meta, version),
+            delete_rows_key="added-position-deletes",
+            carry_filter=_keep,
+        )
+        return len(paths)
+
     def update_where(
         self,
         condition,
@@ -2083,13 +2235,22 @@ class IcebergNativeTable:
         if mode == "merge-on-read":
             seq = meta["last-sequence-number"] + 1
             matched = self.scan(with_coordinates=True).filter(cond)
-            _, _, data, _, _ = self._plan()
-            files = self._write_pos_delete_files(
-                matched.select("file_path", "pos"), seq, data, meta
-            )
-            manifest = self._write_delete_manifest(
-                meta, seq, files, content=1, equality_ids=None
-            )
+            carry = None
+            if meta.get("format-version", 2) >= 3:
+                manifest, superseded = self._build_dv_manifest(
+                    meta, seq, matched.select("file_path", "pos")
+                )
+                carry = lambda mf: self._drop_superseded_dvs(  # noqa: E731
+                    mf, superseded
+                )
+            else:
+                _, _, data, _, _ = self._plan()
+                files = self._write_pos_delete_files(
+                    matched.select("file_path", "pos"), seq, data, meta
+                )
+                manifest = self._write_delete_manifest(
+                    meta, seq, files, content=1, equality_ids=None
+                )
             if manifest is None:  # no matching rows: nothing to commit
                 return
             self._commit(
@@ -2099,6 +2260,7 @@ class IcebergNativeTable:
                 delete_manifest=manifest,
                 base=(meta, version),
                 delete_rows_key="added-position-deletes",
+                carry_filter=carry,
             )
             return
         if mode != "copy-on-write":
@@ -2123,15 +2285,21 @@ class IcebergNativeTable:
         (Real Iceberg would mark removed entries status=DELETED in the
         new manifest for changelog consumers; dropping them reads the
         same for scans.)"""
+        return self._rewrite_manifest_keep(
+            mf,
+            lambda e: _strip_scheme(e["data_file"]["file_path"]) not in dead,
+        )
+
+    def _rewrite_manifest_keep(self, mf: dict, keep_fn):
+        """Carry a manifest forward keeping only the entries ``keep_fn``
+        accepts — the generic form of :meth:`_rewrite_manifest_without`
+        (the DV supersede rule and the v2->v3 conversion filter on
+        referenced/format fields, not just file paths)."""
         with open(_strip_scheme(mf["manifest_path"]), "rb") as f:
             data = f.read()
         schema_text, _, fmeta, rows = read_container_with_meta(data)
         rows = list(rows)
-        keep = [
-            e
-            for e in rows
-            if _strip_scheme(e["data_file"]["file_path"]) not in dead
-        ]
+        keep = [e for e in rows if keep_fn(e)]
         if len(keep) == len(rows):
             return mf
         if not keep:
@@ -2216,7 +2384,12 @@ class IcebergNativeTable:
                 .filter(cond)
                 .select("file_path", "pos")
             )
-            self.add_position_deletes(coords)
+            if self._metadata().get("format-version", 2) >= 3:
+                # v3 MOR: coordinates land as deletion vectors, never
+                # as new position-delete files
+                self.add_deletion_vectors(coords)
+            else:
+                self.add_position_deletes(coords)
             return
         if mode != "copy-on-write":
             raise ValueError(
@@ -3048,6 +3221,9 @@ class IcebergNativeTable:
                         # registered foreign files (add_files) carry no
                         # write order; the writer's own files do
                         "sort_order_id": f.get("sort_order_id", order_id),
+                        "referenced_data_file": None,
+                        "content_offset": None,
+                        "content_size_in_bytes": None,
                     },
                 }
                 for f in files
@@ -3242,8 +3418,16 @@ class IcebergNativeTable:
         commits being real)."""
         import pyarrow.parquet as pq
 
+        # DV entries carry their cardinality (the blob is puffin, not
+        # parquet); parquet delete files count from the footer
         counted = [
-            (f, pq.ParquetFile(f["path"]).metadata.num_rows) for f in files
+            (
+                f,
+                f["record_count"]
+                if "record_count" in f
+                else pq.ParquetFile(f["path"]).metadata.num_rows,
+            )
+            for f in files
         ]
         # skip the committer's empty part files (same rule as the
         # data side: Iceberg never registers 0-row files)
@@ -3268,7 +3452,7 @@ class IcebergNativeTable:
                 "data_file": {
                     "content": content,
                     "file_path": os.path.abspath(f["path"]),
-                    "file_format": "PARQUET",
+                    "file_format": f.get("file_format", "PARQUET"),
                     "partition": {n: f["partition"].get(n) for n in pnames},
                     "record_count": n_rows,
                     "file_size_in_bytes": os.path.getsize(f["path"]),
@@ -3276,6 +3460,13 @@ class IcebergNativeTable:
                     "lower_bounds": None,
                     "upper_bounds": None,
                     "sort_order_id": None,
+                    # v3 deletion vectors: the blob's coordinates inside
+                    # the puffin file plus its one target data file
+                    "referenced_data_file": f.get("referenced_data_file"),
+                    "content_offset": f.get("content_offset"),
+                    "content_size_in_bytes": f.get(
+                        "content_size_in_bytes"
+                    ),
                 },
             }
             for f, n_rows in counted
@@ -3466,6 +3657,270 @@ class IcebergNativeTable:
                     )
         return files
 
+    # -- v3 deletion vectors (Puffin + roaring bitmaps) ------------------
+
+    def _dv_coordinates(self, dv_entries: list[dict]) -> DataFrame:
+        """(_del_path, _del_pos, _del_seq) rows decoded from deletion
+        vectors — DISTRIBUTED: the driver ships only (puffin path,
+        offset, length, target, seq) splits; each executor task decodes
+        its blob's roaring bitmap locally (a 100 TB table's DV debt
+        decodes with file-count parallelism, never on the driver)."""
+        refs = self.spark.createDataFrame(
+            [
+                (
+                    d["path"],
+                    d["content_offset"] or 0,
+                    d["content_size_in_bytes"] or 0,
+                    d["referenced_data_file"],
+                    d["seq"],
+                )
+                for d in dv_entries
+            ],
+            "_puf string, _off long, _len long, _del_path string, "
+            "_del_seq long",
+        ).repartition(max(1, min(len(dv_entries), 32)))
+
+        def _decode(batches):
+            import pandas as pd
+
+            from iceberg_examples_spark.sources.puffin import (
+                decode_deletion_vector,
+                read_blob,
+            )
+
+            for b in batches:
+                for puf, off, ln, ref, seq in b.itertuples(index=False):
+                    pos = decode_deletion_vector(read_blob(puf, off, ln))
+                    yield pd.DataFrame(
+                        {
+                            "_del_path": ref,
+                            "_del_pos": pd.Series(pos, dtype="int64"),
+                            "_del_seq": seq,
+                        }
+                    )
+
+        return refs.mapInPandas(
+            _decode, "_del_path string, _del_pos long, _del_seq long"
+        )
+
+    def _build_dv_manifest(
+        self, meta: dict, seq: int, coords: DataFrame
+    ) -> tuple[dict | None, set]:
+        """One commit's deletion vectors: merge the incoming (file_path,
+        pos) coordinates with any LIVE DV of an affected data file (v3's
+        one-DV-per-file rule — a new vector REPLACES the old, so it must
+        contain it), build each file's roaring bitmap executor-side
+        (applyInPandas per target file), and write ONE puffin file for
+        the commit with one ``deletion-vector-v1`` blob per target.
+        Returns (delete manifest row | None, superseded referenced
+        paths) — the caller's carry_filter must drop the superseded
+        entries from carried delete manifests."""
+        from iceberg_examples_spark.sources.puffin import write_puffin
+
+        _, _, data, pos_del, _ = self._plan()
+        coords = coords.select(
+            F.col("file_path").cast("string"), F.col("pos").cast("long")
+        )
+        # file-count-bounded driver hop: which targets get a new DV
+        # (the same affected-file planning every DELETE does)
+        affected = {
+            r["file_path"]
+            for r in coords.select("file_path").distinct().collect()
+        }
+        if not affected:
+            return None, set()
+        live_dvs = [
+            d
+            for d in pos_del
+            if d.get("file_format") == "PUFFIN"
+            and d["referenced_data_file"] in affected
+        ]
+        if live_dvs:
+            coords = coords.unionByName(
+                self._dv_coordinates(live_dvs).select(
+                    F.col("_del_path").alias("file_path"),
+                    F.col("_del_pos").alias("pos"),
+                )
+            )
+
+        def _encode(key, pdf):
+            import pandas as pd
+
+            from iceberg_examples_spark.sources.puffin import (
+                encode_deletion_vector,
+            )
+
+            pos = sorted(set(int(p) for p in pdf["pos"]))
+            return pd.DataFrame(
+                {
+                    "file_path": [key[0]],
+                    "payload": [encode_deletion_vector(pos)],
+                    "cardinality": [len(pos)],
+                }
+            )
+
+        built = sorted(
+            coords.groupBy("file_path")
+            .applyInPandas(
+                _encode, "file_path string, payload binary, cardinality long"
+            )
+            .collect(),
+            key=lambda r: r["file_path"],
+        )
+        # partition attribution: a DV scopes to its target's partition
+        part_by_uri = {
+            self._file_uri(d["path"]): d["partition"] for d in data
+        }
+        puf_path = os.path.join(
+            self.location,
+            "data",
+            f"seq-{seq:05d}-{uuid.uuid4().hex[:8]}-deletes.puffin",
+        )
+        metas = write_puffin(
+            puf_path,
+            [
+                {
+                    "payload": bytes(r["payload"]),
+                    "type": "deletion-vector-v1",
+                    "snapshot-id": seq,
+                    "sequence-number": seq,
+                    "properties": {
+                        "referenced-data-file": r["file_path"],
+                        "cardinality": str(r["cardinality"]),
+                    },
+                }
+                for r in built
+            ],
+        )
+        files = [
+            {
+                "path": puf_path,
+                "partition": part_by_uri.get(r["file_path"], {}),
+                "record_count": r["cardinality"],
+                "file_format": "PUFFIN",
+                "referenced_data_file": r["file_path"],
+                "content_offset": m["offset"],
+                "content_size_in_bytes": m["length"],
+            }
+            for r, m in zip(built, metas)
+        ]
+        manifest = self._write_delete_manifest(
+            meta, seq, files, content=1, equality_ids=None
+        )
+        return manifest, {
+            d["referenced_data_file"] for d in live_dvs
+        }
+
+    def _drop_superseded_dvs(self, mf: dict, superseded: set):
+        """carry_filter clause for DV commits: rewrite carried DELETE
+        manifests minus entries whose deletion vector was replaced this
+        commit (v3: at most one DV per data file). Data manifests pass
+        through untouched."""
+        if not superseded or mf.get("content", 0) != 1:
+            return mf
+        return self._rewrite_manifest_keep(
+            mf,
+            lambda e: not (
+                e["data_file"].get("content") == 1
+                and e["data_file"].get("referenced_data_file") in superseded
+            ),
+        )
+
+    def add_deletion_vectors(self, coords: DataFrame) -> None:
+        """Commit a deletion-vector snapshot (v3's position-delete
+        form): ``coords`` carries (file_path, pos) like
+        add_position_deletes, but lands as roaring-bitmap blobs in one
+        puffin file — one blob per target data file, merged with and
+        superseding any previous DV of that file."""
+        meta, version = self._read_tree()
+        if meta.get("format-version", 2) < 3:
+            raise ValueError(
+                "deletion vectors require format-version 3: call "
+                "upgrade_format_version(3) first"
+            )
+        seq = meta["last-sequence-number"] + 1
+        manifest, superseded = self._build_dv_manifest(meta, seq, coords)
+        if manifest is None:
+            return
+        self._commit(
+            None,
+            operation="delete",
+            first=False,
+            delete_manifest=manifest,
+            base=(meta, version),
+            delete_rows_key="added-position-deletes",
+            carry_filter=lambda mf: self._drop_superseded_dvs(
+                mf, superseded
+            ),
+        )
+
+    def upgrade_format_version(self, version: int = 3) -> None:
+        """Upgrade the table's format-version (2 -> 3 only). v3 stores
+        position deletes as deletion vectors and forbids new
+        position-delete FILES, so any live parquet position deletes are
+        CONVERTED in the same call: their coordinates re-commit as DVs
+        in one replace-flavored snapshot (safe for position deletes —
+        coordinates name immutable rows — exactly the
+        rewrite_position_deletes argument), then the version flips."""
+        meta, read_v = self._read_tree()
+        cur = meta.get("format-version", 2)
+        if version == cur:
+            return
+        if (cur, version) != (2, 3):
+            raise ValueError(
+                f"unsupported format-version upgrade {cur} -> {version}"
+            )
+        _, _, data, pos_del, _ = self._plan()
+        pq_dels = [
+            d for d in pos_del if d.get("file_format") != "PUFFIN"
+        ]
+        if pq_dels:
+            dels = (
+                self.spark.read.parquet(*[d["path"] for d in pq_dels])
+                .select("file_path", "pos")
+                .dropDuplicates()
+            )
+            live = F.broadcast(
+                self.spark.createDataFrame(
+                    [(self._file_uri(d["path"]),) for d in data],
+                    "file_path string",
+                )
+            )
+            dels = dels.join(live, "file_path", "left_semi")
+            seq = meta["last-sequence-number"] + 1
+            manifest, superseded = self._build_dv_manifest(
+                meta, seq, dels
+            )
+
+            def _keep(mf: dict):
+                mf = self._drop_superseded_dvs(mf, superseded)
+                if mf is None or mf.get("content", 0) != 1:
+                    return mf
+                # drop parquet position-delete entries: their
+                # coordinates now live in the DVs committed above
+                return self._rewrite_manifest_keep(
+                    mf,
+                    lambda e: not (
+                        e["data_file"].get("content") == 1
+                        and e["data_file"].get("file_format", "PARQUET")
+                        != "PUFFIN"
+                    ),
+                )
+
+            self._commit(
+                None,
+                operation="replace",
+                first=False,
+                delete_manifest=manifest,
+                base=(meta, read_v),
+                delete_rows_key="added-position-deletes",
+                carry_filter=_keep,
+            )
+            meta, read_v = self._read_tree()
+        meta["format-version"] = version
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, read_v)
+
     def _commit_delete_files(
         self, files: list[dict], content: int, equality_ids: list[int] | None
     ) -> None:
@@ -3494,6 +3949,11 @@ class IcebergNativeTable:
         distributedly from a _metadata scan, so the row coordinates
         never pass through the driver."""
         meta, _, data, _, _ = self._plan()
+        if meta.get("format-version", 2) >= 3:
+            raise ValueError(
+                "format-version 3 forbids new position-delete files: "
+                "use add_deletion_vectors(coords)"
+            )
         seq = meta["last-sequence-number"] + 1
         files = self._write_pos_delete_files(deletes, seq, data, meta)
         self._commit_delete_files(files, content=1, equality_ids=None)
@@ -4395,4 +4855,51 @@ def iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pruned_rows", F.lit(pruned.count()).cast("long"))
         .withColumn("pruned_reads_one_file", F.lit(one_file))
         .orderBy("c_mktsegment")
+    )
+
+
+def iceberg_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 deletion vectors end-to-end (spec v3 + Puffin spec): a v2
+    table accrues parquet position deletes, ``upgrade_format_version(3)``
+    converts them to roaring-bitmap blobs in one replace snapshot, and a
+    second (wider) MOR DELETE merges into superseding per-file vectors —
+    never new position-delete files. The booleans pin the physical
+    shape: every live delete entry is a PUFFIN vector and no data file
+    carries two; time travel pins that the v2 history survived the
+    upgrade. The oracle recomputes the surviving rows (the second
+    predicate strictly contains the first)."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_deletion_vectors", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(spark, loc, orders.repartition(2))
+    t.delete_where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") < 50000.0),
+        mode="merge-on-read",
+    )
+    t.upgrade_format_version(3)
+    t.delete_where(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") < 100000.0),
+        mode="merge-on-read",
+    )
+    _, _, _, pos, _ = t._plan()
+    refs = [d["referenced_data_file"] for d in pos]
+    dv_only = bool(pos) and all(
+        d["file_format"] == "PUFFIN" for d in pos
+    )
+    one_per_file = len(refs) == len(set(refs))
+    rows_v2 = t.scan(snapshot_id=1).count()
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+            "total_price"
+        ),
+        F.lit(dv_only).alias("dv_only"),
+        F.lit(one_per_file).alias("one_dv_per_file"),
+        F.lit(rows_v2).cast("long").alias("rows_at_v2_create"),
     )

@@ -2102,3 +2102,55 @@ def test_add_files_registration_and_guards(spark, tmp_path):
     df.limit(5).coalesce(1).write.mode("append").parquet(mixed)
     with pytest.raises(ValueError, match="uniform physical schema"):
         t2.add_files(mixed)
+
+
+def test_deletion_vector_lifecycle(spark, tmp_path):
+    """v3 deletion vectors end-to-end: upgrade converts live parquet
+    position deletes to DV blobs in one replace snapshot; MOR DELETE on
+    a v3 table writes DVs (never position-delete files); a second
+    delete on the same data file MERGES into one superseding vector
+    (v3's one-DV-per-file rule); update_where MOR composes DVs with
+    new data files atomically; rewrite_position_deletes consolidates
+    puffin files idempotently; time travel across all of it."""
+    df = spark.createDataFrame(
+        [(i, "F" if i % 3 == 0 else "O", float(i)) for i in range(60)],
+        "k long, status string, v double",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=["status"]
+    )
+    t.delete_where(F.col("k") < 6, "merge-on-read")  # v2 parquet deletes
+    t.upgrade_format_version(3)
+    assert t._metadata()["format-version"] == 3
+    assert t.scan().count() == 54
+    # every delete entry is now a puffin DV
+    _, _, _, pos, _ = t._plan()
+    assert pos and all(d["file_format"] == "PUFFIN" for d in pos)
+    # new position-delete FILES are refused on v3
+    with pytest.raises(ValueError, match="forbids new position-delete"):
+        t.add_position_deletes(
+            spark.createDataFrame([("x", 0)], "file_path string, pos long")
+        )
+
+    t.delete_where(F.col("k").between(6, 11), "merge-on-read")
+    assert t.scan().count() == 48
+    t.delete_where(F.col("k").between(12, 14), "merge-on-read")
+    assert t.scan().count() == 45
+    # one live DV per data file, and DV entries carry their target's
+    # partition (debt attribution holds for vectors too)
+    _, _, _, pos, _ = t._plan()
+    refs = [d["referenced_data_file"] for d in pos]
+    assert len(refs) == len(set(refs))
+    assert all(d["partition"] for d in pos)
+
+    t.update_where(F.col("k") == 20, {"v": F.lit(999.0)}, "merge-on-read")
+    assert t.scan().filter("k = 20").collect()[0]["v"] == 999.0
+    assert t.scan().count() == 45
+
+    n = t.rewrite_position_deletes()
+    assert n >= 2
+    assert t.scan().count() == 45
+    _, _, _, pos, _ = t._plan()
+    assert len({d["path"] for d in pos}) == 1
+    assert t.rewrite_position_deletes() == 0  # idempotent
+    assert t.scan(snapshot_id=1).count() == 60  # time travel intact
