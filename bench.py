@@ -180,6 +180,9 @@ HEADLINE = [
     "iceberg_partition_stats",
     "iceberg_add_files",
     "iceberg_deletion_vectors",
+    "semantic_dedup",
+    "dsir_weights",
+    "iceberg_rewrite_manifests",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

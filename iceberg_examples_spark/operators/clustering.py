@@ -232,11 +232,16 @@ def knn_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _chain_ctes(k: int = K, niter: int = NITER) -> list[str]:
+def _chain_ctes(
+    k: int = K, niter: int = NITER, e_sql: str | None = None
+) -> list[str]:
     """The Lloyd-iteration chain as DuckDB CTEs (rendered, not
-    hand-written, so Spark and oracle share one definition)."""
+    hand-written, so Spark and oracle share one definition). ``e_sql``
+    overrides the long-form source CTE (semantic dedup plants near-dup
+    copies and uses a narrower integer scale there)."""
     ctes = [
-        f"""e AS (
+        e_sql
+        or f"""e AS (
   SELECT vec_id, r.range AS d,
          CAST(round(CAST(embedding[r.range + 1] AS DOUBLE) * {SCALE})
               AS BIGINT) AS v
@@ -641,3 +646,168 @@ def _kmeans_rollup_vectorized(
         F.count(F.lit(1)).alias("n_points"),
         F.sum("dist").alias("inertia"),
     )
+
+
+# ---- semantic dedup (SemDeDup) -------------------------------------------
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+# space, then look for near-duplicates ONLY within a cluster — the trick
+# that turns the O(n²) all-pairs cosine comparison into per-cluster
+# pair generation (cluster count grows with the corpus, so cluster SIZE
+# — and with it the pair blowup — stays bounded at 100 TB; the
+# all-pairs form is a non-starter there). The corpus has no natural
+# near-dups (max pairwise cosine ≈ 0.51), so the scenario PLANTS them:
+# every 25th vector gets a copy (vec_id + 10000) perturbed by +0.3 on
+# dimension 0 — cosine ≈ 0.96 against its original, far above every
+# natural pair. Exactness: its own integer scale (1000, not the k-means
+# 1e6 — the threshold test squares a dot product, and 100·dot² must fit
+# BIGINT on both engines) and a rational threshold τ = 0.9 tested as
+# 100·dot² ≥ 81·‖u‖²·‖w‖² with dot > 0 — every comparison bit-identical
+# in Spark and DuckDB. Drop rule (SemDeDup's): a vector dies when ANY
+# lower-id vector in its cluster clears τ; the survivor reported is the
+# lowest such id.
+
+SEM_SCALE = 1_000
+SEM_K = 8
+SEM_NITER = 2
+SEM_STEP = 25
+SEM_OFFSET = 10_000
+SEM_PERTURB = 300  # +0.3 on dim 0, in SEM_SCALE units
+SEM_T_NUM2 = 81  # τ² = 81/100 → τ = 0.9
+SEM_T_DEN2 = 100
+
+
+def _sem_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("val").cast("double") * SEM_SCALE)
+        .cast("bigint")
+        .alias("v"),
+    )
+    planted = base.filter(F.col("vec_id") % SEM_STEP == 0).select(
+        (F.col("vec_id") + SEM_OFFSET).alias("vec_id"),
+        "d",
+        (
+            F.col("v")
+            + F.when(F.col("d") == 0, F.lit(SEM_PERTURB)).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint").alias("v"),
+    )
+    return base.unionByName(planted)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted corpus: k-means buckets the pair
+    search, within-cluster exact-integer cosine kills near-dups, and
+    each dropped vector reports its lowest-id survivor. The oracle
+    unrolls the IDENTICAL chain (same CTE template as the k-means
+    queries), so the clustering, the pair set, and every threshold
+    comparison are bit-identical cross-engine."""
+    e = stage(_sem_long_form(spark, sf_dir), "semdedup-long-form")
+    assign = _final_assignment(e, k=SEM_K, niter=SEM_NITER).select(
+        "vec_id", "cid"
+    )
+    pairs = (
+        assign.alias("u")
+        .join(
+            assign.alias("w"),
+            (F.col("u.cid") == F.col("w.cid"))
+            & (F.col("u.vec_id") < F.col("w.vec_id")),
+        )
+        .select(
+            F.col("u.vec_id").alias("u"), F.col("w.vec_id").alias("w")
+        )
+    )
+    norms = e.groupBy("vec_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("n2")
+    )
+    dots = (
+        pairs.join(e.alias("eu"), F.col("u") == F.col("eu.vec_id"))
+        .join(
+            e.alias("ew"),
+            (F.col("w") == F.col("ew.vec_id"))
+            & (F.col("eu.d") == F.col("ew.d")),
+        )
+        .groupBy("u", "w")
+        .agg(F.sum(F.col("eu.v") * F.col("ew.v")).alias("dot"))
+    )
+    sim = (
+        dots.join(
+            norms.select(
+                F.col("vec_id").alias("u"), F.col("n2").alias("n2u")
+            ),
+            "u",
+        )
+        .join(
+            norms.select(
+                F.col("vec_id").alias("w"), F.col("n2").alias("n2w")
+            ),
+            "w",
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(SEM_T_DEN2) * F.col("dot") * F.col("dot")
+                >= F.lit(SEM_T_NUM2) * F.col("n2u") * F.col("n2w")
+            )
+        )
+    )
+    return (
+        sim.groupBy(F.col("w").alias("dropped_vec_id"))
+        .agg(F.min("u").alias("kept_vec_id"))
+        .orderBy("dropped_vec_id")
+    )
+
+
+def _sem_e_sql() -> str:
+    base = f"""SELECT vec_id, r.range AS d,
+           CAST(round(CAST(embedding[r.range + 1] AS DOUBLE)
+                * {SEM_SCALE}) AS BIGINT) AS v
+    FROM embeddings, range({DIMS}) r"""
+    return f"""e AS (
+  SELECT vec_id, d, v FROM ({base})
+  UNION ALL
+  SELECT vec_id + {SEM_OFFSET}, d,
+         v + CASE WHEN d = 0 THEN {SEM_PERTURB} ELSE 0 END
+  FROM ({base}) WHERE vec_id % {SEM_STEP} = 0
+)"""
+
+
+def oracle_semantic_dedup_sql() -> str:
+    extra = [
+        f"""pairs AS (
+  SELECT u.vec_id AS u, w.vec_id AS w
+  FROM a{SEM_NITER} u JOIN a{SEM_NITER} w
+    ON u.cid = w.cid AND u.vec_id < w.vec_id
+)""",
+        """norms AS (
+  SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM e GROUP BY vec_id
+)""",
+        """dots AS (
+  SELECT p.u, p.w, CAST(sum(eu.v * ew.v) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN e eu ON eu.vec_id = p.u
+  JOIN e ew ON ew.vec_id = p.w AND ew.d = eu.d
+  GROUP BY 1, 2
+)""",
+        f"""sim AS (
+  SELECT d.u, d.w
+  FROM dots d
+  JOIN norms nu ON nu.vec_id = d.u
+  JOIN norms nw ON nw.vec_id = d.w
+  WHERE d.dot > 0
+    AND {SEM_T_DEN2} * d.dot * d.dot >= {SEM_T_NUM2} * nu.n2 * nw.n2
+)""",
+    ]
+    body = ",\n".join(
+        _chain_ctes(k=SEM_K, niter=SEM_NITER, e_sql=_sem_e_sql()) + extra
+    )
+    return f"""WITH {body}
+SELECT w AS dropped_vec_id, min(u) AS kept_vec_id
+FROM sim GROUP BY w ORDER BY dropped_vec_id
+"""

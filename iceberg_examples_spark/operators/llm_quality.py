@@ -535,3 +535,68 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("tok").alias("vocab_size"))
     )
     return base.join(vocab, "lang")
+
+
+# ---- DSIR importance weights ---------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+DSIR_RATIO_SCALE = 1_000_000
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    hashed unigram features fit a target distribution (the English
+    slice) against the raw corpus, and every document is weighted by
+    how target-like its feature profile is — the importance weights a
+    pretraining mixture samples by. Deviation from the paper, stated
+    out loud: per-token contributions are the SCALED PROBABILITY RATIO
+    ``c_t(b)·10⁶ div c_r(b)`` summed per doc (integer division), not
+    the sum of float log-ratios — log is not bit-stable across
+    engines, the ratio-sum is monotone per bucket, and the constant
+    corpus-size factor N_r/N_t drops out of any ranking. Shape at
+    scale: the bucket table is ≤ 256 rows (broadcast); the corpus is
+    tokenized once and aggregated per bucket — one shuffle on a
+    256-key column, then a per-doc sum."""
+    from iceberg_examples_spark.functions.texthash import md5_int_hash
+    from iceberg_examples_spark.operators.text import with_tokens
+
+    docs = with_tokens(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode("tk").alias("t")
+    ).withColumn(
+        "b", F.expr(f"{md5_int_hash('t')} % {DSIR_BUCKETS}")
+    )
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    scores = (
+        raw.join(tgt, "b", "left")
+        .na.fill(0, ["ct"])
+        .withColumn(
+            "s", F.expr(f"ct * {DSIR_RATIO_SCALE} div cr")
+        )
+        .select("b", "s")
+    )
+    per_doc = (
+        tok.join(F.broadcast(scores), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("s").alias("w_sum"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+        .withColumn("weight", F.expr("w_sum div n_tok"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(weight) div count(1)").alias("avg_weight"),
+            F.max("weight").alias("max_weight"),
+            F.min("weight").alias("min_weight"),
+        )
+        .orderBy("lang")
+    )

@@ -1486,8 +1486,10 @@ from iceberg_examples_spark.operators.clustering import (
     oracle_knn_kmeans_sql,
     oracle_pq_adc_sql,
     oracle_pq_codes_sql,
+    oracle_semantic_dedup_sql,
 )
 
+EXT_ORACLES["semantic_dedup"] = oracle_semantic_dedup_sql()
 EXT_ORACLES["kmeans_clusters"] = oracle_kmeans_sql()
 EXT_ORACLES["kmeans_large"] = oracle_kmeans_sql(k=K_LARGE, niter=NITER_LARGE)
 EXT_ORACLES["knn_kmeans_ivf"] = oracle_knn_kmeans_sql()
@@ -3667,4 +3669,47 @@ SELECT count(*) AS n_rows,
        (SELECT count(*) FROM orders) AS rows_at_v2_create
 FROM orders
 WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
+"""
+
+# dsir_weights: hashed-unigram importance weights, per-lang rollup —
+# same bucket hash, same integer ratio-sum as the Spark side.
+from iceberg_examples_spark.operators.llm_quality import (  # noqa: E402
+    DSIR_BUCKETS,
+    DSIR_RATIO_SCALE,
+    DSIR_TARGET_LANG,
+)
+
+EXT_ORACLES["dsir_weights"] = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {duck_md5_int('t')} % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest({DUCK_TOKS.format(col='text')}) AS t
+        FROM documents)
+), raw AS (
+  SELECT b, count(*) AS cr FROM tok GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS ct FROM tok
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), scores AS (
+  SELECT r.b, COALESCE(t.ct, 0) * {DSIR_RATIO_SCALE} // r.cr AS s
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b
+), per_doc AS (
+  SELECT doc_id, lang, sum(s) // count(*) AS weight
+  FROM tok JOIN scores USING (b) GROUP BY doc_id, lang
+)
+SELECT lang, count(*) AS n_docs,
+       sum(weight) // count(*) AS avg_weight,
+       max(weight) AS max_weight, min(weight) AS min_weight
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+# iceberg_rewrite_manifests: 3 data commits (manifest list carries 1,
+# then 2, then 3) + 1 delete manifest = 4 at the tip; consolidation
+# collapses to 2 (one data, one delete) without moving a row.
+EXT_ORACLES["iceberg_rewrite_manifests"] = f"""
+SELECT count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price,
+       CAST(4 AS BIGINT) AS manifests_before,
+       CAST(2 AS BIGINT) AS manifests_after,
+       CAST(2 AS BIGINT) AS n_eliminated
+FROM orders WHERE o_totalprice >= 10000.0
 """

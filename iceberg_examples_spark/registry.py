@@ -90,6 +90,9 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_partition_stats": IN.iceberg_partition_stats,
     "iceberg_add_files": IN.iceberg_add_files,
     "iceberg_deletion_vectors": IN.iceberg_deletion_vectors,
+    "semantic_dedup": CL.semantic_dedup,
+    "dsir_weights": LQ.dsir_weights,
+    "iceberg_rewrite_manifests": IN.iceberg_rewrite_manifests,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

@@ -2180,6 +2180,113 @@ class IcebergNativeTable:
         )
         return len(paths)
 
+    def rewrite_manifests(self) -> int:
+        """Iceberg's ``rewrite_manifests`` procedure: METADATA-ONLY
+        consolidation of the current snapshot's manifest list. Live
+        entries regroup into one manifest per (content, embedded
+        schema, partition spec) generation, marked status=EXISTING with
+        their original sequence numbers made explicit, committed as a
+        replace — no data file is touched and every scan (current or
+        time travel) reads identically. What changes is planning cost:
+        a long-lived table accretes one manifest per commit, and at
+        100 TB the manifest LIST — not the data — becomes the
+        coordinator-side planning bottleneck; this pays it down.
+        Returns how many manifests were eliminated (0 = already
+        minimal; idempotent)."""
+        meta, version = self._read_tree()
+        snap = self._snapshot(meta)
+        manifests = self._manifests(snap)
+        groups: dict[tuple, dict] = {}
+        for mf in manifests:
+            with open(_strip_scheme(mf["manifest_path"]), "rb") as f:
+                raw = f.read()
+            schema_text, _, fmeta, rows = read_container_with_meta(raw)
+            key = (
+                mf.get("content", 0),
+                schema_text,
+                fmeta.get("schema", b""),
+                fmeta.get("partition-spec", b""),
+            )
+            g = groups.setdefault(
+                key,
+                {
+                    "entries": [],
+                    "n_src": 0,
+                    "fmeta": fmeta,
+                    "schema_text": schema_text,
+                    "mf": mf,
+                },
+            )
+            g["n_src"] += 1
+            for e in rows:
+                if e.get("status") == 2:
+                    continue
+                seq = e.get("data_sequence_number")
+                if seq is None:
+                    seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf.get("sequence_number", 0)
+                e = dict(e)
+                e["status"] = 0  # EXISTING: carried, not re-added
+                e["data_sequence_number"] = seq
+                if e.get("file_sequence_number") is None:
+                    e["file_sequence_number"] = seq
+                g["entries"].append(e)
+        if all(g["n_src"] <= 1 for g in groups.values()):
+            return 0
+        seq = meta["last-sequence-number"] + 1
+        new_manifests = []
+        for _key, g in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            if not g["entries"]:
+                continue
+            fmeta = {
+                k: v
+                for k, v in g["fmeta"].items()
+                if k not in ("avro.schema", "avro.codec")
+            }
+            mpath = os.path.join(
+                self.meta_dir,
+                f"manifest-rwm-{seq:05d}-{uuid.uuid4().hex[:8]}.avro",
+            )
+            blob = write_container(
+                g["schema_text"], iter(g["entries"]), meta=fmeta
+            )
+            with open(mpath, "wb") as fh:
+                fh.write(blob)
+            new_manifests.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": len(blob),
+                    "partition_spec_id": g["mf"].get(
+                        "partition_spec_id", 0
+                    ),
+                    "content": g["mf"].get("content", 0),
+                    "sequence_number": seq,
+                    "min_sequence_number": min(
+                        e["data_sequence_number"] for e in g["entries"]
+                    ),
+                    "added_snapshot_id": seq,
+                    "added_files_count": 0,
+                    "existing_files_count": len(g["entries"]),
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"]
+                        for e in g["entries"]
+                    ),
+                    "deleted_rows_count": 0,
+                }
+            )
+        self._commit(
+            None,
+            operation="replace",
+            first=False,
+            base=(meta, version),
+            replace=True,
+            extra_manifests=new_manifests,
+        )
+        return len(manifests) - len(new_manifests)
+
     def update_where(
         self,
         condition,
@@ -2711,22 +2818,38 @@ class IcebergNativeTable:
             if not new_eq:
                 affected = set(cur_paths ^ prev_paths)
                 if new_pos:
-                    # the files a new position-delete file targets: a
-                    # bounded driver hop (distinct file paths, not rows)
                     uri2path = {
                         self._file_uri(p): p
                         for p in (prev_paths | cur_paths)
                     }
-                    affected |= {
-                        uri2path[r["file_path"]]
-                        for r in self.spark.read.parquet(
-                            *[d["path"] for d in new_pos]
-                        )
-                        .select("file_path")
-                        .distinct()
-                        .collect()
-                        if r["file_path"] in uri2path
+                    # v3 deletion vectors name their one target in the
+                    # MANIFEST — no file read at all; parquet delete
+                    # files need a bounded driver hop (distinct target
+                    # paths, not rows)
+                    dv_refs = {
+                        d["referenced_data_file"]
+                        for d in new_pos
+                        if d.get("file_format") == "PUFFIN"
                     }
+                    affected |= {
+                        uri2path[r] for r in dv_refs if r in uri2path
+                    }
+                    pq_new = [
+                        d
+                        for d in new_pos
+                        if d.get("file_format") != "PUFFIN"
+                    ]
+                    if pq_new:
+                        affected |= {
+                            uri2path[r["file_path"]]
+                            for r in self.spark.read.parquet(
+                                *[d["path"] for d in pq_new]
+                            )
+                            .select("file_path")
+                            .distinct()
+                            .collect()
+                            if r["file_path"] in uri2path
+                        }
                 if not affected:
                     continue
                 files = affected
@@ -3040,6 +3163,7 @@ class IcebergNativeTable:
         branch: str | None = None,
         prebuilt_files: list | None = None,
         manifest_schema: dict | None = None,
+        extra_manifests: list | None = None,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -3268,6 +3392,10 @@ class IcebergNativeTable:
             )
         if delete_manifest is not None:
             manifests.append(delete_manifest)
+        if extra_manifests:
+            # rewrite_manifests: pre-written consolidated manifests whose
+            # ENTRIES carry their original explicit sequence numbers
+            manifests.extend(extra_manifests)
 
         list_path = os.path.join(
             self.meta_dir,
@@ -4902,4 +5030,38 @@ def iceberg_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dv_only).alias("dv_only"),
         F.lit(one_per_file).alias("one_dv_per_file"),
         F.lit(rows_v2).cast("long").alias("rows_at_v2_create"),
+    )
+
+
+def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rewrite_manifests`` as a declared query: four commits + one MOR
+    DELETE accrete five manifests (the manifest list grows one per
+    commit — the 100 TB coordinator-planning bottleneck), a single
+    metadata-only replace collapses them to two (one data, one delete),
+    and the scan totals prove no row moved. The oracle recomputes the
+    surviving rows and pins the manifest counts analytically."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_rewrite_manifests", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, orders.filter(F.col("o_orderstatus") == "F")
+    )
+    t.append(orders.filter(F.col("o_orderstatus") == "O"))
+    t.append(orders.filter(F.col("o_orderstatus") == "P"))
+    t.delete_where(F.col("o_totalprice") < 10000.0, "merge-on-read")
+    before = t.manifests_df().count()
+    eliminated = t.rewrite_manifests()
+    after = t.manifests_df().count()
+    return t.scan().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+            "total_price"
+        ),
+        F.lit(before).cast("long").alias("manifests_before"),
+        F.lit(after).cast("long").alias("manifests_after"),
+        F.lit(eliminated).cast("long").alias("n_eliminated"),
     )

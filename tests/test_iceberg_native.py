@@ -2154,3 +2154,68 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     assert len({d["path"] for d in pos}) == 1
     assert t.rewrite_position_deletes() == 0  # idempotent
     assert t.scan(snapshot_id=1).count() == 60  # time travel intact
+
+
+def test_changelog_over_deletion_vectors(spark, tmp_path):
+    """changelog_df on a v3 table: a DV commit's affected files come
+    from the manifest's referenced_data_file (no parquet read of a
+    puffin file), delete events carry the deleted rows, and a merged
+    (superseding) second DV emits ONLY the newly-deleted rows."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.upgrade_format_version(3)
+    t.delete_where(F.col("k") < 3, "merge-on-read")
+    t.delete_where(F.col("k") < 5, "merge-on-read")  # merges, supersedes
+    ch = t.changelog_df(from_snapshot_id=1).collect()
+    by_commit = {}
+    for r in ch:
+        by_commit.setdefault(
+            (r["_commit_snapshot_id"], r["_change_type"]), set()
+        ).add(r["k"])
+    assert by_commit[(2, "delete")] == {0, 1, 2}
+    assert by_commit[(3, "delete")] == {3, 4}  # only the NEW deletions
+    assert not any(ct == "insert" for _, ct in by_commit)
+
+
+def test_rewrite_manifests(spark, tmp_path):
+    """rewrite_manifests: metadata-only consolidation — manifest count
+    collapses to one per (content, schema generation), every entry goes
+    status=EXISTING with its original sequence number explicit, scans
+    and MOR gating are unchanged at every snapshot, and the procedure
+    is idempotent."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    for j in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(100 + j, 1.0)], "k long, v double"
+            ).coalesce(1)
+        )
+    t.delete_where(F.col("k") == 0, "merge-on-read")
+    t.delete_where(F.col("k") == 1, "merge-on-read")
+    assert t.manifests_df().count() == 7  # 5 data + 2 delete
+    n = t.rewrite_manifests()
+    assert n == 5  # 7 -> 2 (one data, one delete)
+    assert t.manifests_df().count() == 2
+    assert {r["content"] for r in t.manifests_df().collect()} == {0, 1}
+    # scan identical, MOR gate intact (deletes at seq 6,7 > data seqs)
+    assert sorted(r["k"] for r in t.scan().collect()) == list(
+        range(2, 10)
+    ) + [100, 101, 102, 103]
+    # entries: all EXISTING, original seqs preserved
+    e = t.entries_df().collect()
+    assert all(r["status"] == 0 for r in e)
+    assert {
+        r["data_sequence_number"] for r in e if r["content"] == 0
+    } == {1, 2, 3, 4, 5}
+    assert t.rewrite_manifests() == 0  # idempotent
+    # time travel still reads pre-rewrite history
+    assert t.scan(snapshot_id=5).count() == 14
+    # a new append accretes on the consolidated list
+    t.append(spark.createDataFrame([(200, 2.0)], "k long, v double"))
+    assert t.manifests_df().count() == 3
+    assert t.scan().count() == 13
