@@ -183,6 +183,7 @@ HEADLINE = [
     "semantic_dedup",
     "dsir_weights",
     "iceberg_rewrite_manifests",
+    "iceberg_row_lineage",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

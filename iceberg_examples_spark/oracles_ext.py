@@ -3713,3 +3713,22 @@ SELECT count(*) AS n_rows,
        CAST(2 AS BIGINT) AS n_eliminated
 FROM orders WHERE o_totalprice >= 10000.0
 """
+
+# iceberg_row_lineage: ids are the 0-based o_orderkey rank (single
+# sorted file at create); the COW update bumps last-updated to seq 3
+# for predicate rows only; compaction changes nothing.
+EXT_ORACLES["iceberg_row_lineage"] = f"""
+WITH base AS (
+  SELECT CASE WHEN o_orderstatus = 'P' AND o_totalprice < 50000.0
+              THEN CAST(3 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS lus,
+         CASE WHEN o_orderstatus = 'P' AND o_totalprice < 50000.0
+              THEN o_totalprice * 2.0 ELSE o_totalprice END
+           AS o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders
+)
+SELECT lus AS _last_updated_sequence_number, count(*) AS n_rows,
+       CAST(sum(rid) AS BIGINT) AS sum_row_ids,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM base GROUP BY lus ORDER BY lus
+"""

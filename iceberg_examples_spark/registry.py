@@ -93,6 +93,7 @@ QUERIES: dict[str, QueryFn] = {
     "semantic_dedup": CL.semantic_dedup,
     "dsir_weights": LQ.dsir_weights,
     "iceberg_rewrite_manifests": IN.iceberg_rewrite_manifests,
+    "iceberg_row_lineage": IN.iceberg_row_lineage,
     # ----- latest green driver row: round 5 -----
     "train_test_split": CV.train_test_split,
     "corpus_mixture": LP.corpus_mixture,

@@ -599,6 +599,16 @@ def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
                             "default": None,
                             "field-id": 140,
                         },
+                        # v3 row lineage (spec field-id 142): the row id
+                        # of this data file's first row; null = the
+                        # file carries MATERIALIZED _row_id columns (a
+                        # rewrite preserved lineage physically)
+                        {
+                            "name": "first_row_id",
+                            "type": ["null", "long"],
+                            "default": None,
+                            "field-id": 142,
+                        },
                         # v3 deletion-vector references (spec field-ids
                         # 143-145): a DV entry's file_path names the
                         # PUFFIN file; these locate the blob and the one
@@ -973,6 +983,7 @@ class IcebergNativeTable:
                     "write_schema": wsch,
                     "sort_order_id": df_.get("sort_order_id"),
                     "spec_id": mf.get("partition_spec_id", 0),
+                    "first_row_id": df_.get("first_row_id"),
                     "file_format": df_.get("file_format", "PARQUET"),
                     "referenced_data_file": df_.get("referenced_data_file"),
                     "content_offset": df_.get("content_offset"),
@@ -1023,6 +1034,7 @@ class IcebergNativeTable:
         with_coordinates: bool = False,
         files: set | None = None,
         snapshot_schema: bool = False,
+        with_row_lineage: bool = False,
     ) -> DataFrame:
         """The table's live rows at a snapshot, deletes applied.
 
@@ -1136,13 +1148,20 @@ class IcebergNativeTable:
             empty = self.spark.createDataFrame(
                 [], self._schema_struct(meta, cur_sch)
             )
+            if with_row_lineage:
+                empty = empty.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                ).withColumn(
+                    "_last_updated_sequence_number",
+                    F.lit(None).cast("long"),
+                )
             if with_coordinates:
                 empty = empty.withColumn(
                     "file_path", F.lit(None).cast("string")
                 ).withColumn("pos", F.lit(None).cast("long"))
             return residual(empty)
         mor = bool(pos_del or eq_del)
-        need_meta = mor or with_coordinates
+        need_meta = mor or with_coordinates or with_row_lineage
         # one parquet reader per WRITE-SCHEMA generation, each resolved
         # to the current schema by FIELD ID before the union — renames
         # follow the id, added columns null-fill, dropped ones vanish
@@ -1150,10 +1169,17 @@ class IcebergNativeTable:
         # number of distinct live schema versions, small by nature).
         # _metadata columns attach BEFORE the union/select: they are
         # only resolvable on the raw file relation.
-        groups: dict[str, tuple[dict, list]] = {}
+        groups: dict[tuple, tuple[dict, list]] = {}
         for d in data:
             ws = d.get("write_schema") or cur_sch
-            key = json.dumps(ws["fields"], sort_keys=True)
+            key = (
+                json.dumps(ws["fields"], sort_keys=True),
+                # v3 row lineage splits readers: a null first_row_id
+                # means the file carries MATERIALIZED _row_id columns
+                # (reading it mixed with assigned files would take the
+                # schema from whichever file Spark samples first)
+                with_row_lineage and d.get("first_row_id") is None,
+            )
             groups.setdefault(key, (ws, []))[1].append(d)
         # identity-partition sources absent from a file's write schema
         # read from partition METADATA (Iceberg's rule: identity columns
@@ -1193,7 +1219,52 @@ class IcebergNativeTable:
                 if need_meta
                 else (("_ice_path",) if fills else ())
             )
+            materialized = (
+                with_row_lineage and grp[0].get("first_row_id") is None
+            )
+            if materialized:
+                if "_row_id" not in g.columns:
+                    raise ValueError(
+                        "row lineage unavailable: these files have no "
+                        "first_row_id and carry no materialized _row_id "
+                        "column (snapshot predates the v3 lineage "
+                        "bootstrap)"
+                    )
+                # rewritten files carry lineage physically — pass the
+                # columns through the field-id projection untouched
+                extra = extra + (
+                    "_row_id",
+                    "_last_updated_sequence_number",
+                )
             g = self._resolve_to_current(g, ws, cur_sch, extra)
+            if with_row_lineage and not materialized:
+                # assigned lineage: _row_id = the file's first_row_id +
+                # row position; _last_updated = the file's commit seq —
+                # a broadcast (path -> (first_row_id, seq)) join, the
+                # same per-file mapping shape as the MOR seq map
+                lmap = F.broadcast(
+                    self.spark.createDataFrame(
+                        [
+                            (
+                                self._file_uri(d["path"]),
+                                d["first_row_id"],
+                                d["seq"],
+                            )
+                            for d in grp
+                        ],
+                        "_ice_path string, _frid long, _fseq long",
+                    )
+                )
+                g = (
+                    g.join(lmap, "_ice_path", "left")
+                    .withColumn(
+                        "_row_id", F.col("_frid") + F.col("_ice_pos")
+                    )
+                    .withColumn(
+                        "_last_updated_sequence_number", F.col("_fseq")
+                    )
+                    .drop("_frid", "_fseq")
+                )
             if fills:
                 import datetime as _dt
 
@@ -1235,6 +1306,8 @@ class IcebergNativeTable:
                     g = g.drop("_ice_path")
             df = g if df is None else df.unionByName(g)
         cols = [f["name"] for f in cur_sch["fields"]]
+        if with_row_lineage:
+            cols = cols + ["_row_id", "_last_updated_sequence_number"]
         if with_coordinates:
             cols = cols + ["file_path", "pos"]
         if not mor:
@@ -1981,7 +2054,20 @@ class IcebergNativeTable:
         gets paid down) into fresh data files and commit a REPLACE
         snapshot whose manifest list references only them. Earlier
         snapshots keep their own manifest lists, so time travel across
-        the rewrite still reads the pre-compaction state."""
+        the rewrite still reads the pre-compaction state. On v3 tables
+        the rewrite MATERIALIZES row lineage (_row_id and
+        _last_updated_sequence_number written into the compacted files,
+        first_row_id null per spec) — compaction must not re-identify
+        rows it didn't change."""
+        if self._metadata().get("format-version", 2) >= 3:
+            self._commit(
+                self.scan(with_row_lineage=True),
+                operation="replace",
+                first=False,
+                replace=True,
+                lineage_materialized=True,
+            )
+            return
         self._commit(self.scan(), operation="replace", first=False, replace=True)
 
     def rewrite_position_deletes(self) -> int:
@@ -2324,24 +2410,43 @@ class IcebergNativeTable:
             for c, e in assignments.items()
         }
 
+        new_seq = meta["last-sequence-number"] + 1
+        v3 = meta.get("format-version", 2) >= 3
+
         def apply_set(frame: DataFrame, only_matching: bool) -> DataFrame:
             # one SELECT = simultaneous evaluation against the old row
-            return frame.select(
-                *[
+            sel = [
+                (
+                    assigns[c]
+                    if only_matching
+                    else F.when(cond, assigns[c]).otherwise(F.col(c))
+                ).alias(c)
+                if c in assigns
+                else F.col(c)
+                for c in names
+            ]
+            if "_row_id" in frame.columns:
+                # v3 row lineage: an UPDATE keeps the row's identity and
+                # bumps its last-updated sequence — only for rows the
+                # predicate actually changed
+                bumped = F.lit(new_seq).cast("long")
+                sel.append(F.col("_row_id"))
+                sel.append(
                     (
-                        assigns[c]
+                        bumped
                         if only_matching
-                        else F.when(cond, assigns[c]).otherwise(F.col(c))
-                    ).alias(c)
-                    if c in assigns
-                    else F.col(c)
-                    for c in names
-                ]
-            )
+                        else F.when(cond, bumped).otherwise(
+                            F.col("_last_updated_sequence_number")
+                        )
+                    ).alias("_last_updated_sequence_number")
+                )
+            return frame.select(*sel)
 
         if mode == "merge-on-read":
-            seq = meta["last-sequence-number"] + 1
-            matched = self.scan(with_coordinates=True).filter(cond)
+            seq = new_seq
+            matched = self.scan(
+                with_coordinates=True, with_row_lineage=v3
+            ).filter(cond)
             carry = None
             if meta.get("format-version", 2) >= 3:
                 manifest, superseded = self._build_dv_manifest(
@@ -2368,6 +2473,7 @@ class IcebergNativeTable:
                 base=(meta, version),
                 delete_rows_key="added-position-deletes",
                 carry_filter=carry,
+                lineage_materialized=v3,
             )
             return
         if mode != "copy-on-write":
@@ -2396,6 +2502,99 @@ class IcebergNativeTable:
             mf,
             lambda e: _strip_scheme(e["data_file"]["file_path"]) not in dead,
         )
+
+    def _rewrite_manifest_assign(self, mf: dict, assigned: dict):
+        """v3 upgrade's row-lineage bootstrap: rewrite one DATA manifest
+        under the CURRENT entry schema (older manifests predate field
+        142) with ``first_row_id`` filled from the precomputed
+        ``assigned[manifest_path][file_path]`` map. Entries keep their
+        status and explicit sequence numbers; manifests without an
+        assignment pass through untouched."""
+        amap = assigned.get(mf["manifest_path"])
+        if not amap:
+            return mf
+        with open(_strip_scheme(mf["manifest_path"]), "rb") as f:
+            raw = f.read()
+        _, _, fmeta, rows = read_container_with_meta(raw)
+        spec_fields = json.loads(
+            fmeta.get("partition-spec", b"[]").decode()
+        )
+        wsch = json.loads(fmeta["schema"].decode())
+        id2name = {f["id"]: f["name"] for f in wsch["fields"]}
+        name2type = {f["name"]: f["type"] for f in wsch["fields"]}
+        part_avro = []
+        pnames = []
+        for pf in spec_fields:
+            tf = parse_spec_transform(pf, id2name)
+            part_avro.append(
+                _partition_avro_field(
+                    pf["name"],
+                    _result_spark_type(
+                        tf, _ddl_to_spark(name2type[tf["source"]])
+                    ),
+                    pf["field-id"],
+                )
+            )
+            pnames.append(pf["name"])
+        entries = []
+        for e in rows:
+            df_ = e["data_file"]
+            seq = e.get("data_sequence_number")
+            if seq is None:
+                seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf.get("sequence_number", 0)
+            part = df_.get("partition", {}) or {}
+            entries.append(
+                {
+                    "status": e.get("status", 1),
+                    "snapshot_id": e.get("snapshot_id"),
+                    "data_sequence_number": seq,
+                    "file_sequence_number": e.get(
+                        "file_sequence_number", seq
+                    ),
+                    "data_file": {
+                        "content": df_.get("content", 0),
+                        "file_path": df_["file_path"],
+                        "file_format": df_.get("file_format", "PARQUET"),
+                        "partition": {n: part.get(n) for n in pnames},
+                        "record_count": df_["record_count"],
+                        "file_size_in_bytes": df_.get(
+                            "file_size_in_bytes", 0
+                        ),
+                        "equality_ids": df_.get("equality_ids"),
+                        "lower_bounds": df_.get("lower_bounds"),
+                        "upper_bounds": df_.get("upper_bounds"),
+                        "sort_order_id": df_.get("sort_order_id"),
+                        "first_row_id": amap.get(
+                            df_["file_path"], df_.get("first_row_id")
+                        ),
+                        "referenced_data_file": df_.get(
+                            "referenced_data_file"
+                        ),
+                        "content_offset": df_.get("content_offset"),
+                        "content_size_in_bytes": df_.get(
+                            "content_size_in_bytes"
+                        ),
+                    },
+                }
+            )
+        fmeta = {
+            k: v
+            for k, v in fmeta.items()
+            if k not in ("avro.schema", "avro.codec")
+        }
+        mpath = os.path.join(
+            self.meta_dir, f"manifest-rl-{uuid.uuid4().hex[:8]}.avro"
+        )
+        blob = write_container(
+            _manifest_entry_schema(part_avro), iter(entries), meta=fmeta
+        )
+        with open(mpath, "wb") as fh:
+            fh.write(blob)
+        out = dict(mf)
+        out.update(manifest_path=mpath, manifest_length=len(blob))
+        return out
 
     def _rewrite_manifest_keep(self, mf: dict, keep_fn):
         """Carry a manifest forward keeping only the entries ``keep_fn``
@@ -2451,17 +2650,24 @@ class IcebergNativeTable:
         }
         if not touched:
             return
+        meta_v3 = base[0].get("format-version", 2) >= 3
         _, _, data, _, _ = self._plan()
         dead = {
             d["path"] for d in data if self._file_uri(d["path"]) in touched
         }
-        rewritten = transform(self.scan(files=dead))
+        # v3: the survivors of a rewritten file keep their row ids —
+        # lineage scans the hit files and the transform carries the
+        # columns through into the replacement files
+        rewritten = transform(
+            self.scan(files=dead, with_row_lineage=meta_v3)
+        )
         self._commit(
             rewritten,
             operation=operation,
             first=False,
             base=base,
             carry_filter=lambda mf: self._rewrite_manifest_without(mf, dead),
+            lineage_materialized=meta_v3,
         )
 
     def delete_where(self, condition, mode: str = "merge-on-read") -> None:
@@ -3164,6 +3370,7 @@ class IcebergNativeTable:
         prebuilt_files: list | None = None,
         manifest_schema: dict | None = None,
         extra_manifests: list | None = None,
+        lineage_materialized: bool = False,
     ) -> None:
         os.makedirs(self.meta_dir, exist_ok=True)
         if first:
@@ -3318,6 +3525,22 @@ class IcebergNativeTable:
                 if prebuilt_files is not None
                 else self._write_data_files(df, seq, parsed_spec, sch, sort_cols)
             )
+            if meta.get("format-version", 2) >= 3 and not first:
+                if lineage_materialized:
+                    # a rewrite (compact / COW) wrote _row_id and
+                    # _last_updated_sequence_number INTO the files:
+                    # first_row_id stays null (the spec's marker for
+                    # materialized lineage) and no new ids are minted
+                    pass
+                else:
+                    # v3 row lineage: every new data file inherits a
+                    # first_row_id from the table's next-row-id counter;
+                    # a row's id is first_row_id + its position
+                    nxt = meta.get("next-row-id", 0)
+                    for f in files:
+                        f["first_row_id"] = nxt
+                        nxt += f["record_count"]
+                    meta["next-row-id"] = nxt
             entries = [
                 {
                     "status": 1,  # ADDED
@@ -3345,6 +3568,7 @@ class IcebergNativeTable:
                         # registered foreign files (add_files) carry no
                         # write order; the writer's own files do
                         "sort_order_id": f.get("sort_order_id", order_id),
+                        "first_row_id": f.get("first_row_id"),
                         "referenced_data_file": None,
                         "content_offset": None,
                         "content_size_in_bytes": None,
@@ -3588,6 +3812,7 @@ class IcebergNativeTable:
                     "lower_bounds": None,
                     "upper_bounds": None,
                     "sort_order_id": None,
+                    "first_row_id": None,
                     # v3 deletion vectors: the blob's coordinates inside
                     # the puffin file plus its one target data file
                     "referenced_data_file": f.get("referenced_data_file"),
@@ -4045,7 +4270,44 @@ class IcebergNativeTable:
                 carry_filter=_keep,
             )
             meta, read_v = self._read_tree()
+        # row-lineage bootstrap: every live data file gets a
+        # first_row_id BEFORE the version flips (v3 requires ids for
+        # all rows; assignments are precomputed driver-side over the
+        # manifests and applied by one metadata-only replace commit)
+        if meta.get("snapshots"):
+            snap = self._snapshot(meta)
+            assigned: dict[str, dict[str, int]] = {}
+            nxt = meta.get("next-row-id", 0)
+            for mf in self._manifests(snap):
+                if mf.get("content", 0) != 0:
+                    continue
+                amap = {}
+                for e in self._entries(mf["manifest_path"]):
+                    df_ = e["data_file"]
+                    if (
+                        e.get("status") == 2
+                        or df_.get("content", 0) != 0
+                        or df_.get("first_row_id") is not None
+                    ):
+                        continue
+                    amap[df_["file_path"]] = nxt
+                    nxt += df_["record_count"]
+                if amap:
+                    assigned[mf["manifest_path"]] = amap
+            if assigned:
+                meta["next-row-id"] = nxt
+                self._commit(
+                    None,
+                    operation="replace",
+                    first=False,
+                    base=(meta, read_v),
+                    carry_filter=lambda mf: self._rewrite_manifest_assign(
+                        mf, assigned
+                    ),
+                )
+                meta, read_v = self._read_tree()
         meta["format-version"] = version
+        meta.setdefault("next-row-id", 0)
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(meta, read_v)
 
@@ -5064,4 +5326,46 @@ def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(before).cast("long").alias("manifests_before"),
         F.lit(after).cast("long").alias("manifests_after"),
         F.lit(eliminated).cast("long").alias("n_eliminated"),
+    )
+
+
+def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 row lineage end-to-end: the upgrade bootstrap assigns every
+    existing row an id (file order = o_orderkey order by construction,
+    so _row_id is analytically the 0-based rank), a COW UPDATE keeps
+    the ids of rewritten rows and bumps _last_updated_sequence_number
+    for changed rows only, and compaction MATERIALIZES lineage into the
+    rewritten files — the scan runs after compact, so the grouped id
+    sums prove identity survived two physical rewrites. The oracle
+    recomputes ids as a rank and the update from the predicate."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_row_lineage", fresh=True)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = IcebergNativeTable.create(spark, loc, orders)
+    t.upgrade_format_version(3)  # bootstrap: ids in file (= key) order
+    t.update_where(
+        (F.col("o_orderstatus") == "P")
+        & (F.col("o_totalprice") < 50000.0),
+        {"o_totalprice": F.col("o_totalprice") * F.lit(2.0)},
+        mode="copy-on-write",
+    )
+    t.compact()
+    return (
+        t.scan(with_row_lineage=True)
+        .groupBy("_last_updated_sequence_number")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("sum_row_ids"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                "total_price"
+            ),
+        )
+        .orderBy("_last_updated_sequence_number")
     )

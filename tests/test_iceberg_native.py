@@ -2174,8 +2174,10 @@ def test_changelog_over_deletion_vectors(spark, tmp_path):
         by_commit.setdefault(
             (r["_commit_snapshot_id"], r["_change_type"]), set()
         ).add(r["k"])
-    assert by_commit[(2, "delete")] == {0, 1, 2}
-    assert by_commit[(3, "delete")] == {3, 4}  # only the NEW deletions
+    # snapshot 2 is the upgrade's row-lineage bootstrap (metadata-only
+    # replace: contributes nothing); the deletes land at 3 and 4
+    assert by_commit[(3, "delete")] == {0, 1, 2}
+    assert by_commit[(4, "delete")] == {3, 4}  # only the NEW deletions
     assert not any(ct == "insert" for _, ct in by_commit)
 
 
@@ -2219,3 +2221,70 @@ def test_rewrite_manifests(spark, tmp_path):
     t.append(spark.createDataFrame([(200, 2.0)], "k long, v double"))
     assert t.manifests_df().count() == 3
     assert t.scan().count() == 13
+
+
+def test_row_lineage_lifecycle(spark, tmp_path):
+    """v3 row lineage: the upgrade bootstrap assigns first_row_id to
+    pre-existing files via a metadata-only manifest rewrite; appends
+    mint ids from next-row-id; COW and MOR UPDATEs keep a row's id and
+    bump _last_updated_sequence_number for changed rows only;
+    compaction MATERIALIZES lineage (ids and last-updated survive the
+    rewrite, first_row_id goes null per spec); pre-upgrade snapshots
+    refuse lineage loudly."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.upgrade_format_version(3)
+    meta = t._metadata()
+    assert meta["next-row-id"] == 20
+
+    def lineage():
+        return {
+            r["k"]: (r["_row_id"], r["_last_updated_sequence_number"])
+            for r in t.scan(with_row_lineage=True).collect()
+        }
+
+    l0 = lineage()
+    assert sorted(v[0] for v in l0.values()) == list(range(20))
+    assert {v[1] for v in l0.values()} == {1}
+
+    t.append(
+        spark.createDataFrame(
+            [(100, 1.0), (101, 2.0)], "k long, v double"
+        ).coalesce(1)
+    )
+    l1 = lineage()
+    assert {l1[100][0], l1[101][0]} == {20, 21}
+    assert t._metadata()["next-row-id"] == 22
+    assert all(l1[k][0] == l0[k][0] for k in l0)
+
+    t.update_where(F.col("k") == 5, {"v": F.lit(500.0)}, "copy-on-write")
+    l2 = lineage()
+    assert l2[5][0] == l0[5][0] and l2[5][1] == 4
+    assert l2[6] == l1[6]  # untouched survivor of the rewritten file
+
+    t.update_where(F.col("k") == 7, {"v": F.lit(700.0)}, "merge-on-read")
+    l3 = lineage()
+    assert l3[7][0] == l0[7][0] and l3[7][1] == 5
+
+    t.delete_where(F.col("k") < 2, "merge-on-read")
+    t.compact()
+    l4 = lineage()
+    assert len(l4) == 20
+    assert all(l4[k][0] == l3[k][0] for k in l4)
+    assert l4[7][1] == 5 and l4[5][1] == 4 and l4[6][1] == 1
+    # compacted entries: first_row_id null = materialized lineage
+    _, _, data, _, _ = t._plan()
+    assert all(d["first_row_id"] is None for d in data)
+    # a fresh append still mints ids beyond every assigned one
+    t.append(
+        spark.createDataFrame([(200, 1.0)], "k long, v double").coalesce(1)
+    )
+    l5 = lineage()
+    assert l5[200][0] == 22
+    assert len({v[0] for v in l5.values()}) == 21  # all unique
+
+    # pre-upgrade snapshot: no ids, no materialized columns -> loud
+    with pytest.raises(ValueError, match="lineage unavailable"):
+        t.scan(snapshot_id=1, with_row_lineage=True).collect()
