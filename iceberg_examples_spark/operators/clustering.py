@@ -668,7 +668,15 @@ def _kmeans_rollup_vectorized(
 # lowest such id.
 
 SEM_SCALE = 1_000
-SEM_K = 8
+# K is SemDeDup's pair-blowup knob: within-cluster pairs ~ (n/K)²·K, so
+# production scales K with the corpus to hold cluster SIZE constant
+# (the paper clusters 50K-wide). 16 keeps sf0.1 clusters ~125 vectors
+# and the sweep sub-linear; a fixed-small K re-grows pairs
+# quadratically — the round-10 sweep caught exactly that at K=8. The
+# recall cost of more clusters (a planted pair split across cells is
+# missed) is SemDeDup's documented tradeoff; the oracle runs the same
+# chain, so both engines agree on exactly which pairs survive.
+SEM_K = 16
 SEM_NITER = 2
 SEM_STEP = 25
 SEM_OFFSET = 10_000

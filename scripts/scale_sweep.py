@@ -66,6 +66,18 @@ SWEEP = [
     ("iceberg_update_modes", "orders", 10),
     ("iceberg_changelog", "events", 10),
     ("hybrid_rrf_search", "documents+embeddings", 10),
+    # round-10 second session: partition-scoped MOR debt, deletion
+    # vectors (upgrade + merge/supersede), add_files registration, the
+    # executor-parallel streaming read, row lineage through rewrites,
+    # and the two new exact-integer LLM ops (clustered pair search /
+    # 256-bucket broadcast model — both should be near-flat)
+    ("iceberg_partition_debt", "orders", 10),
+    ("iceberg_deletion_vectors", "orders", 10),
+    ("iceberg_add_files", "customer", 10),
+    ("stream_from_iceberg_bulk", "events", 10),
+    ("iceberg_row_lineage", "orders", 10),
+    ("semantic_dedup", "embeddings", 4),
+    ("dsir_weights", "documents", 10),
 ]
 
 
