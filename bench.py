@@ -184,6 +184,11 @@ HEADLINE = [
     "dsir_weights",
     "iceberg_rewrite_manifests",
     "iceberg_row_lineage",
+    # round-11 additions: lineage-keyed CDC and the table-statistics
+    # (NDV/HLL puffin) round trip — both driver-attested this round
+    # before entering the headline set
+    "iceberg_changelog_lineage",
+    "iceberg_table_statistics",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -669,14 +669,27 @@ def _kmeans_rollup_vectorized(
 
 SEM_SCALE = 1_000
 # K is SemDeDup's pair-blowup knob: within-cluster pairs ~ (n/K)²·K, so
-# production scales K with the corpus to hold cluster SIZE constant
-# (the paper clusters 50K-wide). 16 keeps sf0.1 clusters ~125 vectors
-# and the sweep sub-linear; a fixed-small K re-grows pairs
-# quadratically — the round-10 sweep caught exactly that at K=8. The
-# recall cost of more clusters (a planted pair split across cells is
-# missed) is SemDeDup's documented tradeoff; the oracle runs the same
-# chain, so both engines agree on exactly which pairs survive.
+# K must scale WITH the corpus to hold cluster SIZE constant (the paper
+# clusters 50K-wide) — a fixed-small K re-grows pairs quadratically,
+# which the round-10 sweep caught at K=8. Round 11 puts the scaling in
+# the code, not a comment: semantic_dedup derives K = max(SEM_K,
+# ceil(n / SEM_TARGET_CLUSTER)) from a cheap distinct count unless the
+# caller passes one. SEM_K doubles as the floor AND the oracle's pinned
+# value: the DuckDB CTE chain is a static string evaluated at the
+# driver's sf0.01, where the derivation lands exactly on 16
+# (n_eff = 520, width 33); at larger corpora the Spark side grows K
+# (sf0.1: n_eff = 2080 -> K = 64, cluster width unchanged) while the
+# oracle contract stays pinned to its declared scale. The recall cost
+# of more clusters (a near-dup pair split across cells is missed) is
+# SemDeDup's documented tradeoff.
 SEM_K = 16
+SEM_TARGET_CLUSTER = 33
+
+
+def sem_derived_k(n_vectors: int) -> int:
+    """ceil(n / target-cluster-width), floored at SEM_K — the knob that
+    keeps within-cluster pair count LINEAR in corpus size."""
+    return max(SEM_K, -(-int(n_vectors) // SEM_TARGET_CLUSTER))
 SEM_NITER = 2
 SEM_STEP = 25
 SEM_OFFSET = 10_000
@@ -709,15 +722,23 @@ def _sem_long_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(planted)
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> DataFrame:
     """SemDeDup over the planted corpus: k-means buckets the pair
     search, within-cluster exact-integer cosine kills near-dups, and
-    each dropped vector reports its lowest-id survivor. The oracle
-    unrolls the IDENTICAL chain (same CTE template as the k-means
-    queries), so the clustering, the pair set, and every threshold
-    comparison are bit-identical cross-engine."""
+    each dropped vector reports its lowest-id survivor. ``k`` defaults
+    to sem_derived_k(corpus size) — one distinct-count job — so the
+    100 TB posture (cluster width constant, pair count linear in n) is
+    the code path, not a constant. The oracle unrolls the IDENTICAL
+    chain (same CTE template as the k-means queries) with K pinned at
+    the derivation's value for the declared scales (16), so the
+    clustering, the pair set, and every threshold comparison are
+    bit-identical cross-engine at the correctness gate."""
     e = stage(_sem_long_form(spark, sf_dir), "semdedup-long-form")
-    assign = _final_assignment(e, k=SEM_K, niter=SEM_NITER).select(
+    if k is None:
+        k = sem_derived_k(e.select("vec_id").distinct().count())
+    assign = _final_assignment(e, k=k, niter=SEM_NITER).select(
         "vec_id", "cid"
     )
     pairs = (

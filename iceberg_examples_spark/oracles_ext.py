@@ -3672,7 +3672,11 @@ WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000.0)
 """
 
 # dsir_weights: hashed-unigram importance weights, per-lang rollup —
-# same bucket hash, same integer ratio-sum as the Spark side.
+# same bucket hash, same integer ratio-sum as the Spark side. Every
+# `//`-derived column is CAST to BIGINT: DuckDB's sum(BIGINT) is
+# HUGEINT, so uncast outputs surface as decimal128 through Arrow and
+# hash-mismatch a BIGINT Spark column on type, not value (the r10 red
+# row — values verified equal at sf0.001/0.01/0.1).
 from iceberg_examples_spark.operators.llm_quality import (  # noqa: E402
     DSIR_BUCKETS,
     DSIR_RATIO_SCALE,
@@ -3690,16 +3694,89 @@ WITH tok AS (
   SELECT b, count(*) AS ct FROM tok
   WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
 ), scores AS (
-  SELECT r.b, COALESCE(t.ct, 0) * {DSIR_RATIO_SCALE} // r.cr AS s
+  SELECT r.b, CAST(COALESCE(t.ct, 0) * {DSIR_RATIO_SCALE} // r.cr
+               AS BIGINT) AS s
   FROM raw r LEFT JOIN tgt t ON r.b = t.b
 ), per_doc AS (
-  SELECT doc_id, lang, sum(s) // count(*) AS weight
+  SELECT doc_id, lang, CAST(sum(s) // count(*) AS BIGINT) AS weight
   FROM tok JOIN scores USING (b) GROUP BY doc_id, lang
 )
 SELECT lang, count(*) AS n_docs,
-       sum(weight) // count(*) AS avg_weight,
+       CAST(sum(weight) // count(*) AS BIGINT) AS avg_weight,
        max(weight) AS max_weight, min(weight) AS min_weight
 FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+# object_store_listing: the warehouse layout is PINNED by the
+# lifecycle (create repartition(3) + append repartition(2)): 5 data
+# parquet, 2 metadata.json, 2 manifest lists + 2 manifests (avro),
+# 1 version hint; committer markers excluded. all_nonempty proves the
+# listing carries real sizes.
+EXT_ORACLES["object_store_listing"] = """
+SELECT * FROM (VALUES
+  ('data', 'parquet', CAST(5 AS BIGINT), true),
+  ('metadata', 'avro', CAST(4 AS BIGINT), true),
+  ('metadata', 'json', CAST(2 AS BIGINT), true),
+  ('metadata', 'text', CAST(1 AS BIGINT), true)
+) AS t(category, ext, n_objects, all_nonempty)
+ORDER BY category, ext
+"""
+
+# iceberg_table_statistics: per-column exact NDV; sketch_ok is pinned
+# true — the Spark side recomputes it from the actual HLL payload, so
+# a dishonest sketch breaks the hash even though the oracle can't run
+# DataSketches itself.
+EXT_ORACLES["iceberg_table_statistics"] = """
+SELECT column_name, ndv, true AS sketch_ok FROM (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+) ORDER BY column_name
+"""
+
+# iceberg_changelog_lineage: ids are the 0-based o_orderkey rank
+# (single sorted file at create). Snapshot 3's MOR DV delete emits
+# delete events (lus still 1); snapshot 4's COW update emits identity
+# -paired delete(pre-image, lus 1) + insert(post-image, lus 4) rows —
+# same rid set, so sum_row_ids matches across the pair; the upgrade
+# (snapshot 2) and the compaction (snapshot 5) contribute nothing.
+EXT_ORACLES["iceberg_changelog_lineage"] = f"""
+WITH base AS (
+  SELECT o_orderstatus, o_totalprice,
+         row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+  FROM orders
+), del3 AS (
+  SELECT * FROM base WHERE o_totalprice > 400000.0
+), upd AS (
+  SELECT * FROM base
+  WHERE o_totalprice <= 400000.0
+    AND o_orderstatus = 'P' AND o_totalprice < 50000.0
+)
+SELECT * FROM (
+  SELECT CAST(3 AS BIGINT) AS _commit_snapshot_id,
+         'delete' AS _change_type,
+         CAST(1 AS BIGINT) AS _last_updated_sequence_number,
+         count(*) AS n_rows, CAST(sum(rid) AS BIGINT) AS sum_row_ids,
+         {money_sum_sql('o_totalprice', scale=100)} AS total_price
+  FROM del3
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'delete', CAST(1 AS BIGINT),
+         count(*), CAST(sum(rid) AS BIGINT),
+         {money_sum_sql('o_totalprice', scale=100)}
+  FROM upd
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), 'insert', CAST(4 AS BIGINT),
+         count(*), CAST(sum(rid) AS BIGINT),
+         {money_sum_sql('o_totalprice * 2.0', scale=100)}
+  FROM upd
+)
+ORDER BY _commit_snapshot_id, _change_type,
+         _last_updated_sequence_number
 """
 
 # iceberg_rewrite_manifests: 3 data commits (manifest list carries 1,

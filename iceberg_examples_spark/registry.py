@@ -37,6 +37,7 @@ from iceberg_examples_spark.sources import iceberg_sql_bridge as IB
 from iceberg_examples_spark.sources import iceberg_stream_source as ISS
 from iceberg_examples_spark.sources import json_source as JS
 from iceberg_examples_spark.sources import multimodal as MM
+from iceberg_examples_spark.sources import object_store as OS
 from iceberg_examples_spark.sources import python_datasource as PD
 from iceberg_examples_spark.streaming import rollup as ST
 from iceberg_examples_spark.oracles import ORACLES
@@ -68,58 +69,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
     # ----- latest green driver row: never attested -----
-    "iceberg_native_upsert": IN.iceberg_native_upsert,
-    "iceberg_native_manifests": IN.iceberg_native_manifests,
-    "iceberg_native_partitions": IN.iceberg_native_partitions,
-    "iceberg_rewrite_deletes": IN.iceberg_rewrite_deletes,
-    "iceberg_delete_modes": IN.iceberg_delete_modes,
-    "hybrid_rrf_search": SIM.hybrid_rrf_search,
-    "iceberg_update_modes": IN.iceberg_update_modes,
-    "iceberg_changelog": IN.iceberg_changelog,
-    "iceberg_native_wap": IN.iceberg_native_wap,
-    "stream_from_iceberg": ISS.stream_from_iceberg,
-    "iceberg_wap_dml": IB.iceberg_wap_dml,
-    "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
-    "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
-    "iceberg_bounds_prune": IN.iceberg_bounds_prune,
-    "iceberg_native_spec_evolution": IN.iceberg_native_spec_evolution,
-    "stream_to_iceberg": ST.stream_to_iceberg,
-    "iceberg_incremental_read": IN.iceberg_incremental_read,
-    "iceberg_partition_debt": IN.iceberg_partition_debt,
-    "stream_from_iceberg_bulk": ISS.stream_from_iceberg_bulk,
-    "iceberg_partition_stats": IN.iceberg_partition_stats,
-    "iceberg_add_files": IN.iceberg_add_files,
-    "iceberg_deletion_vectors": IN.iceberg_deletion_vectors,
-    "semantic_dedup": CL.semantic_dedup,
     "dsir_weights": LQ.dsir_weights,
-    "iceberg_rewrite_manifests": IN.iceberg_rewrite_manifests,
-    "iceberg_row_lineage": IN.iceberg_row_lineage,
-    # ----- latest green driver row: round 5 -----
-    "train_test_split": CV.train_test_split,
-    "corpus_mixture": LP.corpus_mixture,
-    "dedup_exact": D.dedup_exact,
-    "dedup_exact_keep": D.dedup_exact_keep,
-    "ngram_jaccard": D.ngram_jaccard,
-    "knn_cosine": SIM.knn_cosine,
-    "kmeans_clusters": CL.kmeans_clusters,
-    "kmeans_large": CL.kmeans_large,
-    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
-    # ----- latest green driver row: round 6 -----
-    "epoch_shuffle": LP.epoch_shuffle,
-    "domain_cap_sample": LP.domain_cap_sample,
-    "length_buckets": LP.length_buckets,
-    "embedding_stats": SIM.embedding_stats,
-    "intra_doc_dedup": D.intra_doc_dedup,
-    "hll_distinct": XR.hll_distinct,
-    "observed_metrics": CV.observed_metrics,
-    "sql_pipe_query": CV.sql_pipe_query,
-    "funnel_stages": E.funnel_stages,
-    "cohort_retention": E.cohort_retention,
-    "triangle_count": GR.triangle_count,
-    "stream_late_data": ST.stream_late_data,
-    "bfs_levels": GR.bfs_levels,
-    "fuzzy_match": D.fuzzy_match,
-    "null_safe_join": CV.null_safe_join,
+    "iceberg_changelog_lineage": IN.iceberg_changelog_lineage,
+    "iceberg_table_statistics": IN.iceberg_table_statistics,
+    "object_store_listing": OS.object_store_listing,
+    # ----- latest green driver row: r6 -----
     "union_schema_drift": CV.union_schema_drift,
     "dynamic_partition_prune": PT.dynamic_partition_prune,
     "embedding_norms_arrow": SIM.embedding_norms_arrow,
@@ -141,7 +95,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cluster_sizes": D.dedup_cluster_sizes,
     "nested_rollup": CV.nested_rollup,
     "csv_corrupt_records": JS.csv_corrupt_records,
-    # ----- end of the 50-entry driver correctness window -----
     "rolling_24h": E.rolling_24h,
     "quantile_normalize": XR.quantile_normalize,
     "merge_sql_exec": RS.merge_sql_exec_query,
@@ -156,7 +109,7 @@ QUERIES: dict[str, QueryFn] = {
     "multimodal_meta": MM.multimodal_meta,
     "collect_sets": XR.collect_sets,
     "dedup_latest": E.dedup_latest,
-    # ----- latest green driver row: round 7 -----
+    # ----- latest green driver row: r7 -----
     "merge_by_source_exec": RS.merge_by_source_exec_query,
     "sql_lifecycle_replay": RS.sql_lifecycle_replay_query,
     "sessionize": E.sessionize,
@@ -207,7 +160,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample_lang": SC.stratified_sample_lang,
     "table_maintenance": MT.table_maintenance,
     "wap_pattern": MT.wap_pattern,
-    # ----- latest green driver row: round 8 -----
+    # ----- latest green driver row: r8 -----
     "stream_cdc_merge": ST.stream_cdc_merge,
     "multimodal_audio": MM.multimodal_audio,
     "scan_full": R.scan_full,
@@ -258,7 +211,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_session_window": ST.stream_session_window,
     "xml_roundtrip": CV.xml_roundtrip,
     "binary_files_ingest": MM.binary_files_ingest,
-    # ----- latest green driver row: round 9 -----
+    # ----- latest green driver row: r9 -----
     "avro_roundtrip": AV.avro_roundtrip,
     "iceberg_native_scan": IN.iceberg_native_scan,
     "iceberg_native_mor": IN.iceberg_native_mor,
@@ -309,6 +262,56 @@ QUERIES: dict[str, QueryFn] = {
     "text_simhash": TX.simhash16,
     "explode_tokens": TX.explode_tokens,
     "deterministic_sample": CV.deterministic_sample,
+    # ----- latest green driver row: r10 -----
+    "iceberg_native_upsert": IN.iceberg_native_upsert,
+    "iceberg_native_manifests": IN.iceberg_native_manifests,
+    "iceberg_native_partitions": IN.iceberg_native_partitions,
+    "iceberg_rewrite_deletes": IN.iceberg_rewrite_deletes,
+    "iceberg_delete_modes": IN.iceberg_delete_modes,
+    "hybrid_rrf_search": SIM.hybrid_rrf_search,
+    "iceberg_update_modes": IN.iceberg_update_modes,
+    "iceberg_changelog": IN.iceberg_changelog,
+    "iceberg_native_wap": IN.iceberg_native_wap,
+    "stream_from_iceberg": ISS.stream_from_iceberg,
+    "iceberg_wap_dml": IB.iceberg_wap_dml,
+    "iceberg_native_schema_evolution": IN.iceberg_native_schema_evolution,
+    "iceberg_native_sql_replay": IB.iceberg_native_sql_replay,
+    "iceberg_bounds_prune": IN.iceberg_bounds_prune,
+    "iceberg_native_spec_evolution": IN.iceberg_native_spec_evolution,
+    "stream_to_iceberg": ST.stream_to_iceberg,
+    "iceberg_incremental_read": IN.iceberg_incremental_read,
+    "iceberg_partition_debt": IN.iceberg_partition_debt,
+    "stream_from_iceberg_bulk": ISS.stream_from_iceberg_bulk,
+    "iceberg_partition_stats": IN.iceberg_partition_stats,
+    "iceberg_add_files": IN.iceberg_add_files,
+    "iceberg_deletion_vectors": IN.iceberg_deletion_vectors,
+    "semantic_dedup": CL.semantic_dedup,
+    "iceberg_rewrite_manifests": IN.iceberg_rewrite_manifests,
+    "iceberg_row_lineage": IN.iceberg_row_lineage,
+    "train_test_split": CV.train_test_split,
+    "corpus_mixture": LP.corpus_mixture,
+    "dedup_exact": D.dedup_exact,
+    "dedup_exact_keep": D.dedup_exact_keep,
+    "ngram_jaccard": D.ngram_jaccard,
+    "knn_cosine": SIM.knn_cosine,
+    "kmeans_clusters": CL.kmeans_clusters,
+    "kmeans_large": CL.kmeans_large,
+    "knn_kmeans_ivf": CL.knn_kmeans_ivf,
+    "epoch_shuffle": LP.epoch_shuffle,
+    "domain_cap_sample": LP.domain_cap_sample,
+    "length_buckets": LP.length_buckets,
+    "embedding_stats": SIM.embedding_stats,
+    "intra_doc_dedup": D.intra_doc_dedup,
+    "hll_distinct": XR.hll_distinct,
+    "observed_metrics": CV.observed_metrics,
+    "sql_pipe_query": CV.sql_pipe_query,
+    "funnel_stages": E.funnel_stages,
+    "cohort_retention": E.cohort_retention,
+    "triangle_count": GR.triangle_count,
+    "stream_late_data": ST.stream_late_data,
+    "bfs_levels": GR.bfs_levels,
+    "fuzzy_match": D.fuzzy_match,
+    "null_safe_join": CV.null_safe_join,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the

@@ -351,6 +351,13 @@ def transform_literal(tf: dict, value):
 
 _BOUND_TRUNC = 16  # Iceberg's default write.metadata.metrics string truncation
 
+# DV commits touching more data files than this write their puffin
+# files from executor tasks (one per partition shard) instead of
+# collecting payloads for a single driver-written file — the bound
+# that keeps a full-table DELETE from funneling every bitmap through
+# driver memory. Tests patch this down to force the sharded path.
+DV_DRIVER_WRITE_MAX_FILES = 64
+
 
 def encode_bound(ice_type: str, value) -> bytes | None:
     """Spec single-value serialization: little-endian fixed-width for
@@ -1667,6 +1674,152 @@ class IcebergNativeTable:
         self._publish_metadata(meta, version)
         return path
 
+    # -- table statistics files (spec: Table Statistics / Puffin) -------
+
+    def write_table_statistics(
+        self,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> str:
+        """Write the spec's TABLE STATISTICS file — a Puffin container
+        registered under metadata.json's ``statistics`` field
+        (``{snapshot-id, statistics-path, file-size-in-bytes,
+        file-footer-size-in-bytes, blob-metadata}``) — with one blob
+        per column carrying the column's NDV. Two layers, both honest:
+
+        - blob-metadata ``properties.ndv`` is the EXACT distinct count
+          (one grouped aggregate over the snapshot scan). This is the
+          value engines actually consume: real Iceberg CBO reads the
+          ndv property off blob metadata without ever deserializing
+          sketch bytes. Exactness makes it cross-engine verifiable; at
+          100 TB swap the count_distinct for hll_sketch_estimate over
+          the same sketch column and the whole artifact is one pass —
+          identical machinery, approximate property.
+        - the blob PAYLOAD is the column's Apache DataSketches HLL
+          sketch exactly as Spark's ``hll_sketch_agg`` emits it — a
+          portable, documented encoding (readable by DataSketches
+          java/cpp/py and Spark's hll_* functions), typed
+          ``apache-datasketches-hll-v1``. The spec standardizes theta
+          (``apache-datasketches-theta-v1``); per the Puffin spec
+          readers skip blob types they don't recognize, and the ndv
+          property above carries the planning value either way — so
+          this trades theta interop for a payload we can generate
+          honestly instead of fabricating bytes we can't.
+
+        Columns default to every top-level column; sketch-unsupported
+        types (doubles, dates...) sketch their canonical string form —
+        distinctness is preserved. Statistics for the same snapshot are
+        replaced (the spec allows at most one stats file per snapshot).
+        Registration is a metadata-only publish: no new snapshot."""
+        from iceberg_examples_spark.sources.puffin import write_puffin
+
+        meta, version = self._read_tree()
+        snap = self._snapshot(meta, snapshot_id)
+        sch = self._current_schema(meta)
+        name2id = {f["name"]: f["id"] for f in sch["fields"]}
+        cols = columns or [f["name"] for f in sch["fields"]]
+        unknown = [c for c in cols if c not in name2id]
+        if unknown:
+            raise ValueError(f"unknown columns for statistics: {unknown}")
+        df = self.scan(snapshot_id=snap["snapshot-id"])
+        sketchable = {"long", "int", "string", "binary"}
+        type_of = {
+            f["name"]: f["type"]
+            for f in sch["fields"]
+            if isinstance(f["type"], str)
+        }
+        aggs = []
+        for c in cols:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+            sk = (
+                F.col(c)
+                if type_of.get(c) in sketchable
+                else F.col(c).cast("string")
+            )
+            aggs.append(F.hll_sketch_agg(sk).alias(f"hll_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        blobs = [
+            {
+                "payload": bytes(row[f"hll_{c}"]),
+                "type": "apache-datasketches-hll-v1",
+                "fields": [name2id[c]],
+                "snapshot-id": snap["snapshot-id"],
+                "sequence-number": snap.get("sequence-number", 0),
+                "properties": {"ndv": str(row[f"ndv_{c}"])},
+            }
+            for c in cols
+        ]
+        path = os.path.join(
+            self.meta_dir,
+            f"stats-{snap['snapshot-id']}-{uuid.uuid4().hex[:8]}.puffin",
+        )
+        metas = write_puffin(path, blobs)
+        file_size = os.path.getsize(path)
+        last_end = (
+            metas[-1]["offset"] + metas[-1]["length"] if metas else 4
+        )
+        entry = {
+            "snapshot-id": snap["snapshot-id"],
+            "statistics-path": path,
+            "file-size-in-bytes": file_size,
+            "file-footer-size-in-bytes": file_size - last_end,
+            "blob-metadata": metas,
+        }
+        stats_list = [
+            e
+            for e in meta.get("statistics", [])
+            if e["snapshot-id"] != snap["snapshot-id"]
+        ]
+        stats_list.append(entry)
+        meta["statistics"] = stats_list
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._publish_metadata(meta, version)
+        return path
+
+    def statistics_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """The registered table-statistics blobs for a snapshot
+        (current by default) as a metadata table: one row per blob with
+        the resolved column name, its ndv property, and the blob's
+        physical coordinates (path, offset, length) — what a planner
+        joins against before deciding broadcast vs shuffle. Raises if
+        no statistics file is registered for the snapshot."""
+        meta = self._metadata()
+        snap = self._snapshot(meta, snapshot_id)
+        entry = next(
+            (
+                e
+                for e in meta.get("statistics", [])
+                if e["snapshot-id"] == snap["snapshot-id"]
+            ),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"no table statistics registered for snapshot "
+                f"{snap['snapshot-id']}: write_table_statistics() first"
+            )
+        sch = self._current_schema(meta)
+        id2name = {f["id"]: f["name"] for f in sch["fields"]}
+        rows = [
+            (
+                entry["snapshot-id"],
+                ",".join(id2name.get(i, str(i)) for i in b["fields"]),
+                b["type"],
+                int(b["properties"]["ndv"])
+                if "ndv" in b.get("properties", {})
+                else None,
+                entry["statistics-path"],
+                b["offset"],
+                b["length"],
+            )
+            for b in entry["blob-metadata"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, column_name string, blob_type string, "
+            "ndv long, statistics_path string, offset long, length long",
+        )
+
     def partition_stats_df(
         self, snapshot_id: int | None = None
     ) -> DataFrame:
@@ -2938,6 +3091,7 @@ class IcebergNativeTable:
         self,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        with_row_lineage: bool = False,
     ) -> DataFrame:
         """Row-level change feed over ``(from, to]`` — the shape of
         Iceberg's ``create_changelog_view``: every logical row change
@@ -2963,8 +3117,21 @@ class IcebergNativeTable:
         recorded schema, so a metadata-only schema change committed
         after the tip does not break the diff; a range whose snapshots
         themselves span a schema change raises — split it at the
-        evolution point."""
+        evolution point.
+
+        ``with_row_lineage=True`` (v3 tables only) adds ``_row_id`` and
+        ``_last_updated_sequence_number`` to every event — the spec's
+        stated purpose for field 142: an UPDATE's delete(pre-image) and
+        insert(post-image) then share a ``_row_id``, so CDC consumers
+        pair them by row IDENTITY instead of guessing by position or
+        value equality. The range must start at or after the v3
+        upgrade (earlier snapshots have no lineage to read)."""
         meta = self._metadata()
+        if with_row_lineage and meta.get("format-version", 2) < 3:
+            raise ValueError(
+                "row-lineage changelog requires format-version 3: call "
+                "upgrade_format_version(3) first"
+            )
         snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
         # walk the CURRENT lineage (parent chain) from the tip, NOT
         # sequence order: after a rollback the abandoned snapshots are
@@ -3066,11 +3233,13 @@ class IcebergNativeTable:
                 snapshot_id=prev_s["snapshot-id"],
                 files=files,
                 snapshot_schema=True,
+                with_row_lineage=with_row_lineage,
             )
             cur_view = self.scan(
                 snapshot_id=cur_s["snapshot-id"],
                 files=files,
                 snapshot_schema=True,
+                with_row_lineage=with_row_lineage,
             )
             chunk = (
                 cur_view.exceptAll(prev_view)
@@ -3089,6 +3258,13 @@ class IcebergNativeTable:
         if out is None:
             sch = self._schema_struct(meta)
             empty = self.spark.createDataFrame([], sch)
+            if with_row_lineage:
+                empty = empty.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                ).withColumn(
+                    "_last_updated_sequence_number",
+                    F.lit(None).cast("long"),
+                )
             return empty.withColumn(
                 "_change_type", F.lit(None).cast("string")
             ).withColumn("_commit_snapshot_id", F.lit(None).cast("long"))
@@ -4063,8 +4239,21 @@ class IcebergNativeTable:
         pos) coordinates with any LIVE DV of an affected data file (v3's
         one-DV-per-file rule — a new vector REPLACES the old, so it must
         contain it), build each file's roaring bitmap executor-side
-        (applyInPandas per target file), and write ONE puffin file for
-        the commit with one ``deletion-vector-v1`` blob per target.
+        (applyInPandas per target file), and land the blobs in puffin
+        file(s). Two write shapes, switched on affected-file count:
+
+        - small commits (<= DV_DRIVER_WRITE_MAX_FILES targets): collect
+          the encoded payloads (bounded by affected-file count x
+          roaring-compressed size) and write ONE puffin for the commit
+          from the driver — fewest files, the common DELETE.
+        - large commits (e.g. a full-table DELETE at 100 TB): never
+          funnel bitmap bytes through the driver. Group coordinates by
+          the target file's PARTITION and write one puffin per
+          partition shard FROM THE TASKS (mirroring how data/delete
+          parquet already lands); only blob metadata (path, offset,
+          length, cardinality — file-count scale) returns to the driver
+          for the manifest.
+
         Returns (delete manifest row | None, superseded referenced
         paths) — the caller's carry_filter must drop the superseded
         entries from carried delete manifests."""
@@ -4096,6 +4285,19 @@ class IcebergNativeTable:
                 )
             )
 
+        # partition attribution: a DV scopes to its target's partition
+        part_by_uri = {
+            self._file_uri(d["path"]): d["partition"] for d in data
+        }
+        if len(affected) > DV_DRIVER_WRITE_MAX_FILES:
+            files = self._write_dv_shards(coords, part_by_uri, affected, seq)
+            manifest = self._write_delete_manifest(
+                meta, seq, files, content=1, equality_ids=None
+            )
+            return manifest, {
+                d["referenced_data_file"] for d in live_dvs
+            }
+
         def _encode(key, pdf):
             import pandas as pd
 
@@ -4120,10 +4322,6 @@ class IcebergNativeTable:
             .collect(),
             key=lambda r: r["file_path"],
         )
-        # partition attribution: a DV scopes to its target's partition
-        part_by_uri = {
-            self._file_uri(d["path"]): d["partition"] for d in data
-        }
         puf_path = os.path.join(
             self.location,
             "data",
@@ -4163,6 +4361,106 @@ class IcebergNativeTable:
         return manifest, {
             d["referenced_data_file"] for d in live_dvs
         }
+
+    def _write_dv_shards(
+        self,
+        coords: DataFrame,
+        part_by_uri: dict,
+        affected: set,
+        seq: int,
+    ) -> list[dict]:
+        """Executor-side sharded puffin write for large DV commits: one
+        puffin file per PARTITION, written inside the task that owns
+        that partition's coordinates. The driver ships a broadcast
+        (file_path -> partition-shard key) map — bounded by
+        affected-file count, the same metadata scale every planner hop
+        already pays — and collects back only BlobMetadata rows.
+        Bitmap bytes never touch the driver."""
+        spark = coords.sparkSession
+        shard_of = {
+            u: json.dumps(part_by_uri.get(u, {}), sort_keys=True, default=str)
+            for u in affected
+        }
+        part_of_shard = {
+            s: part_by_uri.get(u, {}) for u, s in shard_of.items()
+        }
+        shard_map = F.broadcast(
+            spark.createDataFrame(
+                list(shard_of.items()), "file_path string, shard string"
+            )
+        )
+        data_dir = os.path.join(self.location, "data")
+        seq_ = int(seq)
+
+        def _write_shard(key, pdf):
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as pd
+
+            from iceberg_examples_spark.sources.puffin import (
+                encode_deletion_vector,
+            )
+            from iceberg_examples_spark.sources.puffin import (
+                write_puffin as _write_puffin,
+            )
+
+            blobs, targets = [], []
+            for fp, grp in pdf.groupby("file_path", sort=True):
+                pos = sorted(set(int(p) for p in grp["pos"]))
+                blobs.append(
+                    {
+                        "payload": encode_deletion_vector(pos),
+                        "type": "deletion-vector-v1",
+                        "snapshot-id": seq_,
+                        "sequence-number": seq_,
+                        "properties": {
+                            "referenced-data-file": fp,
+                            "cardinality": str(len(pos)),
+                        },
+                    }
+                )
+                targets.append((fp, len(pos)))
+            path = _os.path.join(
+                data_dir,
+                f"seq-{seq_:05d}-{_uuid.uuid4().hex[:8]}-deletes.puffin",
+            )
+            metas = _write_puffin(path, blobs)
+            return pd.DataFrame(
+                {
+                    "file_path": [t[0] for t in targets],
+                    "shard": key[0],
+                    "puffin_path": path,
+                    "cardinality": [t[1] for t in targets],
+                    "content_offset": [m["offset"] for m in metas],
+                    "content_size_in_bytes": [m["length"] for m in metas],
+                }
+            )
+
+        built = sorted(
+            coords.join(shard_map, "file_path")
+            .groupBy("shard")
+            .applyInPandas(
+                _write_shard,
+                "file_path string, shard string, puffin_path string, "
+                "cardinality long, content_offset long, "
+                "content_size_in_bytes long",
+            )
+            .collect(),
+            key=lambda r: (r["shard"], r["file_path"]),
+        )
+        return [
+            {
+                "path": r["puffin_path"],
+                "partition": part_of_shard[r["shard"]],
+                "record_count": r["cardinality"],
+                "file_format": "PUFFIN",
+                "referenced_data_file": r["file_path"],
+                "content_offset": r["content_offset"],
+                "content_size_in_bytes": r["content_size_in_bytes"],
+            }
+            for r in built
+        ]
 
     def _drop_superseded_dvs(self, mf: dict, superseded: set):
         """carry_filter clause for DV commits: rewrite carried DELETE
@@ -4208,13 +4506,21 @@ class IcebergNativeTable:
         )
 
     def upgrade_format_version(self, version: int = 3) -> None:
-        """Upgrade the table's format-version (2 -> 3 only). v3 stores
-        position deletes as deletion vectors and forbids new
-        position-delete FILES, so any live parquet position deletes are
-        CONVERTED in the same call: their coordinates re-commit as DVs
-        in one replace-flavored snapshot (safe for position deletes —
-        coordinates name immutable rows — exactly the
-        rewrite_position_deletes argument), then the version flips."""
+        """Upgrade the table's format-version (2 -> 3 only) in ONE
+        atomic metadata publish. v3 stores position deletes as deletion
+        vectors and forbids new position-delete FILES, and it requires
+        row lineage, so the same replace commit carries all three
+        pieces: live parquet position deletes re-commit as DVs (safe
+        for position deletes — coordinates name immutable rows —
+        exactly the rewrite_position_deletes argument), every live data
+        file gets its ``first_row_id`` assignment, and the
+        format-version flips in the published metadata.json itself. A
+        crash mid-upgrade therefore leaves either the old all-v2 tree
+        or the new all-v3 tree — never a v2 tree whose current snapshot
+        references PUFFIN delete entries v2 readers don't recognize
+        (the round-10 three-publish sequence had that window); the only
+        debris is unreferenced puffin/manifest files, the same orphan
+        class every failed commit leaves for remove_orphan_files."""
         meta, read_v = self._read_tree()
         cur = meta.get("format-version", 2)
         if version == cur:
@@ -4227,6 +4533,41 @@ class IcebergNativeTable:
         pq_dels = [
             d for d in pos_del if d.get("file_format") != "PUFFIN"
         ]
+        # row-lineage bootstrap assignments, precomputed driver-side
+        # over the CURRENT data manifests — the conversion commit
+        # carries those through untouched, so paths stay valid
+        assigned: dict[str, dict[str, int]] = {}
+        nxt = meta.get("next-row-id", 0)
+        if meta.get("snapshots"):
+            snap = self._snapshot(meta)
+            for mf in self._manifests(snap):
+                if mf.get("content", 0) != 0:
+                    continue
+                amap = {}
+                for e in self._entries(mf["manifest_path"]):
+                    df_ = e["data_file"]
+                    if (
+                        e.get("status") == 2
+                        or df_.get("content", 0) != 0
+                        or df_.get("first_row_id") is not None
+                    ):
+                        continue
+                    amap[df_["file_path"]] = nxt
+                    nxt += df_["record_count"]
+                if amap:
+                    assigned[mf["manifest_path"]] = amap
+        # flip the version on the in-memory meta FIRST: every artifact
+        # this upgrade writes (DV manifest, rewritten carries, the
+        # published metadata.json) is born v3
+        meta["format-version"] = version
+        meta["next-row-id"] = nxt
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        if not pq_dels and not assigned:
+            # nothing to convert or assign: the flip is the whole commit
+            self._publish_metadata(meta, read_v)
+            return
+
+        manifest, superseded = None, set()
         if pq_dels:
             dels = (
                 self.spark.read.parquet(*[d["path"] for d in pq_dels])
@@ -4245,71 +4586,34 @@ class IcebergNativeTable:
                 meta, seq, dels
             )
 
-            def _keep(mf: dict):
-                mf = self._drop_superseded_dvs(mf, superseded)
-                if mf is None or mf.get("content", 0) != 1:
-                    return mf
+        def _carry(mf: dict):
+            m = self._drop_superseded_dvs(mf, superseded)
+            if m is None:
+                return None
+            if pq_dels and m.get("content", 0) == 1:
                 # drop parquet position-delete entries: their
                 # coordinates now live in the DVs committed above
-                return self._rewrite_manifest_keep(
-                    mf,
+                m = self._rewrite_manifest_keep(
+                    m,
                     lambda e: not (
                         e["data_file"].get("content") == 1
                         and e["data_file"].get("file_format", "PARQUET")
                         != "PUFFIN"
                     ),
                 )
+                if m is None:
+                    return None
+            return self._rewrite_manifest_assign(m, assigned)
 
-            self._commit(
-                None,
-                operation="replace",
-                first=False,
-                delete_manifest=manifest,
-                base=(meta, read_v),
-                delete_rows_key="added-position-deletes",
-                carry_filter=_keep,
-            )
-            meta, read_v = self._read_tree()
-        # row-lineage bootstrap: every live data file gets a
-        # first_row_id BEFORE the version flips (v3 requires ids for
-        # all rows; assignments are precomputed driver-side over the
-        # manifests and applied by one metadata-only replace commit)
-        if meta.get("snapshots"):
-            snap = self._snapshot(meta)
-            assigned: dict[str, dict[str, int]] = {}
-            nxt = meta.get("next-row-id", 0)
-            for mf in self._manifests(snap):
-                if mf.get("content", 0) != 0:
-                    continue
-                amap = {}
-                for e in self._entries(mf["manifest_path"]):
-                    df_ = e["data_file"]
-                    if (
-                        e.get("status") == 2
-                        or df_.get("content", 0) != 0
-                        or df_.get("first_row_id") is not None
-                    ):
-                        continue
-                    amap[df_["file_path"]] = nxt
-                    nxt += df_["record_count"]
-                if amap:
-                    assigned[mf["manifest_path"]] = amap
-            if assigned:
-                meta["next-row-id"] = nxt
-                self._commit(
-                    None,
-                    operation="replace",
-                    first=False,
-                    base=(meta, read_v),
-                    carry_filter=lambda mf: self._rewrite_manifest_assign(
-                        mf, assigned
-                    ),
-                )
-                meta, read_v = self._read_tree()
-        meta["format-version"] = version
-        meta.setdefault("next-row-id", 0)
-        meta["last-updated-ms"] = int(time.time() * 1000)
-        self._publish_metadata(meta, read_v)
+        self._commit(
+            None,
+            operation="replace",
+            first=False,
+            delete_manifest=manifest,
+            base=(meta, read_v),
+            delete_rows_key="added-position-deletes",
+            carry_filter=_carry,
+        )
 
     def _commit_delete_files(
         self, files: list[dict], content: int, equality_ids: list[int] | None
@@ -5368,4 +5672,113 @@ def iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("_last_updated_sequence_number")
+    )
+
+
+def iceberg_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-lineage-keyed CDC (v3 field 142's stated purpose): the
+    change feed carries ``_row_id`` + ``_last_updated_sequence_number``,
+    so an UPDATE's delete(pre-image) and insert(post-image) pair by row
+    IDENTITY — the grouped ``sum_row_ids`` is equal across the update
+    commit's delete and insert rows precisely because every pre-image
+    id reappears on its post-image. Lifecycle: create (single sorted
+    file -> _row_id = 0-based o_orderkey rank), v3 upgrade (snapshot 2,
+    contributes nothing), MOR DV delete (snapshot 3: delete events,
+    lus still 1), COW update (snapshot 4: identity-paired events, the
+    inserts' lus bumped to seq 4), then compact (snapshot 5: lineage
+    materializes physically, changelog contributes NOTHING — the proof
+    identity survives the rewrite). The oracle recomputes ids as a
+    rank and each commit's logical change from the predicates."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_changelog_lineage", fresh=True)
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    t = IcebergNativeTable.create(spark, loc, orders)
+    t.upgrade_format_version(3)
+    t.delete_where(F.col("o_totalprice") > 400000.0, mode="merge-on-read")
+    t.update_where(
+        (F.col("o_orderstatus") == "P")
+        & (F.col("o_totalprice") < 50000.0),
+        {"o_totalprice": F.col("o_totalprice") * F.lit(2.0)},
+        mode="copy-on-write",
+    )
+    t.compact()
+    return (
+        t.changelog_df(from_snapshot_id=1, with_row_lineage=True)
+        .groupBy(
+            "_commit_snapshot_id",
+            "_change_type",
+            "_last_updated_sequence_number",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("sum_row_ids"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                "total_price"
+            ),
+        )
+        .orderBy(
+            "_commit_snapshot_id",
+            "_change_type",
+            "_last_updated_sequence_number",
+        )
+    )
+
+
+def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-statistics round trip (spec: the ``statistics`` metadata
+    field + Puffin stats file): write per-column NDV blobs for the
+    current snapshot, then read them BACK through statistics_df() and
+    prove both layers — the ndv property equals the exact distinct
+    count (oracle-verified per column), and the HLL sketch payload is
+    real: re-estimating each blob's bytes with hll_sketch_estimate
+    lands within 5% of the exact value (``sketch_ok``). A fabricated
+    payload or a stale registration hash-mismatches immediately."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_table_statistics", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IcebergNativeTable.create(spark, loc, orders)
+    t.write_table_statistics()
+    stats = t.statistics_df()
+    # decode every blob payload and re-estimate: payload honesty check
+    from iceberg_examples_spark.sources.puffin import read_blob
+
+    coords = stats.select(
+        "column_name", "ndv", "statistics_path", "offset", "length"
+    ).collect()
+    est_rows = [
+        (
+            r["column_name"],
+            read_blob(r["statistics_path"], r["offset"], r["length"]),
+        )
+        for r in coords
+    ]
+    est = (
+        spark.createDataFrame(est_rows, "column_name string, sk binary")
+        .select(
+            "column_name",
+            F.hll_sketch_estimate("sk").alias("est"),
+        )
+    )
+    return (
+        stats.select("column_name", "ndv")
+        .join(est, "column_name")
+        .select(
+            "column_name",
+            "ndv",
+            (
+                F.abs(F.col("est") - F.col("ndv"))
+                <= F.lit(0.05) * F.col("ndv")
+            ).alias("sketch_ok"),
+        )
+        .orderBy("column_name")
     )

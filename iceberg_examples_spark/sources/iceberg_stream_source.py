@@ -327,8 +327,12 @@ def stream_from_iceberg(spark, sf_dir: str):
     src.append(ev.filter(F.col("event_type") == "purchase"))
     try:
         spark.dataSource.register(IcebergNativeStreamSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # only an already-registered name is benign; a real registration
+        # failure must propagate NOW, not resurface later as a baffling
+        # "format not found" from readStream
+        if "already" not in str(e).lower():
+            raise
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
 
@@ -393,8 +397,12 @@ def stream_from_iceberg_bulk(spark, sf_dir: str):
     src.append(ev.filter(F.col("event_type") == "purchase").repartition(2))
     try:
         spark.dataSource.register(IcebergNativeBulkStreamSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:
+        # only an already-registered name is benign; a real registration
+        # failure must propagate NOW, not resurface later as a baffling
+        # "format not found" from readStream
+        if "already" not in str(e).lower():
+            raise
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     splits: list[int] = []

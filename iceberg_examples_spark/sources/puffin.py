@@ -22,7 +22,16 @@ LE) a standard 32-bit roaring bitmap; 32-bit = cookie 12346
 (no-run-containers, 4B LE), container count (4B LE), descriptive
 headers (key u16, cardinality-1 u16), 4B offsets, then containers —
 sorted u16 arrays up to 4096 values, 8 KiB bitmaps above. Run
-containers (cookie 12347) are not emitted and rejected loudly on read.
+containers are never EMITTED (this writer always serializes with
+cookie 12346), but the READ path also accepts the run-format cookie
+12347 — real Iceberg Java writers call runOptimize() before
+serializing, so interop with upstream-written deletion vectors
+requires decoding run containers: u16 cookie + u16 (container
+count - 1), a run-flag bitset of ceil(n/8) bytes (bit i set = container
+i is a run container), descriptive headers, offsets ONLY when n >= 4
+(NO_OFFSET_THRESHOLD per the RoaringFormatSpec), then containers; a
+run container is u16 run count then (start u16, length u16) pairs,
+each covering [start, start+length] inclusive.
 
 All pure Python over ``bytes`` — executor-friendly (a deletion vector
 decodes inside a task, no SparkSession anywhere here).
@@ -40,6 +49,7 @@ DV_BLOB_TYPE = "deletion-vector-v1"
 _SERIAL_COOKIE_NO_RUN = 12346
 _SERIAL_COOKIE_RUN = 12347
 _ARRAY_MAX = 4096
+_NO_OFFSET_THRESHOLD = 4  # RoaringFormatSpec: run format omits offsets below this
 
 # ---------------------------------------------------------------------------
 # CRC-32C (Castagnoli, reflected poly 0x82F63B78) — table-driven
@@ -94,27 +104,47 @@ def _serialize_roaring32(values: list[int]) -> bytes:
 
 
 def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[list[int], int]:
-    """-> (sorted uint32 values, next offset)."""
-    cookie = struct.unpack_from("<H", buf, pos)[0]
-    if cookie == _SERIAL_COOKIE_RUN or cookie == _SERIAL_COOKIE_RUN + 1:
-        raise ValueError(
-            "run-container roaring serialization (cookie 12347) is not "
-            "supported by this reader"
-        )
-    cookie32, n = struct.unpack_from("<ii", buf, pos)
-    if cookie32 != _SERIAL_COOKIE_NO_RUN:
-        raise ValueError(f"unrecognized roaring cookie {cookie32}")
-    p = pos + 8
-    headers = []
-    for _ in range(n):
-        k, card_m1 = struct.unpack_from("<HH", buf, p)
-        headers.append((k, card_m1 + 1))
-        p += 4
-    p += 4 * n  # offsets (recomputable; skipped)
+    """-> (sorted uint32 values, next offset). Accepts both the
+    no-run-container format this module writes (cookie 12346) and the
+    run format real Iceberg Java writers emit after runOptimize()
+    (cookie 12347) — see module docstring for the run layout."""
+    cookie16 = struct.unpack_from("<H", buf, pos)[0]
+    if cookie16 == _SERIAL_COOKIE_RUN:
+        (size_m1,) = struct.unpack_from("<H", buf, pos + 2)
+        n = size_m1 + 1
+        p = pos + 4
+        run_bits = buf[p : p + (n + 7) // 8]
+        p += (n + 7) // 8
+        headers = []
+        for i in range(n):
+            k, card_m1 = struct.unpack_from("<HH", buf, p)
+            is_run = (run_bits[i >> 3] >> (i & 7)) & 1
+            headers.append((k, card_m1 + 1, bool(is_run)))
+            p += 4
+        if n >= _NO_OFFSET_THRESHOLD:
+            p += 4 * n  # offsets (recomputable; skipped)
+    else:
+        cookie32, n = struct.unpack_from("<ii", buf, pos)
+        if cookie32 != _SERIAL_COOKIE_NO_RUN:
+            raise ValueError(f"unrecognized roaring cookie {cookie32}")
+        p = pos + 8
+        headers = []
+        for _ in range(n):
+            k, card_m1 = struct.unpack_from("<HH", buf, p)
+            headers.append((k, card_m1 + 1, False))
+            p += 4
+        p += 4 * n  # offsets (recomputable; skipped)
     values: list[int] = []
-    for k, card in headers:
+    for k, card, is_run in headers:
         base = k << 16
-        if card <= _ARRAY_MAX:
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, p)
+            p += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, p)
+                p += 4
+                values.extend(base | v for v in range(start, start + length + 1))
+        elif card <= _ARRAY_MAX:
             vals = struct.unpack_from(f"<{card}H", buf, p)
             values.extend(base | v for v in vals)
             p += 2 * card

@@ -61,6 +61,17 @@ def canonical_rows(cols: list[str], rows: list) -> list:
     )
 
 
+def arrow_rows(rel) -> list:
+    """Fetch a DuckDB relation through Arrow, the way a typed driver
+    would: HUGEINT surfaces as decimal128 -> decimal.Decimal here
+    (NOT int), so a `sum(BIGINT)` the oracle forgot to CAST back to
+    BIGINT fails the canonical comparison on type — the exact class
+    that made dsir_weights red in r10 while fetchall() looked equal."""
+    tbl = rel.fetch_arrow_table()
+    cols = tbl.column_names
+    return [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     con = duck_connection(sf_dir)
     rel = con.sql(oracle_sql)
@@ -83,4 +94,18 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
         diff_b = [r for r in b if repr(r) not in sa][:5]
         raise AssertionError(
             f"value mismatch\n  spark-only: {diff_a}\n  oracle-only: {diff_b}"
+        )
+    # Second pass through Arrow: same rows, but typed the way the
+    # driver sees them (HUGEINT -> Decimal, not int). Catches oracles
+    # whose *types* drifted even though fetchall() values matched.
+    b_arrow = canonical_rows(o_cols, arrow_rows(con.sql(oracle_sql)))
+    if a != b_arrow:
+        sb = set(map(repr, b_arrow))
+        sa = set(map(repr, a))
+        diff_a = [r for r in a if repr(r) not in sb][:5]
+        diff_b = [r for r in b_arrow if repr(r) not in sa][:5]
+        raise AssertionError(
+            "typed (Arrow-fetch) mismatch — oracle output type likely "
+            "diverges from Spark (e.g. uncast HUGEINT)\n"
+            f"  spark-only: {diff_a}\n  oracle-arrow-only: {diff_b}"
         )

@@ -2156,6 +2156,112 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     assert t.scan(snapshot_id=1).count() == 60  # time travel intact
 
 
+def test_upgrade_to_v3_is_atomic_under_crash(spark, tmp_path, monkeypatch):
+    """The v3 upgrade is ONE metadata publish (round-10 ADVICE: the old
+    three-publish sequence could crash after the DV-conversion commit,
+    leaving a v2 tree referencing PUFFIN entries). Kill the publisher
+    mid-upgrade on a table WITH live parquet position deletes: the
+    table must still read as a fully-consistent v2 tree (parquet
+    deletes intact, no PUFFIN entries referenced), and a retried
+    upgrade must land cleanly."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.delete_where(F.col("k") < 10, "merge-on-read")  # v2 parquet deletes
+    want = sorted(r["k"] for r in t.scan().select("k").collect())
+
+    real_publish = IcebergNativeTable._publish_metadata
+
+    def boom(self, meta, read_version):
+        raise RuntimeError("killed before metadata publish")
+
+    monkeypatch.setattr(IcebergNativeTable, "_publish_metadata", boom)
+    with pytest.raises(RuntimeError, match="killed before"):
+        t.upgrade_format_version(3)
+    monkeypatch.setattr(
+        IcebergNativeTable, "_publish_metadata", real_publish
+    )
+
+    # published state: still v2, parquet deletes still the live ones,
+    # scan identical — no snapshot references PUFFIN entries
+    t2 = IcebergNativeTable(spark, str(tmp_path / "t"))
+    assert t2._metadata()["format-version"] == 2
+    _, _, _, pos, _ = t2._plan()
+    assert pos and all(d.get("file_format") != "PUFFIN" for d in pos)
+    assert sorted(r["k"] for r in t2.scan().select("k").collect()) == want
+
+    # the retried upgrade commits cleanly on top of the debris
+    t2.upgrade_format_version(3)
+    assert t2._metadata()["format-version"] == 3
+    _, _, _, pos, _ = t2._plan()
+    assert pos and all(d["file_format"] == "PUFFIN" for d in pos)
+    assert sorted(r["k"] for r in t2.scan().select("k").collect()) == want
+
+
+def test_deletion_vector_sharded_executor_write(
+    spark, tmp_path, monkeypatch
+):
+    """Large DV commits must not funnel bitmap bytes through the
+    driver: with DV_DRIVER_WRITE_MAX_FILES patched to 0 every DV
+    commit takes the executor-sharded path — a multi-partition DELETE
+    lands ONE puffin file PER PARTITION (written inside tasks), the
+    manifest entries carry correct partition scoping + blob offsets,
+    and scan / merge-supersede / rewrite semantics are byte-identical
+    to the driver-written shape."""
+    from iceberg_examples_spark.sources import iceberg_native as inat
+    from iceberg_examples_spark.sources.puffin import (
+        decode_deletion_vector,
+        read_blob,
+    )
+
+    monkeypatch.setattr(inat, "DV_DRIVER_WRITE_MAX_FILES", 0)
+    df = spark.createDataFrame(
+        [
+            (i, ["red", "green", "blue"][i % 3], float(i))
+            for i in range(90)
+        ],
+        "k long, color string, v double",
+    )
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "t"), df, partition_by=["color"]
+    )
+    t.upgrade_format_version(3)
+    t.delete_where(F.col("k") < 30, "merge-on-read")  # hits all 3 parts
+    assert t.scan().count() == 60
+    _, _, _, pos, _ = t._plan()
+    assert pos and all(d["file_format"] == "PUFFIN" for d in pos)
+    # one puffin file per partition, each scoped to that partition
+    by_puffin = {}
+    for d in pos:
+        by_puffin.setdefault(d["path"], set()).add(
+            tuple(sorted(d["partition"].items()))
+        )
+    assert len(by_puffin) == 3
+    assert all(len(parts) == 1 for parts in by_puffin.values())
+    # blob offsets index real decodable vectors with stated cardinality
+    for d in pos:
+        positions = decode_deletion_vector(
+            read_blob(
+                d["path"], d["content_offset"], d["content_size_in_bytes"]
+            )
+        )
+        assert len(positions) == d["record_count"]
+    # second overlapping delete: merge-supersede still holds per file
+    t.delete_where(F.col("k") < 45, "merge-on-read")
+    assert t.scan().count() == 45
+    _, _, _, pos, _ = t._plan()
+    refs = [d["referenced_data_file"] for d in pos]
+    assert len(refs) == len(set(refs))  # one live DV per data file
+    assert sorted(r["k"] for r in t.scan().select("k").collect()) == list(
+        range(45, 90)
+    )
+    # consolidation over sharded puffin files stays idempotent
+    assert t.rewrite_position_deletes() >= 1
+    assert t.scan().count() == 45
+    assert t.rewrite_position_deletes() == 0
+
+
 def test_changelog_over_deletion_vectors(spark, tmp_path):
     """changelog_df on a v3 table: a DV commit's affected files come
     from the manifest's referenced_data_file (no parquet read of a
@@ -2179,6 +2285,44 @@ def test_changelog_over_deletion_vectors(spark, tmp_path):
     assert by_commit[(3, "delete")] == {0, 1, 2}
     assert by_commit[(4, "delete")] == {3, 4}  # only the NEW deletions
     assert not any(ct == "insert" for _, ct in by_commit)
+
+
+def test_changelog_row_lineage_pairs_updates(spark, tmp_path):
+    """with_row_lineage=True changelog: an update's delete(pre-image)
+    and insert(post-image) events carry the SAME _row_id (identity
+    pairing — the spec's purpose for field 142), inserts' lus is the
+    update's sequence number, compaction contributes nothing even
+    though it rewrites every byte, and the flag raises on v2."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError, match="format-version 3"):
+        t.changelog_df(with_row_lineage=True)
+    t.upgrade_format_version(3)
+    t.update_where(
+        F.col("k").between(5, 8),
+        {"v": F.col("v") + F.lit(100.0)},
+        mode="copy-on-write",
+    )
+    t.compact()
+    ch = t.changelog_df(from_snapshot_id=1, with_row_lineage=True)
+    rows = ch.collect()
+    # only the update commit (snapshot 3) contributes; compaction
+    # (snapshot 4) cancels because materialized lineage preserves ids
+    assert {r["_commit_snapshot_id"] for r in rows} == {3}
+    dels = {
+        r["_row_id"]: r for r in rows if r["_change_type"] == "delete"
+    }
+    ins = {
+        r["_row_id"]: r for r in rows if r["_change_type"] == "insert"
+    }
+    # single sorted file: _row_id == k; updates pair by identity
+    assert set(dels) == set(ins) == {5, 6, 7, 8}
+    for rid in dels:
+        assert dels[rid]["v"] + 100.0 == ins[rid]["v"]
+        assert dels[rid]["_last_updated_sequence_number"] == 1
+        assert ins[rid]["_last_updated_sequence_number"] == 3
 
 
 def test_rewrite_manifests(spark, tmp_path):
@@ -2288,3 +2432,66 @@ def test_row_lineage_lifecycle(spark, tmp_path):
     # pre-upgrade snapshot: no ids, no materialized columns -> loud
     with pytest.raises(ValueError, match="lineage unavailable"):
         t.scan(snapshot_id=1, with_row_lineage=True).collect()
+
+
+def test_table_statistics_roundtrip(spark, tmp_path):
+    """statistics metadata field: one puffin stats file per snapshot,
+    blob per column with exact ndv property + real HLL payload;
+    re-writing for the same snapshot REPLACES the entry; footer size
+    accounts for every byte after the last blob; unregistered
+    snapshots raise."""
+    import os as _os
+
+    from iceberg_examples_spark.sources.puffin import (
+        read_blob,
+        read_puffin_footer,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], float(i % 5)) for i in range(100)],
+        "k long, s string, v double",
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError, match="no table statistics"):
+        t.statistics_df()
+    p1 = t.write_table_statistics()
+    got = {
+        r["column_name"]: r for r in t.statistics_df().collect()
+    }
+    assert got["k"]["ndv"] == 100
+    assert got["s"]["ndv"] == 2
+    assert got["v"]["ndv"] == 5
+    assert all(
+        r["blob_type"] == "apache-datasketches-hll-v1"
+        for r in got.values()
+    )
+    # blob coordinates index the real file; footer math closes
+    ft = read_puffin_footer(p1)
+    meta_entry = t._metadata()["statistics"][0]
+    last = ft["blobs"][-1]
+    assert meta_entry["file-size-in-bytes"] == _os.path.getsize(p1)
+    assert meta_entry["file-footer-size-in-bytes"] == (
+        _os.path.getsize(p1) - last["offset"] - last["length"]
+    )
+    # payload is a live sketch: estimate within 5% of exact
+    for r in got.values():
+        sk = read_blob(
+            r["statistics_path"], r["offset"], r["length"]
+        )
+        est = (
+            spark.createDataFrame([(sk,)], "sk binary")
+            .selectExpr("hll_sketch_estimate(sk) AS e")
+            .collect()[0]["e"]
+        )
+        assert abs(est - r["ndv"]) <= max(1, 0.05 * r["ndv"])
+    # same-snapshot rewrite replaces, new snapshot appends
+    t.write_table_statistics(columns=["k"])
+    assert len(t._metadata()["statistics"]) == 1
+    assert t.statistics_df().count() == 1
+    t.append(spark.createDataFrame([(100, "c", 9.0)], "k long, s string, v double"))
+    t.write_table_statistics(columns=["k", "s"])
+    assert len(t._metadata()["statistics"]) == 2
+    got2 = {r["column_name"]: r["ndv"] for r in t.statistics_df().collect()}
+    assert got2 == {"k": 101, "s": 3}
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.write_table_statistics(columns=["nope"])

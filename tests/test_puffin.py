@@ -44,9 +44,83 @@ def test_roaring_layout_pins():
     assert len(dense) > 8192  # one 8 KiB bitmap container
 
 
-def test_roaring_run_cookie_rejected():
-    bad = struct.pack("<QI", 1, 0) + struct.pack("<ii", 12347, 1)
-    with pytest.raises(ValueError, match="12347"):
+def _run_format32(containers):
+    """Hand-serialize a 32-bit roaring in the RUN format real Iceberg
+    Java writers emit after runOptimize() (RoaringFormatSpec, cookie
+    12347): containers = [(key, is_run, payload)] where payload is a
+    run list [(start, length)] or a sorted value list."""
+    n = len(containers)
+    out = bytearray(struct.pack("<HH", 12347, n - 1))
+    bits = bytearray((n + 7) // 8)
+    for i, (_, is_run, _) in enumerate(containers):
+        if is_run:
+            bits[i >> 3] |= 1 << (i & 7)
+    out += bits
+    bodies = []
+    for key, is_run, payload in containers:
+        if is_run:
+            card = sum(ln + 1 for _, ln in payload)
+            body = struct.pack("<H", len(payload))
+            for start, ln in payload:
+                body += struct.pack("<HH", start, ln)
+        else:
+            card = len(payload)
+            body = struct.pack(f"<{card}H", *payload)
+        out += struct.pack("<HH", key, card - 1)
+        bodies.append(body)
+    if n >= 4:  # NO_OFFSET_THRESHOLD: offsets only at 4+ containers
+        off = len(out) + 4 * n
+        for body in bodies:
+            out += struct.pack("<I", off)
+            off += len(body)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def test_roaring_run_container_decode_small():
+    # single run container, below NO_OFFSET_THRESHOLD (no offset block)
+    blob = struct.pack("<QI", 1, 0) + _run_format32(
+        [(0, True, [(5, 3)])]
+    )
+    assert deserialize_roaring64(blob) == [5, 6, 7, 8]
+
+
+def test_roaring_run_container_decode_mixed_with_offsets():
+    # 4 containers (offset block present): runs + arrays interleaved,
+    # across two 16-bit keys, inside a high 64-bit bucket
+    c32 = _run_format32(
+        [
+            (0, True, [(0, 1), (10, 0)]),  # 0,1,10
+            (1, False, [7, 9]),  # 65543, 65545
+            (2, True, [(100, 2)]),  # 131172..131174
+            (3, False, [0]),  # 196608
+        ]
+    )
+    blob = struct.pack("<QI", 1, 5) + c32  # high bucket key = 5
+    base = 5 << 32
+    want = [
+        base + v
+        for v in [0, 1, 10, 65543, 65545, 131172, 131173, 131174, 196608]
+    ]
+    assert deserialize_roaring64(blob) == want
+
+
+def test_deletion_vector_run_format_interop():
+    """A DV payload whose bitmap uses run containers (as an upstream
+    Java writer would emit) must decode: length-prefix + magic + crc
+    framing around a run-format roaring64."""
+    bm = struct.pack("<QI", 1, 0) + _run_format32([(0, True, [(2, 4)])])
+    body = DV_MAGIC + bm
+    payload = (
+        struct.pack(">i", len(body)) + body + struct.pack(">I", crc32c(body))
+    )
+    assert decode_deletion_vector(payload) == [2, 3, 4, 5, 6]
+
+
+def test_roaring_unknown_cookie_rejected():
+    bad = struct.pack("<QI", 1, 0) + struct.pack("<ii", 9999, 1)
+    with pytest.raises(ValueError, match="9999"):
         deserialize_roaring64(bad)
 
 

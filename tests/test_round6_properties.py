@@ -171,3 +171,40 @@ def test_containment_subset_is_full(spark, sf_dir):
     for r in QUERIES["minhash_containment"](spark, sf_dir).collect():
         assert r["n_common"] == r["n_sub"], r
         assert r["n_sub"] <= r["n_full"], r
+
+
+def test_semdedup_derived_k_holds_cluster_width(spark):
+    """Round-11 queue item 5: K derives from corpus size so cluster
+    width stays constant — pinned values at the declared scales (16 at
+    n_eff=520, where the static oracle lives) and the scale path (64 at
+    sf0.1's n_eff=2080: 4x the vectors, 4x the clusters, SAME width —
+    pair count linear, not quadratic, in n)."""
+    from iceberg_examples_spark.operators.clustering import (
+        SEM_K,
+        SEM_TARGET_CLUSTER,
+        sem_derived_k,
+    )
+
+    assert sem_derived_k(520) == 16 == SEM_K
+    assert sem_derived_k(2080) == 64
+    # width is bounded regardless of n: never wider than target+floor
+    for n in (1, 520, 2080, 10_000, 1_000_000):
+        k = sem_derived_k(n)
+        assert n / k <= SEM_TARGET_CLUSTER or k == SEM_K
+        assert k >= SEM_K
+
+
+def test_semdedup_explicit_k_matches_derived_at_declared_scale(
+    spark, sf_dir
+):
+    """semantic_dedup(k=None) must equal semantic_dedup(k=16) at the
+    declared scale — the derivation and the oracle's pinned K agree."""
+    from iceberg_examples_spark.operators.clustering import semantic_dedup
+
+    auto = sorted(
+        tuple(r) for r in semantic_dedup(spark, sf_dir).collect()
+    )
+    pinned = sorted(
+        tuple(r) for r in semantic_dedup(spark, sf_dir, k=16).collect()
+    )
+    assert auto == pinned and auto
