@@ -184,11 +184,15 @@ HEADLINE = [
     "dsir_weights",
     "iceberg_rewrite_manifests",
     "iceberg_row_lineage",
-    # round-11 additions: lineage-keyed CDC and the table-statistics
-    # (NDV/HLL puffin) round trip — both driver-attested this round
-    # before entering the headline set
+    # round-11 additions: lineage-keyed CDC, the table-statistics
+    # (NDV/HLL puffin) round trip, the object-store listing seam, and
+    # bounded-micro-batch streaming admission
     "iceberg_changelog_lineage",
     "iceberg_table_statistics",
+    "object_store_listing",
+    "stream_admission_control",
+    "iceberg_default_values",
+    "iceberg_rewrite_datafiles",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

@@ -3707,6 +3707,49 @@ SELECT lang, count(*) AS n_docs,
 FROM per_doc GROUP BY lang ORDER BY lang
 """
 
+# iceberg_rewrite_datafiles: 3 status partitions x 4 append commits =
+# 12 files in, one consolidated file per partition out; the MOR delete
+# leaves DVs that drop with their rewritten targets.
+EXT_ORACLES["iceberg_rewrite_datafiles"] = f"""
+SELECT CAST(12 AS BIGINT) AS files_before,
+       CAST(3 AS BIGINT) AS files_after,
+       CAST(12 AS BIGINT) AS n_rewritten,
+       true AS dv_debt_cleared,
+       count(*) AS n_rows,
+       {money_sum_sql('o_totalprice', scale=100)} AS total_price
+FROM orders WHERE o_totalprice <= 400000.0
+"""
+
+# iceberg_default_values: three generations from the custkey residue —
+# %3==0 predates the columns (initial-default), %3==1 stores the write
+# default bound at add time (same value), %3==2 stores the rebound one.
+# prio: 5 for generations 0/1, 9 for generation 2.
+EXT_ORACLES["iceberg_default_values"] = f"""
+WITH g AS (
+  SELECT c_acctbal,
+         CASE WHEN c_custkey % 3 = 2 THEN 'pending'
+              ELSE 'unclassified' END AS region_class,
+         CASE WHEN c_custkey % 3 = 2 THEN 9 ELSE 5 END AS prio
+  FROM customer
+)
+SELECT region_class, count(*) AS n_rows,
+       CAST(sum(prio) AS BIGINT) AS prio_sum,
+       {money_sum_sql('c_acctbal', scale=100)} AS total_bal
+FROM g GROUP BY region_class ORDER BY region_class
+"""
+
+# stream_admission_control: 9 pinned data files drained 2 per
+# micro-batch -> ceil(9/2) = 5 batches; row/id/value totals are one
+# pass over the raw events (a replayed or dropped file mismatches).
+EXT_ORACLES["stream_admission_control"] = """
+SELECT CAST(5 AS BIGINT) AS n_batches,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_type IN ('click', 'purchase', 'view')
+"""
+
 # object_store_listing: the warehouse layout is PINNED by the
 # lifecycle (create repartition(3) + append repartition(2)): 5 data
 # parquet, 2 metadata.json, 2 manifest lists + 2 manifests (avro),

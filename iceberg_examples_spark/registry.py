@@ -73,6 +73,9 @@ QUERIES: dict[str, QueryFn] = {
     "iceberg_changelog_lineage": IN.iceberg_changelog_lineage,
     "iceberg_table_statistics": IN.iceberg_table_statistics,
     "object_store_listing": OS.object_store_listing,
+    "stream_admission_control": ISS.stream_admission_control,
+    "iceberg_default_values": IN.iceberg_default_values,
+    "iceberg_rewrite_datafiles": IN.iceberg_rewrite_datafiles,
     # ----- latest green driver row: r6 -----
     "union_schema_drift": CV.union_schema_drift,
     "dynamic_partition_prune": PT.dynamic_partition_prune,

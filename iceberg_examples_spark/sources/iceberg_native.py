@@ -786,7 +786,13 @@ class IcebergNativeTable:
             ddl = _ice_to_ddl(f["type"])
             old = by_id.get(f["id"])
             if old is None:
-                cols.append(F.lit(None).cast(ddl).alias(f["name"]))
+                # v3 default values: a field absent from the file's
+                # write schema reads its initial-default (the value
+                # "rows written before the column existed" carry, per
+                # spec) — null when none is set (v2 behavior)
+                cols.append(
+                    F.lit(f.get("initial-default")).cast(ddl).alias(f["name"])
+                )
             else:
                 c = F.col(old["name"])
                 if old["type"] != f["type"]:
@@ -2027,7 +2033,31 @@ class IcebergNativeTable:
         for exactly-once replay detection. ``branch`` commits onto a
         named branch instead of main (the write half of
         write-audit-publish: readers of main see nothing until
-        :meth:`fast_forward` publishes the branch)."""
+        :meth:`fast_forward` publishes the branch).
+
+        Columns the frame OMITS fill from the table's write-default
+        (v3 default values) when one is set; omitting a column with no
+        default raises — a file whose manifest claims the full table
+        schema but physically lacks a column would break every later
+        scan, the failure deferred to the worst possible moment."""
+        sch = self._current_schema(self._metadata())
+        have = set(df.columns)
+        missing = [f for f in sch["fields"] if f["name"] not in have]
+        if missing:
+            no_default = [
+                f["name"] for f in missing if f.get("write-default") is None
+            ]
+            if no_default:
+                raise ValueError(
+                    f"append omits column(s) {no_default} which have no "
+                    "write-default; provide the columns or set a default "
+                    "(update_schema(set_default=...))"
+                )
+            for f in missing:
+                df = df.withColumn(
+                    f["name"],
+                    F.lit(f["write-default"]).cast(_ice_to_ddl(f["type"])),
+                )
         self._commit(
             df,
             operation="append",
@@ -2823,6 +2853,84 @@ class IcebergNativeTable:
             lineage_materialized=meta_v3,
         )
 
+    def rewrite_data_files(
+        self,
+        target_file_size_bytes: int = 64 * 1024 * 1024,
+        min_input_files: int = 2,
+        strategy: str = "binpack",
+    ) -> int:
+        """CALL system.rewrite_data_files at the format level — the
+        TARGETED maintenance procedure (compact() is the rewrite-
+        everything degenerate case): pick partitions holding at least
+        ``min_input_files`` data files below the target size, rewrite
+        ONLY those files' live rows (deletes applied) into
+        ~target-sized replacements, and carry every other manifest
+        entry forward byte-identical. This is the small-files fix that
+        works at 100 TB: write cost is proportional to the DEBT, not
+        the table. ``strategy='sort'`` additionally requires a table
+        sort order (the write path already orders files by it — real
+        Iceberg's sort strategy); 'binpack' is pure consolidation.
+        On v3, rewritten rows keep their identity (lineage
+        materialized), and deletion vectors targeting rewritten files
+        are dropped in the same commit — their positions are applied by
+        the rewrite, so carrying them would be pure debt. Parquet
+        position-delete files (v2) may span untouched files and are
+        left for rewrite_position_deletes(). Returns the number of
+        input files rewritten."""
+        import math
+
+        meta, version = self._read_tree()
+        if strategy not in ("binpack", "sort"):
+            raise ValueError(f"unknown rewrite strategy {strategy!r}")
+        if strategy == "sort" and not meta.get("default-sort-order-id"):
+            raise ValueError(
+                "strategy='sort' requires a table sort order: "
+                "replace_sort_order() first"
+            )
+        v3 = meta.get("format-version", 2) >= 3
+        _, _, data, _, _ = self._plan()
+        groups: dict[str, list[dict]] = {}
+        for d in data:
+            if d.get("size", 0) < target_file_size_bytes:
+                key = json.dumps(
+                    d["partition"], sort_keys=True, default=str
+                )
+                groups.setdefault(key, []).append(d)
+        picked = [g for g in groups.values() if len(g) >= min_input_files]
+        if not picked:
+            return 0
+        dead = {d["path"] for g in picked for d in g}
+        dead_uris = {self._file_uri(p) for p in dead}
+        total = sum(d.get("size", 0) for g in picked for d in g)
+        n_out = max(1, math.ceil(total / target_file_size_bytes))
+        rewritten = self.scan(files=dead, with_row_lineage=v3)
+        spec_fields = self._default_spec(meta)["fields"]
+        if not spec_fields:
+            # unpartitioned: shape the output toward the target size;
+            # partitioned writes are hash-distributed by partition value
+            # inside _write_data_files already
+            rewritten = rewritten.coalesce(n_out)
+
+        def _carry(mf: dict):
+            m = self._rewrite_manifest_without(mf, dead)
+            if m is None or m.get("content", 0) != 1:
+                return m
+            return self._rewrite_manifest_keep(
+                m,
+                lambda e: e["data_file"].get("referenced_data_file")
+                not in dead_uris,
+            )
+
+        self._commit(
+            rewritten,
+            operation="replace",
+            first=False,
+            base=(meta, version),
+            carry_filter=_carry,
+            lineage_materialized=v3,
+        )
+        return len(dead)
+
     def delete_where(self, condition, mode: str = "merge-on-read") -> None:
         """``DELETE FROM t WHERE ...`` at the format level, in both v2
         modes (the reference runs the SQL form, IcebergSQLDelete.java:
@@ -2947,10 +3055,11 @@ class IcebergNativeTable:
 
     def update_schema(
         self,
-        add: list[tuple[str, str]] | None = None,
+        add: list[tuple] | None = None,
         drop: list[str] | None = None,
         rename: dict[str, str] | None = None,
         promote: dict[str, str] | None = None,
+        set_default: dict | None = None,
     ) -> None:
         """Commit a schema evolution: a NEW schema (fresh schema-id)
         appended to ``schemas[]`` and made current — old data files stay
@@ -2963,7 +3072,15 @@ class IcebergNativeTable:
         allocates from ``last-column-id``); ``rename`` keeps the id;
         ``drop`` retires the id (and refuses partition-spec source
         columns); ``promote`` allows only int->long / float->double.
-        ``add`` takes ``(name, iceberg_type)`` pairs."""
+        ``add`` takes ``(name, iceberg_type)`` pairs — or, on v3
+        tables, ``(name, iceberg_type, default)`` triples: the default
+        becomes BOTH the field's ``initial-default`` (what rows written
+        before the column existed read — the spec's v3 default-values
+        feature, the ADD COLUMN ... DEFAULT shape) and its
+        ``write-default`` (what an append that omits the column
+        stores). ``set_default`` rebinds a column's write-default ONLY
+        (ALTER COLUMN SET DEFAULT: initial-default is immutable after
+        the add, per spec); a ``None`` value drops it."""
         meta, version = self._read_tree()
         if meta.get("format-version", 2) < 2:
             raise ValueError(
@@ -3004,15 +3121,41 @@ class IcebergNativeTable:
                 )
             f["type"] = new_type
         last_id = meta["last-column-id"]
-        for name, ice_type in add or []:
+        v3 = meta.get("format-version", 2) >= 3
+        for item in add or []:
+            name, ice_type = item[0], item[1]
+            default = item[2] if len(item) > 2 else None
             if ice_type not in _ICE_TO_DDL and not ice_type.startswith("decimal"):
                 raise ValueError(f"unknown Iceberg type {ice_type!r}")
             if any(x["name"] == name for x in fields):
                 raise ValueError(f"column {name!r} already exists")
+            if default is not None and not v3:
+                raise ValueError(
+                    "column default values require format-version 3: "
+                    "call upgrade_format_version(3) first"
+                )
             last_id += 1
-            fields.append(
-                {"id": last_id, "name": name, "required": False, "type": ice_type}
-            )
+            f = {
+                "id": last_id,
+                "name": name,
+                "required": False,
+                "type": ice_type,
+            }
+            if default is not None:
+                f["initial-default"] = default
+                f["write-default"] = default
+            fields.append(f)
+        for name, default in (set_default or {}).items():
+            if not v3:
+                raise ValueError(
+                    "column default values require format-version 3: "
+                    "call upgrade_format_version(3) first"
+                )
+            f = _field(name)
+            if default is None:
+                f.pop("write-default", None)
+            else:
+                f["write-default"] = default
         new_id = max(s["schema-id"] for s in meta["schemas"]) + 1
         meta["schemas"].append(
             {"type": "struct", "schema-id": new_id, "fields": fields}
@@ -3295,11 +3438,18 @@ class IcebergNativeTable:
         del meta["refs"][name]
         self._publish_metadata(meta, version)
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshots from the
-        metadata tree (the CALL system.expire_snapshots contract) —
-        EXCEPT snapshots any ref (tag or branch) still points at, which
-        are retained regardless (the spec's ref-retention rule).
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: int | None = None
+    ) -> list[int]:
+        """Drop old snapshots from the metadata tree (the CALL
+        system.expire_snapshots contract) — EXCEPT snapshots any ref
+        (tag or branch) still points at, which are retained regardless
+        (the spec's ref-retention rule), and never the current one.
+        ``older_than_ms`` is the real procedure's primary knob: only
+        snapshots whose commit timestamp is strictly older expire (its
+        default there is now-minus-5-days; passing an explicit cutoff is
+        the portable form). ``keep_last`` additionally retains the N
+        newest regardless of age (the procedure's retain_last).
         Returns the expired snapshot ids; physical files become orphans
         until :meth:`remove_orphan_files` collects them — the same
         two-step split as the real procedures."""
@@ -3313,6 +3463,13 @@ class IcebergNativeTable:
         }
         kept_ids = {s["snapshot-id"] for s in meta["snapshots"][-keep_last:]}
         kept_ids |= ref_ids
+        if older_than_ms is not None:
+            # age gate: anything at/after the cutoff is retained
+            kept_ids |= {
+                s["snapshot-id"]
+                for s in meta["snapshots"]
+                if s.get("timestamp-ms", 0) >= older_than_ms
+            }
         if meta["current-snapshot-id"] not in kept_ids:
             raise ValueError("cannot expire the current snapshot")
         expired = [
@@ -3902,8 +4059,15 @@ class IcebergNativeTable:
                 )
                 meta["metadata-log"] = meta["metadata-log"][-100:]
             json.dump(meta, fh, indent=1)
-        with open(os.path.join(self.meta_dir, "version-hint.text"), "w") as fh:
+        # atomic hint swap: a truncate-then-write ("w") window lets a
+        # concurrent reader (e.g. the polling streaming source) observe
+        # an EMPTY hint file; os.replace is atomic on POSIX, so readers
+        # see either the old or the new version number, never neither
+        hint = os.path.join(self.meta_dir, "version-hint.text")
+        tmp = f"{hint}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(new_v))
+        os.replace(tmp, hint)
 
     def _default_part_avro(self, meta: dict):
         """(spec_fields, parsed transforms, r102 avro fields) for the
@@ -5781,4 +5945,88 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_ok"),
         )
         .orderBy("column_name")
+    )
+
+
+def iceberg_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 column default values (the spec's ADD COLUMN ... DEFAULT):
+    generation 0 (custkey % 3 == 0) predates the columns and reads the
+    INITIAL default at scan time; generation 1 (% 3 == 1) appends
+    omitting the columns and stores the WRITE default (same value — the
+    add binds both); a SET DEFAULT rebind then makes generation 2
+    (% 3 == 2) store the NEW write-default while generations 0/1 are
+    untouched (initial-default is immutable, stored values are stored).
+    A compact() at the end proves the read-time fills materialize
+    losslessly. The oracle reproduces the three generations from the
+    custkey residue."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_default_values", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, cust.filter(F.col("c_custkey") % 3 == 0)
+    )
+    t.upgrade_format_version(3)
+    t.update_schema(
+        add=[("region_class", "string", "unclassified"), ("prio", "long", 5)]
+    )
+    t.append(cust.filter(F.col("c_custkey") % 3 == 1))
+    t.update_schema(set_default={"region_class": "pending", "prio": 9})
+    t.append(cust.filter(F.col("c_custkey") % 3 == 2))
+    t.compact()
+    return (
+        t.scan()
+        .groupBy("region_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("prio").alias("prio_sum"),
+            F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
+        )
+        .orderBy("region_class")
+    )
+
+
+def iceberg_rewrite_datafiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted small-files maintenance (CALL system.rewrite_data_files):
+    four appends each land one file per status partition (3 statuses x 4
+    commits = 12 files, 4 per partition — real streaming-ingest debt), a
+    MOR DELETE adds deletion vectors, then rewrite_data_files bin-packs
+    every qualifying partition: 12 inputs -> 3 consolidated files (the
+    writer emits one file per partition value), the DVs drop WITH their
+    rewritten targets, and row content is untouched. The oracle pins the
+    file arithmetic and recomputes the surviving rows declaratively —
+    a rewrite that loses, duplicates, or resurrects a row
+    hash-mismatches on the totals."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions.exact import money_sum_sql
+
+    loc = scratch_dir(sf_dir, "iceberg_rewrite_datafiles", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    slab = lambda r: orders.filter(F.col("o_orderkey") % 4 == r)  # noqa: E731
+    t = IcebergNativeTable.create(
+        spark, loc, slab(0), partition_by=["o_orderstatus"]
+    )
+    for r in (1, 2, 3):
+        t.append(slab(r))
+    t.upgrade_format_version(3)
+    t.delete_where(F.col("o_totalprice") > 400000.0, "merge-on-read")
+    _, _, data0, pos0, _ = t._plan()
+    n = t.rewrite_data_files(
+        target_file_size_bytes=256 * 1024 * 1024, min_input_files=2
+    )
+    _, _, data1, pos1, _ = t._plan()
+    return t.scan().agg(
+        F.lit(len(data0)).cast("long").alias("files_before"),
+        F.lit(len(data1)).cast("long").alias("files_after"),
+        F.lit(n).cast("long").alias("n_rewritten"),
+        F.lit(bool(pos0) and not pos1).alias("dv_debt_cleared"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+            "total_price"
+        ),
     )

@@ -30,6 +30,22 @@ every row; DELETE/OVERWRITE snapshots raise unless
 ``option("skip_non_appends", "true")`` — a streaming reader cannot
 retract rows it already emitted (Iceberg's
 ``streaming-skip-delete-snapshots`` contract).
+
+Admission control (``option("max_files_per_microbatch", N)``): offsets
+extend to file granularity (``{"seq": S, "nfiles": K}`` = the first K
+files of sequence S's plan consumed; the legacy ``{"seq": S}`` shape
+means the whole snapshot, so old checkpoints parse unchanged) and each
+micro-batch admits at most N files past the consumed position — the
+maxFilesPerTrigger pattern, implemented SOURCE-side because the Python
+DataSource API has no engine-pushed ReadLimit. Mid-snapshot replay is
+exact: file order within a snapshot is manifest order, immutable once
+committed. The simple reader bounds exactly (its read() receives the
+checkpointed start); the bulk reader ratchets a driver-side floor
+from partitions(), so the FIRST micro-batch of each run is unbounded
+(the engine's first call is latestOffset with no floor — bounding
+blind would regress offsets after a restart) and every later one is
+bounded: real back-pressure for the long-running processingTime
+ingest, none for a one-shot availableNow drain.
 """
 
 from __future__ import annotations
@@ -46,11 +62,24 @@ from pyspark.sql.datasource import (
 
 
 def _read_meta(location: str) -> dict:
+    """Current metadata tree. The hint swap is atomic (os.replace) so a
+    partial read "can't happen"; the short retry still guards against
+    non-POSIX filesystems and legacy writers, because this function is
+    POLLED every trigger interval and one bad read kills the query."""
+    import time as _time
+
     md = os.path.join(location, "metadata")
-    with open(os.path.join(md, "version-hint.text")) as f:
-        v = int(f.read().strip())
-    with open(os.path.join(md, f"v{v}.metadata.json")) as f:
-        return json.load(f)
+    last_err: Exception | None = None
+    for _ in range(5):
+        try:
+            with open(os.path.join(md, "version-hint.text")) as f:
+                v = int(f.read().strip())
+            with open(os.path.join(md, f"v{v}.metadata.json")) as f:
+                return json.load(f)
+        except (ValueError, FileNotFoundError, json.JSONDecodeError) as e:
+            last_err = e
+            _time.sleep(0.05)
+    raise last_err
 
 
 def _strip_scheme(p: str) -> str:
@@ -95,61 +124,177 @@ def _added_files_of(snap: dict) -> list[str]:
     return paths
 
 
-def _plan_files_between(
-    chain: list[dict], lo: int, hi: int, skip_non_appends: bool
-) -> list[str]:
-    """The data files a stream must emit for sequence numbers in
-    ``(lo, hi]`` — the one planning routine both reader flavors share.
-    REPLACE snapshots (compaction / delete rewrites) are skipped as
-    logically neutral; DELETE/OVERWRITE snapshots raise unless
-    ``skip_non_appends`` (a stream cannot retract emitted rows)."""
-    paths: list[str] = []
+def _seq_plans(
+    chain: list[dict], after_seq: int, skip_non_appends: bool
+) -> list[tuple[int, list[str]]]:
+    """Ordered ``[(sequence-number, [data file paths])]`` for snapshots
+    with sequence number > ``after_seq`` — the one planning routine
+    both reader flavors and both admission modes share. REPLACE
+    snapshots (compaction / delete rewrites) contribute an EMPTY list
+    (logically neutral, but offsets must still advance across them);
+    DELETE/OVERWRITE snapshots raise unless ``skip_non_appends`` (a
+    stream cannot retract emitted rows). File order within a snapshot
+    is manifest order — immutable once committed, so a mid-snapshot
+    file offset replays identically."""
+    out: list[tuple[int, list[str]]] = []
     for s in chain:
         seq = s["sequence-number"]
-        if not (lo < seq <= hi):
+        if seq <= after_seq:
             continue
         op = s.get("summary", {}).get("operation", "append")
         if op == "replace":
+            out.append((seq, []))
             continue
         if op != "append":
             if skip_non_appends:
+                out.append((seq, []))
                 continue
             raise ValueError(
                 f"snapshot {s['snapshot-id']} is a {op!r} commit; a "
                 "streaming read cannot retract emitted rows (set "
                 "skip_non_appends=true to ignore non-append snapshots)"
             )
-        paths.extend(_added_files_of(s))
-    return paths
+        out.append((seq, _added_files_of(s)))
+    return out
+
+
+def _plan_files_between(
+    chain: list[dict], lo: int, hi: int, skip_non_appends: bool
+) -> list[str]:
+    """The data files a stream must emit for sequence numbers in
+    ``(lo, hi]`` (whole-snapshot granularity)."""
+    return [
+        p
+        for seq, ps in _seq_plans(chain, lo, skip_non_appends)
+        if seq <= hi
+        for p in ps
+    ]
+
+
+# -- file-granular offsets (admission control) ------------------------------
+#
+# An offset is ``{"seq": N}`` (sequence N fully consumed — the legacy
+# shape every existing checkpoint carries) or ``{"seq": N, "nfiles": K}``
+# (consumed the first K files of sequence N's plan). ``max_files_per_
+# microbatch`` bounds how far latestOffset advances past the consumed
+# position per micro-batch — the maxFilesPerTrigger pattern, implemented
+# SOURCE-side because the Python DataSource API has no engine-pushed
+# ReadLimit yet.
+
+
+def _pos(offset: dict) -> tuple[int, float]:
+    """offset dict -> comparable (seq, files-consumed); absent nfiles
+    means the whole snapshot (inf sorts after any file index)."""
+    k = offset.get("nfiles")
+    return (offset["seq"], float("inf") if k is None else k)
+
+
+def _canon_offset(seq: int, k: int, total: int) -> dict:
+    """Canonical serialization: a snapshot boundary is ALWAYS the legacy
+    {"seq": N} shape, so bounded and unbounded readers produce byte-equal
+    offsets when caught up (the engine compares offsets by value)."""
+    return {"seq": seq} if k >= total else {"seq": seq, "nfiles": k}
+
+
+def _files_between_positions(
+    chain: list[dict],
+    start: dict,
+    end: dict,
+    skip_non_appends: bool,
+) -> list[str]:
+    """Data files in position range ``(start, end]`` — file-granular:
+    a partially-consumed start snapshot contributes its tail, a
+    partially-consumed end snapshot its head."""
+    s_seq, s_k = _pos(start)
+    e_seq, e_k = _pos(end)
+    files: list[str] = []
+    for seq, ps in _seq_plans(chain, s_seq - 1, skip_non_appends):
+        if seq > e_seq:
+            break
+        begin = 0
+        if seq == s_seq:
+            begin = len(ps) if s_k == float("inf") else int(s_k)
+        stop = len(ps)
+        if seq == e_seq and e_k != float("inf"):
+            stop = int(e_k)
+        if begin < stop:
+            files.extend(ps[begin:stop])
+    return files
+
+
+def _advance_position(
+    chain: list[dict],
+    last: tuple[int, float],
+    budget: int,
+    skip_non_appends: bool,
+) -> dict:
+    """Walk forward from consumed position ``last`` admitting at most
+    ``budget`` files; returns the new canonical offset (clamped to the
+    chain tip)."""
+    tip = chain[-1]["sequence-number"] if chain else 0
+    l_seq, l_k = last
+    end_seq, end_k, end_total = l_seq, l_k, None
+    for seq, ps in _seq_plans(chain, l_seq - 1, skip_non_appends):
+        if seq > tip:
+            break
+        begin = 0
+        if seq == l_seq:
+            begin = len(ps) if l_k == float("inf") else int(l_k)
+        avail = max(0, len(ps) - begin)
+        if avail > budget:
+            if budget == 0:
+                break  # exhausted exactly at a snapshot boundary
+            return {"seq": seq, "nfiles": begin + budget}
+        budget -= avail
+        end_seq, end_k, end_total = seq, len(ps), len(ps)
+    if end_total is None:  # nothing past last: stay put, canonical form
+        if l_k == float("inf"):
+            return {"seq": l_seq}
+        return {"seq": l_seq, "nfiles": int(l_k)}
+    return _canon_offset(end_seq, end_k, end_total)
 
 
 class IcebergStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, location: str, skip_non_appends: bool):
+    def __init__(
+        self,
+        location: str,
+        skip_non_appends: bool,
+        max_files: int | None = None,
+    ):
         self.location = location
         self.skip_non_appends = skip_non_appends
+        self.max_files = max_files
 
     def initialOffset(self) -> dict:
         return {"seq": 0}
 
     def read(self, start: dict):
+        """``max_files_per_microbatch`` admission is EXACT here even
+        across restarts: the simple API hands read() the checkpointed
+        start position, so each micro-batch admits at most N files past
+        it and returns the matching (possibly mid-snapshot) offset."""
         meta = _read_meta(self.location)
         chain = _lineage(meta)
-        latest = chain[-1]["sequence-number"] if chain else 0
-        rows = self._rows_between(meta, chain, start["seq"], latest)
-        return iter(rows), {"seq": latest}
+        if self.max_files:
+            end = _advance_position(
+                chain, _pos(start), self.max_files, self.skip_non_appends
+            )
+        else:
+            latest = chain[-1]["sequence-number"] if chain else 0
+            end = {"seq": latest}
+        rows = self._rows_between(meta, chain, start, end)
+        return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery: same planning, pinned end
         meta = _read_meta(self.location)
         chain = _lineage(meta)
-        return iter(
-            self._rows_between(meta, chain, start["seq"], end["seq"])
-        )
+        return iter(self._rows_between(meta, chain, start, end))
 
     # -- planning + decode (pure Python, metadata-driven) ---------------
 
     def _rows_between(
-        self, meta: dict, chain: list[dict], lo: int, hi: int
+        self, meta: dict, chain: list[dict], start: dict, end: dict
     ) -> list[tuple]:
         cur = next(
             s
@@ -158,8 +303,8 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
         )
         names = [f["name"] for f in cur["fields"]]
         out: list[tuple] = []
-        for path in _plan_files_between(
-            chain, lo, hi, self.skip_non_appends
+        for path in _files_between_positions(
+            chain, start, end, self.skip_non_appends
         ):
             out.extend(_decode_file(path, names))
         return out
@@ -195,26 +340,54 @@ class IcebergBulkStreamReader(DataSourceStreamReader):
     are interchangeable on one checkpoint lineage."""
 
     def __init__(
-        self, location: str, skip_non_appends: bool, names: list[str]
+        self,
+        location: str,
+        skip_non_appends: bool,
+        names: list[str],
+        max_files: int | None = None,
     ):
         self.location = location
         self.skip_non_appends = skip_non_appends
         self.names = names
+        self.max_files = max_files
+        # consumed position this reader has OBSERVED (seq, files),
+        # ratcheted by partitions(); latestOffset bounds its advance
+        # from here. The engine's FIRST call each run is latestOffset
+        # with no prior initialOffset/partitions (verified against the
+        # pyspark runner), and bounding from an unknown floor would
+        # regress offsets after a restart (duplicates) — so the first
+        # micro-batch of every run is UNBOUNDED (correct, just big) and
+        # each later one is admission-controlled: the long-running
+        # processingTime ingest gets real back-pressure, a one-shot
+        # availableNow drain does not. The simple reader's admission is
+        # exact in all cases (its read() receives the checkpointed
+        # start).
+        self._last: tuple[int, float] | None = None
 
     def initialOffset(self) -> dict:
+        self._last = (0, float("inf"))
         return {"seq": 0}
 
     def latestOffset(self) -> dict:
         meta = _read_meta(self.location)
         chain = _lineage(meta)
-        return {"seq": chain[-1]["sequence-number"] if chain else 0}
+        if self.max_files and self._last is not None:
+            off = _advance_position(
+                chain, self._last, self.max_files, self.skip_non_appends
+            )
+        else:
+            off = {"seq": chain[-1]["sequence-number"] if chain else 0}
+        self._last = _pos(off)
+        return off
 
     def partitions(self, start: dict, end: dict):
         meta = _read_meta(self.location)
         chain = _lineage(meta)
-        paths = _plan_files_between(
-            chain, start["seq"], end["seq"], self.skip_non_appends
+        paths = _files_between_positions(
+            chain, start, end, self.skip_non_appends
         )
+        if self._last is None or _pos(end) > self._last:
+            self._last = _pos(end)
         # an empty batch still needs one (empty) split: Spark requires
         # at least one partition per planned micro-batch
         if not paths:
@@ -254,9 +427,11 @@ class IcebergNativeStreamSource(DataSource):
         )
 
     def simpleStreamReader(self, schema) -> IcebergStreamReader:
+        mf = self.options.get("max_files_per_microbatch")
         return IcebergStreamReader(
             self.options["path"],
             self.options.get("skip_non_appends", "false").lower() == "true",
+            max_files=int(mf) if mf else None,
         )
 
 
@@ -291,10 +466,12 @@ class IcebergNativeBulkStreamSource(DataSource):
             for s in meta["schemas"]
             if s["schema-id"] == meta["current-schema-id"]
         )
+        mf = self.options.get("max_files_per_microbatch")
         return IcebergBulkStreamReader(
             self.options["path"],
             self.options.get("skip_non_appends", "false").lower() == "true",
             [f["name"] for f in cur["fields"]],
+            max_files=int(mf) if mf else None,
         )
 
 
@@ -441,4 +618,81 @@ def stream_from_iceberg_bulk(spark, sf_dir: str):
         .withColumn("n_splits_run1", F.lit(splits[0]))
         .withColumn("n_splits_run2", F.lit(splits[1]))
         .orderBy("event_type")
+    )
+
+
+def stream_admission_control(spark, sf_dir: str):
+    """Declared query: ``max_files_per_microbatch`` back-pressure. The
+    source table is written with PINNED file counts (3 + 2 + 4 = 9 data
+    files across three append commits), the stream drains with a
+    2-files-per-micro-batch bound, and the output pins the arithmetic:
+    ceil(9/2) = 5 micro-batches, every source row exactly once, a
+    caught-up re-drain contributing zero extra batches. An admission
+    bug shows up as the wrong batch count (bound ignored -> 3 or fewer,
+    off-by-one in the mid-snapshot offset -> 6+), a replayed or dropped
+    file as a row-count/hash mismatch."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.sources.iceberg_native import (
+        IcebergNativeTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = scratch_dir(sf_dir, "stream_admission_control", fresh=True)
+    src = IcebergNativeTable.create(
+        spark,
+        _os.path.join(root, "ice"),
+        ev.filter(F.col("event_type") == "click").repartition(3),
+    )
+    src.append(
+        ev.filter(F.col("event_type") == "purchase").repartition(2)
+    )
+    src.append(ev.filter(F.col("event_type") == "view").repartition(4))
+    try:
+        spark.dataSource.register(IcebergNativeStreamSource)
+    except Exception as e:
+        if "already" not in str(e).lower():
+            raise
+    out = _os.path.join(root, "out")
+    ckpt = _os.path.join(root, "ckpt")
+    n_batches = 0
+
+    def sink(b, _epoch) -> None:
+        nonlocal n_batches
+        if b.count() > 0:
+            n_batches += 1
+            b.write.mode("append").parquet(out)
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("icebergnative_stream")
+            .option("path", src.location)
+            .option("max_files_per_microbatch", "2")
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(8):  # bounded batches: re-drain until caught up
+        before = n_batches
+        drain()
+        if n_batches == before:
+            break
+    emitted = spark.read.parquet(out)
+    return emitted.agg(
+        F.lit(n_batches).cast("long").alias("n_batches"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("event_id").alias("n_distinct_ids"),
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
+            "value_cents"
+        ),
     )

@@ -2495,3 +2495,132 @@ def test_table_statistics_roundtrip(spark, tmp_path):
     assert got2 == {"k": 101, "s": 3}
     with pytest.raises(ValueError, match="unknown columns"):
         t.write_table_statistics(columns=["nope"])
+
+
+def test_v3_default_values_lifecycle(spark, tmp_path):
+    """v3 column defaults: ADD COLUMN ... DEFAULT sets initial-default
+    (pre-existing rows read it — not null) and write-default (appends
+    omitting the column store it); SET DEFAULT rebinds the
+    write-default only; dropping the default makes omission an error
+    again; compaction materializes the values physically; v2 refuses
+    defaults outright."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError, match="format-version 3"):
+        t.update_schema(add=[("cls", "string", "bulk")])
+    t.upgrade_format_version(3)
+    t.update_schema(add=[("cls", "string", "bulk"), ("prio", "long", 5)])
+    # pre-existing rows read the initial-default, not null
+    got = {r["k"]: (r["cls"], r["prio"]) for r in t.scan().collect()}
+    assert all(got[k] == ("bulk", 5) for k in range(10))
+    # an append omitting the columns stores the write-default
+    t.append(
+        spark.createDataFrame([(10, 10.0)], "k long, v double")
+    )
+    assert t.scan().filter("k = 10").collect()[0]["cls"] == "bulk"
+    # SET DEFAULT rebinds write-default; initial rows are untouched
+    t.update_schema(set_default={"cls": "stream"})
+    t.append(spark.createDataFrame([(11, 11.0)], "k long, v double"))
+    by_k = {r["k"]: r["cls"] for r in t.scan().collect()}
+    assert by_k[0] == "bulk" and by_k[10] == "bulk"
+    assert by_k[11] == "stream"
+    # dropping the default makes omission an error again
+    t.update_schema(set_default={"cls": None})
+    with pytest.raises(ValueError, match="no write-default"):
+        t.append(spark.createDataFrame([(12, 12.0)], "k long, v double"))
+    # compaction materializes the read-time defaults physically
+    t.compact()
+    by_k = {r["k"]: (r["cls"], r["prio"]) for r in t.scan().collect()}
+    assert by_k[3] == ("bulk", 5) and by_k[11] == ("stream", 5)
+    assert len(by_k) == 12
+
+
+def test_rewrite_data_files_targeted(spark, tmp_path):
+    """rewrite_data_files: only partitions with >= min_input_files
+    small files rewrite; untouched files carry forward PATH-identical;
+    DVs targeting rewritten files drop in the same commit; row ids
+    survive on v3; a caught-up second call is a no-op; the sort
+    strategy demands a sort order."""
+    def slab(lo, hi, p):
+        return spark.createDataFrame(
+            [(i, p, float(i)) for i in range(lo, hi)],
+            "k long, p string, v double",
+        ).coalesce(1)
+
+    # 4 append commits into partition A (1 file each — the writer
+    # hash-distributes by partition value) = the small-files debt
+    t = IcebergNativeTable.create(
+        spark, str(tmp_path / "t"), slab(0, 10, "A"), partition_by=["p"]
+    )
+    t.append(slab(10, 20, "A"))
+    t.append(slab(20, 30, "A"))
+    t.append(slab(30, 40, "A"))
+    t.append(slab(40, 50, "B"))
+    t.upgrade_format_version(3)
+    t.delete_where((F.col("p") == "A") & (F.col("k") < 5), "merge-on-read")
+    _, _, data0, pos0, _ = t._plan()
+    b_paths0 = {d["path"] for d in data0 if d["partition"].get("p") == "B"}
+    assert len(data0) == 5 and pos0  # 4 A files + 1 B file, 1+ DV
+    ids_before = sorted(
+        tuple(r)
+        for r in t.scan(with_row_lineage=True)
+        .select("k", "_row_id")
+        .collect()
+    )
+
+    n = t.rewrite_data_files(
+        target_file_size_bytes=32 * 1024 * 1024, min_input_files=2
+    )
+    assert n == 4  # only partition A (B has 1 file < min_input_files)
+    _, _, data1, pos1, _ = t._plan()
+    a_files = [d for d in data1 if d["partition"].get("p") == "A"]
+    b_files = {d["path"] for d in data1 if d["partition"].get("p") == "B"}
+    assert len(a_files) < 4  # consolidated
+    assert b_files == b_paths0  # untouched partition carries path-identical
+    assert not pos1  # the A-scoped DVs dropped with their targets
+    assert sorted(r["k"] for r in t.scan().select("k").collect()) == sorted(
+        list(range(5, 40)) + list(range(40, 50))
+    )
+    # identity survived the rewrite (materialized lineage)
+    ids_after = sorted(
+        tuple(r)
+        for r in t.scan(with_row_lineage=True)
+        .select("k", "_row_id")
+        .collect()
+    )
+    assert ids_after == ids_before
+    assert t.rewrite_data_files(
+        target_file_size_bytes=32 * 1024 * 1024, min_input_files=2
+    ) == 0  # idempotent: consolidated partitions no longer qualify
+    with pytest.raises(ValueError, match="sort order"):
+        t.rewrite_data_files(strategy="sort")
+    with pytest.raises(ValueError, match="unknown rewrite strategy"):
+        t.rewrite_data_files(strategy="zorder")
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """expire_snapshots(older_than_ms): only snapshots strictly older
+    than the cutoff expire; keep_last and ref retention still apply on
+    top; the current snapshot is always safe."""
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    for i in range(2, 6):
+        t.append(spark.createDataFrame([(i, float(i))], "k long, v double"))
+    snaps = t._metadata()["snapshots"]
+    assert len(snaps) == 5
+    cut = snaps[2]["timestamp-ms"]  # snapshots 1,2 are strictly older
+    t.create_tag("keep1", snapshot_id=snaps[0]["snapshot-id"])
+    expired = t.expire_snapshots(keep_last=1, older_than_ms=cut)
+    # snapshot 1 is tag-protected; only snapshot 2 expires
+    assert expired == [snaps[1]["snapshot-id"]]
+    left = {s["snapshot-id"] for s in t._metadata()["snapshots"]}
+    assert snaps[0]["snapshot-id"] in left
+    assert t.scan().count() == 5  # current state untouched
+    # no cutoff: everything but refs + newest goes (legacy behavior)
+    expired2 = t.expire_snapshots(keep_last=1)
+    assert t._metadata()["current-snapshot-id"] in {
+        s["snapshot-id"] for s in t._metadata()["snapshots"]
+    }
+    assert snaps[0]["snapshot-id"] not in expired2  # still tag-protected
