@@ -3311,6 +3311,20 @@ class IcebergNativeTable:
                     "changelog across a schema change is not supported; "
                     f"split the range at snapshot {cur_s['snapshot-id']}"
                 )
+            if (
+                cur_s.get("summary", {}).get("operation", "append")
+                == "replace"
+            ):
+                # REPLACE snapshots (compaction, rewrite_data_files,
+                # rewrite_position_deletes, the v3 upgrade conversion)
+                # are logically neutral BY CONTRACT — the real
+                # changelog procedure skips them by operation instead
+                # of proving emptiness with a diff. The old behavior
+                # (cur ^ prev touches every path -> full-state
+                # exceptAll to produce zero rows) is exactly the
+                # table-sized work a 100 TB changelog cannot afford.
+                prev_plan = None  # cur's plan was never built
+                continue
             # each snapshot is planned once; pair i's current plan is
             # pair i+1's previous plan
             pplan = (

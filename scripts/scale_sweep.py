@@ -78,6 +78,21 @@ SWEEP = [
     ("iceberg_row_lineage", "orders", 10),
     ("semantic_dedup", "embeddings", 4),
     ("dsir_weights", "documents", 10),
+    # round-11 additions: lineage-keyed CDC (changed-file diffs +
+    # replace-skip — should scale with the CHANGE, not the table),
+    # NDV/HLL statistics (one grouped agg), the listing seam
+    # (file-count-shaped), bounded streaming admission (fixed batch
+    # count by construction — near-flat), default-value reads, and the
+    # targeted rewrite (cost follows the rewritten debt)
+    ("iceberg_changelog_lineage", "orders", 10),
+    ("iceberg_table_statistics", "orders", 10),
+    # object_store_listing is deliberately NOT swept: its object census
+    # is pinned by construction (13 objects at every sf), so a 1x data
+    # ratio makes any timing jitter read as "super-linear" — fixed-work
+    # scenarios have no scaling axis to measure
+    ("stream_admission_control", "events", 10),
+    ("iceberg_default_values", "customer", 10),
+    ("iceberg_rewrite_datafiles", "orders", 10),
 ]
 
 
