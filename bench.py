@@ -193,6 +193,7 @@ HEADLINE = [
     "stream_admission_control",
     "iceberg_default_values",
     "iceberg_rewrite_datafiles",
+    "iceberg_refs",
 ]
 
 INDEX_LABELS = ("base-lsh-index", "base-para-index")

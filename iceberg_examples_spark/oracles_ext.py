@@ -3707,6 +3707,19 @@ SELECT lang, count(*) AS n_docs,
 FROM per_doc GROUP BY lang ORDER BY lang
 """
 
+# iceberg_refs: deterministic snapshot ids (sequence = commit order
+# 1..5); the audit branch at 3 with min-snapshots-to-keep=2 protects
+# {3,2}, keep_last protects 5 -> snapshots 1 and 4 expire.
+EXT_ORACLES["iceberg_refs"] = """
+SELECT * FROM (VALUES
+  ('audit', 'branch', CAST(3 AS BIGINT), 2,
+   CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+  ('main', 'branch', CAST(5 AS BIGINT), -1,
+   CAST(2 AS BIGINT), CAST(3 AS BIGINT))
+) AS t(name, type, snapshot_id, min_keep, n_expired, n_snapshots_left)
+ORDER BY name
+"""
+
 # iceberg_rewrite_datafiles: 3 status partitions x 4 append commits =
 # 12 files in, one consolidated file per partition out; the MOR delete
 # leaves DVs that drop with their rewritten targets.

@@ -76,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     "stream_admission_control": ISS.stream_admission_control,
     "iceberg_default_values": IN.iceberg_default_values,
     "iceberg_rewrite_datafiles": IN.iceberg_rewrite_datafiles,
+    "iceberg_refs": IN.iceberg_refs,
     # ----- latest green driver row: r6 -----
     "union_schema_drift": CV.union_schema_drift,
     "dynamic_partition_prune": PT.dynamic_partition_prune,

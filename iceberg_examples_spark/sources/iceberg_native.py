@@ -1969,10 +1969,19 @@ class IcebergNativeTable:
         meta = self._metadata()
         return self.spark.createDataFrame(
             [
-                (name, r["type"], r["snapshot-id"])
+                (
+                    name,
+                    r["type"],
+                    r["snapshot-id"],
+                    r.get("min-snapshots-to-keep"),
+                    r.get("max-snapshot-age-ms"),
+                    r.get("max-ref-age-ms"),
+                )
                 for name, r in sorted(meta.get("refs", {}).items())
             ],
-            "name string, type string, snapshot_id long",
+            "name string, type string, snapshot_id long, "
+            "min_snapshots_to_keep int, max_snapshot_age_in_ms long, "
+            "max_reference_age_in_ms long",
         )
 
     # -- write path ----------------------------------------------------
@@ -3427,22 +3436,62 @@ class IcebergNativeTable:
             ).withColumn("_commit_snapshot_id", F.lit(None).cast("long"))
         return out
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
         """Named immutable pointer (spec refs, type=tag). A tagged
         snapshot is protected from expire_snapshots — the spec's
-        retention contract and the whole point of tagging."""
-        self._set_ref(name, snapshot_id, "tag")
+        retention contract and the whole point of tagging.
+        ``max_ref_age_ms`` (spec field ``max-ref-age-ms``): the tag
+        itself expires — and stops protecting its snapshot — once older
+        than this."""
+        self._set_ref(
+            name, snapshot_id, "tag", {"max-ref-age-ms": max_ref_age_ms}
+        )
 
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
-        """Named movable pointer (spec refs, type=branch)."""
-        self._set_ref(name, snapshot_id, "branch")
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        min_snapshots_to_keep: int | None = None,
+        max_snapshot_age_ms: int | None = None,
+        max_ref_age_ms: int | None = None,
+    ) -> None:
+        """Named movable pointer (spec refs, type=branch) with the
+        spec's per-branch retention policy: expire_snapshots keeps at
+        least ``min-snapshots-to-keep`` of the branch's OWN ancestor
+        chain and every ancestor younger than ``max-snapshot-age-ms``;
+        ``max-ref-age-ms`` ages out the branch itself (never main)."""
+        self._set_ref(
+            name,
+            snapshot_id,
+            "branch",
+            {
+                "min-snapshots-to-keep": min_snapshots_to_keep,
+                "max-snapshot-age-ms": max_snapshot_age_ms,
+                "max-ref-age-ms": max_ref_age_ms,
+            },
+        )
 
-    def _set_ref(self, name: str, snapshot_id: int | None, kind: str) -> None:
+    def _set_ref(
+        self,
+        name: str,
+        snapshot_id: int | None,
+        kind: str,
+        retention: dict | None = None,
+    ) -> None:
         meta, version = self._read_tree()
         sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
         if sid not in {s["snapshot-id"] for s in meta["snapshots"]}:
             raise ValueError(f"snapshot {sid} does not exist")
-        meta.setdefault("refs", {})[name] = {"snapshot-id": sid, "type": kind}
+        ref = {"snapshot-id": sid, "type": kind}
+        ref.update(
+            {k: v for k, v in (retention or {}).items() if v is not None}
+        )
+        meta.setdefault("refs", {})[name] = ref
         self._publish_metadata(meta, version)
 
     def drop_ref(self, name: str) -> None:
@@ -3453,7 +3502,10 @@ class IcebergNativeTable:
         self._publish_metadata(meta, version)
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than_ms: int | None = None
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
     ) -> list[int]:
         """Drop old snapshots from the metadata tree (the CALL
         system.expire_snapshots contract) — EXCEPT snapshots any ref
@@ -3464,6 +3516,16 @@ class IcebergNativeTable:
         default there is now-minus-5-days; passing an explicit cutoff is
         the portable form). ``keep_last`` additionally retains the N
         newest regardless of age (the procedure's retain_last).
+
+        Per-ref retention (the spec's refs fields, set by
+        create_branch/create_tag) is honored first: refs older than
+        their ``max-ref-age-ms`` are REMOVED (never main), then each
+        surviving branch keeps at least ``min-snapshots-to-keep`` of its
+        own ancestor chain plus every ancestor younger than
+        ``max-snapshot-age-ms``. Ref/snapshot age is measured from the
+        pointed snapshot's commit timestamp against ``now_ms``
+        (wall-clock default; tests pin it for determinism).
+
         Returns the expired snapshot ids; physical files become orphans
         until :meth:`remove_orphan_files` collects them — the same
         two-step split as the real procedures."""
@@ -3472,11 +3534,40 @@ class IcebergNativeTable:
             # "expire the current snapshot", which is never legal
             raise ValueError("cannot expire the current snapshot (keep_last >= 1)")
         meta, version = self._read_tree()
-        ref_ids = {
-            r["snapshot-id"] for r in meta.get("refs", {}).values()
-        }
+        now = now_ms if now_ms is not None else int(time.time() * 1000)
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        refs = meta.get("refs", {})
+        # 1) age out refs past max-ref-age-ms (never main)
+        for nm in [n for n in refs if n != "main"]:
+            r = refs[nm]
+            age_ms = now - snaps[r["snapshot-id"]].get("timestamp-ms", 0)
+            if (
+                r.get("max-ref-age-ms") is not None
+                and age_ms > r["max-ref-age-ms"]
+            ):
+                del refs[nm]
+        ref_ids = {r["snapshot-id"] for r in refs.values()}
         kept_ids = {s["snapshot-id"] for s in meta["snapshots"][-keep_last:]}
         kept_ids |= ref_ids
+        # 2) branch retention: walk each branch's OWN ancestor chain
+        for r in refs.values():
+            if r.get("type") != "branch":
+                continue
+            min_keep = r.get("min-snapshots-to-keep")
+            max_age = r.get("max-snapshot-age-ms")
+            if min_keep is None and max_age is None:
+                continue
+            sid, depth = r["snapshot-id"], 0
+            while sid is not None and sid in snaps:
+                s = snaps[sid]
+                young = (
+                    max_age is not None
+                    and now - s.get("timestamp-ms", 0) <= max_age
+                )
+                if depth < (min_keep or 1) or young:
+                    kept_ids.add(sid)
+                depth += 1
+                sid = s.get("parent-snapshot-id")
         if older_than_ms is not None:
             # age gate: anything at/after the cutoff is retained
             kept_ids |= {
@@ -6043,4 +6134,53 @@ def iceberg_rewrite_datafiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
             "total_price"
         ),
+    )
+
+
+def iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``#refs`` metadata table with per-ref retention policy (the
+    spec's refs map: min-snapshots-to-keep / max-snapshot-age-ms /
+    max-ref-age-ms) plus the retention ENFORCEMENT: an audit branch
+    pinned two commits back with min-snapshots-to-keep=2 protects its
+    ancestor from an expire that would otherwise reap it, while an
+    unprotected middle snapshot expires. Snapshot ids are deterministic
+    (sequence = commit order), so the oracle pins the whole table as
+    literals plus the survivor arithmetic."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+
+    loc = scratch_dir(sf_dir, "iceberg_refs", fresh=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    t = IcebergNativeTable.create(
+        spark, loc, cust.filter(F.col("c_custkey") % 5 == 0)
+    )
+    for r in (1, 2, 3, 4):
+        t.append(cust.filter(F.col("c_custkey") % 5 == r))
+    snaps = t._metadata()["snapshots"]
+    # branch at snapshot 3, keeping 2 of ITS chain -> protects {3, 2};
+    # keep_last=1 protects the current snapshot 5; snapshots 1 and 4
+    # have no protector and expire
+    t.create_branch(
+        "audit",
+        snapshot_id=snaps[2]["snapshot-id"],
+        min_snapshots_to_keep=2,
+    )
+    expired = t.expire_snapshots(
+        keep_last=1, now_ms=snaps[-1]["timestamp-ms"] + 1000
+    )
+    n_left = len(t._metadata()["snapshots"])
+    return (
+        t.refs_df()
+        .select(
+            "name",
+            "type",
+            "snapshot_id",
+            F.coalesce(F.col("min_snapshots_to_keep"), F.lit(-1)).alias(
+                "min_keep"
+            ),
+            F.lit(len(expired)).cast("long").alias("n_expired"),
+            F.lit(n_left).cast("long").alias("n_snapshots_left"),
+        )
+        .orderBy("name")
     )

@@ -2624,3 +2624,51 @@ def test_expire_snapshots_older_than(spark, tmp_path):
         s["snapshot-id"] for s in t._metadata()["snapshots"]
     }
     assert snaps[0]["snapshot-id"] not in expired2  # still tag-protected
+
+
+def test_ref_retention_policies(spark, tmp_path):
+    """Spec per-ref retention: a branch's min-snapshots-to-keep /
+    max-snapshot-age-ms protect its OWN ancestor chain from
+    expire_snapshots; max-ref-age-ms ages the ref itself out (and with
+    it, its protection); main is never aged out. now_ms is pinned so
+    the test is deterministic."""
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    for i in range(2, 7):
+        t.append(spark.createDataFrame([(i, float(i))], "k long, v double"))
+    snaps = t._metadata()["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]  # 1..6
+    last_ts = snaps[-1]["timestamp-ms"]
+
+    # branch at snapshot 4 keeping 3 ancestors (4,3,2); tag at snapshot
+    # 1 that is already past its ref age; branch at snapshot 2 likewise
+    t.create_branch("dev", snapshot_id=ids[3], min_snapshots_to_keep=3)
+    t.create_tag("old-tag", snapshot_id=ids[0], max_ref_age_ms=10)
+    t.create_branch("stale", snapshot_id=ids[1], max_ref_age_ms=10)
+    expired = t.expire_snapshots(keep_last=1, now_ms=last_ts + 3_600_000)
+    left = {s["snapshot-id"] for s in t._metadata()["snapshots"]}
+    # kept: 6 (current), 4+3+2 (dev's chain, min 3); expired: 1, 5
+    assert left == {ids[5], ids[3], ids[2], ids[1]}
+    assert sorted(expired) == sorted([ids[0], ids[4]])
+    refs = {r["name"] for r in t.refs_df().collect()}
+    assert refs == {"main", "dev"}  # aged-out refs removed
+    # retention fields surface in the metadata table
+    dev = [r for r in t.refs_df().collect() if r["name"] == "dev"][0]
+    assert dev["min_snapshots_to_keep"] == 3
+    # max-snapshot-age keeps young ancestors beyond min-keep
+    t2 = IcebergNativeTable.create(spark, str(tmp_path / "t2"), df)
+    for i in range(2, 5):
+        t2.append(
+            spark.createDataFrame([(i, float(i))], "k long, v double")
+        )
+    s2 = t2._metadata()["snapshots"]
+    t2.create_branch(
+        "all-young",
+        snapshot_id=s2[-1]["snapshot-id"],
+        min_snapshots_to_keep=1,
+        max_snapshot_age_ms=3_600_000,
+    )
+    expired2 = t2.expire_snapshots(
+        keep_last=1, now_ms=s2[-1]["timestamp-ms"] + 1000
+    )
+    assert expired2 == []  # every ancestor younger than the age bound
