@@ -1047,6 +1047,7 @@ class IcebergNativeTable:
         with_coordinates: bool = False,
         files: set | None = None,
         snapshot_schema: bool = False,
+        schema_id: int | None = None,
         with_row_lineage: bool = False,
     ) -> DataFrame:
         """The table's live rows at a snapshot, deletes applied.
@@ -1138,7 +1139,18 @@ class IcebergNativeTable:
         # CURRENT schema — update_schema is a metadata-only commit that
         # creates no snapshot, so the newest snapshot's recorded
         # schema-id legitimately lags the table's.
-        if (
+        if schema_id is not None:
+            # caller-pinned projection schema (changelog resolves every
+            # snapshot pair to the RANGE-END schema so a feed spanning
+            # an ALTER stays one uniform shape) — field-id resolution
+            # does the rest, exactly like any other schema skew
+            cur_sch = next(
+                (s for s in meta["schemas"] if s["schema-id"] == schema_id),
+                None,
+            )
+            if cur_sch is None:
+                raise ValueError(f"unknown schema-id {schema_id}")
+        elif (
             snap["snapshot-id"] == meta.get("current-snapshot-id")
             and not snapshot_schema
         ):
@@ -3265,11 +3277,13 @@ class IcebergNativeTable:
         The range follows the CURRENT snapshot lineage (the parent
         chain from ``to`` back to ``from``): snapshots abandoned by a
         rollback are not ancestors and contribute nothing; a ``from``
-        that is off the lineage raises. Each view reads its SNAPSHOT's
-        recorded schema, so a metadata-only schema change committed
-        after the tip does not break the diff; a range whose snapshots
-        themselves span a schema change raises — split it at the
-        evolution point.
+        that is off the lineage raises. Every pair's views resolve to
+        the RANGE-END snapshot's schema by field id, so the feed is one
+        uniform shape even across schema evolution (a pre-image written
+        under an older schema surfaces renamed/null-filled/
+        default-filled into the end schema — the projection every
+        other cross-generation scan already does), and a metadata-only
+        ALTER committed after the tip does not change the output.
 
         ``with_row_lineage=True`` (v3 tables only) adds ``_row_id`` and
         ``_last_updated_sequence_number`` to every event — the spec's
@@ -3313,13 +3327,11 @@ class IcebergNativeTable:
             )
         out = None
         prev_plan = None
+        end_schema_id = chain[-1].get(
+            "schema-id", meta["current-schema-id"]
+        )
         for i in range(1, len(chain)):
             prev_s, cur_s = chain[i - 1], chain[i]
-            if prev_s.get("schema-id", 0) != cur_s.get("schema-id", 0):
-                raise ValueError(
-                    "changelog across a schema change is not supported; "
-                    f"split the range at snapshot {cur_s['snapshot-id']}"
-                )
             if (
                 cur_s.get("summary", {}).get("operation", "append")
                 == "replace"
@@ -3392,19 +3404,20 @@ class IcebergNativeTable:
                 if not affected:
                     continue
                 files = affected
-            # snapshot_schema=True: the pre/post views of one commit
-            # must share that COMMIT's schema even when the table
-            # evolved (metadata-only) after the tip snapshot
+            # every pair resolves to the RANGE-END schema: pre/post
+            # views of one commit always share a shape, pairs written
+            # under different schemas still union into one feed, and a
+            # metadata-only ALTER after the tip changes nothing
             prev_view = self.scan(
                 snapshot_id=prev_s["snapshot-id"],
                 files=files,
-                snapshot_schema=True,
+                schema_id=end_schema_id,
                 with_row_lineage=with_row_lineage,
             )
             cur_view = self.scan(
                 snapshot_id=cur_s["snapshot-id"],
                 files=files,
-                snapshot_schema=True,
+                schema_id=end_schema_id,
                 with_row_lineage=with_row_lineage,
             )
             chunk = (
@@ -3422,8 +3435,15 @@ class IcebergNativeTable:
             )
             out = chunk if out is None else out.unionByName(chunk)
         if out is None:
-            sch = self._schema_struct(meta)
-            empty = self.spark.createDataFrame([], sch)
+            end_sch = next(
+                s
+                for s in meta["schemas"]
+                if s["schema-id"]
+                == chain[-1].get("schema-id", meta["current-schema-id"])
+            )
+            empty = self.spark.createDataFrame(
+                [], self._schema_struct(meta, end_sch)
+            )
             if with_row_lineage:
                 empty = empty.withColumn(
                     "_row_id", F.lit(None).cast("long")

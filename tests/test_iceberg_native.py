@@ -1528,8 +1528,9 @@ def test_update_where_modes_and_simultaneous_set(spark, tmp_path):
 def test_changelog_diff_semantics(spark, tmp_path):
     """changelog_df: appends surface as inserts, MOR deletes as deletes,
     a COW update as delete(pre)+insert(post); compaction and
-    rewrite_position_deletes contribute NOTHING (adds/removes cancel);
-    a range spanning a schema change raises."""
+    rewrite_position_deletes contribute NOTHING (skipped by operation);
+    a range spanning a schema change resolves every event to the
+    range-end schema (round 11 — it used to raise)."""
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(10)], "k long, v double"
     )
@@ -1559,8 +1560,15 @@ def test_changelog_diff_semantics(spark, tmp_path):
             [(200, 1.0, "x")], "k long, v double, extra string"
         )
     )
-    with pytest.raises(ValueError, match="schema change"):
-        t.changelog_df(from_snapshot_id=1).collect()
+    rows2 = t.changelog_df(from_snapshot_id=1).collect()
+    # the whole feed now reads under the end schema: old events carry
+    # extra=NULL, the post-evolution insert carries its value
+    by_type = {}
+    for r in rows2:
+        by_type.setdefault((r["_change_type"], r["k"]), r)
+    assert by_type[("insert", 100)]["extra"] is None
+    assert by_type[("insert", 200)]["extra"] == "x"
+    assert len(rows2) == len(rows) + 1
 
 
 def test_changelog_lineage_and_noop_dml_pins(spark, tmp_path):
@@ -2672,3 +2680,44 @@ def test_ref_retention_policies(spark, tmp_path):
         keep_last=1, now_ms=s2[-1]["timestamp-ms"] + 1000
     )
     assert expired2 == []  # every ancestor younger than the age bound
+
+
+def test_changelog_across_schema_evolution(spark, tmp_path):
+    """The change feed spans an ALTER: every pair resolves to the
+    RANGE-END schema by field id, so pre-evolution events surface
+    renamed/null-filled into one uniform shape instead of raising
+    (the pre-round-11 behavior demanded a manual split)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.delete_where(F.col("k") < 2, "merge-on-read")  # snapshot 2, old schema
+    t.update_schema(rename={"v": "val"}, add=[("tag", "string")])
+    t.append(
+        spark.createDataFrame(
+            [(i, float(i), f"t{i}") for i in range(10, 13)],
+            "k long, val double, tag string",
+        )
+    )  # snapshot 3, new schema
+    ch = t.changelog_df(from_snapshot_id=1)
+    assert set(ch.columns) == {
+        "k", "val", "tag", "_change_type", "_commit_snapshot_id"
+    }
+    rows = ch.collect()
+    dels = {
+        r["k"]: r for r in rows if r["_change_type"] == "delete"
+    }
+    ins = {r["k"]: r for r in rows if r["_change_type"] == "insert"}
+    # pre-evolution delete events: renamed column carries the value,
+    # added column null-fills
+    assert set(dels) == {0, 1}
+    assert dels[0]["val"] == 0.0 and dels[0]["tag"] is None
+    assert dels[0]["_commit_snapshot_id"] == 2
+    # post-evolution inserts carry the new column
+    assert {(r["k"], r["tag"]) for r in ins.values()} == {
+        (10, "t10"), (11, "t11"), (12, "t12")
+    }
+    # a sub-range ending BEFORE the evolution reads the old shape
+    old = t.changelog_df(from_snapshot_id=1, to_snapshot_id=2)
+    assert set(old.columns) == {"k", "v", "_change_type", "_commit_snapshot_id"}
+    assert {r["k"] for r in old.collect()} == {0, 1}
