@@ -68,59 +68,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- latest green driver row: never attested -----
-    "dsir_weights": LQ.dsir_weights,
-    "iceberg_changelog_lineage": IN.iceberg_changelog_lineage,
-    "iceberg_table_statistics": IN.iceberg_table_statistics,
-    "object_store_listing": OS.object_store_listing,
-    "stream_admission_control": ISS.stream_admission_control,
-    "iceberg_default_values": IN.iceberg_default_values,
-    "iceberg_rewrite_datafiles": IN.iceberg_rewrite_datafiles,
-    "iceberg_refs": IN.iceberg_refs,
-    # ----- latest green driver row: r6 -----
-    "union_schema_drift": CV.union_schema_drift,
-    "dynamic_partition_prune": PT.dynamic_partition_prune,
-    "embedding_norms_arrow": SIM.embedding_norms_arrow,
-    "dynamic_partition_overwrite": PT.dynamic_partition_overwrite,
-    "merge_schema_read": CV.merge_schema_read,
-    "stream_fanout": ST.stream_fanout,
-    "bpe_merge_step": LQ.bpe_merge_step,
-    "k_anonymity": CV.k_anonymity,
-    "stream_incremental_ingest": ST.stream_incremental_ingest,
-    "mad_outliers": XR.mad_outliers,
-    "or_join_union": XR.or_join_union,
-    "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
-    "skyline_pareto": XR.skyline_pareto,
-    "trajectory_similarity": E.trajectory_similarity,
-    "minhash_containment": D.minhash_containment,
-    "partition_stats": PT.partition_stats,
-    "ordered_string_agg": CV.ordered_string_agg,
-    "mode_per_group": CV.mode_per_group,
-    "dedup_cluster_sizes": D.dedup_cluster_sizes,
-    "nested_rollup": CV.nested_rollup,
-    "csv_corrupt_records": JS.csv_corrupt_records,
-    "rolling_24h": E.rolling_24h,
-    "quantile_normalize": XR.quantile_normalize,
-    "merge_sql_exec": RS.merge_sql_exec_query,
-    "scd2_sql_exec": RS.scd2_sql_exec_query,
-    "sql_script_replay": RS.sql_script_replay_query,
-    "stream_curation_ingest": ST.stream_curation_ingest,
-    "snapshot_rollback": MT.snapshot_rollback,
-    "corpus_report": LQ.corpus_report,
-    "pq_codes": CL.pq_codes,
-    "pq_adc_topk": CL.pq_adc_topk,
-    "embedding_neardup": SIM.embedding_neardup,
-    "multimodal_meta": MM.multimodal_meta,
-    "collect_sets": XR.collect_sets,
-    "dedup_latest": E.dedup_latest,
     # ----- latest green driver row: r7 -----
-    "merge_by_source_exec": RS.merge_by_source_exec_query,
-    "sql_lifecycle_replay": RS.sql_lifecycle_replay_query,
-    "sessionize": E.sessionize,
-    "session_window_agg": E.session_window_agg,
-    "window_hourly": E.window_hourly,
-    "json_props": E.json_props,
-    "window_sliding": E.window_sliding,
     "locf_fill": E.locf_fill,
     "percentiles": XR.percentiles,
     "value_histogram": XR.value_histogram,
@@ -316,6 +264,57 @@ QUERIES: dict[str, QueryFn] = {
     "bfs_levels": GR.bfs_levels,
     "fuzzy_match": D.fuzzy_match,
     "null_safe_join": CV.null_safe_join,
+    # ----- latest green driver row: r11 -----
+    "dsir_weights": LQ.dsir_weights,
+    "iceberg_changelog_lineage": IN.iceberg_changelog_lineage,
+    "iceberg_table_statistics": IN.iceberg_table_statistics,
+    "object_store_listing": OS.object_store_listing,
+    "stream_admission_control": ISS.stream_admission_control,
+    "iceberg_default_values": IN.iceberg_default_values,
+    "iceberg_rewrite_datafiles": IN.iceberg_rewrite_datafiles,
+    "iceberg_refs": IN.iceberg_refs,
+    "union_schema_drift": CV.union_schema_drift,
+    "dynamic_partition_prune": PT.dynamic_partition_prune,
+    "embedding_norms_arrow": SIM.embedding_norms_arrow,
+    "dynamic_partition_overwrite": PT.dynamic_partition_overwrite,
+    "merge_schema_read": CV.merge_schema_read,
+    "stream_fanout": ST.stream_fanout,
+    "bpe_merge_step": LQ.bpe_merge_step,
+    "k_anonymity": CV.k_anonymity,
+    "stream_incremental_ingest": ST.stream_incremental_ingest,
+    "mad_outliers": XR.mad_outliers,
+    "or_join_union": XR.or_join_union,
+    "multimodal_prep_pipeline": LP.multimodal_prep_pipeline,
+    "skyline_pareto": XR.skyline_pareto,
+    "trajectory_similarity": E.trajectory_similarity,
+    "minhash_containment": D.minhash_containment,
+    "partition_stats": PT.partition_stats,
+    "ordered_string_agg": CV.ordered_string_agg,
+    "mode_per_group": CV.mode_per_group,
+    "dedup_cluster_sizes": D.dedup_cluster_sizes,
+    "nested_rollup": CV.nested_rollup,
+    "csv_corrupt_records": JS.csv_corrupt_records,
+    "rolling_24h": E.rolling_24h,
+    "quantile_normalize": XR.quantile_normalize,
+    "merge_sql_exec": RS.merge_sql_exec_query,
+    "scd2_sql_exec": RS.scd2_sql_exec_query,
+    "sql_script_replay": RS.sql_script_replay_query,
+    "stream_curation_ingest": ST.stream_curation_ingest,
+    "snapshot_rollback": MT.snapshot_rollback,
+    "corpus_report": LQ.corpus_report,
+    "pq_codes": CL.pq_codes,
+    "pq_adc_topk": CL.pq_adc_topk,
+    "embedding_neardup": SIM.embedding_neardup,
+    "multimodal_meta": MM.multimodal_meta,
+    "collect_sets": XR.collect_sets,
+    "dedup_latest": E.dedup_latest,
+    "merge_by_source_exec": RS.merge_by_source_exec_query,
+    "sql_lifecycle_replay": RS.sql_lifecycle_replay_query,
+    "sessionize": E.sessionize,
+    "session_window_agg": E.session_window_agg,
+    "window_hourly": E.window_hourly,
+    "json_props": E.json_props,
+    "window_sliding": E.window_sliding,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
