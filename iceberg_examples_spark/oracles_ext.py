@@ -3751,15 +3751,20 @@ SELECT region_class, count(*) AS n_rows,
 FROM g GROUP BY region_class ORDER BY region_class
 """
 
-# stream_admission_control: 9 pinned data files drained 2 per
-# micro-batch -> ceil(9/2) = 5 batches; row/id/value totals are one
-# pass over the raw events (a replayed or dropped file mismatches).
+# stream_admission_control: 6 pinned data files (4 + 2 across two
+# commits) drained 3 per micro-batch -> ceil(6/3) = 2 batches, the
+# second crossing the commit boundary mid-snapshot; caught_up is
+# pinned true (the Spark side computes it from the checkpoint's
+# committed offset vs the table tip, so a short drain mismatches);
+# row/id/value totals are one pass over the raw events (a replayed or
+# dropped file mismatches).
 EXT_ORACLES["stream_admission_control"] = """
-SELECT CAST(5 AS BIGINT) AS n_batches,
+SELECT CAST(2 AS BIGINT) AS n_batches,
        count(*) AS n_rows,
        CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-         AS value_cents
+         AS value_cents,
+       true AS caught_up
 FROM events WHERE event_type IN ('click', 'purchase', 'view')
 """
 
@@ -3801,11 +3806,12 @@ SELECT column_name, ndv, true AS sketch_ok FROM (
 # -paired delete(pre-image, lus 1) + insert(post-image, lus 4) rows —
 # same rid set, so sum_row_ids matches across the pair; the upgrade
 # (snapshot 2) and the compaction (snapshot 5) contribute nothing.
+# The 1/3 slice (o_orderkey % 3 = 0) mirrors the query's input slice.
 EXT_ORACLES["iceberg_changelog_lineage"] = f"""
 WITH base AS (
   SELECT o_orderstatus, o_totalprice,
          row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
-  FROM orders
+  FROM orders WHERE o_orderkey % 3 = 0
 ), del3 AS (
   SELECT * FROM base WHERE o_totalprice > 400000.0
 ), upd AS (

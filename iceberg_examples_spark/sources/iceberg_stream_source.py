@@ -41,11 +41,15 @@ DataSource API has no engine-pushed ReadLimit. Mid-snapshot replay is
 exact: file order within a snapshot is manifest order, immutable once
 committed. The simple reader bounds exactly (its read() receives the
 checkpointed start); the bulk reader ratchets a driver-side floor
-from partitions(), so the FIRST micro-batch of each run is unbounded
-(the engine's first call is latestOffset with no floor — bounding
-blind would regress offsets after a restart) and every later one is
-bounded: real back-pressure for the long-running processingTime
-ingest, none for a one-shot availableNow drain.
+from partitions(), so without further help the FIRST micro-batch of
+each run is unbounded (the engine's first call is latestOffset with no
+floor — bounding blind would regress offsets after a restart) and
+every later one is bounded. ``option("admission_channel", <path>)``
+closes the first-batch gap on the bulk reader: planned positions are
+ratcheted into a side-channel file (atomic, monotone) and a fresh
+run's first latestOffset bounds from that persisted floor — making
+``max_files_per_microbatch`` exact on BOTH flavors while the engine's
+checkpoint alone still owns exactly-once.
 """
 
 from __future__ import annotations
@@ -254,6 +258,34 @@ def _advance_position(
     return _canon_offset(end_seq, end_k, end_total)
 
 
+def _parse_max_files(options: dict) -> int | None:
+    """Validated ``max_files_per_microbatch``: a present option must be
+    an integer >= 1. Truthiness-gating (the pre-round-12 behavior)
+    silently DISABLED admission for '0' and negatives — exactly the
+    values a user writes when they mean "throttle hardest" — so a
+    malformed bound now fails the query at plan time instead of
+    unbounding the ingest."""
+    mf = options.get("max_files_per_microbatch")
+    if mf is None:
+        return None
+    try:
+        val = int(mf)
+    except ValueError:
+        val = -1
+    if val < 1:
+        raise ValueError(
+            "max_files_per_microbatch must be an integer >= 1, got "
+            f"{mf!r} (omit the option for an unbounded micro-batch)"
+        )
+    return val
+
+
+def _offset_of_pos(pos: tuple[int, float]) -> dict:
+    """Comparable position -> canonical offset dict (inverse of _pos)."""
+    seq, k = pos
+    return {"seq": seq} if k == float("inf") else {"seq": seq, "nfiles": int(k)}
+
+
 class IcebergStreamReader(SimpleDataSourceStreamReader):
     def __init__(
         self,
@@ -345,24 +377,58 @@ class IcebergBulkStreamReader(DataSourceStreamReader):
         skip_non_appends: bool,
         names: list[str],
         max_files: int | None = None,
+        admission_channel: str | None = None,
     ):
         self.location = location
         self.skip_non_appends = skip_non_appends
         self.names = names
         self.max_files = max_files
+        self.admission_channel = admission_channel
         # consumed position this reader has OBSERVED (seq, files),
         # ratcheted by partitions(); latestOffset bounds its advance
         # from here. The engine's FIRST call each run is latestOffset
         # with no prior initialOffset/partitions (verified against the
         # pyspark runner), and bounding from an unknown floor would
-        # regress offsets after a restart (duplicates) — so the first
-        # micro-batch of every run is UNBOUNDED (correct, just big) and
-        # each later one is admission-controlled: the long-running
-        # processingTime ingest gets real back-pressure, a one-shot
-        # availableNow drain does not. The simple reader's admission is
-        # exact in all cases (its read() receives the checkpointed
-        # start).
+        # regress offsets after a restart (duplicates) — so WITHOUT a
+        # side-channel the first micro-batch of every run is UNBOUNDED
+        # (correct, just big) and each later one is admission-
+        # controlled. ``option("admission_channel", <file path>)``
+        # closes that gap: every planned position is ratcheted (max,
+        # atomic os.replace) into the channel file, and a fresh run's
+        # first latestOffset bounds from the persisted floor — the
+        # engine's own checkpoint still owns exactly-once (the channel
+        # only ever AHEAD of or equal to the write-ahead offset log, so
+        # a crash between plan and commit merely makes one batch
+        # smaller than the bound, never a duplicate or a drop). The
+        # simple reader's admission is exact without any of this (its
+        # read() receives the checkpointed start).
         self._last: tuple[int, float] | None = None
+
+    def _channel_floor(self) -> tuple[int, float] | None:
+        if not self.admission_channel:
+            return None
+        try:
+            with open(self.admission_channel) as f:
+                return _pos(json.load(f))
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _channel_ratchet(self, pos: tuple[int, float]) -> None:
+        """Persist ``max(channel, pos)`` atomically (plain JSON offset
+        dict). Best-effort: an unwritable channel degrades to the
+        unbounded-first-batch behavior, never breaks the stream."""
+        if not self.admission_channel:
+            return
+        cur = self._channel_floor()
+        if cur is not None and cur >= pos:
+            return
+        try:
+            tmp = self.admission_channel + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(_offset_of_pos(pos), f)
+            os.replace(tmp, self.admission_channel)
+        except OSError:
+            pass
 
     def initialOffset(self) -> dict:
         self._last = (0, float("inf"))
@@ -371,13 +437,17 @@ class IcebergBulkStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         meta = _read_meta(self.location)
         chain = _lineage(meta)
-        if self.max_files and self._last is not None:
+        floor = self._last
+        if floor is None:
+            floor = self._channel_floor()
+        if self.max_files and floor is not None:
             off = _advance_position(
-                chain, self._last, self.max_files, self.skip_non_appends
+                chain, floor, self.max_files, self.skip_non_appends
             )
         else:
             off = {"seq": chain[-1]["sequence-number"] if chain else 0}
         self._last = _pos(off)
+        self._channel_ratchet(self._last)
         return off
 
     def partitions(self, start: dict, end: dict):
@@ -388,6 +458,7 @@ class IcebergBulkStreamReader(DataSourceStreamReader):
         )
         if self._last is None or _pos(end) > self._last:
             self._last = _pos(end)
+        self._channel_ratchet(_pos(end))
         # an empty batch still needs one (empty) split: Spark requires
         # at least one partition per planned micro-batch
         if not paths:
@@ -427,11 +498,10 @@ class IcebergNativeStreamSource(DataSource):
         )
 
     def simpleStreamReader(self, schema) -> IcebergStreamReader:
-        mf = self.options.get("max_files_per_microbatch")
         return IcebergStreamReader(
             self.options["path"],
             self.options.get("skip_non_appends", "false").lower() == "true",
-            max_files=int(mf) if mf else None,
+            max_files=_parse_max_files(self.options),
         )
 
 
@@ -466,12 +536,12 @@ class IcebergNativeBulkStreamSource(DataSource):
             for s in meta["schemas"]
             if s["schema-id"] == meta["current-schema-id"]
         )
-        mf = self.options.get("max_files_per_microbatch")
         return IcebergBulkStreamReader(
             self.options["path"],
             self.options.get("skip_non_appends", "false").lower() == "true",
             [f["name"] for f in cur["fields"]],
-            max_files=int(mf) if mf else None,
+            max_files=_parse_max_files(self.options),
+            admission_channel=self.options.get("admission_channel"),
         )
 
 
@@ -621,16 +691,38 @@ def stream_from_iceberg_bulk(spark, sf_dir: str):
     )
 
 
+def _last_committed_offset(ckpt: str) -> dict | None:
+    """Source-0 offset of the checkpoint's last COMMITTED batch, read
+    straight from the offset/commit logs (driver-side kilobyte file
+    reads — the same check an operator runs to ask "is this stream
+    caught up?" without paying a streaming-query startup)."""
+    cdir = os.path.join(ckpt, "commits")
+    try:
+        ids = [int(n) for n in os.listdir(cdir) if n.isdigit()]
+    except OSError:
+        return None
+    if not ids:
+        return None
+    with open(os.path.join(ckpt, "offsets", str(max(ids)))) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    return json.loads(lines[-1])
+
+
 def stream_admission_control(spark, sf_dir: str):
     """Declared query: ``max_files_per_microbatch`` back-pressure. The
-    source table is written with PINNED file counts (3 + 2 + 4 = 9 data
-    files across three append commits), the stream drains with a
-    2-files-per-micro-batch bound, and the output pins the arithmetic:
-    ceil(9/2) = 5 micro-batches, every source row exactly once, a
-    caught-up re-drain contributing zero extra batches. An admission
-    bug shows up as the wrong batch count (bound ignored -> 3 or fewer,
-    off-by-one in the mid-snapshot offset -> 6+), a replayed or dropped
-    file as a row-count/hash mismatch."""
+    source table is written with PINNED file counts (4 + 2 = 6 data
+    files across two append commits), the stream drains with a
+    3-files-per-micro-batch bound, and the output pins the arithmetic:
+    ceil(6/3) = 2 micro-batches — the second one crossing the commit
+    boundary mid-snapshot (1 file of commit 1 + 2 of commit 2) — every
+    source row exactly once, and ``caught_up`` proves exhaustion by
+    comparing the checkpoint's last committed offset against the table
+    tip (kilobyte metadata reads, NOT a third drain: each availableNow
+    run pays a full streaming-session fixed cost, so the caught-up
+    proof reads the logs the engine already wrote). An admission bug
+    shows up as the wrong batch count (bound ignored -> 1, off-by-one
+    in the mid-snapshot offset -> 3+), a replayed or dropped file as a
+    row-count/hash mismatch, a short drain as caught_up=false."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -647,12 +739,13 @@ def stream_admission_control(spark, sf_dir: str):
     src = IcebergNativeTable.create(
         spark,
         _os.path.join(root, "ice"),
-        ev.filter(F.col("event_type") == "click").repartition(3),
+        ev.filter(F.col("event_type") == "click").repartition(4),
     )
     src.append(
-        ev.filter(F.col("event_type") == "purchase").repartition(2)
+        ev.filter(
+            F.col("event_type").isin("purchase", "view")
+        ).repartition(2)
     )
-    src.append(ev.filter(F.col("event_type") == "view").repartition(4))
     try:
         spark.dataSource.register(IcebergNativeStreamSource)
     except Exception as e:
@@ -664,15 +757,19 @@ def stream_admission_control(spark, sf_dir: str):
 
     def sink(b, _epoch) -> None:
         nonlocal n_batches
-        if b.count() > 0:
-            n_batches += 1
-            b.write.mode("append").parquet(out)
+        b.persist()  # one computation: counted AND written from cache
+        try:
+            if b.count() > 0:
+                n_batches += 1
+                b.write.mode("append").parquet(out)
+        finally:
+            b.unpersist()
 
     def drain() -> None:
         q = (
             spark.readStream.format("icebergnative_stream")
             .option("path", src.location)
-            .option("max_files_per_microbatch", "2")
+            .option("max_files_per_microbatch", "3")
             .load()
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
@@ -682,11 +779,14 @@ def stream_admission_control(spark, sf_dir: str):
         )
         q.awaitTermination()
 
-    for _ in range(8):  # bounded batches: re-drain until caught up
-        before = n_batches
-        drain()
-        if n_batches == before:
-            break
+    drain()  # batch 1: 3 files of commit 1
+    drain()  # batch 2: 1 file of commit 1 + 2 of commit 2 (tip)
+    committed = _last_committed_offset(ckpt)
+    tip = _lineage(_read_meta(src.location))[-1]["sequence-number"]
+    caught_up = committed is not None and _pos(committed) >= (
+        tip,
+        float("inf"),
+    )
     emitted = spark.read.parquet(out)
     return emitted.agg(
         F.lit(n_batches).cast("long").alias("n_batches"),
@@ -695,4 +795,5 @@ def stream_admission_control(spark, sf_dir: str):
         F.sum(F.expr("cast(round(value * 100) as bigint)")).alias(
             "value_cents"
         ),
+        F.lit(bool(caught_up)).alias("caught_up"),
     )

@@ -205,3 +205,74 @@ def test_bulk_reader_bounds_after_first_batch(spark, tmp_path):
     growth = batches[1:]
     assert len(growth) >= 3, batches
     assert all(n <= 2 * max_file_rows for n in growth), batches
+
+
+def test_max_files_option_validation():
+    """'0'/negatives/garbage must raise, not silently unbound (r11
+    ADVICE: truthiness-gating made '0' mean 'no limit')."""
+    from iceberg_examples_spark.sources.iceberg_stream_source import (
+        _parse_max_files,
+    )
+
+    assert _parse_max_files({}) is None
+    assert _parse_max_files({"max_files_per_microbatch": "2"}) == 2
+    for bad in ("0", "-3", "x", ""):
+        with pytest.raises(ValueError, match="max_files_per_microbatch"):
+            _parse_max_files({"max_files_per_microbatch": bad})
+
+
+def test_bulk_reader_admission_channel_exact(
+    spark, tmp_path, table_3_commits
+):
+    """The bulk twin of the simple reader's exact-admission drain:
+    with ``admission_channel`` (seeded at {"seq": 0} the way an
+    operator provisions it), EVERY micro-batch — including the first
+    of every availableNow run — admits at most 2 files, the drained
+    union is exact, and the caught-up checkpoint re-drain emits
+    nothing."""
+    import json as _json
+
+    _register(spark, IcebergNativeBulkStreamSource)
+    t = table_3_commits
+    channel = str(tmp_path / "admission.offset")
+    with open(channel, "w") as f:
+        _json.dump({"seq": 0}, f)
+    out_counts = []
+    rows = set()
+
+    def sink(b, _epoch):
+        got = [r["k"] for r in b.select("k").collect()]
+        if got:
+            out_counts.append(len(got))
+            rows.update(got)
+
+    ckpt = str(tmp_path / "ckpt_bulk_channel")
+
+    def drain():
+        q = (
+            spark.readStream.format("icebergnative_stream_bulk")
+            .option("path", t.location)
+            .option("max_files_per_microbatch", "2")
+            .option("admission_channel", channel)
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination()
+
+    for _ in range(12):
+        before = len(out_counts)
+        drain()
+        if len(out_counts) == before:
+            break
+    assert rows == set(range(90))
+    _, _, data, _, _ = t._plan()
+    max_file_rows = max(d["record_count"] for d in data)
+    assert all(n <= 2 * max_file_rows for n in out_counts), out_counts
+    assert len(out_counts) >= 5, out_counts
+    # channel converged on the tip, canonical legacy shape
+    with open(channel) as f:
+        assert _json.load(f) == {"seq": 3}
