@@ -358,6 +358,15 @@ _BOUND_TRUNC = 16  # Iceberg's default write.metadata.metrics string truncation
 # driver memory. Tests patch this down to force the sharded path.
 DV_DRIVER_WRITE_MAX_FILES = 64
 
+# Within the sharded path, target data files per puffin shard: the
+# shard key is (partition, crc32(file_path) % ceil(affected / this)),
+# so a large DV commit on an UNPARTITIONED (or heavily skewed) table
+# still fans out across tasks instead of funneling every bitmap into
+# one applyInPandas group (r11 ADVICE) — the manifest records one
+# entry per target file either way, so several puffin files per
+# partition are spec-fine. Tests patch this down to force sub-shards.
+DV_SHARD_TARGET_FILES = 32
+
 
 def encode_bound(ice_type: str, value) -> bytes | None:
     """Spec single-value serialization: little-endian fixed-width for
@@ -1733,7 +1742,21 @@ class IcebergNativeTable:
 
         meta, version = self._read_tree()
         snap = self._snapshot(meta, snapshot_id)
-        sch = self._current_schema(meta)
+        # resolve names/field-ids from the schema the SCAN will project
+        # to: the snapshot's recorded schema for a non-current snapshot
+        # (after a rename/add, resolving from the current schema either
+        # failed the scan or attributed NDVs to the wrong field ids —
+        # r11 ADVICE), the table's current schema at the tip (a
+        # schema-only ALTER commits no snapshot, so the tip snapshot's
+        # recorded schema-id legitimately lags the table's).
+        if snap["snapshot-id"] == meta.get("current-snapshot-id"):
+            sch = self._current_schema(meta)
+        else:
+            sid = snap.get("schema-id", meta["current-schema-id"])
+            sch = next(
+                (s for s in meta["schemas"] if s["schema-id"] == sid),
+                self._current_schema(meta),
+            )
         name2id = {f["name"]: f["id"] for f in sch["fields"]}
         cols = columns or [f["name"] for f in sch["fields"]]
         unknown = [c for c in cols if c not in name2id]
@@ -1793,6 +1816,72 @@ class IcebergNativeTable:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._publish_metadata(meta, version)
         return path
+
+    def _theta_smallest_hashes(
+        self, df: DataFrame, col: str, ice_type: str, k: int
+    ) -> list[int]:
+        """The (at most) k+1 SMALLEST distinct theta hashes of a
+        column — the only driver-visible artifact of the theta build,
+        bounded at k+1 longs regardless of data size. Plan shape:
+        mapInArrow computes each batch's hashes (numpy-vectorized
+        murmur for 8-byte long/double payloads, scalar murmur over the
+        spec single-value serialization otherwise), pre-truncated to
+        its batch-local k+1 smallest (a hash outside its batch's k+1
+        smallest cannot be in the global k+1 smallest), then a
+        distributed DISTINCT + ORDER BY + LIMIT k+1 merges — per-
+        partition top-k, kilobytes to the driver, no full-column
+        collect anywhere."""
+        import numpy as np
+
+        from iceberg_examples_spark.functions import theta as TH
+
+        fixed8 = ice_type in ("long", "double")
+        it = ice_type
+
+        def gen(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                arr = batch.column(0).drop_null()
+                if len(arr) == 0:
+                    continue
+                if fixed8:
+                    if it == "long":
+                        v = arr.to_numpy(zero_copy_only=False).astype(
+                            np.int64
+                        )
+                    else:
+                        v = (
+                            arr.to_numpy(zero_copy_only=False)
+                            .astype(np.float64)
+                            .view(np.int64)
+                        )
+                    hs = TH.hash_longs8_le(np.unique(v))
+                else:
+                    uniq = set(arr.to_pylist())
+                    hs = np.fromiter(
+                        (
+                            TH.value_hash(b)
+                            for u in uniq
+                            if (b := encode_bound(it, u)) is not None
+                        ),
+                        dtype=np.uint64,
+                        count=-1,
+                    )
+                hs = np.unique(hs[hs != 0])  # sorted ascending
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(hs[: k + 1].astype(np.int64))], ["h"]
+                )
+
+        rows = (
+            df.select(F.col(col).alias("c"))
+            .mapInArrow(gen, "h long")
+            .distinct()
+            .orderBy("h")
+            .limit(k + 1)
+            .collect()
+        )
+        return [r["h"] for r in rows]
 
     def statistics_df(self, snapshot_id: int | None = None) -> DataFrame:
         """The registered table-statistics blobs for a snapshot
@@ -4659,15 +4748,25 @@ class IcebergNativeTable:
         seq: int,
     ) -> list[dict]:
         """Executor-side sharded puffin write for large DV commits: one
-        puffin file per PARTITION, written inside the task that owns
-        that partition's coordinates. The driver ships a broadcast
-        (file_path -> partition-shard key) map — bounded by
-        affected-file count, the same metadata scale every planner hop
-        already pays — and collects back only BlobMetadata rows.
-        Bitmap bytes never touch the driver."""
+        puffin file per (partition, file-hash bucket) shard, written
+        inside the task that owns that shard's coordinates. The bucket
+        count derives from the affected-file count (ceil(affected /
+        DV_SHARD_TARGET_FILES)), so an unpartitioned or skewed table
+        fans out across tasks instead of collapsing into one group.
+        The driver ships a broadcast (file_path -> shard key) map —
+        bounded by affected-file count, the same metadata scale every
+        planner hop already pays — and collects back only BlobMetadata
+        rows. Bitmap bytes never touch the driver."""
+        import math as _math
+        import zlib as _zlib
+
         spark = coords.sparkSession
+        n_sub = max(
+            1, _math.ceil(len(affected) / max(1, DV_SHARD_TARGET_FILES))
+        )
         shard_of = {
             u: json.dumps(part_by_uri.get(u, {}), sort_keys=True, default=str)
+            + f"#{_zlib.crc32(u.encode()) % n_sub}"
             for u in affected
         }
         part_of_shard = {
@@ -5977,7 +6076,11 @@ def iceberg_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts' lus bumped to seq 4), then compact (snapshot 5: lineage
     materializes physically, changelog contributes NOTHING — the proof
     identity survives the rewrite). The oracle recomputes ids as a
-    rank and each commit's logical change from the predicates."""
+    rank and each commit's logical change from the predicates. Runs on
+    a deterministic 1/3 orders slice (o_orderkey % 3 = 0, oracle
+    filtered identically) — the lifecycle is 5 commits by design and
+    the slice keeps its fixed cost proportionate without touching any
+    of the arithmetic assertions."""
     from iceberg_examples_spark.catalog import load_table, scratch_dir
     from iceberg_examples_spark.functions.exact import money_sum_sql
 
@@ -5985,6 +6088,7 @@ def iceberg_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") % 3 == 0)
         .repartition(1)
         .sortWithinPartitions("o_orderkey")
     )

@@ -2270,6 +2270,49 @@ def test_deletion_vector_sharded_executor_write(
     assert t.rewrite_position_deletes() == 0
 
 
+def test_deletion_vector_subshard_unpartitioned(
+    spark, tmp_path, monkeypatch
+):
+    """The r11 ADVICE scenario: a large DV commit on an UNPARTITIONED
+    table must not collapse into one applyInPandas group. With the
+    shard target patched to 2, the (partition, crc32(path) % n_sub)
+    key fans the write across multiple puffin files while manifests,
+    merge-supersede, and the scan stay exact."""
+    from iceberg_examples_spark.sources import iceberg_native as inat
+    from iceberg_examples_spark.sources.puffin import (
+        decode_deletion_vector,
+        read_blob,
+    )
+
+    monkeypatch.setattr(inat, "DV_DRIVER_WRITE_MAX_FILES", 0)
+    monkeypatch.setattr(inat, "DV_SHARD_TARGET_FILES", 2)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(120)], "k long, v double"
+    ).repartition(8)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.upgrade_format_version(3)
+    t.delete_where(F.col("k") % 2 == 0, "merge-on-read")  # hits all files
+    assert t.scan().count() == 60
+    _, _, _, pos, _ = t._plan()
+    assert pos and all(d["file_format"] == "PUFFIN" for d in pos)
+    # 8 affected files / target 2 -> 4 hash buckets: >1 puffin file on
+    # a single (empty) partition, none carrying more than a bucket's
+    # share, every entry still unpartitioned-scoped
+    puffins = {d["path"] for d in pos}
+    assert len(puffins) > 1, puffins
+    assert all(d["partition"] == {} for d in pos)
+    for d in pos:
+        positions = decode_deletion_vector(
+            read_blob(
+                d["path"], d["content_offset"], d["content_size_in_bytes"]
+            )
+        )
+        assert len(positions) == d["record_count"]
+    assert sorted(r["k"] for r in t.scan().select("k").collect()) == list(
+        range(1, 120, 2)
+    )
+
+
 def test_changelog_over_deletion_vectors(spark, tmp_path):
     """changelog_df on a v3 table: a DV commit's affected files come
     from the manifest's referenced_data_file (no parquet read of a
@@ -2503,6 +2546,56 @@ def test_table_statistics_roundtrip(spark, tmp_path):
     assert got2 == {"k": 101, "s": 3}
     with pytest.raises(ValueError, match="unknown columns"):
         t.write_table_statistics(columns=["nope"])
+
+
+def test_table_statistics_snapshot_schema(spark, tmp_path):
+    """Stats for a NON-current snapshot resolve names and field ids
+    from that snapshot's recorded schema, not the table's current one
+    (r11 ADVICE: after a rename/add, current-schema resolution either
+    failed the scan or attributed NDVs to the wrong ids). Lifecycle:
+    snapshot 1 under (k, v), rename v->w + add extra, snapshot 2 —
+    stats for snapshot 1 must speak 'v' (field id 2), stats at the tip
+    must speak 'w' and see the appended rows."""
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    first = t._metadata()["current-snapshot-id"]
+    t.update_schema(rename={"v": "w"}, add=[("extra", "string")])
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, 50.0 + i, "x") for i in range(3)],
+            "k long, w double, extra string",
+        )
+    )
+    # old snapshot: old row set (ndv 7 proves snapshot 1 was scanned,
+    # not the tip), ids from the snapshot's schema; display names
+    # resolve by field id through the CURRENT schema — the planner's
+    # mapping — so the renamed column reads back as 'w'
+    t.write_table_statistics(snapshot_id=first)
+    got = {
+        r["column_name"]: r["ndv"]
+        for r in t.statistics_df(snapshot_id=first).collect()
+    }
+    assert got == {"k": 50, "w": 7}
+    fields = {
+        f["name"]: f["id"]
+        for s in t._metadata()["schemas"]
+        for f in s["fields"]
+    }
+    blob_ids = {
+        b["fields"][0]
+        for e in t._metadata()["statistics"]
+        if e["snapshot-id"] == first
+        for b in e["blob-metadata"]
+    }
+    assert blob_ids == {fields["k"], fields["w"]}  # 'v' kept its id
+    # tip: renamed + added columns, appended rows included
+    t.write_table_statistics()
+    got2 = {
+        r["column_name"]: r["ndv"] for r in t.statistics_df().collect()
+    }
+    assert got2 == {"k": 53, "w": 10, "extra": 1}
 
 
 def test_v3_default_values_lifecycle(spark, tmp_path):
