@@ -213,6 +213,41 @@ def _run_incremental(spark, sf_dir: str, cold: bool) -> float:
 COUNT_ONLY = {"filter_conj", "join_inner", "sort_multi", "union_all", "scan_full"}
 
 
+def _reset_session_state(spark) -> None:
+    """Between-query state reset so the committed bench measures each
+    QUERY, not its neighbors. Round-11 evidence: ten shared queries
+    read >1.4x slower in the committed rotation while all four
+    fixed-work canaries IMPROVED, and the starkest case
+    (stream_late_data 13.7 s committed vs 1.80 s fresh, code unchanged
+    since r9) pointed at session state accumulated by earlier queries
+    — lingering streaming state-store maintenance, cached plans/relations,
+    temp views, and JVM garbage from heavy lifecycle scenarios. Reset:
+    stop any stray streams, drop cached data + temp views, and ask the
+    JVM for a full GC so each query starts from a comparable heap."""
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+    except Exception:
+        pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    except Exception:
+        pass
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def run_one(spark, name: str, sf_dir: str) -> float:
     if name == "curation_incremental_cold":
         return _run_incremental(spark, sf_dir, cold=True)
@@ -254,6 +289,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
+        _reset_session_state(spark)
         runs = sorted(run_one(spark, name, sf_dir) for _ in range(3))
         timings[name] = round(runs[0], 4)
         medians[name] = round(runs[1], 4)

@@ -1,0 +1,296 @@
+"""Apache DataSketches *theta* sketch — the Puffin spec's standardized
+NDV blob type (``apache-datasketches-theta-v1``) — in pure Python.
+
+The Iceberg spec standardizes theta for table-statistics NDV blobs;
+rounds 10-11 shipped honest HLL payloads instead (Spark can emit and
+re-estimate those natively) with the deviation documented. This module
+closes the gap the way CRC-32C was closed: pin the PUBLIC encoding from
+the published format documents and test vectors, with no library
+dependency.
+
+Three public layers:
+
+- ``murmur3_x64_128(data, seed)`` — the 128-bit MurmurHash3 variant
+  (Austin Appleby's public-domain reference, the function DataSketches
+  documents for all its hashing; seed 9001 is DataSketches'
+  DEFAULT_UPDATE_SEED). Pinned by the mmh3 library's published vectors.
+- ``value_hash(encoded)`` — a theta update hash for one serialized
+  value: ``h1 >>> 1`` (first 64 bits, forced non-negative), zero
+  discarded — exactly the update path DataSketches documents. Iceberg
+  feeds the SPEC'S single-value serialization of each column value
+  (this repo's ``encode_bound``) into this.
+- ``serialize_compact`` / ``deserialize_compact`` / ``estimate`` — the
+  compact-ordered sketch wire format (serial version 3): 8-byte
+  preamble words, little-endian, family 3 (COMPACT), flags
+  READ_ONLY|COMPACT|ORDERED (|EMPTY), 16-bit seed hash, entry count,
+  optional theta long, then the sorted retained hashes. Exact mode
+  (preamble 2) when every distinct hash is retained; estimation mode
+  (preamble 3) carries theta. The single-item special form is never
+  WRITTEN (the exact form with one entry is spec-legal and every
+  reader accepts it) but IS read.
+
+Sketch construction here is KMV-style ("bottom-k"): retain the k
+smallest distinct hashes, theta = the (k+1)-th smallest. Any (theta,
+{hashes < theta}) pair is a valid theta sketch — the model does not
+care how theta was chosen — and the bottom-k choice lets the heavy
+lifting run as a distributed ``ORDER BY hash LIMIT k+1`` instead of a
+streamed quickselect, which is the right shape for a 100 TB scan:
+hash column + top-k per partition, merged on the driver at kilobyte
+scale. Estimate = k / (theta / 2^63-1), the KMV estimator (rse ~
+1/sqrt(k-1); k=4096 default keeps it well under 2%).
+
+Reference files: the reference repo demonstrates stock Iceberg tables
+(IcebergHadoopTables.java) and never touches statistics; this layer
+implements the public Iceberg "Table statistics" + Puffin spec
+sections against them.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MASK64 = (1 << 64) - 1
+C1 = 0x87C37B91114253D5
+C2 = 0x4CF5AD432745937F
+
+# DataSketches constants (public: sketches-core documentation)
+DEFAULT_UPDATE_SEED = 9001
+DEFAULT_LG_K = 12  # nominal entries k = 4096
+MAX_THETA = (1 << 63) - 1  # Long.MAX_VALUE: "theta = 1.0"
+
+SERIAL_VERSION = 3
+FAMILY_COMPACT = 3
+FLAG_BIG_ENDIAN = 1
+FLAG_READ_ONLY = 2
+FLAG_EMPTY = 4
+FLAG_COMPACT = 8
+FLAG_ORDERED = 16
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & MASK64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & MASK64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3 x64 128 (reference algorithm): returns (h1, h2) as
+    unsigned 64-bit ints."""
+    length = len(data)
+    h1 = seed & MASK64
+    h2 = seed & MASK64
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, i * 16)
+        k1 = (k1 * C1) & MASK64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * C2) & MASK64
+        h1 ^= k1
+        h1 = _rotl(h1, 27)
+        h1 = (h1 + h2) & MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & MASK64
+        k2 = (k2 * C2) & MASK64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * C1) & MASK64
+        h2 ^= k2
+        h2 = _rotl(h2, 31)
+        h2 = (h2 + h1) & MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & MASK64
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    tl = len(tail)
+    if tl > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * C2) & MASK64
+        k2 = _rotl(k2, 33)
+        k2 = (k2 * C1) & MASK64
+        h2 ^= k2
+    if tl > 0:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = (k1 * C1) & MASK64
+        k1 = _rotl(k1, 31)
+        k1 = (k1 * C2) & MASK64
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & MASK64
+    h2 = (h2 + h1) & MASK64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & MASK64
+    h2 = (h2 + h1) & MASK64
+    return h1, h2
+
+
+def compute_seed_hash(seed: int = DEFAULT_UPDATE_SEED) -> int:
+    """DataSketches seed hash: low 16 bits of murmur3_x64_128 over the
+    8-byte little-endian seed, hashed with seed 0. Guards the
+    cross-sketch seed agreement; must not be 0."""
+    h1, _ = murmur3_x64_128(struct.pack("<q", seed), 0)
+    sh = h1 & 0xFFFF
+    if sh == 0:
+        raise ValueError(f"seed {seed} hashes to the reserved 0 seed-hash")
+    return sh
+
+
+def value_hash(encoded: bytes, seed: int = DEFAULT_UPDATE_SEED) -> int:
+    """Theta update hash of one serialized value: first 64 bits of the
+    murmur, unsigned-shifted right by 1 (DataSketches keeps hashes in
+    [1, 2^63); 0 is discarded by callers)."""
+    h1, _ = murmur3_x64_128(encoded, seed)
+    return h1 >> 1
+
+
+def hash_longs8_le(values) -> "object":
+    """Vectorized murmur3_x64_128 theta hash for FIXED 8-byte
+    little-endian inputs (int64/float64 single-value serialization) —
+    the 100 TB fast path. An 8-byte input has no full 16-byte block:
+    the whole hash is one k1-tail round plus finalization, which
+    vectorizes cleanly with numpy uint64 arithmetic (the same trick the
+    bucket transform uses for murmur3_32). ~100x the scalar loop.
+
+    ``values``: numpy int64/uint64 array of the little-endian 8-byte
+    payloads reinterpreted as integers. Returns uint64 array of
+    ``h1 >>> 1``."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = values.astype(np.uint64, copy=False)
+        seed = np.uint64(DEFAULT_UPDATE_SEED)
+        c1 = np.uint64(C1)
+        c2 = np.uint64(C2)
+        k1 = v * c1
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 = k1 * c2
+        h1 = seed ^ k1
+        h1 = h1 ^ np.uint64(8)
+        h2 = seed ^ np.uint64(8)
+        h1 = h1 + h2
+        h2 = h2 + h1
+
+        def fmix(k):
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xFF51AFD7ED558CCD)
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xC4CEB9FE1A85EC53)
+            return k ^ (k >> np.uint64(33))
+
+        h1 = fmix(h1)
+        h2 = fmix(h2)
+        h1 = h1 + h2
+        return h1 >> np.uint64(1)
+
+
+def serialize_compact(
+    hashes: list[int],
+    theta: int = MAX_THETA,
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> bytes:
+    """Compact-ordered theta sketch, serial version 3. ``hashes`` are
+    the retained values (each in [1, theta)); sorted ascending on the
+    wire as ORDERED requires."""
+    sh = compute_seed_hash(seed)
+    retained = sorted(set(hashes))
+    if any(h <= 0 or h >= (1 << 63) for h in retained):
+        raise ValueError("theta hash values must be in [1, 2^63)")
+    if retained and retained[-1] >= theta:
+        raise ValueError("retained hashes must be < theta")
+    flags = FLAG_READ_ONLY | FLAG_COMPACT | FLAG_ORDERED
+    if not retained and theta == MAX_THETA:
+        return struct.pack(
+            "<BBBBBBH",
+            1,
+            SERIAL_VERSION,
+            FAMILY_COMPACT,
+            0,
+            0,
+            flags | FLAG_EMPTY,
+            sh,
+        )
+    pre_longs = 2 if theta == MAX_THETA else 3
+    out = bytearray(
+        struct.pack(
+            "<BBBBBBH",
+            pre_longs,
+            SERIAL_VERSION,
+            FAMILY_COMPACT,
+            0,
+            0,
+            flags,
+            sh,
+        )
+    )
+    out += struct.pack("<Ii", len(retained), 0)
+    if pre_longs == 3:
+        out += struct.pack("<q", theta)
+    for h in retained:
+        out += struct.pack("<q", h)
+    return bytes(out)
+
+
+def deserialize_compact(
+    payload: bytes, seed: int = DEFAULT_UPDATE_SEED
+) -> tuple[int, list[int]]:
+    """Parse a compact theta sketch -> (theta, retained hashes).
+    Accepts the empty (preamble 1), exact (2), estimation (3) forms
+    plus the Java single-item form (preamble 1, non-empty flags, one
+    trailing hash). Validates the seed hash."""
+    if len(payload) < 8:
+        raise ValueError("theta sketch payload shorter than its preamble")
+    pre_longs, ser_ver, family, _lgn, _lga, flags, sh = struct.unpack_from(
+        "<BBBBBBH", payload, 0
+    )
+    if ser_ver != SERIAL_VERSION:
+        raise ValueError(f"unsupported theta serial version {ser_ver}")
+    if family != FAMILY_COMPACT:
+        raise ValueError(f"not a compact theta sketch (family {family})")
+    if sh != compute_seed_hash(seed):
+        raise ValueError("theta sketch seed hash mismatch")
+    if flags & FLAG_EMPTY:
+        return MAX_THETA, []
+    if pre_longs == 1:
+        # Java's SingleItemSketch: one hash straight after the preamble
+        (h,) = struct.unpack_from("<q", payload, 8)
+        return MAX_THETA, [h]
+    (count,) = struct.unpack_from("<I", payload, 8)
+    offset = 16
+    theta = MAX_THETA
+    if pre_longs >= 3:
+        (theta,) = struct.unpack_from("<q", payload, 16)
+        offset = 24
+    hashes = list(
+        struct.unpack_from(f"<{count}q", payload, offset) if count else ()
+    )
+    return theta, hashes
+
+
+def estimate(payload: bytes, seed: int = DEFAULT_UPDATE_SEED) -> float:
+    """NDV estimate of a serialized compact sketch: exact count when
+    theta is 1.0, count / (theta/2^63-1) otherwise."""
+    theta, hashes = deserialize_compact(payload, seed)
+    if theta == MAX_THETA:
+        return float(len(hashes))
+    return len(hashes) / (theta / MAX_THETA)
+
+
+def build_from_hashes(
+    smallest: list[int],
+    k: int = 1 << DEFAULT_LG_K,
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> bytes:
+    """Build the serialized sketch from the (at most) k+1 SMALLEST
+    distinct hashes of the dataset — the output of a distributed
+    ``SELECT DISTINCT hash ORDER BY hash LIMIT k+1``. With <= k
+    distinct hashes the sketch is exact; with k+1 the (k+1)-th becomes
+    theta and the first k are retained (KMV)."""
+    s = sorted(set(smallest))
+    if len(s) <= k:
+        return serialize_compact(s, MAX_THETA, seed)
+    return serialize_compact(s[:k], s[k], seed)
