@@ -1707,6 +1707,7 @@ class IcebergNativeTable:
         self,
         snapshot_id: int | None = None,
         columns: list[str] | None = None,
+        sketches: tuple = ("theta", "hll"),
     ) -> str:
         """Write the spec's TABLE STATISTICS file — a Puffin container
         registered under metadata.json's ``statistics`` field
@@ -1722,18 +1723,24 @@ class IcebergNativeTable:
           100 TB swap the count_distinct for hll_sketch_estimate over
           the same sketch column and the whole artifact is one pass —
           identical machinery, approximate property.
-        - the blob PAYLOAD is the column's Apache DataSketches HLL
-          sketch exactly as Spark's ``hll_sketch_agg`` emits it — a
-          portable, documented encoding (readable by DataSketches
-          java/cpp/py and Spark's hll_* functions), typed
-          ``apache-datasketches-hll-v1``. The spec standardizes theta
-          (``apache-datasketches-theta-v1``); per the Puffin spec
-          readers skip blob types they don't recognize, and the ndv
-          property above carries the planning value either way — so
-          this trades theta interop for a payload we can generate
-          honestly instead of fabricating bytes we can't.
+        - blob PAYLOADS, one blob per (column, sketch type) for the
+          types in ``sketches``:
 
-        Columns default to every top-level column; sketch-unsupported
+          * ``apache-datasketches-theta-v1`` — the SPEC'S standardized
+            NDV blob type: a compact-ordered theta sketch (serial v3,
+            default seed) built KMV-style from the k+1 smallest
+            distinct murmur hashes of the spec single-value
+            serialization of each value (functions/theta.py pins the
+            wire format and hash against published vectors, the way
+            CRC-32C was pinned). External DataSketches readers union /
+            estimate these directly.
+          * ``apache-datasketches-hll-v1`` — the column's HLL sketch
+            exactly as Spark's ``hll_sketch_agg`` emits it, kept
+            alongside because Spark can RE-ESTIMATE it natively
+            (hll_sketch_estimate), making payload honesty verifiable
+            through an engine we don't maintain.
+
+        Columns default to every top-level column; HLL-unsupported
         types (doubles, dates...) sketch their canonical string form —
         distinctness is preserved. Statistics for the same snapshot are
         replaced (the spec allows at most one stats file per snapshot).
@@ -1772,24 +1779,45 @@ class IcebergNativeTable:
         aggs = []
         for c in cols:
             aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
-            sk = (
-                F.col(c)
-                if type_of.get(c) in sketchable
-                else F.col(c).cast("string")
-            )
-            aggs.append(F.hll_sketch_agg(sk).alias(f"hll_{c}"))
+            if "hll" in sketches:
+                sk = (
+                    F.col(c)
+                    if type_of.get(c) in sketchable
+                    else F.col(c).cast("string")
+                )
+                aggs.append(F.hll_sketch_agg(sk).alias(f"hll_{c}"))
         row = df.agg(*aggs).collect()[0]
-        blobs = [
-            {
-                "payload": bytes(row[f"hll_{c}"]),
-                "type": "apache-datasketches-hll-v1",
-                "fields": [name2id[c]],
-                "snapshot-id": snap["snapshot-id"],
-                "sequence-number": snap.get("sequence-number", 0),
-                "properties": {"ndv": str(row[f"ndv_{c}"])},
-            }
-            for c in cols
-        ]
+        blobs = []
+        if "theta" in sketches:
+            from iceberg_examples_spark.functions import theta as TH
+
+            k = 1 << TH.DEFAULT_LG_K
+            for c in cols:
+                smallest = self._theta_smallest_hashes(
+                    df, c, type_of.get(c, "string"), k
+                )
+                blobs.append(
+                    {
+                        "payload": TH.build_from_hashes(smallest, k),
+                        "type": "apache-datasketches-theta-v1",
+                        "fields": [name2id[c]],
+                        "snapshot-id": snap["snapshot-id"],
+                        "sequence-number": snap.get("sequence-number", 0),
+                        "properties": {"ndv": str(row[f"ndv_{c}"])},
+                    }
+                )
+        if "hll" in sketches:
+            blobs.extend(
+                {
+                    "payload": bytes(row[f"hll_{c}"]),
+                    "type": "apache-datasketches-hll-v1",
+                    "fields": [name2id[c]],
+                    "snapshot-id": snap["snapshot-id"],
+                    "sequence-number": snap.get("sequence-number", 0),
+                    "properties": {"ndv": str(row[f"ndv_{c}"])},
+                }
+                for c in cols
+            )
         path = os.path.join(
             self.meta_dir,
             f"stats-{snap['snapshot-id']}-{uuid.uuid4().hex[:8]}.puffin",
@@ -1817,8 +1845,9 @@ class IcebergNativeTable:
         self._publish_metadata(meta, version)
         return path
 
+    @staticmethod
     def _theta_smallest_hashes(
-        self, df: DataFrame, col: str, ice_type: str, k: int
+        df: DataFrame, col: str, ice_type: str, k: int
     ) -> list[int]:
         """The (at most) k+1 SMALLEST distinct theta hashes of a
         column — the only driver-visible artifact of the theta build,
@@ -6126,14 +6155,19 @@ def iceberg_changelog_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-statistics round trip (spec: the ``statistics`` metadata
-    field + Puffin stats file): write per-column NDV blobs for the
-    current snapshot, then read them BACK through statistics_df() and
-    prove both layers — the ndv property equals the exact distinct
-    count (oracle-verified per column), and the HLL sketch payload is
-    real: re-estimating each blob's bytes with hll_sketch_estimate
-    lands within 5% of the exact value (``sketch_ok``). A fabricated
-    payload or a stale registration hash-mismatches immediately."""
+    field + Puffin stats file): write per-column NDV blobs — BOTH the
+    spec's standardized ``apache-datasketches-theta-v1`` and the
+    Spark-verifiable ``apache-datasketches-hll-v1`` — for the current
+    snapshot, read them BACK through statistics_df(), and prove every
+    layer: the ndv property equals the exact distinct count
+    (oracle-verified per column), the HLL payload re-estimates within
+    5% through Spark's own hll_sketch_estimate, and the theta payload
+    re-estimates within 5% through the repo's format-pinned decoder.
+    ``sketch_ok`` ANDs all of it; a fabricated payload, a wrong wire
+    byte, or a stale registration hash-mismatches immediately."""
     from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions import theta as TH
+    from iceberg_examples_spark.sources.puffin import read_blob
 
     loc = scratch_dir(sf_dir, "iceberg_table_statistics", fresh=True)
     orders = load_table(spark, sf_dir, "orders").select(
@@ -6142,35 +6176,52 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = IcebergNativeTable.create(spark, loc, orders)
     t.write_table_statistics()
     stats = t.statistics_df()
-    # decode every blob payload and re-estimate: payload honesty check
-    from iceberg_examples_spark.sources.puffin import read_blob
-
     coords = stats.select(
-        "column_name", "ndv", "statistics_path", "offset", "length"
+        "column_name", "blob_type", "ndv", "statistics_path", "offset",
+        "length",
     ).collect()
-    est_rows = [
-        (
-            r["column_name"],
-            read_blob(r["statistics_path"], r["offset"], r["length"]),
-        )
-        for r in coords
-    ]
-    est = (
-        spark.createDataFrame(est_rows, "column_name string, sk binary")
+    # theta honesty: decode + KMV-estimate each spec blob driver-side
+    # (payloads are <= ~32 KiB each); hll honesty: re-estimate through
+    # the JVM, an implementation we don't maintain
+    theta_rows, hll_rows = [], []
+    for r in coords:
+        payload = read_blob(r["statistics_path"], r["offset"], r["length"])
+        if r["blob_type"] == "apache-datasketches-theta-v1":
+            est = TH.estimate(payload)
+            theta_rows.append(
+                (
+                    r["column_name"],
+                    bool(abs(est - r["ndv"]) <= max(1.0, 0.05 * r["ndv"])),
+                )
+            )
+        else:
+            hll_rows.append((r["column_name"], payload))
+    theta_df = spark.createDataFrame(
+        theta_rows, "column_name string, theta_ok boolean"
+    )
+    hll_est = (
+        spark.createDataFrame(hll_rows, "column_name string, sk binary")
         .select(
             "column_name",
             F.hll_sketch_estimate("sk").alias("est"),
         )
     )
     return (
-        stats.select("column_name", "ndv")
-        .join(est, "column_name")
+        stats.filter(
+            F.col("blob_type") == "apache-datasketches-theta-v1"
+        )
+        .select("column_name", "ndv")
+        .join(hll_est, "column_name")
+        .join(theta_df, "column_name")
         .select(
             "column_name",
             "ndv",
             (
-                F.abs(F.col("est") - F.col("ndv"))
-                <= F.lit(0.05) * F.col("ndv")
+                (
+                    F.abs(F.col("est") - F.col("ndv"))
+                    <= F.lit(0.05) * F.col("ndv")
+                )
+                & F.col("theta_ok")
             ).alias("sketch_ok"),
         )
         .orderBy("column_name")

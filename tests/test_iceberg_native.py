@@ -2487,12 +2487,13 @@ def test_row_lineage_lifecycle(spark, tmp_path):
 
 def test_table_statistics_roundtrip(spark, tmp_path):
     """statistics metadata field: one puffin stats file per snapshot,
-    blob per column with exact ndv property + real HLL payload;
-    re-writing for the same snapshot REPLACES the entry; footer size
-    accounts for every byte after the last blob; unregistered
-    snapshots raise."""
+    TWO blobs per column (spec theta + Spark-verifiable HLL) with
+    exact ndv property + real payloads; re-writing for the same
+    snapshot REPLACES the entry; footer size accounts for every byte
+    after the last blob; unregistered snapshots raise."""
     import os as _os
 
+    from iceberg_examples_spark.functions import theta as TH
     from iceberg_examples_spark.sources.puffin import (
         read_blob,
         read_puffin_footer,
@@ -2506,16 +2507,33 @@ def test_table_statistics_roundtrip(spark, tmp_path):
     with pytest.raises(ValueError, match="no table statistics"):
         t.statistics_df()
     p1 = t.write_table_statistics()
+    rows = t.statistics_df().collect()
     got = {
-        r["column_name"]: r for r in t.statistics_df().collect()
+        (r["column_name"], r["blob_type"]): r for r in rows
     }
-    assert got["k"]["ndv"] == 100
-    assert got["s"]["ndv"] == 2
-    assert got["v"]["ndv"] == 5
-    assert all(
-        r["blob_type"] == "apache-datasketches-hll-v1"
-        for r in got.values()
-    )
+    assert {bt for _, bt in got} == {
+        "apache-datasketches-theta-v1",
+        "apache-datasketches-hll-v1",
+    }
+    ndvs = {c: r["ndv"] for (c, _), r in got.items()}
+    assert ndvs == {"k": 100, "s": 2, "v": 5}
+    # theta payloads: small sketches are EXACT — decode + estimate
+    # through the format-pinned reader
+    for (c, bt), r in got.items():
+        if bt != "apache-datasketches-theta-v1":
+            continue
+        payload = read_blob(
+            r["statistics_path"], r["offset"], r["length"]
+        )
+        theta, hashes = TH.deserialize_compact(payload)
+        assert theta == TH.MAX_THETA  # ndv << k: exact mode
+        assert len(hashes) == r["ndv"]
+        assert TH.estimate(payload) == r["ndv"]
+    got = {
+        c: r
+        for (c, bt), r in got.items()
+        if bt == "apache-datasketches-hll-v1"
+    }
     # blob coordinates index the real file; footer math closes
     ft = read_puffin_footer(p1)
     meta_entry = t._metadata()["statistics"][0]
@@ -2538,12 +2556,16 @@ def test_table_statistics_roundtrip(spark, tmp_path):
     # same-snapshot rewrite replaces, new snapshot appends
     t.write_table_statistics(columns=["k"])
     assert len(t._metadata()["statistics"]) == 1
-    assert t.statistics_df().count() == 1
+    assert t.statistics_df().count() == 2  # theta + hll for one column
     t.append(spark.createDataFrame([(100, "c", 9.0)], "k long, s string, v double"))
     t.write_table_statistics(columns=["k", "s"])
     assert len(t._metadata()["statistics"]) == 2
     got2 = {r["column_name"]: r["ndv"] for r in t.statistics_df().collect()}
     assert got2 == {"k": 101, "s": 3}
+    # sketch selection: hll-only keeps the pre-theta shape
+    t.write_table_statistics(columns=["k"], sketches=("hll",))
+    only = t.statistics_df().collect()
+    assert [r["blob_type"] for r in only] == ["apache-datasketches-hll-v1"]
     with pytest.raises(ValueError, match="unknown columns"):
         t.write_table_statistics(columns=["nope"])
 
