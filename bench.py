@@ -191,6 +191,8 @@ HEADLINE = [
     "iceberg_table_statistics",
     "object_store_listing",
     "stream_admission_control",
+    # round-12: the bulk-reader admission twin (admission_channel)
+    "stream_admission_bulk",
     "iceberg_default_values",
     "iceberg_rewrite_datafiles",
     "iceberg_refs",
@@ -274,9 +276,21 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="ies-bench")
 
+    # Order-effect probe (round-11 verdict): SPARK_GRAFT_BENCH_SHUFFLE=<seed>
+    # measures the same queries in a seeded-shuffled order. With the
+    # between-query state reset, a shuffled run should match the
+    # committed order within canary noise — that equality is the
+    # evidence the committed bench measures queries, not neighbors.
+    order = list(HEADLINE)
+    shuffle_seed = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE")
+    if shuffle_seed:
+        import random
+
+        random.Random(int(shuffle_seed)).shuffle(order)
+
     # JVM/codegen warmup on the smallest sf (not measured)
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in order:
         try:
             run_one(spark, name, warm_dir)
         except Exception:
@@ -288,7 +302,7 @@ def main() -> None:
     # delta can be read as regression vs noise.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in order:
         _reset_session_state(spark)
         runs = sorted(run_one(spark, name, sf_dir) for _ in range(3))
         timings[name] = round(runs[0], 4)

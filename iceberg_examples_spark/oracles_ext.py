@@ -3768,6 +3768,20 @@ SELECT CAST(2 AS BIGINT) AS n_batches,
 FROM events WHERE event_type IN ('click', 'purchase', 'view')
 """
 
+# stream_admission_bulk: the executor-parallel twin — identical
+# arithmetic THROUGH the bulk reader + admission_channel (the side-
+# channel is what makes its first batch bound exactly); any divergence
+# from the simple flavor's numbers isolates a bulk-path admission bug.
+EXT_ORACLES["stream_admission_bulk"] = """
+SELECT CAST(2 AS BIGINT) AS n_batches,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       true AS caught_up
+FROM events WHERE event_type IN ('click', 'purchase', 'view')
+"""
+
 # object_store_listing: the warehouse layout is PINNED by the
 # lifecycle (create repartition(3) + append repartition(2)): 5 data
 # parquet, 2 metadata.json, 2 manifest lists + 2 manifests (avro),

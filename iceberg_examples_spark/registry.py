@@ -68,6 +68,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
+    # ----- latest green driver row: never attested -----
+    "stream_admission_bulk": ISS.stream_admission_bulk,
     # ----- latest green driver row: r7 -----
     "locf_fill": E.locf_fill,
     "percentiles": XR.percentiles,

@@ -83,6 +83,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     StringType,
+    StructField,
     StructType,
     TimestampNTZType,
     TimestampType,
@@ -1243,7 +1244,46 @@ class IcebergNativeTable:
                     d["partition"].get(tf["name"]) is not None for d in grp
                 )
             ]
-            g = self.spark.read.parquet(*[d["path"] for d in grp])
+            # the group's write schema IS its files' physical schema
+            # (every file was committed under it), so the read passes
+            # it EXPLICITLY: parquet schema inference is a Spark job
+            # per read, which serialized multi-snapshot planning (a
+            # 20-commit changelog paid ~4 plan-time jobs per pair);
+            # with the schema declared, building the relation runs no
+            # job at all. Fields a foreign file lacks (add_files hive
+            # imports) surface as nulls — the same shape the fill /
+            # field-id resolution below already handles.
+            read_sch = self._schema_struct(meta, ws)
+            materialized = (
+                with_row_lineage and grp[0].get("first_row_id") is None
+            )
+            if materialized:
+                # rewritten v3 files carry lineage PHYSICALLY, beyond
+                # their write schema; one driver-side footer read (no
+                # Spark job) preserves the loud bootstrap error that
+                # schema inference used to provide
+                import pyarrow.parquet as _pq
+
+                phys = set(_pq.read_schema(grp[0]["path"]).names)
+                if "_row_id" not in phys:
+                    raise ValueError(
+                        "row lineage unavailable: these files have no "
+                        "first_row_id and carry no materialized _row_id "
+                        "column (snapshot predates the v3 lineage "
+                        "bootstrap)"
+                    )
+                read_sch = StructType(
+                    read_sch.fields
+                    + [
+                        StructField("_row_id", LongType()),
+                        StructField(
+                            "_last_updated_sequence_number", LongType()
+                        ),
+                    ]
+                )
+            g = self.spark.read.schema(read_sch).parquet(
+                *[d["path"] for d in grp]
+            )
             if need_meta or fills:
                 g = g.withColumn("_ice_path", F.col("_metadata.file_path"))
             if need_meta:
@@ -1253,19 +1293,9 @@ class IcebergNativeTable:
                 if need_meta
                 else (("_ice_path",) if fills else ())
             )
-            materialized = (
-                with_row_lineage and grp[0].get("first_row_id") is None
-            )
             if materialized:
-                if "_row_id" not in g.columns:
-                    raise ValueError(
-                        "row lineage unavailable: these files have no "
-                        "first_row_id and carry no materialized _row_id "
-                        "column (snapshot predates the v3 lineage "
-                        "bootstrap)"
-                    )
-                # rewritten files carry lineage physically — pass the
-                # columns through the field-id projection untouched
+                # pass the physical lineage columns through the
+                # field-id projection untouched
                 extra = extra + (
                     "_row_id",
                     "_last_updated_sequence_number",
@@ -1374,7 +1404,10 @@ class IcebergNativeTable:
                 # up its FILE's sequence number from a broadcast map,
                 # mirroring the data side above
                 f_ = (
-                    self.spark.read.parquet(*[d["path"] for d in pq_dels])
+                    # spec position-delete schema, declared (no
+                    # inference job at plan time)
+                    self.spark.read.schema("file_path string, pos long")
+                    .parquet(*[d["path"] for d in pq_dels])
                     .select(
                         F.col("file_path").alias("_del_path"),
                         F.col("pos").alias("_del_pos"),
@@ -1426,13 +1459,23 @@ class IcebergNativeTable:
                         "column must exist to apply the delete"
                     )
                 ws = d.get("write_schema") or cur_sch
-                wid2name = {f["id"]: f["name"] for f in ws["fields"]}
-                wnames = tuple(wid2name[i] for i in ids)
-                by_key.setdefault((ids, wnames), []).append(d)
-            for (ids, wnames), group in by_key.items():
+                wid2f = {f["id"]: f for f in ws["fields"]}
+                wnames = tuple(wid2f[i]["name"] for i in ids)
+                wtypes = tuple(
+                    _ice_to_ddl(wid2f[i]["type"]) for i in ids
+                )
+                by_key.setdefault((ids, wnames, wtypes), []).append(d)
+            for (ids, wnames, wtypes), group in by_key.items():
                 cur_names = [id2cur[i] for i in ids]
+                eq_ddl = ", ".join(
+                    f"`{w}` {ty}" for w, ty in zip(wnames, wtypes)
+                )
                 dels = (
-                    self.spark.read.parquet(*[d["path"] for d in group])
+                    # the file's physical columns are exactly its
+                    # equality columns under its write schema — declare
+                    # them (no inference job at plan time)
+                    self.spark.read.schema(eq_ddl)
+                    .parquet(*[d["path"] for d in group])
                     .select(
                         *[
                             F.col(w).alias(f"_eq_{c}")
@@ -3444,37 +3487,36 @@ class IcebergNativeTable:
                 "the current lineage"
             )
         out = None
-        prev_plan = None
         end_schema_id = chain[-1].get(
             "schema-id", meta["current-schema-id"]
         )
+        # ---- pass 1: pure metadata (kilobyte scale, no Spark jobs).
+        # REPLACE snapshots (compaction, rewrite_data_files,
+        # rewrite_position_deletes, the v3 upgrade conversion) are
+        # logically neutral BY CONTRACT — the changelog skips them by
+        # operation instead of proving emptiness with a diff (the old
+        # full-state exceptAll is exactly the table-sized work a
+        # 100 TB changelog cannot afford). Each surviving snapshot is
+        # planned once; a pair's current plan is the next pair's
+        # previous plan.
+        plans: dict[int, tuple] = {}
+        pairs: list[tuple[dict, dict]] = []
         for i in range(1, len(chain)):
             prev_s, cur_s = chain[i - 1], chain[i]
             if (
                 cur_s.get("summary", {}).get("operation", "append")
                 == "replace"
             ):
-                # REPLACE snapshots (compaction, rewrite_data_files,
-                # rewrite_position_deletes, the v3 upgrade conversion)
-                # are logically neutral BY CONTRACT — the real
-                # changelog procedure skips them by operation instead
-                # of proving emptiness with a diff. The old behavior
-                # (cur ^ prev touches every path -> full-state
-                # exceptAll to produce zero rows) is exactly the
-                # table-sized work a 100 TB changelog cannot afford.
-                prev_plan = None  # cur's plan was never built
                 continue
-            # each snapshot is planned once; pair i's current plan is
-            # pair i+1's previous plan
-            pplan = (
-                prev_plan
-                if prev_plan is not None
-                else self._plan(prev_s["snapshot-id"])
-            )
-            cplan = self._plan(cur_s["snapshot-id"])
-            prev_plan = cplan
-            _, _, pdata, ppos, peq = pplan
-            _, _, cdata, cpos, ceq = cplan
+            pairs.append((prev_s, cur_s))
+            for s in (prev_s, cur_s):
+                if s["snapshot-id"] not in plans:
+                    plans[s["snapshot-id"]] = self._plan(s["snapshot-id"])
+        pair_info: list[tuple[dict, dict, object, list]] = []
+        all_pq_new: list[str] = []
+        for prev_s, cur_s in pairs:
+            _, _, pdata, ppos, peq = plans[prev_s["snapshot-id"]]
+            _, _, cdata, cpos, ceq = plans[cur_s["snapshot-id"]]
             prev_paths = {d["path"] for d in pdata}
             cur_paths = {d["path"] for d in cdata}
             new_eq = {d["path"] for d in ceq} - {d["path"] for d in peq}
@@ -3483,42 +3525,75 @@ class IcebergNativeTable:
                 for d in cpos
                 if d["path"] not in {x["path"] for x in ppos}
             ]
-            files = None  # None = unrestricted (equality-delete fallback)
-            if not new_eq:
-                affected = set(cur_paths ^ prev_paths)
-                if new_pos:
-                    uri2path = {
-                        self._file_uri(p): p
-                        for p in (prev_paths | cur_paths)
-                    }
-                    # v3 deletion vectors name their one target in the
-                    # MANIFEST — no file read at all; parquet delete
-                    # files need a bounded driver hop (distinct target
-                    # paths, not rows)
-                    dv_refs = {
-                        d["referenced_data_file"]
-                        for d in new_pos
-                        if d.get("file_format") == "PUFFIN"
-                    }
+            if new_eq:
+                # equality-delete fallback: full-state diff (an
+                # equality delete can kill rows in any earlier file)
+                pair_info.append((prev_s, cur_s, None, []))
+                continue
+            affected = set(cur_paths ^ prev_paths)
+            uri2path = {
+                self._file_uri(p): p for p in (prev_paths | cur_paths)
+            }
+            # v3 deletion vectors name their one target in the
+            # MANIFEST — no file read at all
+            dv_refs = {
+                d["referenced_data_file"]
+                for d in new_pos
+                if d.get("file_format") == "PUFFIN"
+            }
+            affected |= {uri2path[r] for r in dv_refs if r in uri2path}
+            pq_new = [
+                d["path"]
+                for d in new_pos
+                if d.get("file_format") != "PUFFIN"
+            ]
+            all_pq_new.extend(pq_new)
+            pair_info.append(
+                (prev_s, cur_s, (affected, uri2path), pq_new)
+            )
+        # ---- pass 2: ONE batched Spark job resolves every parquet
+        # position-delete file's distinct targets across the WHOLE
+        # range (the per-pair collect() this replaces serialized a
+        # 100-commit CDC range into 100 sequential job waves; each
+        # delete file belongs to exactly one commit, so attributing
+        # rows by input_file_name loses nothing). Result size is
+        # (delete files x distinct targets) — manifest scale.
+        def _norm_local(p: str) -> str:
+            # input_file_name returns file:///x URIs (possibly
+            # percent-quoted); plan paths are plain /x — normalize both
+            from urllib.parse import unquote
+
+            if p.startswith("file:"):
+                p = unquote(p[5:])
+            while p.startswith("//"):
+                p = p[1:]
+            return p
+
+        targets_by_src: dict[str, set[str]] = {}
+        if all_pq_new:
+            for r in (
+                self.spark.read.schema("file_path string, pos long")
+                .parquet(*sorted(set(all_pq_new)))
+                .select(
+                    F.input_file_name().alias("_src"), "file_path"
+                )
+                .distinct()
+                .collect()
+            ):
+                targets_by_src.setdefault(
+                    _norm_local(r["_src"]), set()
+                ).add(r["file_path"])
+        # ---- pass 3: assemble the single unioned lazy plan
+        for prev_s, cur_s, scope, pq_new in pair_info:
+            files = None  # None = unrestricted (equality fallback)
+            if scope is not None:
+                affected, uri2path = scope
+                for p in pq_new:
                     affected |= {
-                        uri2path[r] for r in dv_refs if r in uri2path
+                        uri2path[t]
+                        for t in targets_by_src.get(_norm_local(p), ())
+                        if t in uri2path
                     }
-                    pq_new = [
-                        d
-                        for d in new_pos
-                        if d.get("file_format") != "PUFFIN"
-                    ]
-                    if pq_new:
-                        affected |= {
-                            uri2path[r["file_path"]]
-                            for r in self.spark.read.parquet(
-                                *[d["path"] for d in pq_new]
-                            )
-                            .select("file_path")
-                            .distinct()
-                            .collect()
-                            if r["file_path"] in uri2path
-                        }
                 if not affected:
                     continue
                 files = affected

@@ -708,21 +708,17 @@ def _last_committed_offset(ckpt: str) -> dict | None:
     return json.loads(lines[-1])
 
 
-def stream_admission_control(spark, sf_dir: str):
-    """Declared query: ``max_files_per_microbatch`` back-pressure. The
-    source table is written with PINNED file counts (4 + 2 = 6 data
-    files across two append commits), the stream drains with a
-    3-files-per-micro-batch bound, and the output pins the arithmetic:
-    ceil(6/3) = 2 micro-batches — the second one crossing the commit
-    boundary mid-snapshot (1 file of commit 1 + 2 of commit 2) — every
-    source row exactly once, and ``caught_up`` proves exhaustion by
-    comparing the checkpoint's last committed offset against the table
-    tip (kilobyte metadata reads, NOT a third drain: each availableNow
-    run pays a full streaming-session fixed cost, so the caught-up
-    proof reads the logs the engine already wrote). An admission bug
-    shows up as the wrong batch count (bound ignored -> 1, off-by-one
-    in the mid-snapshot offset -> 3+), a replayed or dropped file as a
-    row-count/hash mismatch, a short drain as caught_up=false."""
+def _admission_scenario(spark, sf_dir: str, name: str, bulk: bool):
+    """Shared body of the two admission declared queries: PINNED file
+    counts (4 + 2 = 6 data files across two append commits), a
+    3-files-per-micro-batch bound, exactly two availableNow drains
+    (batch 2 crosses the commit boundary mid-snapshot: 1 file of
+    commit 1 + 2 of commit 2), and a caught-up proof read from the
+    checkpoint's committed offset vs the table tip (kilobyte metadata,
+    NOT a third streaming session). The bulk flavor seeds an
+    ``admission_channel`` file the way an operator provisions one, so
+    the executor-parallel reader's first batch of every run bounds
+    exactly like the simple reader's."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -735,7 +731,7 @@ def stream_admission_control(spark, sf_dir: str):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    root = scratch_dir(sf_dir, "stream_admission_control", fresh=True)
+    root = scratch_dir(sf_dir, name, fresh=True)
     src = IcebergNativeTable.create(
         spark,
         _os.path.join(root, "ice"),
@@ -746,13 +742,20 @@ def stream_admission_control(spark, sf_dir: str):
             F.col("event_type").isin("purchase", "view")
         ).repartition(2)
     )
+    source = (
+        IcebergNativeBulkStreamSource if bulk else IcebergNativeStreamSource
+    )
     try:
-        spark.dataSource.register(IcebergNativeStreamSource)
+        spark.dataSource.register(source)
     except Exception as e:
         if "already" not in str(e).lower():
             raise
     out = _os.path.join(root, "out")
     ckpt = _os.path.join(root, "ckpt")
+    channel = _os.path.join(root, "admission.offset")
+    if bulk:
+        with open(channel, "w") as f:
+            json.dump({"seq": 0}, f)
     n_batches = 0
 
     def sink(b, _epoch) -> None:
@@ -766,11 +769,15 @@ def stream_admission_control(spark, sf_dir: str):
             b.unpersist()
 
     def drain() -> None:
-        q = (
-            spark.readStream.format("icebergnative_stream")
+        reader = (
+            spark.readStream.format(source.name())
             .option("path", src.location)
             .option("max_files_per_microbatch", "3")
-            .load()
+        )
+        if bulk:
+            reader = reader.option("admission_channel", channel)
+        q = (
+            reader.load()
             .writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -796,4 +803,34 @@ def stream_admission_control(spark, sf_dir: str):
             "value_cents"
         ),
         F.lit(bool(caught_up)).alias("caught_up"),
+    )
+
+
+def stream_admission_control(spark, sf_dir: str):
+    """Declared query: ``max_files_per_microbatch`` back-pressure on
+    the SIMPLE reader (admission exact by construction: read() gets
+    the checkpointed start). Pinned arithmetic: ceil(6/3) = 2
+    micro-batches, every source row exactly once, caught_up proven
+    from the checkpoint logs. An admission bug shows up as the wrong
+    batch count (bound ignored -> 1, off-by-one in the mid-snapshot
+    offset -> 3+), a replayed or dropped file as a row-count/hash
+    mismatch, a short drain as caught_up=false."""
+    return _admission_scenario(
+        spark, sf_dir, "stream_admission_control", bulk=False
+    )
+
+
+def stream_admission_bulk(spark, sf_dir: str):
+    """Declared query: the BULK (executor-parallel) twin of
+    stream_admission_control — same pinned 6-file/bound-3 arithmetic,
+    same caught-up proof, through ``icebergnative_stream_bulk`` with a
+    seeded ``admission_channel``: the side-channel floor is what makes
+    the first micro-batch of every run bound exactly (without it the
+    engine's floorless first latestOffset must stay unbounded to avoid
+    offset regression). Identical output to the simple flavor — the
+    two readers are interchangeable on one checkpoint lineage — so any
+    divergence in batch count, rows, or caught_up isolates a bulk-path
+    admission bug."""
+    return _admission_scenario(
+        spark, sf_dir, "stream_admission_bulk", bulk=True
     )

@@ -2836,3 +2836,48 @@ def test_changelog_across_schema_evolution(spark, tmp_path):
     old = t.changelog_df(from_snapshot_id=1, to_snapshot_id=2)
     assert set(old.columns) == {"k", "v", "_change_type", "_commit_snapshot_id"}
     assert {r["k"] for r in old.collect()} == {0, 1}
+
+
+def test_changelog_long_range_plans_one_job_wave(spark, tmp_path):
+    """A 20-commit range PLANS with at most one Spark job (the batched
+    parquet position-delete target resolution), not one sequential job
+    per pair (pre-r12: a 100-commit CDC range serialized into 100 job
+    waves). Correctness over the long range is unchanged: every
+    commit's events surface exactly once."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"
+    ).coalesce(1)
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    # 10 MOR delete commits (each lands a parquet position-delete
+    # file -> one pq_new entry per pair) + 10 small appends
+    for i in range(10):
+        t.delete_where(F.col("k") == i, mode="merge-on-read")
+        t.append(
+            spark.createDataFrame(
+                [(1000 + i, float(i))], "k long, v double"
+            )
+        )
+    sc = spark.sparkContext
+    sc.setJobGroup("changelog-plan", "plan a 20-commit range")
+    try:
+        feed = t.changelog_df(from_snapshot_id=1)
+    finally:
+        sc.setJobGroup(None, None)
+    plan_jobs = sc.statusTracker().getJobIdsForGroup("changelog-plan")
+    # ONE action (the batched delete-target resolution); AQE submits
+    # one Spark job per query stage of that action, so allow a small
+    # CONSTANT — the point is independence from the commit count
+    # (pre-r12 this planned ~4 jobs PER PAIR: ~80 here)
+    assert len(plan_jobs) <= 3, (
+        f"planning ran {len(plan_jobs)} jobs; the range must batch "
+        "its delete-target resolution into one action"
+    )
+    rows = feed.collect()
+    dels = sorted(
+        r["k"] for r in rows if r["_change_type"] == "delete"
+    )
+    ins = sorted(r["k"] for r in rows if r["_change_type"] == "insert")
+    assert dels == list(range(10))
+    assert ins == [1000 + i for i in range(10)]
+    # 20 distinct commit ids, one event each
+    assert len({r["_commit_snapshot_id"] for r in rows}) == 20
