@@ -191,8 +191,10 @@ HEADLINE = [
     "iceberg_table_statistics",
     "object_store_listing",
     "stream_admission_control",
-    # round-12: the bulk-reader admission twin (admission_channel)
+    # round-12: the bulk-reader admission twin (admission_channel) and
+    # incremental NDV via theta-sketch union
     "stream_admission_bulk",
+    "iceberg_stats_union",
     "iceberg_default_values",
     "iceberg_rewrite_datafiles",
     "iceberg_refs",

@@ -280,6 +280,30 @@ def estimate(payload: bytes, seed: int = DEFAULT_UPDATE_SEED) -> float:
     return len(hashes) / (theta / MAX_THETA)
 
 
+def union_sketches(
+    payloads: list[bytes],
+    k: int = 1 << DEFAULT_LG_K,
+    seed: int = DEFAULT_UPDATE_SEED,
+) -> bytes:
+    """Union serialized compact sketches — THE operation that makes
+    theta the spec's statistics type: per-snapshot (or per-partition)
+    sketches merge to a table-level NDV without rescanning anything.
+    Standard theta union semantics: the result theta is the MINIMUM of
+    the input thetas, retained hashes are the union filtered to
+    < theta, re-truncated KMV-style to k if oversized."""
+    theta = MAX_THETA
+    pools: list[list[int]] = []
+    for p in payloads:
+        t, hs = deserialize_compact(p, seed)
+        theta = min(theta, t)
+        pools.append(hs)
+    merged = sorted({h for hs in pools for h in hs if h < theta})
+    if len(merged) > k:
+        theta = merged[k]
+        merged = merged[:k]
+    return serialize_compact(merged, theta, seed)
+
+
 def build_from_hashes(
     smallest: list[int],
     k: int = 1 << DEFAULT_LG_K,

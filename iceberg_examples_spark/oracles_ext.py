@@ -3814,6 +3814,28 @@ SELECT column_name, ndv, true AS sketch_ok FROM (
 ) ORDER BY column_name
 """
 
+# iceberg_stats_union: per-column exact NDV over the full orders set
+# (the union of the two halves the lifecycle writes); union_ok pinned
+# true — the Spark side computes it from the actual merged theta
+# payloads vs an in-plan exact count, so a broken union rule
+# hash-mismatches even though DuckDB can't run DataSketches.
+EXT_ORACLES["iceberg_stats_union"] = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_exact,
+         true AS union_ok FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT), true
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice',
+         CAST(count(DISTINCT o_totalprice) AS BIGINT), true
+  FROM orders
+)
+ORDER BY column_name
+"""
+
 # iceberg_changelog_lineage: ids are the 0-based o_orderkey rank
 # (single sorted file at create). Snapshot 3's MOR DV delete emits
 # delete events (lus still 1); snapshot 4's COW update emits identity

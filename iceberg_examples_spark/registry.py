@@ -70,6 +70,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {
     # ----- latest green driver row: never attested -----
     "stream_admission_bulk": ISS.stream_admission_bulk,
+    "iceberg_stats_union": IN.iceberg_stats_union,
     # ----- latest green driver row: r7 -----
     "locf_fill": E.locf_fill,
     "percentiles": XR.percentiles,

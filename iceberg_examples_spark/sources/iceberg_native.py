@@ -6303,6 +6303,91 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def iceberg_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics via theta-sketch UNION — the workflow the
+    spec's standardized sketch type exists for: a snapshot's NDV blobs
+    merge with a sketch of the APPENDED increment (built straight from
+    the incoming DataFrame, no table rescan) to estimate the new
+    table-level NDV. Lifecycle: create from the even-orderkey half of
+    orders + write stats (snapshot 1), append the odd half, sketch the
+    increment alone, union per column, and compare against the exact
+    tip NDV computed in-plan: ``union_ok`` pins the estimate within
+    KMV tolerance (5%, floor 1). Columns cover all three regimes —
+    o_orderkey (disjoint halves, estimation mode at sf>=0.1),
+    o_orderstatus (3 values, fully overlapping: union must NOT double
+    count), o_totalprice (mostly disjoint, high cardinality). A wrong
+    union rule (double-counted overlap, theta not minimized, missing
+    re-truncation) lands outside tolerance and hash-mismatches."""
+    from iceberg_examples_spark.catalog import load_table, scratch_dir
+    from iceberg_examples_spark.functions import theta as TH
+    from iceberg_examples_spark.sources.puffin import read_blob
+
+    loc = scratch_dir(sf_dir, "iceberg_stats_union", fresh=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cols = [
+        ("o_orderkey", "long"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+    ]
+    t = IcebergNativeTable.create(
+        spark, loc, orders.filter(F.col("o_orderkey") % 2 == 0)
+    )
+    t.write_table_statistics(sketches=("theta",))
+    base = {
+        r["column_name"]: read_blob(
+            r["statistics_path"], r["offset"], r["length"]
+        )
+        for r in t.statistics_df().collect()
+    }
+    increment = orders.filter(F.col("o_orderkey") % 2 == 1)
+    t.append(increment)
+    k = 1 << TH.DEFAULT_LG_K
+    unioned = {
+        c: TH.union_sketches(
+            [
+                base[c],
+                TH.build_from_hashes(
+                    IcebergNativeTable._theta_smallest_hashes(
+                        increment, c, ice, k
+                    ),
+                    k,
+                ),
+            ],
+            k,
+        )
+        for c, ice in cols
+    }
+    est_df = spark.createDataFrame(
+        [(c, float(TH.estimate(p))) for c, p in unioned.items()],
+        "column_name string, union_est double",
+    )
+    exact = t.scan().agg(
+        *[
+            F.count_distinct(F.col(c)).alias(c)
+            for c, _ in cols
+        ]
+    )
+    exact_long = exact.unpivot(
+        [], [c for c, _ in cols], "column_name", "ndv_exact"
+    )
+    return (
+        exact_long.join(est_df, "column_name")
+        .select(
+            "column_name",
+            F.col("ndv_exact").cast("long").alias("ndv_exact"),
+            (
+                F.abs(F.col("union_est") - F.col("ndv_exact"))
+                <= F.greatest(
+                    F.lit(1.0), F.lit(0.05) * F.col("ndv_exact")
+                )
+            ).alias("union_ok"),
+        )
+        .orderBy("column_name")
+    )
+
+
 def iceberg_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v3 column default values (the spec's ADD COLUMN ... DEFAULT):
     generation 0 (custkey % 3 == 0) predates the columns and reads the

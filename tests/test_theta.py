@@ -168,3 +168,34 @@ def test_table_statistics_theta_estimation_mode(spark, tmp_path):
     theta, hashes = TH2.deserialize_compact(payload)
     assert theta < TH2.MAX_THETA and len(hashes) == 4096
     assert abs(TH2.estimate(payload) - n) <= 0.05 * n
+
+
+def test_union_sketches():
+    """Theta union: overlap never double-counts, theta minimizes,
+    oversized unions re-truncate KMV-style."""
+    random.seed(5)
+    a_vals = random.sample(range(1, 2**63), 2000)
+    b_vals = random.sample(range(1, 2**63), 1500)
+    overlap = a_vals[:500]
+    b_all = b_vals + overlap  # 2000 distinct, 500 shared with a
+    sk_a = TH.build_from_hashes(sorted(a_vals))
+    sk_b = TH.build_from_hashes(sorted(set(b_all)))
+    u = TH.union_sketches([sk_a, sk_b])
+    n_true = len(set(a_vals) | set(b_all))  # 3500 <= k: stays exact
+    assert TH.estimate(u) == n_true
+    # estimation-mode inputs: 2x 50k disjoint, k=1024
+    k = 1024
+    big_a = random.sample(range(1, 2**63), 50_000)
+    big_b = random.sample(range(1, 2**63), 50_000)
+    ska = TH.build_from_hashes(sorted(big_a)[: k + 1], k)
+    skb = TH.build_from_hashes(sorted(big_b)[: k + 1], k)
+    u2 = TH.union_sketches([ska, skb], k)
+    theta, hashes = TH.deserialize_compact(u2)
+    assert len(hashes) <= k and all(h < theta for h in hashes)
+    est = TH.estimate(u2)
+    assert abs(est - 100_000) <= 0.15 * 100_000  # ~3/sqrt(k) tolerance
+    # fully-overlapping union estimates the SINGLE set size
+    u3 = TH.union_sketches([ska, ska], k)
+    assert abs(TH.estimate(u3) - 50_000) <= 0.15 * 50_000
+    # empty union
+    assert TH.estimate(TH.union_sketches([TH.serialize_compact([])])) == 0
