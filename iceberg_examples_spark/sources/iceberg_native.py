@@ -4829,65 +4829,80 @@ class IcebergNativeTable:
         coords = coords.select(
             F.col("file_path").cast("string"), F.col("pos").cast("long")
         )
-        # file-count-bounded driver hop: which targets get a new DV
-        # (the same affected-file planning every DELETE does)
-        affected = {
-            r["file_path"]
-            for r in coords.select("file_path").distinct().collect()
-        }
-        if not affected:
-            return None, set()
-        live_dvs = [
-            d
-            for d in pos_del
-            if d.get("file_format") == "PUFFIN"
-            and d["referenced_data_file"] in affected
-        ]
-        if live_dvs:
-            coords = coords.unionByName(
-                self._dv_coordinates(live_dvs).select(
-                    F.col("_del_path").alias("file_path"),
-                    F.col("_del_pos").alias("pos"),
-                )
-            )
-
-        # partition attribution: a DV scopes to its target's partition
-        part_by_uri = {
-            self._file_uri(d["path"]): d["partition"] for d in data
-        }
-        if len(affected) > DV_DRIVER_WRITE_MAX_FILES:
-            files = self._write_dv_shards(coords, part_by_uri, affected, seq)
-            manifest = self._write_delete_manifest(
-                meta, seq, files, content=1, equality_ids=None
-            )
-            return manifest, {
-                d["referenced_data_file"] for d in live_dvs
+        # the coordinate subtree (typically a full MOR scan + filter)
+        # feeds TWO actions — the affected-file probe and the bitmap
+        # build — so persist it across the pair: without the cache the
+        # scan computed twice per DV commit (r12 profile: the two
+        # actions dominated _build_dv_manifest at 3.5 s of a 6.3 s
+        # query). Operation-internal cache, unpersisted before return.
+        coords = coords.persist()
+        try:
+            # file-count-bounded driver hop: which targets get a new DV
+            # (the same affected-file planning every DELETE does)
+            affected = {
+                r["file_path"]
+                for r in coords.select("file_path").distinct().collect()
             }
+            if not affected:
+                return None, set()
+            live_dvs = [
+                d
+                for d in pos_del
+                if d.get("file_format") == "PUFFIN"
+                and d["referenced_data_file"] in affected
+            ]
+            merged = coords
+            if live_dvs:
+                merged = coords.unionByName(
+                    self._dv_coordinates(live_dvs).select(
+                        F.col("_del_path").alias("file_path"),
+                        F.col("_del_pos").alias("pos"),
+                    )
+                )
 
-        def _encode(key, pdf):
-            import pandas as pd
-
-            from iceberg_examples_spark.sources.puffin import (
-                encode_deletion_vector,
-            )
-
-            pos = sorted(set(int(p) for p in pdf["pos"]))
-            return pd.DataFrame(
-                {
-                    "file_path": [key[0]],
-                    "payload": [encode_deletion_vector(pos)],
-                    "cardinality": [len(pos)],
+            # partition attribution: a DV scopes to its target's
+            # partition
+            part_by_uri = {
+                self._file_uri(d["path"]): d["partition"] for d in data
+            }
+            if len(affected) > DV_DRIVER_WRITE_MAX_FILES:
+                files = self._write_dv_shards(
+                    merged, part_by_uri, affected, seq
+                )
+                manifest = self._write_delete_manifest(
+                    meta, seq, files, content=1, equality_ids=None
+                )
+                return manifest, {
+                    d["referenced_data_file"] for d in live_dvs
                 }
-            )
 
-        built = sorted(
-            coords.groupBy("file_path")
-            .applyInPandas(
-                _encode, "file_path string, payload binary, cardinality long"
+            def _encode(key, pdf):
+                import pandas as pd
+
+                from iceberg_examples_spark.sources.puffin import (
+                    encode_deletion_vector,
+                )
+
+                pos = sorted(set(int(p) for p in pdf["pos"]))
+                return pd.DataFrame(
+                    {
+                        "file_path": [key[0]],
+                        "payload": [encode_deletion_vector(pos)],
+                        "cardinality": [len(pos)],
+                    }
+                )
+
+            built = sorted(
+                merged.groupBy("file_path")
+                .applyInPandas(
+                    _encode,
+                    "file_path string, payload binary, cardinality long",
+                )
+                .collect(),
+                key=lambda r: r["file_path"],
             )
-            .collect(),
-            key=lambda r: r["file_path"],
-        )
+        finally:
+            coords.unpersist()
         puf_path = os.path.join(
             self.location,
             "data",
@@ -5146,7 +5161,10 @@ class IcebergNativeTable:
         manifest, superseded = None, set()
         if pq_dels:
             dels = (
-                self.spark.read.parquet(*[d["path"] for d in pq_dels])
+                # spec position-delete schema, declared: building the
+                # relation runs no inference job
+                self.spark.read.schema("file_path string, pos long")
+                .parquet(*[d["path"] for d in pq_dels])
                 .select("file_path", "pos")
                 .dropDuplicates()
             )
@@ -5312,6 +5330,19 @@ _DDL_TO_SPARK = {
     "timestamp": TimestampNTZType(),
     "timestamptz": TimestampType(),
 }
+
+
+def _run_overlapped(thunks: list) -> list:
+    """Run independent lifecycle thunks from a small driver thread pool
+    and return their results in input order (guide §2.6: actions are
+    only sequential because driver code calls them sequentially;
+    overlapping independent jobs lets the next lifecycle's tasks
+    back-fill executors the current one's tail leaves idle). Each thunk
+    must touch only its own scratch table."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        return list(pool.map(lambda f: f(), thunks))
 
 
 def _ice_to_ddl(t: str) -> str:
@@ -5872,23 +5903,29 @@ def iceberg_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = []
-    for mode in ("merge-on-read", "copy-on-write"):
+
+    def one_mode(mode: str) -> DataFrame:
         loc = scratch_dir(sf_dir, f"iceberg_del_{mode[:3]}", fresh=True)
         t = IcebergNativeTable.create(spark, loc, orders)
         t.delete_where(F.col("o_orderstatus") == "F", mode=mode)
         files = t.files_df()
         has_delete_files = files.filter(F.col("content") != 0).count() > 0
-        out.append(
-            t.scan().agg(
-                F.lit(mode).alias("mode"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
-                    "total_price"
-                ),
-                F.lit(has_delete_files).alias("has_delete_files"),
-            )
+        return t.scan().agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                "total_price"
+            ),
+            F.lit(has_delete_files).alias("has_delete_files"),
         )
+
+    # the two lifecycles are INDEPENDENT (separate scratch tables) —
+    # overlap their job waves from a 2-thread pool (guide §2.6: the
+    # scheduler happily runs both; the second lifecycle's tasks
+    # back-fill executors the first one's tail leaves idle) instead of
+    # serializing ~8 driver-sequenced jobs behind ~8 more
+    out = _run_overlapped([lambda: one_mode("merge-on-read"),
+                           lambda: one_mode("copy-on-write")])
     return out[0].unionByName(out[1]).orderBy("mode")
 
 
@@ -5905,8 +5942,8 @@ def iceberg_update_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = []
-    for mode in ("merge-on-read", "copy-on-write"):
+
+    def one_mode(mode: str) -> DataFrame:
         loc = scratch_dir(sf_dir, f"iceberg_upd_{mode[:3]}", fresh=True)
         t = IcebergNativeTable.create(spark, loc, orders)
         t.update_where(
@@ -5918,17 +5955,20 @@ def iceberg_update_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.files_df().filter(F.col("content") != 0).count() > 0
         )
         n_snaps = t.snapshots_df().count()
-        out.append(
-            t.scan().agg(
-                F.lit(mode).alias("mode"),
-                F.count(F.lit(1)).alias("n_rows"),
-                F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
-                    "total_price"
-                ),
-                F.lit(has_delete_files).alias("has_delete_files"),
-                F.lit(n_snaps).cast("long").alias("n_snapshots"),
-            )
+        return t.scan().agg(
+            F.lit(mode).alias("mode"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
+                "total_price"
+            ),
+            F.lit(has_delete_files).alias("has_delete_files"),
+            F.lit(n_snaps).cast("long").alias("n_snapshots"),
         )
+
+    # independent lifecycles on separate scratch tables: overlap them
+    # (guide §2.6), same as iceberg_delete_modes
+    out = _run_overlapped([lambda: one_mode("merge-on-read"),
+                           lambda: one_mode("copy-on-write")])
     return out[0].unionByName(out[1]).orderBy("mode")
 
 

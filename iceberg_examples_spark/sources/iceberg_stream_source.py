@@ -344,20 +344,55 @@ class IcebergStreamReader(SimpleDataSourceStreamReader):
 
 def _decode_file(path: str, names: list[str]):
     """Decode one data file to row tuples with name-based projection and
-    null-fill (appends under an older schema lack later columns)."""
+    null-fill (appends under an older schema lack later columns).
+    COLUMNAR: each projected column converts to Python in one
+    ``to_pylist`` call and rows come from ``zip`` — ~3x faster than the
+    former per-row dict decode (0.20 s vs 0.60 s for a 100k-row file,
+    r12 measurement), which matters on the driver-serial simple-reader
+    path."""
     import pyarrow.parquet as pq
 
-    for r in pq.read_table(path).to_pylist():
-        yield tuple(r.get(n) for n in names)
+    t = pq.read_table(path)
+    have = set(t.column_names)
+    cols = [
+        t.column(n).to_pylist() if n in have else [None] * t.num_rows
+        for n in names
+    ]
+    yield from zip(*cols)
+
+
+def _decode_file_batches(path: str, arrow_schema):
+    """Decode one data file straight to Arrow RecordBatches matching the
+    source's declared schema (projection by name, null-fill for columns
+    the file predates, cast for any physical-type skew). The Python
+    DataSource worker forwards yielded RecordBatches to the JVM as-is —
+    no per-row tuple materialization, no per-field type conversion
+    (guide §4: keep the Python boundary columnar)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    have = set(t.column_names)
+    cols = []
+    for field in arrow_schema:
+        if field.name in have:
+            cols.append(t.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(t.num_rows, field.type))
+    yield from pa.Table.from_arrays(
+        cols, schema=arrow_schema
+    ).to_batches()
 
 
 class IcebergFileSplit(InputPartition):
     """One data file of one micro-batch — the split `partitions()` hands
-    an executor task (picklable: path + projection only)."""
+    an executor task (picklable: path + projection, plus the Arrow
+    schema when the task should yield RecordBatches directly)."""
 
-    def __init__(self, path: str, names: list[str]):
+    def __init__(self, path: str, names: list[str], arrow_schema=None):
         self.path = path
         self.names = names
+        self.arrow_schema = arrow_schema
 
 
 class IcebergBulkStreamReader(DataSourceStreamReader):
@@ -378,12 +413,14 @@ class IcebergBulkStreamReader(DataSourceStreamReader):
         names: list[str],
         max_files: int | None = None,
         admission_channel: str | None = None,
+        arrow_schema=None,
     ):
         self.location = location
         self.skip_non_appends = skip_non_appends
         self.names = names
         self.max_files = max_files
         self.admission_channel = admission_channel
+        self.arrow_schema = arrow_schema
         # consumed position this reader has OBSERVED (seq, files),
         # ratcheted by partitions(); latestOffset bounds its advance
         # from here. The engine's FIRST call each run is latestOffset
@@ -463,11 +500,18 @@ class IcebergBulkStreamReader(DataSourceStreamReader):
         # at least one partition per planned micro-batch
         if not paths:
             return [IcebergFileSplit("", self.names)]
-        return [IcebergFileSplit(p, self.names) for p in paths]
+        return [
+            IcebergFileSplit(p, self.names, self.arrow_schema)
+            for p in paths
+        ]
 
     def read(self, partition: IcebergFileSplit):
         if not partition.path:
             return iter(())
+        if partition.arrow_schema is not None:
+            return _decode_file_batches(
+                partition.path, partition.arrow_schema
+            )
         return _decode_file(partition.path, partition.names)
 
     def commit(self, end: dict) -> None:
@@ -536,12 +580,22 @@ class IcebergNativeBulkStreamSource(DataSource):
             for s in meta["schemas"]
             if s["schema-id"] == meta["current-schema-id"]
         )
+        # the engine's resolved read schema, as Arrow: tasks yield
+        # RecordBatches directly instead of per-row tuples (the worker
+        # forwards them to the JVM without conversion)
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(schema)
+        except Exception:
+            arrow_schema = None  # tuple fallback keeps the read correct
         return IcebergBulkStreamReader(
             self.options["path"],
             self.options.get("skip_non_appends", "false").lower() == "true",
             [f["name"] for f in cur["fields"]],
             max_files=_parse_max_files(self.options),
             admission_channel=self.options.get("admission_channel"),
+            arrow_schema=arrow_schema,
         )
 
 
@@ -759,14 +813,27 @@ def _admission_scenario(spark, sf_dir: str, name: str, bulk: bool):
     n_batches = 0
 
     def sink(b, _epoch) -> None:
+        # ONE job per micro-batch: write, then decide batch emptiness
+        # from the new part files' parquet footers (driver-side
+        # metadata reads, no second computation — previously persist +
+        # count + write paid two jobs and the cache churn per batch)
         nonlocal n_batches
-        b.persist()  # one computation: counted AND written from cache
-        try:
-            if b.count() > 0:
-                n_batches += 1
-                b.write.mode("append").parquet(out)
-        finally:
-            b.unpersist()
+        import pyarrow.parquet as _pq
+
+        before = (
+            set(_os.listdir(out)) if _os.path.isdir(out) else set()
+        )
+        b.write.mode("append").parquet(out)
+        added = [
+            n
+            for n in _os.listdir(out)
+            if n.endswith(".parquet") and n not in before
+        ]
+        if any(
+            _pq.ParquetFile(_os.path.join(out, n)).metadata.num_rows > 0
+            for n in added
+        ):
+            n_batches += 1
 
     def drain() -> None:
         reader = (
