@@ -2559,7 +2559,10 @@ class IcebergNativeTable:
             live_uris = {self._file_uri(d["path"]) for d in data}
             refs = {
                 r["file_path"]
-                for r in self.spark.read.parquet(pos_del[0]["path"])
+                for r in self.spark.read.schema(
+                    "file_path string, pos long"
+                )
+                .parquet(pos_del[0]["path"])
                 .select("file_path")
                 .distinct()
                 .collect()
@@ -2567,7 +2570,9 @@ class IcebergNativeTable:
             if refs <= live_uris:
                 return 0
         dels = (
-            self.spark.read.parquet(*[d["path"] for d in pos_del])
+            # spec position-delete schema, declared (no inference job)
+            self.spark.read.schema("file_path string, pos long")
+            .parquet(*[d["path"] for d in pos_del])
             .select("file_path", "pos")
             .dropDuplicates()
         )
@@ -4053,7 +4058,7 @@ class IcebergNativeTable:
             tf["name"]: _result_spark_type(tf, df.schema[tf["source"]].dataType)
             for tf in spec
         }
-        files = []
+        targets = []
         for root, _dirs, names in os.walk(out):
             part = {}
             rel = os.path.relpath(root, out)
@@ -4063,30 +4068,42 @@ class IcebergNativeTable:
                     c = k[3:]  # strip the _p_ prefix
                     part[c] = _partition_value(types[c], raw)
             for n in sorted(names):
-                if not n.endswith(".parquet"):
-                    continue
-                p = os.path.join(root, n)
-                md = pq.ParquetFile(p).metadata  # footer only
-                if md.num_rows == 0:
-                    # Spark's committer emits an empty part file for
-                    # task 0 even when its partition has no rows;
-                    # Iceberg never registers 0-row files — each one
-                    # would cost a scan task forever
-                    continue
-                lower, upper = self._file_bounds(
-                    md, {f["name"]: f for f in sch["fields"]}
-                )
-                files.append(
-                    {
-                        "path": os.path.abspath(p),
-                        "partition": part,
-                        "record_count": md.num_rows,
-                        "size": os.path.getsize(p),
-                        "lower_bounds": lower,
-                        "upper_bounds": upper,
-                    }
-                )
-        return files
+                if n.endswith(".parquet"):
+                    targets.append((os.path.join(root, n), part))
+
+        name2f = {f["name"]: f for f in sch["fields"]}
+
+        def describe(item):
+            p, part = item
+            md = pq.ParquetFile(p).metadata  # footer only
+            if md.num_rows == 0:
+                # Spark's committer emits an empty part file for
+                # task 0 even when its partition has no rows;
+                # Iceberg never registers 0-row files — each one
+                # would cost a scan task forever
+                return None
+            lower, upper = self._file_bounds(md, name2f)
+            return {
+                "path": os.path.abspath(p),
+                "partition": part,
+                "record_count": md.num_rows,
+                "size": os.path.getsize(p),
+                "lower_bounds": lower,
+                "upper_bounds": upper,
+            }
+
+        # footer reads are independent I/O — a serial driver loop over
+        # a wide commit's file set is exactly the "driver doing data
+        # work" pattern guide §5 warns about; a small thread pool keeps
+        # the listing at I/O latency (order preserved by map)
+        if len(targets) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                described = list(pool.map(describe, targets))
+        else:
+            described = [describe(t) for t in targets]
+        return [d for d in described if d is not None]
 
     def _commit(
         self,
