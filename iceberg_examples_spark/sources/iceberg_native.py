@@ -359,6 +359,12 @@ _BOUND_TRUNC = 16  # Iceberg's default write.metadata.metrics string truncation
 # driver memory. Tests patch this down to force the sharded path.
 DV_DRIVER_WRITE_MAX_FILES = 64
 
+# per-file metadata mappings (sequence numbers, lineage first_row_id)
+# inline as literal-map lookups up to this many files; beyond it they
+# stay broadcast joins (a literal map scales the PLAN with file count,
+# a broadcast join does not)
+INLINE_FILE_MAP_MAX = 64
+
 # Within the sharded path, target data files per puffin shard: the
 # shard key is (partition, crc32(file_path) % ceil(affected / this)),
 # so a large DV commit on an UNPARTITIONED (or heavily skewed) table
@@ -898,6 +904,37 @@ class IcebergNativeTable:
             )
         )
 
+    def _with_seq(
+        self, df: DataFrame, recs: list[dict], path_col: str, seq_col: str
+    ) -> DataFrame:
+        """Attach each row's file sequence number. Small file sets
+        (<= INLINE_FILE_MAP_MAX entries) inline the mapping as a
+        literal-map lookup — zero joins, zero broadcast exchanges
+        (every broadcast build is its own AQE job wave; a 5-commit
+        changelog plan carried ~18 of them, most of which were these
+        n_files-row maps). Larger sets keep the broadcast-join shape
+        (a million-file table must not inline a million-entry literal
+        into the plan). Both paths end in the same loud null check."""
+        if len(recs) <= INLINE_FILE_MAP_MAX:
+            m = F.create_map(
+                *[
+                    x
+                    for d in recs
+                    for x in (
+                        F.lit(self._file_uri(d["path"])),
+                        F.lit(d["seq"]),
+                    )
+                ]
+            )
+            df = df.withColumn(
+                seq_col, F.element_at(m, F.col(path_col)).cast("long")
+            )
+        else:
+            df = df.join(
+                self._seq_map_df(recs, path_col, seq_col), path_col, "left"
+            )
+        return self._require_seq(df, seq_col, path_col)
+
     # MOR delete sides below this estimated in-memory size get an
     # explicit broadcast hint (see _broadcast_if_small)
     BROADCAST_DELETES_KEY = "spark.iceberg_examples.broadcastDeleteBytes"
@@ -1342,31 +1379,67 @@ class IcebergNativeTable:
             if with_row_lineage and not materialized:
                 # assigned lineage: _row_id = the file's first_row_id +
                 # row position; _last_updated = the file's commit seq —
-                # a broadcast (path -> (first_row_id, seq)) join, the
-                # same per-file mapping shape as the MOR seq map
-                lmap = F.broadcast(
-                    self.spark.createDataFrame(
-                        [
-                            (
-                                self._file_uri(d["path"]),
-                                d["first_row_id"],
-                                d["seq"],
-                            )
+                # the same per-file mapping shape as the MOR seq map:
+                # inline literal-map lookups for small file sets (no
+                # broadcast join / exchange), broadcast join beyond
+                if len(grp) <= INLINE_FILE_MAP_MAX:
+                    frid_m = F.create_map(
+                        *[
+                            x
                             for d in grp
-                        ],
-                        "_ice_path string, _frid long, _fseq long",
+                            for x in (
+                                F.lit(self._file_uri(d["path"])),
+                                F.lit(d["first_row_id"]),
+                            )
+                        ]
                     )
-                )
-                g = (
-                    g.join(lmap, "_ice_path", "left")
-                    .withColumn(
-                        "_row_id", F.col("_frid") + F.col("_ice_pos")
+                    fseq_m = F.create_map(
+                        *[
+                            x
+                            for d in grp
+                            for x in (
+                                F.lit(self._file_uri(d["path"])),
+                                F.lit(d["seq"]),
+                            )
+                        ]
                     )
-                    .withColumn(
-                        "_last_updated_sequence_number", F.col("_fseq")
+                    g = g.withColumn(
+                        "_row_id",
+                        F.element_at(frid_m, F.col("_ice_path")).cast(
+                            "long"
+                        )
+                        + F.col("_ice_pos"),
+                    ).withColumn(
+                        "_last_updated_sequence_number",
+                        F.element_at(fseq_m, F.col("_ice_path")).cast(
+                            "long"
+                        ),
                     )
-                    .drop("_frid", "_fseq")
-                )
+                else:
+                    lmap = F.broadcast(
+                        self.spark.createDataFrame(
+                            [
+                                (
+                                    self._file_uri(d["path"]),
+                                    d["first_row_id"],
+                                    d["seq"],
+                                )
+                                for d in grp
+                            ],
+                            "_ice_path string, _frid long, _fseq long",
+                        )
+                    )
+                    g = (
+                        g.join(lmap, "_ice_path", "left")
+                        .withColumn(
+                            "_row_id", F.col("_frid") + F.col("_ice_pos")
+                        )
+                        .withColumn(
+                            "_last_updated_sequence_number",
+                            F.col("_fseq"),
+                        )
+                        .drop("_frid", "_fseq")
+                    )
             if fills:
                 import datetime as _dt
 
@@ -1418,14 +1491,11 @@ class IcebergNativeTable:
                     "pos", F.col("_ice_pos")
                 )
             return residual(df.select(*cols))
-        # per-file sequence numbers: a tiny (n_files) mapping, broadcast;
-        # left join + loud null check (ADVICE round 9: an inner join on a
-        # mis-encoded path silently returned ZERO rows)
-        df = self._require_seq(
-            df.join(self._seq_map_df(data, "_ice_path", "_ice_seq"),
-                    "_ice_path", "left"),
-            "_ice_seq", "_ice_path",
-        )
+        # per-file sequence numbers: inline literal map for small file
+        # sets / broadcast join beyond, loud null check either way
+        # (ADVICE round 9: an inner join on a mis-encoded path silently
+        # returned ZERO rows)
+        df = self._with_seq(df, data, "_ice_path", "_ice_seq")
         if pos_del:
             pq_dels = [
                 d for d in pos_del if d.get("file_format") != "PUFFIN"
@@ -1451,16 +1521,11 @@ class IcebergNativeTable:
                         F.col("pos").alias("_del_pos"),
                         F.col("_metadata.file_path").alias("_del_file"),
                     )
-                    .join(
-                        self._seq_map_df(pq_dels, "_del_file", "_del_seq"),
-                        "_del_file",
-                        "left",
-                    )
                 )
                 frames.append(
-                    self._require_seq(f_, "_del_seq", "_del_file").select(
-                        "_del_path", "_del_pos", "_del_seq"
-                    )
+                    self._with_seq(
+                        f_, pq_dels, "_del_file", "_del_seq"
+                    ).select("_del_path", "_del_pos", "_del_seq")
                 )
             if dv_dels:
                 frames.append(self._dv_coordinates(dv_dels))
@@ -1522,13 +1587,8 @@ class IcebergNativeTable:
                         ],
                         F.col("_metadata.file_path").alias("_del_file"),
                     )
-                    .join(
-                        self._seq_map_df(group, "_del_file", "_del_seq"),
-                        "_del_file",
-                        "left",
-                    )
                 )
-                dels = self._require_seq(dels, "_del_seq", "_del_file")
+                dels = self._with_seq(dels, group, "_del_file", "_del_seq")
                 dels = self._broadcast_if_small(dels, group)
                 cond = dels["_del_seq"] > df["_ice_seq"]
                 for c in cur_names:
@@ -1579,6 +1639,46 @@ class IcebergNativeTable:
             "file_path string, content int, sequence_number long, "
             "record_count long, partition string, sort_order_id int",
         )
+
+    def count_files(
+        self,
+        contents: int | tuple = (0, 1, 2),
+        snapshot_id: int | None = None,
+    ) -> int:
+        """Driver-side file count straight from the planned manifests —
+        a metadata answer at metadata cost (guide §5: counting a
+        driver-resident list must not launch a Spark job the way
+        ``files_df().count()`` does; files_df() stays for relational
+        use). ``contents`` picks the spec content ids (0=data,
+        1=position deletes, 2=equality deletes)."""
+        _, _, data, pos_del, eq_del = self._plan(snapshot_id)
+        groups = {0: data, 1: pos_del, 2: eq_del}
+        if isinstance(contents, int):
+            contents = (contents,)
+        return sum(len(groups[c]) for c in contents)
+
+    def count_snapshots(self) -> int:
+        """Driver-side snapshot count (see count_files)."""
+        return len(self._metadata()["snapshots"])
+
+    def count_manifests(self, snapshot_id: int | None = None) -> int:
+        """Driver-side manifest count (see count_files)."""
+        meta = self._metadata()
+        return len(self._manifests(self._snapshot(meta, snapshot_id)))
+
+    def count_rows(
+        self, snapshot_id: int | None = None, ref: str | None = None
+    ) -> int:
+        """count(*) for a whole snapshot. When NO delete files are live
+        the manifests already hold the answer (sum of data-file
+        record_count — the count-star-to-statistics pushdown real
+        Iceberg's Spark scan performs): metadata cost, no Spark job.
+        With live delete files the MOR answer needs the scan, so this
+        falls back to ``scan(...).count()``."""
+        _, _, data, pos_del, eq_del = self._plan(snapshot_id, ref=ref)
+        if pos_del or eq_del:
+            return self.scan(snapshot_id=snapshot_id, ref=ref).count()
+        return sum(d["record_count"] for d in data)
 
     def history_df(self) -> DataFrame:
         meta = self._metadata()
@@ -2039,13 +2139,15 @@ class IcebergNativeTable:
             out[cols[r["c"]][0]].append(r["h"])
         return out
 
-    def statistics_df(self, snapshot_id: int | None = None) -> DataFrame:
+    def statistics_rows(self, snapshot_id: int | None = None) -> list[dict]:
         """The registered table-statistics blobs for a snapshot
-        (current by default) as a metadata table: one row per blob with
-        the resolved column name, its ndv property, and the blob's
-        physical coordinates (path, offset, length) — what a planner
-        joins against before deciding broadcast vs shuffle. Raises if
-        no statistics file is registered for the snapshot."""
+        (current by default), one dict per blob with the resolved
+        column name, its ndv property, and the blob's physical
+        coordinates (path, offset, length). Pure metadata — consumers
+        that need the coordinates themselves read them at metadata
+        cost, no Spark job (guide §5); statistics_df wraps the same
+        rows as a relation. Raises if no statistics file is registered
+        for the snapshot."""
         meta = self._metadata()
         snap = self._snapshot(meta, snapshot_id)
         entry = next(
@@ -2064,21 +2166,30 @@ class IcebergNativeTable:
         sch = self._current_schema(meta)
         id2name = {f["id"]: f["name"] for f in sch["fields"]}
         rows = [
-            (
-                entry["snapshot-id"],
-                ",".join(id2name.get(i, str(i)) for i in b["fields"]),
-                b["type"],
-                int(b["properties"]["ndv"])
+            {
+                "snapshot_id": entry["snapshot-id"],
+                "column_name": ",".join(
+                    id2name.get(i, str(i)) for i in b["fields"]
+                ),
+                "blob_type": b["type"],
+                "ndv": int(b["properties"]["ndv"])
                 if "ndv" in b.get("properties", {})
                 else None,
-                entry["statistics-path"],
-                b["offset"],
-                b["length"],
-            )
+                "statistics_path": entry["statistics-path"],
+                "offset": b["offset"],
+                "length": b["length"],
+            }
             for b in entry["blob-metadata"]
         ]
+        return rows
+
+    def statistics_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """statistics_rows as a metadata table (one row per registered
+        blob) — what a planner joins against before deciding broadcast
+        vs shuffle."""
+        rows = self.statistics_rows(snapshot_id)
         return self.spark.createDataFrame(
-            rows,
+            [tuple(r.values()) for r in rows],
             "snapshot_id long, column_name string, blob_type string, "
             "ndv long, statistics_path string, offset long, length long",
         )
@@ -3702,14 +3813,38 @@ class IcebergNativeTable:
                 schema_id=end_schema_id,
                 with_row_lineage=with_row_lineage,
             )
-            chunk = (
-                cur_view.exceptAll(prev_view)
-                .withColumn("_change_type", F.lit("insert"))
+            # one tagged-union multiset diff yields BOTH directions:
+            # cur rows count +1, prev rows -1; a grouped net of +n
+            # means n surviving inserts, -n means n deletes — exactly
+            # cur.exceptAll(prev) / prev.exceptAll(cur) (Spark itself
+            # rewrites each exceptAll into this union+aggregate+
+            # replicate shape, but TWO exceptAlls instantiate both
+            # MOR-scan subtrees twice each; this plans each scan ONCE,
+            # halving the scans/anti-joins/exchanges of every pair —
+            # guide §2.4: remove redundant passes over the same data)
+            cols = cur_view.columns
+            net = (
+                cur_view.withColumn("__ies_cnt", F.lit(1).cast("long"))
                 .unionByName(
-                    prev_view.exceptAll(cur_view).withColumn(
-                        "_change_type", F.lit("delete")
+                    prev_view.withColumn(
+                        "__ies_cnt", F.lit(-1).cast("long")
                     )
                 )
+                .groupBy(*cols)
+                .agg(F.sum("__ies_cnt").alias("__ies_net"))
+                .where(F.col("__ies_net") != 0)
+            )
+            chunk = (
+                net.select(
+                    *cols,
+                    F.when(F.col("__ies_net") > 0, F.lit("insert"))
+                    .otherwise(F.lit("delete"))
+                    .alias("_change_type"),
+                    F.explode(
+                        F.expr("sequence(1L, abs(__ies_net))")
+                    ).alias("__ies_dup"),
+                )
+                .drop("__ies_dup")
                 .withColumn(
                     "_commit_snapshot_id",
                     F.lit(cur_s["snapshot-id"]).cast("long"),
@@ -4846,80 +4981,131 @@ class IcebergNativeTable:
         coords = coords.select(
             F.col("file_path").cast("string"), F.col("pos").cast("long")
         )
-        # the coordinate subtree (typically a full MOR scan + filter)
-        # feeds TWO actions — the affected-file probe and the bitmap
-        # build — so persist it across the pair: without the cache the
-        # scan computed twice per DV commit (r12 profile: the two
-        # actions dominated _build_dv_manifest at 3.5 s of a 6.3 s
-        # query). Operation-internal cache, unpersisted before return.
-        coords = coords.persist()
-        try:
-            # file-count-bounded driver hop: which targets get a new DV
-            # (the same affected-file planning every DELETE does)
-            affected = {
-                r["file_path"]
-                for r in coords.select("file_path").distinct().collect()
-            }
-            if not affected:
+        # partition attribution: a DV scopes to its target's partition
+        part_by_uri = {
+            self._file_uri(d["path"]): d["partition"] for d in data
+        }
+
+        def _encode(key, pdf):
+            import pandas as pd
+
+            from iceberg_examples_spark.sources.puffin import (
+                encode_deletion_vector,
+            )
+
+            pos = sorted(set(int(p) for p in pdf["pos"]))
+            return pd.DataFrame(
+                {
+                    "file_path": [key[0]],
+                    "payload": [encode_deletion_vector(pos)],
+                    "cardinality": [len(pos)],
+                }
+            )
+
+        _ENC_SCHEMA = "file_path string, payload binary, cardinality long"
+
+        if len(data) <= DV_DRIVER_WRITE_MAX_FILES:
+            # small-TABLE fast path: even a full-table DELETE stays
+            # within the driver-write bound, so the affected-file probe
+            # (a full MOR scan collected only for its distinct file
+            # paths) is pure overhead — ONE action encodes each
+            # target's new-coordinate bitmap, and live-DV superseding
+            # merges driver-side on the <=32 KiB roaring payloads
+            # (guide §1.2/§2.4: one pass over the data, no second
+            # action, no operation-internal cache needed)
+            from iceberg_examples_spark.sources.puffin import (
+                decode_deletion_vector,
+                encode_deletion_vector,
+                read_blob,
+            )
+
+            built0 = sorted(
+                coords.groupBy("file_path")
+                .applyInPandas(_encode, _ENC_SCHEMA)
+                .collect(),
+                key=lambda r: r["file_path"],
+            )
+            if not built0:
                 return None, set()
+            affected = {r["file_path"] for r in built0}
             live_dvs = [
                 d
                 for d in pos_del
                 if d.get("file_format") == "PUFFIN"
                 and d["referenced_data_file"] in affected
             ]
-            merged = coords
-            if live_dvs:
-                merged = coords.unionByName(
-                    self._dv_coordinates(live_dvs).select(
-                        F.col("_del_path").alias("file_path"),
-                        F.col("_del_pos").alias("pos"),
+            by_ref = {d["referenced_data_file"]: d for d in live_dvs}
+            built = []
+            for r in built0:
+                d = by_ref.get(r["file_path"])
+                if d is None:
+                    built.append(r)
+                    continue
+                old = decode_deletion_vector(
+                    read_blob(
+                        d["path"],
+                        d["content_offset"] or 0,
+                        d["content_size_in_bytes"] or 0,
                     )
                 )
-
-            # partition attribution: a DV scopes to its target's
-            # partition
-            part_by_uri = {
-                self._file_uri(d["path"]): d["partition"] for d in data
-            }
-            if len(affected) > DV_DRIVER_WRITE_MAX_FILES:
-                files = self._write_dv_shards(
-                    merged, part_by_uri, affected, seq
+                pos = sorted(
+                    set(old).union(
+                        decode_deletion_vector(bytes(r["payload"]))
+                    )
                 )
-                manifest = self._write_delete_manifest(
-                    meta, seq, files, content=1, equality_ids=None
-                )
-                return manifest, {
-                    d["referenced_data_file"] for d in live_dvs
-                }
-
-            def _encode(key, pdf):
-                import pandas as pd
-
-                from iceberg_examples_spark.sources.puffin import (
-                    encode_deletion_vector,
-                )
-
-                pos = sorted(set(int(p) for p in pdf["pos"]))
-                return pd.DataFrame(
+                built.append(
                     {
-                        "file_path": [key[0]],
-                        "payload": [encode_deletion_vector(pos)],
-                        "cardinality": [len(pos)],
+                        "file_path": r["file_path"],
+                        "payload": encode_deletion_vector(pos),
+                        "cardinality": len(pos),
                     }
                 )
-
-            built = sorted(
-                merged.groupBy("file_path")
-                .applyInPandas(
-                    _encode,
-                    "file_path string, payload binary, cardinality long",
+        else:
+            # large-table path (100 TB shape): the affected-file probe
+            # is required to scope the work, and the coordinate subtree
+            # (typically a full MOR scan + filter) feeds TWO actions —
+            # the probe and the bitmap build — so persist it across the
+            # pair (operation-internal cache, unpersisted in finally).
+            coords = coords.persist()
+            try:
+                affected = {
+                    r["file_path"]
+                    for r in coords.select("file_path").distinct().collect()
+                }
+                if not affected:
+                    return None, set()
+                live_dvs = [
+                    d
+                    for d in pos_del
+                    if d.get("file_format") == "PUFFIN"
+                    and d["referenced_data_file"] in affected
+                ]
+                merged = coords
+                if live_dvs:
+                    merged = coords.unionByName(
+                        self._dv_coordinates(live_dvs).select(
+                            F.col("_del_path").alias("file_path"),
+                            F.col("_del_pos").alias("pos"),
+                        )
+                    )
+                if len(affected) > DV_DRIVER_WRITE_MAX_FILES:
+                    files = self._write_dv_shards(
+                        merged, part_by_uri, affected, seq
+                    )
+                    manifest = self._write_delete_manifest(
+                        meta, seq, files, content=1, equality_ids=None
+                    )
+                    return manifest, {
+                        d["referenced_data_file"] for d in live_dvs
+                    }
+                built = sorted(
+                    merged.groupBy("file_path")
+                    .applyInPandas(_encode, _ENC_SCHEMA)
+                    .collect(),
+                    key=lambda r: r["file_path"],
                 )
-                .collect(),
-                key=lambda r: r["file_path"],
-            )
-        finally:
-            coords.unpersist()
+            finally:
+                coords.unpersist()
         puf_path = os.path.join(
             self.location,
             "data",
@@ -5796,7 +5982,7 @@ def iceberg_native_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey long, c_name string, c_acctbal double",
     )
     t.row_delta(updates.unionByName(news), ["c_custkey"])
-    n_snaps = t.snapshots_df().count()
+    n_snaps = t.count_snapshots()  # metadata probe, driver-side (§5)
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("c_name").startswith("updated-"), 1)).alias(
@@ -5885,8 +6071,14 @@ def iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
     t = IcebergNativeTable.create(spark, loc, cust)
+    # the three rounds match DISJOINT key sets (c_custkey % 10 == r), so
+    # each round's coordinates are identical whether scanned live or at
+    # the base state — planning the scan ONCE before any deletes keeps
+    # every round's coordinate job free of the progressively heavier
+    # MOR anti-joins the live scan would re-apply (guide §2.4: don't
+    # re-pay work whose result cannot change)
+    live = t.scan(with_coordinates=True)
     for r in range(3):
-        live = t.scan(with_coordinates=True)
         # repartition(2) pins the written delete-file count (round-robin,
         # both partitions non-empty) so the before/after columns are
         # deterministic: 3 commits x 2 files -> 1 consolidated file
@@ -5895,9 +6087,9 @@ def iceberg_rewrite_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("file_path", "pos")
             .repartition(2)
         )
-    n_before = t.files_df().filter(F.col("content") == 1).count()
+    n_before = t.count_files(1)
     t.rewrite_position_deletes()
-    n_after = t.files_df().filter(F.col("content") == 1).count()
+    n_after = t.count_files(1)
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(money_sum_sql("c_acctbal", scale=100)).alias("total_bal"),
@@ -5925,8 +6117,9 @@ def iceberg_delete_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         loc = scratch_dir(sf_dir, f"iceberg_del_{mode[:3]}", fresh=True)
         t = IcebergNativeTable.create(spark, loc, orders)
         t.delete_where(F.col("o_orderstatus") == "F", mode=mode)
-        files = t.files_df()
-        has_delete_files = files.filter(F.col("content") != 0).count() > 0
+        # metadata-scale probe: count delete files driver-side instead
+        # of launching a Spark job over a driver-built list (guide §5)
+        has_delete_files = t.count_files((1, 2)) > 0
         return t.scan().agg(
             F.lit(mode).alias("mode"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -5968,10 +6161,9 @@ def iceberg_update_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"o_totalprice": F.col("o_totalprice") * F.lit(2.0)},
             mode=mode,
         )
-        has_delete_files = (
-            t.files_df().filter(F.col("content") != 0).count() > 0
-        )
-        n_snaps = t.snapshots_df().count()
+        # metadata-scale probes driver-side (guide §5), not Spark jobs
+        has_delete_files = t.count_files((1, 2)) > 0
+        n_snaps = t.count_snapshots()
         return t.scan().agg(
             F.lit(mode).alias("mode"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -6045,8 +6237,10 @@ def iceberg_native_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.create_branch("audit")
     t.append(cust.filter(F.col("c_acctbal") <= 0.0), branch="audit")
-    n_main_before = t.scan().count()
-    n_branch = t.scan(ref="audit").count()
+    # no delete files live on either state: count(*) answers from
+    # manifest statistics (count_rows), no scan job (guide §5)
+    n_main_before = t.count_rows()
+    n_branch = t.count_rows(ref="audit")
     t.fast_forward("main", "audit")
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_after"),
@@ -6220,7 +6414,8 @@ def iceberg_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         d["file_format"] == "PUFFIN" for d in pos
     )
     one_per_file = len(refs) == len(set(refs))
-    rows_v2 = t.scan(snapshot_id=1).count()
+    # snapshot 1 predates every delete: manifest-statistics count (§5)
+    rows_v2 = t.count_rows(snapshot_id=1)
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
@@ -6252,9 +6447,9 @@ def iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.append(orders.filter(F.col("o_orderstatus") == "O"))
     t.append(orders.filter(F.col("o_orderstatus") == "P"))
     t.delete_where(F.col("o_totalprice") < 10000.0, "merge-on-read")
-    before = t.manifests_df().count()
+    before = t.count_manifests()  # metadata probe, driver-side (§5)
     eliminated = t.rewrite_manifests()
-    after = t.manifests_df().count()
+    after = t.count_manifests()
     return t.scan().agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr(money_sum_sql("o_totalprice", scale=100)).alias(
@@ -6391,57 +6586,48 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = IcebergNativeTable.create(spark, loc, orders)
     t.write_table_statistics()
-    stats = t.statistics_df()
-    coords = stats.select(
-        "column_name", "blob_type", "ndv", "statistics_path", "offset",
-        "length",
-    ).collect()
+    # the statistics relation is pure metadata — read the blob
+    # coordinates driver-side (statistics_rows) instead of collecting
+    # a Spark job over a driver-built relation, and assemble the tiny
+    # verdict table driver-side too (guide §5: the old shape paid
+    # THREE job launches — coords collect + two broadcast joins — to
+    # move <10 metadata rows around)
+    coords = t.statistics_rows()
     # theta honesty: decode + KMV-estimate each spec blob driver-side
     # (payloads are <= ~32 KiB each); hll honesty: re-estimate through
-    # the JVM, an implementation we don't maintain
-    theta_rows, hll_rows = [], []
+    # the JVM (hll_sketch_estimate), an implementation we don't
+    # maintain — that one stays a (single, tiny) Spark job
+    theta_ok, ndv_by_col, hll_rows = {}, {}, []
     for r in coords:
         payload = read_blob(r["statistics_path"], r["offset"], r["length"])
         if r["blob_type"] == "apache-datasketches-theta-v1":
             est = TH.estimate(payload)
-            theta_rows.append(
-                (
-                    r["column_name"],
-                    bool(abs(est - r["ndv"]) <= max(1.0, 0.05 * r["ndv"])),
-                )
+            theta_ok[r["column_name"]] = bool(
+                abs(est - r["ndv"]) <= max(1.0, 0.05 * r["ndv"])
             )
+            ndv_by_col[r["column_name"]] = r["ndv"]
         else:
             hll_rows.append((r["column_name"], payload))
-    theta_df = spark.createDataFrame(
-        theta_rows, "column_name string, theta_ok boolean"
-    )
-    hll_est = (
-        spark.createDataFrame(hll_rows, "column_name string, sk binary")
-        .select(
-            "column_name",
-            F.hll_sketch_estimate("sk").alias("est"),
+    hll_est = {
+        r["column_name"]: r["est"]
+        for r in spark.createDataFrame(
+            hll_rows, "column_name string, sk binary"
         )
-    )
-    return (
-        stats.filter(
-            F.col("blob_type") == "apache-datasketches-theta-v1"
+        .select("column_name", F.hll_sketch_estimate("sk").alias("est"))
+        .collect()
+    }
+    rows = [
+        (
+            c,
+            ndv_by_col[c],
+            bool(abs(hll_est[c] - ndv_by_col[c]) <= 0.05 * ndv_by_col[c])
+            and theta_ok[c],
         )
-        .select("column_name", "ndv")
-        .join(hll_est, "column_name")
-        .join(theta_df, "column_name")
-        .select(
-            "column_name",
-            "ndv",
-            (
-                (
-                    F.abs(F.col("est") - F.col("ndv"))
-                    <= F.lit(0.05) * F.col("ndv")
-                )
-                & F.col("theta_ok")
-            ).alias("sketch_ok"),
-        )
-        .orderBy("column_name")
-    )
+        for c in sorted(ndv_by_col)
+    ]
+    return spark.createDataFrame(
+        rows, "column_name string, ndv long, sketch_ok boolean"
+    ).orderBy("column_name")
 
 
 def iceberg_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6480,7 +6666,7 @@ def iceberg_stats_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["column_name"]: read_blob(
             r["statistics_path"], r["offset"], r["length"]
         )
-        for r in t.statistics_df().collect()
+        for r in t.statistics_rows()  # metadata read, no Spark job (§5)
     }
     increment = orders.filter(F.col("o_orderkey") % 2 == 1)
     t.append(increment)

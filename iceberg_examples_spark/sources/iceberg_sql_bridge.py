@@ -280,7 +280,8 @@ def iceberg_wap_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "VALUES(s.customer_id, s.name, s.lastname);",
         tables={"default.test_table": audit},
     )
-    n_main_before = main.table.scan().count()  # audit invisible: 2
+    # audit invisible: 2 — manifest-statistics count, no scan job (§5)
+    n_main_before = main.table.count_rows()
     main.table.fast_forward("main", "audit")
     return (
         main.table.scan()
