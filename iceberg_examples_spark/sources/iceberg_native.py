@@ -1667,17 +1667,28 @@ class IcebergNativeTable:
         return len(self._manifests(self._snapshot(meta, snapshot_id)))
 
     def count_rows(
-        self, snapshot_id: int | None = None, ref: str | None = None
+        self,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        partition_filter: dict | None = None,
     ) -> int:
-        """count(*) for a whole snapshot. When NO delete files are live
-        the manifests already hold the answer (sum of data-file
-        record_count — the count-star-to-statistics pushdown real
-        Iceberg's Spark scan performs): metadata cost, no Spark job.
-        With live delete files the MOR answer needs the scan, so this
-        falls back to ``scan(...).count()``."""
-        _, _, data, pos_del, eq_del = self._plan(snapshot_id, ref=ref)
+        """count(*) for a snapshot (optionally partition-pruned). When
+        NO delete files are live the manifests already hold the answer
+        (sum of data-file record_count — the count-star-to-statistics
+        pushdown real Iceberg's Spark scan performs): metadata cost, no
+        Spark job. ``partition_filter`` prunes FILES exactly as
+        ``scan(partition_filter=...)`` does, so the sums agree by
+        construction. With live delete files the MOR answer needs the
+        scan, so this falls back to ``scan(...).count()``."""
+        _, _, data, pos_del, eq_del = self._plan(
+            snapshot_id, ref=ref, partition_filter=partition_filter
+        )
         if pos_del or eq_del:
-            return self.scan(snapshot_id=snapshot_id, ref=ref).count()
+            return self.scan(
+                snapshot_id=snapshot_id,
+                ref=ref,
+                partition_filter=partition_filter,
+            ).count()
         return sum(d["record_count"] for d in data)
 
     def history_df(self) -> DataFrame:
@@ -6363,6 +6374,13 @@ def iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t.add_files(hive)
     pruned = t.scan(where={"c_mktsegment": "BUILDING"})
     one_file = len(pruned.inputFiles()) == 1
+    # identity partitioning + no delete files: the pruned row count is
+    # the pruned files' manifest record_count sum — metadata cost, no
+    # second scan job (§5); the pruned SCAN itself is still exercised
+    # by the one-file check above
+    pruned_rows = t.count_rows(
+        partition_filter={"c_mktsegment": "BUILDING"}
+    )
     return (
         t.scan()
         .groupBy("c_mktsegment")
@@ -6373,7 +6391,7 @@ def iceberg_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("n_registered", F.lit(n))
-        .withColumn("pruned_rows", F.lit(pruned.count()).cast("long"))
+        .withColumn("pruned_rows", F.lit(pruned_rows).cast("long"))
         .withColumn("pruned_reads_one_file", F.lit(one_file))
         .orderBy("c_mktsegment")
     )
