@@ -74,6 +74,12 @@ _EXPORTS = {
 }
 
 
+# star-import compatibility: __getattr__ is not consulted by
+# `from pkg import *`, so the lazy surface must declare __all__
+# explicitly (ADVICE r12)
+__all__ = sorted(_EXPORTS)
+
+
 def __getattr__(name: str):
     if name in _EXPORTS:
         import importlib

@@ -45,6 +45,19 @@ def _para_hashes(docs: DataFrame) -> DataFrame:
     return _paras(_with_tokens(docs)).select("h").distinct()
 
 
+def _overlap(thunks) -> None:
+    """Run independent write actions from a 2-thread driver pool (guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially; the LSH-index write and the paragraph-hash write touch
+    different directories and share no state, so the second job's tasks
+    back-fill executors the first one's tail leaves idle)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        for f in pool.map(lambda t: t(), thunks):
+            pass
+
+
 class CurationIndex:
     """The curated corpus's LSH band index + paragraph-hash index as
     append-only parquet stores (see module docstring)."""
@@ -96,8 +109,15 @@ class CurationIndex:
     # -- the O(corpus) step, once --------------------------------------
     def build(self, corpus: DataFrame) -> None:
         """Index the curated base corpus (columns: doc_id, text)."""
-        self._append(minhash_index(corpus.select("doc_id", "text")), self.lsh_dir)
-        self._append(_para_hashes(corpus), self.para_dir)
+        _overlap(
+            [
+                lambda: self._append(
+                    minhash_index(corpus.select("doc_id", "text")),
+                    self.lsh_dir,
+                ),
+                lambda: self._append(_para_hashes(corpus), self.para_dir),
+            ]
+        )
 
     # -- O(batch) per incoming batch ------------------------------------
     def probe(
@@ -148,11 +168,17 @@ class CurationIndex:
         """Append the ACCEPTED batch docs' own index rows — the O(batch)
         maintenance step that makes batch N visible to batch N+1's probe
         without ever rescanning or rewriting the existing index."""
-        self._append(
-            minhash_index(accepted.select("doc_id", "text"), wide=False),
-            self.lsh_dir,
+        _overlap(
+            [
+                lambda: self._append(
+                    minhash_index(
+                        accepted.select("doc_id", "text"), wide=False
+                    ),
+                    self.lsh_dir,
+                ),
+                lambda: self._append(_para_hashes(accepted), self.para_dir),
+            ]
         )
-        self._append(_para_hashes(accepted), self.para_dir)
 
     def append_indexed(
         self, accepted_idx: DataFrame, key: str | None = None
@@ -161,13 +187,17 @@ class CurationIndex:
         for the paragraph hashes) — no second signature pass; see
         probe_indexed. ``key`` makes the append idempotent (deterministic
         overwrite target) for at-least-once streaming epochs."""
-        self._append(
-            accepted_idx.select(*self._lsh_cols(accepted_idx)),
-            self.lsh_dir,
-            key=key,
-        )
-        self._append(
-            _para_hashes(accepted_idx.select("doc_id", "text")),
-            self.para_dir,
-            key=key,
+        _overlap(
+            [
+                lambda: self._append(
+                    accepted_idx.select(*self._lsh_cols(accepted_idx)),
+                    self.lsh_dir,
+                    key=key,
+                ),
+                lambda: self._append(
+                    _para_hashes(accepted_idx.select("doc_id", "text")),
+                    self.para_dir,
+                    key=key,
+                ),
+            ]
         )

@@ -36,6 +36,15 @@ OUT_DEGREE = 3
 PR_ITERATIONS = 3
 PR_SCALE = 1_000_000  # rank fixed-point scale
 PR_TOPK = 20
+# Lineage-truncation interval: staging EVERY iteration paid one eager
+# materialization job per round (r12 bench: pagerank_links 2.6 s at
+# sf0.1, nearly all job fixed cost — and 8 cores beat 32, the
+# tiny-task signature). Plan depth only threatens planning time /
+# lineage recovery after MANY rounds, so truncate every K rounds
+# instead of every round: a 3-iteration query is one job, a 50-round
+# cluster loop still checkpoints periodically (guide §2.4/§3.3 —
+# materialize when the plan gets wide, not by reflex).
+PR_STAGE_EVERY = 8
 
 
 def _edges(docs: DataFrame) -> DataFrame:
@@ -71,15 +80,18 @@ def pagerank_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = stage(
-            docs.join(recv, docs.doc_id == recv.dst, "left").select(
-                "doc_id",
-                F.expr(
-                    f"{base} + (85 * coalesce(in_mass, 0L)) div 100"
-                ).alias("rank"),
-            ),
-            f"pr-iter-{i}",
+        ranks = docs.join(recv, docs.doc_id == recv.dst, "left").select(
+            "doc_id",
+            F.expr(
+                f"{base} + (85 * coalesce(in_mass, 0L)) div 100"
+            ).alias("rank"),
         )
+        # periodic truncation only (see PR_STAGE_EVERY): each round's
+        # output feeds exactly the next round, so an unstaged chain
+        # recomputes nothing — one deep plan, one job, and AQE sizes
+        # every shuffle from runtime stats instead of 32 static tasks
+        if (i + 1) % PR_STAGE_EVERY == 0 and i + 1 < PR_ITERATIONS:
+            ranks = stage(ranks, f"pr-iter-{i}")
     return (
         ranks.orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(PR_TOPK)
@@ -178,14 +190,25 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree 3 the reachable set saturates well before the cap."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = stage(_edges(docs), "bfs-edges")
-    visited = stage(
+    frontier = stage(
         docs.filter(F.col("doc_id") == BFS_SOURCE).select(
             "doc_id", F.lit(0).cast("bigint").alias("level")
         ),
         "bfs-visited",
     )
-    frontier = visited
+    # visited = the UNION of the staged per-level frontiers. Each
+    # frontier is materialized exactly once (it feeds both the next
+    # level's anti-join and the final census); re-staging the growing
+    # union as well paid a second eager materialization job per level
+    # for rows that were all already checkpointed — at BFS_MAX_LEVEL=8
+    # that was 8 extra job waves of pure fixed cost (r12: bfs_levels
+    # 3.4 s, ratio 0.66 — tiny-task signature). A union of ≤8
+    # checkpoint scans is a trivially small plan at any scale.
+    fronts = [frontier]
     for lvl in range(1, BFS_MAX_LEVEL + 1):
+        visited = fronts[0]
+        for f in fronts[1:]:
+            visited = visited.unionByName(f)
         nxt = (
             frontier.join(edges, frontier["doc_id"] == edges["src"])
             .select(F.col("dst").alias("doc_id"))
@@ -196,10 +219,11 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = stage(nxt, f"bfs-frontier-{lvl}")
         if frontier.isEmpty():
             break
-        visited = stage(
-            visited.unionByName(frontier), f"bfs-visited-{lvl}"
-        )
-    return visited.groupBy("level").agg(
+        fronts.append(frontier)
+    out = fronts[0]
+    for f in fronts[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("level").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("doc_id").alias("id_sum"),
     )

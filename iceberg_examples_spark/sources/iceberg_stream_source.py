@@ -636,13 +636,21 @@ def stream_from_iceberg(spark, sf_dir: str):
             raise
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
+    # ONE load() for both drains: resolving a Python DataSource plans
+    # its schema in a dedicated Python worker (~1 s of the session fixed
+    # cost the r12 profile attributed to every start()); the loaded
+    # DataFrame is just the logical plan, so the restarted second drain
+    # reuses it — checkpoint recovery and the runner worker are
+    # unchanged, only the redundant second plan worker is gone (§4)
+    stream_df = (
+        spark.readStream.format("icebergnative_stream")
+        .option("path", src.location)
+        .load()
+    )
 
     def drain() -> None:
         q = (
-            spark.readStream.format("icebergnative_stream")
-            .option("path", src.location)
-            .load()
-            .writeStream.outputMode("append")
+            stream_df.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .foreachBatch(
@@ -712,13 +720,20 @@ def stream_from_iceberg_bulk(spark, sf_dir: str):
         splits.append(b.rdd.getNumPartitions())
         b.write.mode("append").parquet(out)
 
+    # one load() shared by both drains — see stream_from_iceberg: the
+    # plan-worker spawn is per load(), not per start(), and the logical
+    # plan carries only the options (path), so the second run's reader
+    # still reads the post-delete metadata at its own latestOffset time
+    stream_df = (
+        spark.readStream.format("icebergnative_stream_bulk")
+        .option("path", src.location)
+        .option("skip_non_appends", "true")
+        .load()
+    )
+
     def drain() -> None:
         q = (
-            spark.readStream.format("icebergnative_stream_bulk")
-            .option("path", src.location)
-            .option("skip_non_appends", "true")
-            .load()
-            .writeStream.outputMode("append")
+            stream_df.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .foreachBatch(sink)
@@ -816,36 +831,37 @@ def _admission_scenario(spark, sf_dir: str, name: str, bulk: bool):
         # ONE job per micro-batch: write, then decide batch emptiness
         # from the new part files' parquet footers (driver-side
         # metadata reads, no second computation — previously persist +
-        # count + write paid two jobs and the cache churn per batch)
+        # count + write paid two jobs and the cache churn per batch).
+        # Each batch writes its OWN epoch-keyed directory: the batch's
+        # file set is exactly that directory's listing — O(batch), not
+        # O(total sink files) as the old before/after diff of the whole
+        # sink dir was (VERDICT r12 #6) — and the overwrite mode makes
+        # a retried epoch idempotent instead of appending duplicates.
         nonlocal n_batches
         import pyarrow.parquet as _pq
 
-        before = (
-            set(_os.listdir(out)) if _os.path.isdir(out) else set()
-        )
-        b.write.mode("append").parquet(out)
-        added = [
-            n
-            for n in _os.listdir(out)
-            if n.endswith(".parquet") and n not in before
-        ]
+        bdir = _os.path.join(out, f"b{_epoch}")
+        b.write.mode("overwrite").parquet(bdir)
         if any(
-            _pq.ParquetFile(_os.path.join(out, n)).metadata.num_rows > 0
-            for n in added
+            _pq.ParquetFile(_os.path.join(bdir, n)).metadata.num_rows > 0
+            for n in _os.listdir(bdir)
+            if n.endswith(".parquet")
         ):
             n_batches += 1
 
+    # one load() shared by both drains (the plan worker is per load())
+    reader = (
+        spark.readStream.format(source.name())
+        .option("path", src.location)
+        .option("max_files_per_microbatch", "3")
+    )
+    if bulk:
+        reader = reader.option("admission_channel", channel)
+    stream_df = reader.load()
+
     def drain() -> None:
-        reader = (
-            spark.readStream.format(source.name())
-            .option("path", src.location)
-            .option("max_files_per_microbatch", "3")
-        )
-        if bulk:
-            reader = reader.option("admission_channel", channel)
         q = (
-            reader.load()
-            .writeStream.outputMode("append")
+            stream_df.writeStream.outputMode("append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .foreachBatch(sink)
@@ -861,7 +877,7 @@ def _admission_scenario(spark, sf_dir: str, name: str, bulk: bool):
         tip,
         float("inf"),
     )
-    emitted = spark.read.parquet(out)
+    emitted = spark.read.parquet(_os.path.join(out, "b*"))
     return emitted.agg(
         F.lit(n_batches).cast("long").alias("n_batches"),
         F.count(F.lit(1)).alias("n_rows"),

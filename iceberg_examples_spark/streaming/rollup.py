@@ -913,6 +913,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copytree(cached, idx_dir)
     idx = CurationIndex(spark, idx_dir)
     report_t = LocalTable(spark, os.path.join(root, "report"))
+    committed_epochs: set[int] = set()
 
     def commit(batch_df, epoch_id: int) -> None:
         # at-least-once foreachBatch: the report row is the epoch's
@@ -924,11 +925,14 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keyed append (exclude_key) — the batch never probes its own
         # already-committed entries, while a doc_id re-ingested in a
         # LATER epoch still hits the earlier epoch's entry and is
-        # rejected (ADVICE r7)
-        if report_t.exists() and (epoch_id + 1) in {
-            r["epoch"]
-            for r in report_t.read().select("epoch").distinct().collect()
-        }:
+        # rejected (ADVICE r7).
+        # The commit marker is tracked DRIVER-SIDE: scratch root is
+        # fresh per invocation, so the report table starts absent and
+        # every committed epoch was committed by THIS process — the set
+        # is complete, and re-reading the table per epoch just to list
+        # committed epoch ids was one Spark job per epoch spent moving
+        # two rows (guide §5: the driver already knows the answer)
+        if epoch_id in committed_epochs:
             return
         batch_idx = stage(
             minhash_index(batch_df, wide=False, keep=("text",)),
@@ -967,6 +971,7 @@ def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             report_t.append(row)
         else:
             report_t.create(row)
+        committed_epochs.add(epoch_id)
 
     stream = (
         spark.readStream.schema(docs.schema)
