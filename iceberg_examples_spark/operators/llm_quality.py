@@ -567,15 +567,25 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "b", F.expr(f"{md5_int_hash('t')} % {DSIR_BUCKETS}")
     )
-    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
+    # ONE conditional aggregate yields both distributions: cr = all
+    # tokens per bucket, ct = target-language tokens per bucket. The
+    # former raw-vs-target formulation tokenized and exploded the whole
+    # corpus TWICE and joined the two 256-row aggregates back together;
+    # tgt ⊆ raw by construction, so the left join + fill(0) is exactly
+    # sum(case when target)=0 — one full pass and one join removed
+    # (guide §2.4: don't run two passes over the same data for two
+    # aggregates of it). Integer arithmetic unchanged.
     scores = (
-        raw.join(tgt, "b", "left")
-        .na.fill(0, ["ct"])
+        tok.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.sum(
+                F.expr(
+                    f"case when lang = '{DSIR_TARGET_LANG}' "
+                    "then 1 else 0 end"
+                )
+            ).alias("ct"),
+        )
         .withColumn(
             "s", F.expr(f"ct * {DSIR_RATIO_SCALE} div cr")
         )

@@ -404,13 +404,33 @@ def incremental_curate(
     # fingerprint = the parameters that determine index CONTENT, so a
     # definition change invalidates the artifact like a data change does
     lsh_fp = f"v1:mh{N_MINHASH}:b{N_BANDS}:r{ROWS_PER_BAND}:m{MOD}:{base_tag}"
-    base_lsh = persisted_index(
-        spark,
-        lambda: minhash_index(base.select("doc_id", "text")),
-        "base-lsh-index",
-        index_deps,
-        fingerprint=lsh_fp,
-    )
+    para_fp = f"v1:pt{PARA_TOKENS}:pm{PARA_SUM_MOD}:{base_tag}"
+    # The two base-index artifacts are fully independent builds
+    # (different labels, different content); on the COLD path build them
+    # from a 2-thread driver pool so the paragraph-hash job back-fills
+    # executors the LSH build's tail leaves idle (guide §2.6). On the
+    # warm path both are cache hits and the pool is overhead-free.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _lsh_f = _pool.submit(
+            persisted_index,
+            spark,
+            lambda: minhash_index(base.select("doc_id", "text")),
+            "base-lsh-index",
+            index_deps,
+            lsh_fp,
+        )
+        _para_f = _pool.submit(
+            persisted_index,
+            spark,
+            lambda: _paras(base).select("h").distinct(),
+            "base-para-index",
+            index_deps,
+            para_fp,
+        )
+        base_lsh = _lsh_f.result()
+        base_hashes = _para_f.result()
     batch_lsh = gated.select(
         "doc_id",
         *[f"mh{i}" for i in range(N_MINHASH)],
@@ -435,15 +455,8 @@ def incremental_curate(
     accepted = gated.join(neardup, "doc_id", "left_anti")
 
     # stage 3: anti-join the accepted paragraphs against the base
-    # paragraph-hash index (same persisted-artifact discipline), then
-    # keep-first within the delta
-    base_hashes = persisted_index(
-        spark,
-        lambda: _paras(base).select("h").distinct(),
-        "base-para-index",
-        index_deps,
-        fingerprint=f"v1:pt{PARA_TOKENS}:pm{PARA_SUM_MOD}:{base_tag}",
-    )
+    # paragraph-hash index (built above, same persisted-artifact
+    # discipline), then keep-first within the delta
     # re-derive tk from the checkpointed text (JVM regex over the
     # accepted batch — cheaper than shipping token arrays through Arrow
     # and storing them in the checkpoint)

@@ -3735,7 +3735,7 @@ class IcebergNativeTable:
             for s in (prev_s, cur_s):
                 if s["snapshot-id"] not in plans:
                     plans[s["snapshot-id"]] = self._plan(s["snapshot-id"])
-        pair_info: list[tuple[dict, dict, object, list]] = []
+        pair_info: list[tuple] = []
         all_pq_new: list[str] = []
         for prev_s, cur_s in pairs:
             _, _, pdata, ppos, peq = plans[prev_s["snapshot-id"]]
@@ -3751,8 +3751,10 @@ class IcebergNativeTable:
             if new_eq:
                 # equality-delete fallback: full-state diff (an
                 # equality delete can kill rows in any earlier file)
-                pair_info.append((prev_s, cur_s, None, []))
+                pair_info.append((prev_s, cur_s, None, [], set(), set(), []))
                 continue
+            added = cur_paths - prev_paths
+            removed = prev_paths - cur_paths
             affected = set(cur_paths ^ prev_paths)
             uri2path = {
                 self._file_uri(p): p for p in (prev_paths | cur_paths)
@@ -3772,7 +3774,8 @@ class IcebergNativeTable:
             ]
             all_pq_new.extend(pq_new)
             pair_info.append(
-                (prev_s, cur_s, (affected, uri2path), pq_new)
+                (prev_s, cur_s, (affected, uri2path), pq_new,
+                 added, removed, new_pos)
             )
         # ---- pass 2: ONE batched Spark job resolves every parquet
         # position-delete file's distinct targets across the WHOLE
@@ -3807,7 +3810,9 @@ class IcebergNativeTable:
                     _norm_local(r["_src"]), set()
                 ).add(r["file_path"])
         # ---- pass 3: assemble the single unioned lazy plan
-        for prev_s, cur_s, scope, pq_new in pair_info:
+        for prev_s, cur_s, scope, pq_new, added, removed, new_pos in (
+            pair_info
+        ):
             files = None  # None = unrestricted (equality fallback)
             if scope is not None:
                 affected, uri2path = scope
@@ -3820,6 +3825,95 @@ class IcebergNativeTable:
                 if not affected:
                     continue
                 files = affected
+            # ---- metadata-classified fast paths (the task shapes of
+            # real Iceberg's changelog planner). A commit that only
+            # ADDED data files contributes exactly those files' rows as
+            # inserts (AddedRowsScanTask): the multiset diff would scan
+            # prev (empty under the added-file restriction) and cur,
+            # hash-aggregate every column and re-replicate — a full
+            # shuffle of the added rows to prove net=+1 per row. A
+            # commit that only ADDED delete files contributes exactly
+            # the rows its new delete entries kill (DeletedRowsScanTask):
+            # prev's live view semi-joined on the new delete
+            # coordinates — previously-dead rows are absent from the
+            # prev view, so stacked v2 coordinates and superseding v3
+            # DVs (whose new bitmap contains the old) both reduce to
+            # the newly-killed rows, the same multiset the diff nets
+            # out. COW/overwrite commits (data files added AND removed)
+            # keep the general diff. Guide §2.4: the cheapest shuffle
+            # is the one the metadata proves unnecessary.
+            if scope is not None and added and not removed and not new_pos:
+                chunk = (
+                    self.scan(
+                        snapshot_id=cur_s["snapshot-id"],
+                        files=added,
+                        schema_id=end_schema_id,
+                        with_row_lineage=with_row_lineage,
+                    )
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn(
+                        "_commit_snapshot_id",
+                        F.lit(cur_s["snapshot-id"]).cast("long"),
+                    )
+                )
+                out = chunk if out is None else out.unionByName(chunk)
+                continue
+            if scope is not None and new_pos and not added and not removed:
+                prev_view = self.scan(
+                    snapshot_id=prev_s["snapshot-id"],
+                    files=files,
+                    schema_id=end_schema_id,
+                    with_row_lineage=with_row_lineage,
+                    with_coordinates=True,
+                )
+                frames = []
+                if pq_new:
+                    frames.append(
+                        self.spark.read.schema(
+                            "file_path string, pos long"
+                        )
+                        .parquet(*pq_new)
+                        .select(
+                            F.col("file_path").alias("_del_path"),
+                            F.col("pos").alias("_del_pos"),
+                        )
+                    )
+                dv_new = [
+                    d
+                    for d in new_pos
+                    if d.get("file_format") == "PUFFIN"
+                ]
+                if dv_new:
+                    frames.append(
+                        self._dv_coordinates(dv_new).select(
+                            "_del_path", "_del_pos"
+                        )
+                    )
+                dels = frames[0]
+                for f_ in frames[1:]:
+                    dels = dels.unionByName(f_)
+                dels = self._broadcast_if_small(dels, new_pos)
+                base_cols = [
+                    c
+                    for c in prev_view.columns
+                    if c not in ("file_path", "pos")
+                ]
+                chunk = (
+                    prev_view.join(
+                        dels,
+                        (prev_view["file_path"] == dels["_del_path"])
+                        & (prev_view["pos"] == dels["_del_pos"]),
+                        "left_semi",
+                    )
+                    .select(*base_cols)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .withColumn(
+                        "_commit_snapshot_id",
+                        F.lit(cur_s["snapshot-id"]).cast("long"),
+                    )
+                )
+                out = chunk if out is None else out.unionByName(chunk)
+                continue
             # every pair resolves to the RANGE-END schema: pre/post
             # views of one commit always share a shape, pairs written
             # under different schemas still union into one feed, and a

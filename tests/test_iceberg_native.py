@@ -2881,3 +2881,49 @@ def test_changelog_long_range_plans_one_job_wave(spark, tmp_path):
     assert ins == [1000 + i for i in range(10)]
     # 20 distinct commit ids, one event each
     assert len({r["_commit_snapshot_id"] for r in rows}) == 20
+
+
+def test_changelog_fast_path_plan_shapes(spark, tmp_path):
+    """r13 changelog planner fast paths (real Iceberg's task shapes):
+    an append-only commit's changelog chunk is a bare scan of the added
+    files tagged 'insert' (AddedRowsScanTask — no multiset-diff
+    aggregate in the plan); a delete-only commit's chunk is the prev
+    view semi-joined on the new delete coordinates
+    (DeletedRowsScanTask — a LeftSemi join, still no aggregate); a
+    COW/overwrite commit (files added AND removed) keeps the general
+    multiset diff (HashAggregate present). Values are pinned by
+    test_changelog_diff_semantics and the oracle; this pins the PLAN."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    t = IcebergNativeTable.create(spark, str(tmp_path / "t"), df)
+    t.append(
+        spark.createDataFrame([(100, 100.0)], "k long, v double")
+    )  # s2: append-only
+    t.delete_where(F.col("k") == 3, mode="merge-on-read")  # s3: delete-only
+    t.update_where(
+        F.col("k") == 5, {"v": F.lit(999.0)}, mode="copy-on-write"
+    )  # s4: COW rewrite (added AND removed files)
+
+    def plan(from_id, to_id):
+        d = t.changelog_df(from_snapshot_id=from_id, to_snapshot_id=to_id)
+        return d._jdf.queryExecution().optimizedPlan().toString()
+
+    append_plan = plan(1, 2)
+    assert "Aggregate" not in append_plan  # no diff for a pure append
+    delete_plan = plan(2, 3)
+    assert "Aggregate" not in delete_plan  # no diff for a pure delete
+    assert "LeftSemi" in delete_plan  # rows killed by the new coords
+    cow_plan = plan(3, 4)
+    assert "Aggregate" in cow_plan  # general multiset diff retained
+
+    # and the fast-path chunks still produce the exact change events
+    rows = t.changelog_df(from_snapshot_id=1).collect()
+    by_snap = {}
+    for r in rows:
+        by_snap.setdefault(r["_commit_snapshot_id"], []).append(
+            (r["_change_type"], r["k"], r["v"])
+        )
+    assert by_snap[2] == [("insert", 100, 100.0)]
+    assert by_snap[3] == [("delete", 3, 3.0)]
+    assert sorted(by_snap[4]) == [("delete", 5, 5.0), ("insert", 5, 999.0)]
