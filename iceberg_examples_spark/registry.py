@@ -68,59 +68,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (driver confs, not ours) at sf0.01.
 # ---------------------------------------------------------------------------
 QUERIES: dict[str, QueryFn] = {
-    # ----- latest green driver row: never attested -----
-    "stream_admission_bulk": ISS.stream_admission_bulk,
-    "iceberg_stats_union": IN.iceberg_stats_union,
-    # ----- latest green driver row: r7 -----
-    "locf_fill": E.locf_fill,
-    "percentiles": XR.percentiles,
-    "value_histogram": XR.value_histogram,
-    "join_semi": CV.join_semi,
-    "join_anti": CV.join_anti,
-    "join_outer": CV.join_outer,
-    "scalar_funcs": CV.scalar_funcs,
-    "time_travel": CV.time_travel,
-    "metadata_files": CV.metadata_files,
-    "incremental_view": CV.incremental_view,
-    "recursive_month_series": CV.recursive_month_series,
-    "variant_json_ops": CV.variant_json_ops,
-    "sql_entry": CV.sql_entry,
-    "grouped_median_pandas": CV.grouped_median_pandas,
-    "udtf_chunks": TX.chunk_documents_udtf,
-    "tfidf_topterms": LQ.tfidf_topterms,
-    "bm25_search": LQ.bm25_search,
-    "repetition_topgram": LQ.repetition_topgram,
-    "contamination_check": LQ.contamination_check,
-    "csv_roundtrip": CV.csv_roundtrip,
-    "orc_roundtrip": CV.orc_roundtrip,
-    "json_infer": RS.json_infer_query,
-    "json_corrupt_records": JS.json_corrupt_records,
-    "stream_window_hourly": ST.stream_window_hourly,
-    "stream_dedup_latest": ST.stream_dedup_latest,
-    "stream_to_table": ST.stream_to_table,
-    "stream_stream_join": ST.stream_stream_join,
-    "merge_upsert": RS.merge_upsert_query,
-    "merge_star": RS.merge_star_query,
-    "merge_cdc": RS.merge_cdc_query,
-    "scd2_final": RS.scd2_final_query,
-    "delete_pred": RS.delete_pred_query,
-    "schema_evolution": RS.schema_evolution_query,
-    "cdc_pipeline": CP.cdc_pipeline,
-    "partition_prune": PT.partition_prune,
-    "partition_evolution": MT.partition_evolution,
-    "snapshot_history": MT.snapshot_history,
-    "changelog_feed": MT.changelog_feed,
-    "pii_scrub": SC.pii_scrub,
-    "paragraph_dedup": SC.paragraph_dedup,
-    "stratified_sample_lang": SC.stratified_sample_lang,
-    "table_maintenance": MT.table_maintenance,
-    "wap_pattern": MT.wap_pattern,
     # ----- latest green driver row: r8 -----
-    "stream_cdc_merge": ST.stream_cdc_merge,
-    "multimodal_audio": MM.multimodal_audio,
-    "scan_full": R.scan_full,
-    "project_literals": R.project_literals,
-    "filter_conj": R.filter_conj,
     "join_inner": R.join_inner,
     "union_all": R.union_all,
     "sort_multi": R.sort_multi,
@@ -318,6 +266,57 @@ QUERIES: dict[str, QueryFn] = {
     "window_hourly": E.window_hourly,
     "json_props": E.json_props,
     "window_sliding": E.window_sliding,
+    # ----- latest green driver row: r12 -----
+    "stream_admission_bulk": ISS.stream_admission_bulk,
+    "iceberg_stats_union": IN.iceberg_stats_union,
+    "locf_fill": E.locf_fill,
+    "percentiles": XR.percentiles,
+    "value_histogram": XR.value_histogram,
+    "join_semi": CV.join_semi,
+    "join_anti": CV.join_anti,
+    "join_outer": CV.join_outer,
+    "scalar_funcs": CV.scalar_funcs,
+    "time_travel": CV.time_travel,
+    "metadata_files": CV.metadata_files,
+    "incremental_view": CV.incremental_view,
+    "recursive_month_series": CV.recursive_month_series,
+    "variant_json_ops": CV.variant_json_ops,
+    "sql_entry": CV.sql_entry,
+    "grouped_median_pandas": CV.grouped_median_pandas,
+    "udtf_chunks": TX.chunk_documents_udtf,
+    "tfidf_topterms": LQ.tfidf_topterms,
+    "bm25_search": LQ.bm25_search,
+    "repetition_topgram": LQ.repetition_topgram,
+    "contamination_check": LQ.contamination_check,
+    "csv_roundtrip": CV.csv_roundtrip,
+    "orc_roundtrip": CV.orc_roundtrip,
+    "json_infer": RS.json_infer_query,
+    "json_corrupt_records": JS.json_corrupt_records,
+    "stream_window_hourly": ST.stream_window_hourly,
+    "stream_dedup_latest": ST.stream_dedup_latest,
+    "stream_to_table": ST.stream_to_table,
+    "stream_stream_join": ST.stream_stream_join,
+    "merge_upsert": RS.merge_upsert_query,
+    "merge_star": RS.merge_star_query,
+    "merge_cdc": RS.merge_cdc_query,
+    "scd2_final": RS.scd2_final_query,
+    "delete_pred": RS.delete_pred_query,
+    "schema_evolution": RS.schema_evolution_query,
+    "cdc_pipeline": CP.cdc_pipeline,
+    "partition_prune": PT.partition_prune,
+    "partition_evolution": MT.partition_evolution,
+    "snapshot_history": MT.snapshot_history,
+    "changelog_feed": MT.changelog_feed,
+    "pii_scrub": SC.pii_scrub,
+    "paragraph_dedup": SC.paragraph_dedup,
+    "stratified_sample_lang": SC.stratified_sample_lang,
+    "table_maintenance": MT.table_maintenance,
+    "wap_pattern": MT.wap_pattern,
+    "stream_cdc_merge": ST.stream_cdc_merge,
+    "multimodal_audio": MM.multimodal_audio,
+    "scan_full": R.scan_full,
+    "project_literals": R.project_literals,
+    "filter_conj": R.filter_conj,
 }
 
 # Queries intentionally lacking a DuckDB oracle, with the reason the
